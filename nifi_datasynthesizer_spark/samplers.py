@@ -1,0 +1,638 @@
+"""Field samplers: log-synth schema classes re-expressed as column algebra.
+
+Reference surface: ``nifi-datasynthesizer-generators/src/main/java/com/
+mapr/synth/samplers/*.java`` (one Java class per schema ``class`` key,
+each drawing from a stateful ``java.util.Random``).  Here every sampler
+compiles to a pure, shuffle-free dual expression (Spark Column + DuckDB
+SQL) over the row index — see rng.py for why this is the right design
+for a 1000-executor cluster.
+
+A sampler returns either:
+- a single :class:`~.dual.D` (scalar or array value), or
+- an ordered ``dict[name, D]`` (multi-column record, e.g. ``zip`` with
+  ``fields``, or ``flatten``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import dual as X
+from . import vocab as V
+from .dual import D
+from .rng import mix, pick, pick_weighted, quantize_weights, salt_of, u01, uint
+
+EPOCH_2013_08_01_S = 1375315200  # DateSampler.java default end epoch
+DAY_S = 86400
+
+
+class Ctx:
+    """Compilation context: row-index expr + salt path."""
+
+    def __init__(self, i: D, seed: int = 0, path: str = "$"):
+        self.i = i
+        self.seed = seed
+        self.path = path
+
+    def child(self, name: str) -> "Ctx":
+        return Ctx(self.i, self.seed, f"{self.path}.{name}")
+
+    def salt(self, *extra) -> int:
+        return salt_of(self.seed, self.path, *extra)
+
+
+# --------------------------------------------------------------- helpers
+
+def _d_exponential(u: D, mean: float) -> D:
+    """-mean * ln(u); rounded so libm ulp differences can't surface."""
+    ln = D(lambda: F.log(X.lit(1.0).c - u.c), f"LN(1.0 - {u.s})")
+    return X.round_(ln * (-mean), 9)
+
+
+def _normal01(ctx: Ctx, k: int = 0) -> D:
+    """Irwin–Hall 12-sum approximation of N(0,1).
+
+    Arithmetic-only (no erf/log/cos) so the DuckDB oracle reproduces it
+    bit-for-bit; adequate tails for synthesis (|z| <= 6).  Replaces
+    NormalSampler.java's Random.nextGaussian().
+    """
+    total = None
+    for j in range(12):
+        u = u01(ctx.i, ctx.salt("n01", k, j))
+        total = u if total is None else total + u
+    return total - 6.0
+
+
+def _digits(ctx: Ctx, tag: str, n: int) -> list[D]:
+    return [uint(ctx.i, ctx.salt(tag, j), 0, 10) for j in range(n)]
+
+
+def _join_str(parts: list[D], sep: str) -> D:
+    out = []
+    for j, p in enumerate(parts):
+        if j:
+            out.append(X.lit(sep))
+        out.append(X.cast_string(p))
+    return X.concat(*out)
+
+
+def _hex4(v: D) -> D:
+    """16-bit int → 4 lowercase hex chars (identical in both engines)."""
+    h = D(lambda: F.lower(F.hex(v.c)), f"LOWER(TO_HEX({v.s}))")
+    return D(lambda: F.lpad(h.c, 4, "0"), f"LPAD({h.s}, 4, '0')")
+
+
+def _fmt_epoch_s(ts_s: D, fmt: str) -> D:
+    """Format epoch seconds without engine timezone logic (UTC fields
+    built arithmetically; date part via DATE + days)."""
+    if fmt in ("s", "S"):
+        return X.cast_long(ts_s)
+    if fmt == "ms":
+        return X.cast_long(ts_s * 1000)
+    days = X.idiv(ts_s, DAY_S)
+    datestr = X.cast_string(X.date_from_days(days))
+    if fmt == "yyyy-MM-dd":
+        return datestr
+    if fmt == "yyyy-MM-dd HH:mm:ss":
+        sod = ts_s % DAY_S
+        hh = X.lpad(X.idiv(sod, 3600), 2, "0")
+        mm = X.lpad(X.idiv(sod, 60) % 60, 2, "0")
+        ss = X.lpad(sod % 60, 2, "0")
+        return X.concat(datestr, " ", hh, ":", mm, ":", ss)
+    raise ValueError(f"unsupported date format: {fmt!r} "
+                     "(supported: s, ms, yyyy-MM-dd, 'yyyy-MM-dd HH:mm:ss')")
+
+
+def _parse_rate_per_s(rate: str | float) -> float:
+    """log-synth rate strings: '1/m', '100/s', '5/h', '2/d' → events/sec."""
+    if isinstance(rate, (int, float)):
+        return float(rate)
+    num, _, unit = str(rate).partition("/")
+    per = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}[unit.strip() or "s"]
+    return float(num) / per
+
+
+# --------------------------------------------------------------- samplers
+
+def s_id(spec, ctx):
+    return X.cast_long(ctx.i + int(spec.get("start", 0)))
+
+
+def s_int(spec, ctx):
+    lo = int(spec.get("min", 0))
+    hi = int(spec.get("max", 100))
+    dist = spec.get("dist")
+    if dist:  # [v1, p1, v2, p2, ...] multinomial, IntegerSampler.setDist
+        vals = [int(v) for v in dist[0::2]]
+        ws = [float(p) for p in dist[1::2]]
+        return X.cast_long(pick_weighted(ctx.i, ctx.salt("int"), vals, ws))
+    power = int(spec.get("power", 0))
+    if power:
+        u = u01(ctx.i, ctx.salt("int"))
+        skewed = D(lambda: F.pow(u.c, float(power + 1)), f"POWER({u.s}, {float(power + 1)})")
+        return X.cast_long(X.floor(skewed * float(hi - lo))) + lo
+    return X.cast_long(uint(ctx.i, ctx.salt("int"), lo, hi))
+
+
+def s_double(spec, ctx):
+    lo = float(spec.get("min", 0))
+    hi = float(spec.get("max", 100))
+    dist = spec.get("dist")
+    if dist:
+        vals = [float(v) for v in dist[0::2]]
+        ws = [float(p) for p in dist[1::2]]
+        return X.cast_double(pick_weighted(ctx.i, ctx.salt("dbl"), vals, ws))
+    return u01(ctx.i, ctx.salt("dbl")) * (hi - lo) + lo
+
+
+def s_normal(spec, ctx):
+    mean = float(spec.get("mean", 0.0))
+    sd = float(spec.get("sd", 1.0))
+    out = _normal01(ctx) * sd + mean
+    p = spec.get("precision")
+    return X.round_(out, int(p)) if p is not None else out
+
+
+def s_gamma(spec, ctx):
+    """Erlang(k, rate): sum of k exponentials (GammaSampler.java for
+    integer alpha; fractional part approximated by scaling)."""
+    alpha = float(spec.get("alpha", spec.get("dof", 1.0)))
+    beta = float(spec.get("beta", 1.0))  # rate
+    k = max(1, int(round(alpha)))
+    scale = alpha / k / beta
+    total = None
+    for j in range(k):
+        e = _d_exponential(u01(ctx.i, ctx.salt("gam", j)), 1.0)
+        total = e if total is None else total + e
+    return X.round_(total * scale, 9)
+
+
+def s_string(spec, ctx):
+    dist = spec.get("dist")
+    if not dist:
+        raise ValueError("string sampler requires 'dist' map")
+    vals = list(dist.keys())
+    ws = [float(w) for w in dist.values()]
+    return pick_weighted(ctx.i, ctx.salt("str"), vals, ws)
+
+
+def s_word(spec, ctx):
+    return pick(ctx.i, ctx.salt("word"), V.WORDS)
+
+
+def s_text(spec, ctx):
+    n_words = int(spec.get("length", 10))
+    parts = [pick(ctx.i, ctx.salt("text", j), V.WORDS) for j in range(n_words)]
+    return _join_str(parts, " ")
+
+
+def s_name(spec, ctx):
+    typ = str(spec.get("type", "first_last")).lower()
+    first = pick(ctx.i, ctx.salt("first"), V.FIRST_NAMES)
+    last = pick(ctx.i, ctx.salt("last"), V.LAST_NAMES)
+    if typ == "first":
+        return first
+    if typ == "last":
+        return last
+    if typ == "last_first":
+        return X.concat(last, ", ", first)
+    return X.concat(first, " ", last)  # first_last / rand_first_last
+
+
+def s_street_name(spec, ctx):
+    return pick(ctx.i, ctx.salt("street"), V.STREET_NAMES)
+
+
+def s_address(spec, ctx):
+    num = uint(ctx.i, ctx.salt("addr_no"), 1, 9999)
+    street = pick(ctx.i, ctx.salt("addr_st"), V.STREET_NAMES)
+    suf = pick(ctx.i, ctx.salt("addr_suf"), V.STREET_SUFFIXES)
+    return X.concat(X.cast_string(num), " ", street, " ", suf)
+
+
+def s_state(spec, ctx):
+    return pick(ctx.i, ctx.salt("state"), V.STATES)
+
+
+def s_country(spec, ctx):
+    return pick(ctx.i, ctx.salt("country"), V.COUNTRIES)
+
+
+def s_language(spec, ctx):
+    return pick(ctx.i, ctx.salt("lang"), V.LANGUAGES)
+
+
+def s_zip(spec, ctx):
+    """ZipSampler.java: emits a zip record; `fields` selects sub-fields,
+    `onlyContinental` restricts the universe."""
+    n = len(V.ZIP_ROWS)
+    idx = uint(ctx.i, ctx.salt("zip"), 0, n)
+    sub = {
+        "zip": X.element(idx, V.ZIP_CODES),
+        "city": X.element(idx, V.ZIP_CITIES),
+        "state": X.element(idx, V.ZIP_STATES),
+        "latitude": X.element(idx, V.ZIP_LATS),
+        "longitude": X.element(idx, V.ZIP_LONS),
+    }
+    fields = spec.get("fields")
+    if fields:
+        want = [f.strip() for f in str(fields).split(",") if f.strip()]
+        sub = {k: sub[k] for k in want}
+    return sub
+
+
+def s_date(spec, ctx):
+    fmt = spec.get("format", "yyyy-MM-dd")
+    start, end = spec.get("start"), spec.get("end")
+
+    def parse(ds: str) -> int:
+        from datetime import datetime, timezone
+        for py in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return int(datetime.strptime(ds, py)
+                           .replace(tzinfo=timezone.utc).timestamp())
+            except ValueError:
+                continue
+        raise ValueError(f"unparseable date bound: {ds}")
+
+    end_s = parse(end) if end else EPOCH_2013_08_01_S
+    if start or end:
+        start_s = parse(start) if start else 0
+        t = uint(ctx.i, ctx.salt("date"), 0, max(1, end_s - start_s)) + start_s
+    else:
+        # DateSampler.java default: end − Exponential(mean 100 days)
+        e = _d_exponential(u01(ctx.i, ctx.salt("date")), 100.0 * DAY_S)
+        t = X.cast_long(X.lit(end_s) - X.floor(e))
+    return _fmt_epoch_s(t, fmt)
+
+
+def s_event(spec, ctx):
+    """ArrivalSampler.java: monotone arrival times at `rate`.
+
+    Scale-first re-expression: t_i = start + (i + u_i)/rate — a jittered
+    renewal process with the same rate and strict per-row independence
+    (no global running sum ⇒ no single-partition window at 100 TB).
+    """
+    rate_s = _parse_rate_per_s(spec.get("rate", "1/s"))
+    start_s = int(spec.get("start_epoch", EPOCH_2013_08_01_S))
+    step = 1.0 / rate_s
+    u = u01(ctx.i, ctx.salt("event"))
+    t = X.cast_long(X.floor((X.cast_double(ctx.i) + u) * step)) + start_s
+    return _fmt_epoch_s(t, spec.get("format", "yyyy-MM-dd HH:mm:ss"))
+
+
+def s_foreign_key(spec, ctx):
+    size = int(spec.get("size", 1000))
+    skew = float(spec.get("skew", 0.5))
+    ws = [math.pow(k + 1.0, -skew) for k in range(size)]
+    table = quantize_weights(list(range(size)), ws, table_size=4096)
+    return X.cast_long(X.element(uint(ctx.i, ctx.salt("fk"), 0, 4096), table))
+
+
+def s_uuid(spec, ctx):
+    """Deterministic v4-shaped UUID from four 31-bit mixes."""
+    g = [mix(ctx.i, ctx.salt("uuid", j)) for j in range(8)]
+    h = [_hex4(v % 65536) for v in g]
+    mid = X.concat("4", X.substr(h[3], 2, 3))          # version nibble
+    var = X.concat("8", X.substr(h[4], 2, 3))          # variant nibble
+    return X.concat(h[0], h[1], "-", h[2], "-", mid, "-", var, "-",
+                    h[5], h[6], h[7])
+
+
+def s_ssn(spec, ctx):
+    area = uint(ctx.i, ctx.salt("ssn_a"), 1, 899)
+    area = X.when_chain([(area.eq(666), X.lit(667))], area)  # 666 never issued
+    group = uint(ctx.i, ctx.salt("ssn_g"), 1, 100)
+    serial = uint(ctx.i, ctx.salt("ssn_s"), 1, 10000)
+    return X.concat(X.lpad(area, 3, "0"), "-", X.lpad(group, 2, "0"),
+                    "-", X.lpad(serial, 4, "0"))
+
+
+def s_ipv4(spec, ctx):
+    o = [uint(ctx.i, ctx.salt("ip", j), 1 if j == 0 else 0, 255 if j == 0 else 256)
+         for j in range(4)]
+    return _join_str(o, ".")
+
+
+def s_mac(spec, ctx):
+    parts = [X.substr(_hex4(uint(ctx.i, ctx.salt("mac", j), 0, 256)), 3, 2)
+             for j in range(6)]
+    return _join_str(parts, ":")
+
+
+def s_email(spec, ctx):
+    first = pick(ctx.i, ctx.salt("first"), V.FIRST_NAMES)
+    last = pick(ctx.i, ctx.salt("last"), V.LAST_NAMES)
+    dom = pick(ctx.i, ctx.salt("edom"), V.WORDS)
+    tld = pick(ctx.i, ctx.salt("etld"), V.TLDS)
+    return X.lower(X.concat(first, ".", last, "@", dom, ".", tld))
+
+
+def s_username(spec, ctx):
+    first = pick(ctx.i, ctx.salt("first"), V.FIRST_NAMES)
+    last = pick(ctx.i, ctx.salt("last"), V.LAST_NAMES)
+    num = uint(ctx.i, ctx.salt("unum"), 0, 100)
+    return X.lower(X.concat(X.substr(first, 1, 1), last, X.cast_string(num)))
+
+
+def s_domain(spec, ctx):
+    w1 = pick(ctx.i, ctx.salt("dom1"), V.WORDS)
+    tld = pick(ctx.i, ctx.salt("dtld"), V.TLDS)
+    return X.concat(w1, ".", tld)
+
+
+def s_dns(spec, ctx):
+    host = pick(ctx.i, ctx.salt("host"), ["www", "api", "cdn", "mail", "app"])
+    return X.concat(host, ".", s_domain(spec, ctx))
+
+
+def s_browser(spec, ctx):
+    return pick_weighted(ctx.i, ctx.salt("browser"), V.BROWSERS, V.BROWSER_WEIGHTS)
+
+
+def s_os(spec, ctx):
+    return pick_weighted(ctx.i, ctx.salt("os"), V.OSES, V.OS_WEIGHTS)
+
+
+def s_imei(spec, ctx):
+    """ImeiSampler.java: 14 digits + Luhn check digit, all in integer
+    algebra (doubling/digit-sum expressed with % and floor-div)."""
+    ds = _digits(ctx, "imei", 14)
+    total = None
+    for j, d in enumerate(ds):
+        if j % 2 == 1:  # double every 2nd digit (0-based odd), sum digits
+            dd = d * 2
+            term = X.idiv(dd, 10) + dd % 10
+        else:
+            term = d
+        total = term if total is None else total + term
+    check = (X.lit(10) - (total % 10)) % 10
+    return X.concat(*[X.cast_string(d) for d in ds], X.cast_string(check))
+
+
+def s_phone(spec, ctx):
+    """PhoneNumber.java processor schema: join/sequence of 3 ints."""
+    ac = spec.get("area_code")
+    area = X.lit(str(ac)) if ac else X.cast_string(uint(ctx.i, ctx.salt("pa"), 100, 1000))
+    mid = uint(ctx.i, ctx.salt("pm"), 100, 1000)
+    last = uint(ctx.i, ctx.salt("pl"), 1000, 10000)
+    return X.concat(area, "-", X.cast_string(mid), "-", X.cast_string(last))
+
+
+def s_vector(spec, ctx):
+    size = int(spec.get("size", 8))
+    lo = float(spec.get("min", 0.0))
+    hi = float(spec.get("max", 1.0))
+    items = [u01(ctx.i, ctx.salt("vec", j)) * (hi - lo) + lo for j in range(size)]
+    return X.array(items)
+
+
+def s_random_walk(spec, ctx):
+    """RandomWalkSampler.java: value_i = start + Σ_{k<=i} N(mean, sd).
+
+    Needs a running sum ⇒ expressed as a window cumsum.  NOTE (scale):
+    an unpartitioned ORDER BY i window is a single-reducer pattern; at
+    cluster scale supply `key` in the spec to partition the walk, or
+    prefer `sequence`-embedded walks (per-row arrays).
+    """
+    start = float(spec.get("start", 0.0))
+    mean = float(spec.get("mean", 0.0))
+    sd = float(spec.get("sd", 1.0))
+    step = _normal01(ctx) * sd + mean
+
+    def build():
+        w = Window.orderBy(F.col("i")).rowsBetween(Window.unboundedPreceding, 0)
+        return F.sum(step.c).over(w) + F.lit(start)
+
+    out = D(build, f"(SUM({step.s}) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) + {start})")
+    p = spec.get("precision")
+    return X.round_(out, int(p)) if p is not None else out
+
+
+def s_changer(spec, ctx):
+    """Changer.java: value that changes every `every` rows (slowly
+    changing dimension) — keyed off i // every, stateless."""
+    every = int(spec.get("every", 10))
+    sub = dict(spec.get("value", {"class": "word"}))
+    block = X.cast_long(X.idiv(ctx.i, every))
+    return compile_field(sub, Ctx(block, ctx.seed, ctx.path + ".changer"))
+
+
+def s_long_tail(spec, ctx):
+    """LongTailSampler/ChineseRestaurant.java: Pitman–Yor long-tail ids,
+    approximated by a Zipf(alpha) multinomial over a capped universe —
+    same head-heavy shape, fully stateless."""
+    alpha = float(spec.get("alpha", 1.0))
+    universe = int(spec.get("universe", 10000))
+    table = quantize_weights(list(range(universe)),
+                             [math.pow(k + 1.0, -alpha) for k in range(universe)],
+                             table_size=8192)
+    return X.cast_long(X.element(uint(ctx.i, ctx.salt("lt"), 0, 8192), table))
+
+
+def s_bursty(spec, ctx):
+    """BurstyEvents.java: event times clustered into on/off bursts."""
+    burst_len = int(spec.get("burst", 20))
+    gap_s = float(spec.get("gap", 3600.0))
+    within_s = float(spec.get("within", 1.0))
+    start_s = int(spec.get("start_epoch", EPOCH_2013_08_01_S))
+    b = X.idiv(ctx.i, burst_len)            # burst number
+    off = ctx.i % burst_len                 # position within burst
+    jit = u01(ctx.i, ctx.salt("burst"))
+    t = (X.cast_double(b) * gap_s + X.cast_double(off) * within_s + jit)
+    return X.cast_long(X.floor(t)) + start_s
+
+
+def s_vin(spec, ctx):
+    """VinSampler.java: 17-char VIN with ISO 3779 check digit, computed
+    in integer algebra over the picked character indices."""
+    alphabet = "0123456789ABCDEFGHJKLMNPRSTUVWXYZ"  # no I,O,Q
+    values = {c: v for c, v in zip(alphabet,
+              [0, 1, 2, 3, 4, 5, 6, 7, 8, 9,        # 0-9
+               1, 2, 3, 4, 5, 6, 7, 8,              # A-H
+               1, 2, 3, 4, 5, 7, 9,                 # J-N, P, R
+               2, 3, 4, 5, 6, 7, 8, 9])}            # S-Z
+    weights = [8, 7, 6, 5, 4, 3, 2, 10, 0, 9, 8, 7, 6, 5, 4, 3, 2]
+    wmis = ["1HG", "1FA", "1GC", "2T1", "3VW", "5YJ", "JHM", "KMH", "WAU", "WBA"]
+    wmi_idx = uint(ctx.i, ctx.salt("wmi"), 0, len(wmis))
+    chars: list[D] = []
+    vals: list[D] = []
+    for pos in range(17):
+        if pos < 3:
+            cs = [w[pos] for w in wmis]
+            chars.append(X.element(wmi_idx, cs))
+            vals.append(X.element(wmi_idx, [values[c] for c in cs]))
+        elif pos == 8:
+            chars.append(X.lit(""))  # placeholder for check digit
+            vals.append(X.lit(0))
+        else:
+            k = uint(ctx.i, ctx.salt("vin", pos), 0, len(alphabet))
+            chars.append(X.element(k, list(alphabet)))
+            vals.append(X.element(k, [values[c] for c in alphabet]))
+    total = None
+    for pos in range(17):
+        term = vals[pos] * weights[pos]
+        total = term if total is None else total + term
+    rem = total % 11
+    check = X.when_chain([(rem.eq(10), X.lit("X"))], X.cast_string(rem))
+    parts = chars[:8] + [check] + chars[9:]
+    return X.concat(*parts)
+
+
+def s_license_plate(spec, ctx):
+    letters = [X.element(uint(ctx.i, ctx.salt("lp", j), 0, 26),
+                         list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")) for j in range(3)]
+    num = uint(ctx.i, ctx.salt("lpn"), 0, 10000)
+    return X.concat(letters[0], letters[1], letters[2], "-", X.lpad(num, 4, "0"))
+
+
+def s_header(spec, ctx):
+    ua = pick(ctx.i, ctx.salt("ua"), V.USER_AGENT_BITS)
+    return {
+        "user_agent": ua,
+        "accept": pick(ctx.i, ctx.salt("acc"),
+                       ["*/*", "text/html", "application/json"]),
+        "host": s_domain(spec, ctx),
+    }
+
+
+def s_toll(spec, ctx):
+    return {
+        "booth": X.cast_long(uint(ctx.i, ctx.salt("booth"), 1, 200)),
+        "plate": s_license_plate(spec, ctx),
+        "amount": X.round_(u01(ctx.i, ctx.salt("amt")) * 12.0 + 0.5, 2),
+        "time": s_event({"rate": spec.get("rate", "10/s"),
+                         "format": "yyyy-MM-dd HH:mm:ss"}, ctx),
+    }
+
+
+def s_sequence(spec, ctx):
+    """SequenceSampler.java: array-valued field.
+
+    - `array`: one draw per sub-spec (heterogeneous positions),
+    - `base` + `length`: fixed-length homogeneous array,
+    - `base` + `lengthDistribution`: exponential-mean random length
+      (built as slice of a max-length array — per-row, no state).
+    """
+    if "array" in spec:
+        items = []
+        for j, sub in enumerate(spec["array"]):
+            items.append(_scalar(compile_field(dict(sub), ctx.child(f"[{j}]"))))
+        return X.array([X.cast_string(it) for it in items])
+    base = dict(spec.get("base", {"class": "int"}))
+    if "length" in spec:
+        n = int(spec["length"])
+        items = [_scalar(compile_field(base, ctx.child(f"[{j}]"))) for j in range(n)]
+        return X.array(items)
+    mean = float(spec.get("lengthDistribution", 5))
+    maxlen = max(1, int(mean * 4))
+    items = [_scalar(compile_field(base, ctx.child(f"[{j}]"))) for j in range(maxlen)]
+    arr = X.array(items)
+    e = _d_exponential(u01(ctx.i, ctx.salt("seqlen")), mean)
+    ln_ = (X.cast_long(X.floor(e)) % maxlen) + 1
+    return D(lambda: F.slice(arr.c, 1, ln_.c.cast("int")),
+             f"LIST_SLICE({arr.s}, 1, CAST({ln_.s} AS BIGINT))")
+
+
+def s_map(spec, ctx):
+    out = {}
+    for sub in spec.get("value", []):
+        sub = dict(sub)
+        nm = sub.get("name", sub.get("class"))
+        r = compile_field(sub, ctx.child(nm))
+        if isinstance(r, dict):
+            out.update(r)
+        else:
+            out[nm] = r
+    return out
+
+
+def s_flatten(spec, ctx):
+    prefix = spec.get("prefix")
+    sub = dict(spec["value"])
+    inner_name = sub.get("name", sub.get("class", "v"))
+    r = compile_field(sub, ctx.child(inner_name))
+    if not isinstance(r, dict):
+        return {inner_name: r}
+    if prefix is None:
+        prefix = inner_name + "_"
+    return {f"{prefix}{k}": v for k, v in r.items()}
+
+
+def s_join(spec, ctx):
+    sep = spec.get("separator", ",")
+    sub = dict(spec["value"])
+    r = compile_field(sub, ctx.child("join"))
+    arr = _scalar(r)
+    return D(lambda: F.concat_ws(sep, arr.c),
+             f"ARRAY_TO_STRING({arr.s}, '{sep}')")
+
+
+def _scalar(r) -> D:
+    if isinstance(r, dict):
+        # struct-valued sub-sampler inside an array/join: stringify
+        parts = []
+        for k, v in r.items():
+            parts.append(X.cast_string(v))
+        return _join_str(parts, ",")
+    return r
+
+
+REGISTRY = {
+    "id": s_id,
+    "int": s_int,
+    "integer": s_int,
+    "double": s_double,
+    "normal": s_normal,
+    "gamma": s_gamma,
+    "string": s_string,
+    "word": s_word,
+    "text": s_text,
+    "name": s_name,
+    "street-name": s_street_name,
+    "address": s_address,
+    "state": s_state,
+    "country": s_country,
+    "language": s_language,
+    "zip": s_zip,
+    "date": s_date,
+    "event": s_event,
+    "foreign-key": s_foreign_key,
+    "uuid": s_uuid,
+    "ssn": s_ssn,
+    "ipv4": s_ipv4,
+    "ip": s_ipv4,
+    "mac": s_mac,
+    "email": s_email,
+    "username": s_username,
+    "domain": s_domain,
+    "dns": s_dns,
+    "browser": s_browser,
+    "os": s_os,
+    "imei": s_imei,
+    "phone": s_phone,
+    "vector": s_vector,
+    "random-walk": s_random_walk,
+    "changer": s_changer,
+    "long-tail": s_long_tail,
+    "pitman-yor": s_long_tail,
+    "bursty-events": s_bursty,
+    "vin": s_vin,
+    "license-plate": s_license_plate,
+    "header": s_header,
+    "toll": s_toll,
+    "sequence": s_sequence,
+    "map": s_map,
+    "flatten": s_flatten,
+    "join": s_join,
+}
+
+
+def compile_field(spec: dict, ctx: Ctx):
+    cls = spec.get("class")
+    if cls not in REGISTRY:
+        raise ValueError(f"unknown sampler class: {cls!r}")
+    return REGISTRY[cls](spec, ctx)

@@ -1,0 +1,29 @@
+"""SparkSession factory with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "nifi-datasynthesizer-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    b = (SparkSession.builder.appName(app).master(master)
+         # deterministic timestamp semantics everywhere
+         .config("spark.sql.session.timeZone", "UTC")
+         # AQE: runtime coalescing + skew-join handling — essential at scale
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         # Arrow for every pandas-UDF boundary
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)))
+    return b.getOrCreate()
