@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB replays; generators replay exactly because
+the engine's RNG is counter-based column algebra (see
+nifi_datasynthesizer_spark/rng.py).
 """
 
 from __future__ import annotations
@@ -12,27 +12,405 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from nifi_datasynthesizer_spark import compile_schema, synthesizers as SZ
+from nifi_datasynthesizer_spark.operators import dedup as DD
+from nifi_datasynthesizer_spark.operators import multimodal as MM
+from nifi_datasynthesizer_spark.operators import similarity as SIM
+from nifi_datasynthesizer_spark.operators import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from nifi_datasynthesizer_spark.io import read_table
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus hygiene report on the documents table —
+    exact-dedup survivors × heuristic language ID × quality scoring,
+    aggregated per predicted language."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    kept = DD.dedup_exact_keep(docs)
+    scored = TX.quality_score(TX.lang_id(kept))
+    return (scored.groupBy("pred_lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("quality"), 4).alias("avg_quality"),
+                 F.round(F.avg("q_n_words"), 2).alias("avg_words"))
+            .orderBy("pred_lang"))
 
+
+# ------------------------------------------------------------- schemas
+
+SYNTH_BASIC_SCHEMA = [
+    {"name": "rec_id", "class": "id"},
+    {"name": "qty", "class": "int", "min": 1, "max": 50},
+    {"name": "price", "class": "double", "min": 0, "max": 1000},
+    {"name": "segment", "class": "string", "dist": {"A": 5, "B": 3, "C": 2}},
+    {"name": "full_name", "class": "name"},
+    {"name": "email", "class": "email"},
+    {"name": "signup", "class": "date", "start": "2020-01-01", "end": "2024-01-01"},
+    {"name": "signup_ts", "class": "date", "format": "yyyy-MM-dd HH:mm:ss",
+     "start": "2020-01-01", "end": "2024-01-01"},
+    {"name": "score", "class": "normal", "mean": 100, "sd": 15},
+    {"name": "wait", "class": "gamma", "alpha": 3, "beta": 2},
+    {"name": "customer_fk", "class": "foreign-key", "size": 500, "skew": 1},
+    {"name": "fav_word", "class": "word"},
+    {"name": "state", "class": "state"},
+    {"name": "country", "class": "country"},
+    {"name": "addr", "class": "address"},
+]
+
+SYNTH_IDENT_SCHEMA = [
+    {"name": "rec_id", "class": "id"},
+    {"name": "uid", "class": "uuid"},
+    {"name": "imei", "class": "imei"},
+    {"name": "ssn", "class": "ssn"},
+    {"name": "vin", "class": "vin"},
+    {"name": "mac", "class": "mac"},
+    {"name": "ip", "class": "ipv4"},
+    {"name": "plate", "class": "license-plate"},
+    {"name": "user", "class": "username"},
+    {"name": "site", "class": "domain"},
+    {"name": "ua_browser", "class": "browser"},
+    {"name": "ua_os", "class": "os"},
+    {"name": "lang", "class": "language"},
+]
+
+SYNTH_N = 20_000
+
+
+# -------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- classic analytics over the TPC-H-ish tables (engine plumbing)
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                     F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                     .alias("sum_disc_price"),
+                     F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                     F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                     F.count("*").alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_orders(spark, sf):
+        cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+        # customer is the small side at every SF → broadcast; lineitem
+        # never shuffles on customer key
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+        return (j.groupBy("l_orderkey", "o_orderdate")
+                .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+    q["q3_top_orders"] = q3_top_orders
+
+    def q5_nation_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(supp, li.l_suppkey == supp.s_suppkey)
+             .join(cust, (orders.o_custkey == cust.c_custkey)
+                   & (cust.c_nationkey == supp.s_nationkey))
+             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey))
+        return (j.groupBy("n_name")
+                .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), "n_name"))
+    q["q5_nation_revenue"] = q5_nation_revenue
+
+    def events_daily(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("total_value"),
+                     F.approx_count_distinct("user_id").alias("approx_users"))
+                .drop("approx_users")  # approx differs per engine; keep exact cols
+                .orderBy("day", "event_type"))
+    q["events_daily"] = events_daily
+
+    # ---- schema-driven synthesis (the reference's core capability)
+    def synth_basic(spark, sf):
+        return compile_schema(SYNTH_BASIC_SCHEMA, seed=1).dataframe(spark, SYNTH_N)
+    q["synth_basic"] = synth_basic
+
+    def synth_identifiers(spark, sf):
+        return compile_schema(SYNTH_IDENT_SCHEMA, seed=2).dataframe(spark, SYNTH_N)
+    q["synth_identifiers"] = synth_identifiers
+
+    def synth_phone_numbers(spark, sf):
+        return SZ.phone_numbers(SYNTH_N, area_code=555, seed=3).df(spark)
+    q["synth_phone_numbers"] = synth_phone_numbers
+
+    def synth_text_messages(spark, sf):
+        return SZ.text_messages(SYNTH_N, words=12, seed=4).df(spark)
+    q["synth_text_messages"] = synth_text_messages
+
+    def synth_transactions(spark, sf):
+        return SZ.transactions_df(spark, n_people=2000, max_tx=5,
+                                  n_terminals=100, invalid_rate=0.05, seed=5)
+    q["synth_transactions"] = synth_transactions
+
+    def synth_iot(spark, sf):
+        return SZ.iot_data_flat(n_devices=200, readings=50, seed=6).df(spark)
+    q["synth_iot"] = synth_iot
+
+    def synth_commuter(spark, sf):
+        return SZ.commuter_data(spark, n_drivers=20, trips=4,
+                                points_per_trip=30, seed=7)
+    q["synth_commuter"] = synth_commuter
+
+    def synth_correlate(spark, sf):
+        cust = _t(spark, sf, "customer")
+        schema = [{"name": "risk_score", "class": "int", "min": 300, "max": 850},
+                  {"name": "tier", "class": "string",
+                   "dist": {"gold": 1, "silver": 3, "bronze": 6}}]
+        return SZ.correlate(cust, schema, "c_custkey", universe=1000, seed=8)
+    q["synth_correlate"] = synth_correlate
+
+    # ---- dedup family
+    def dedup_exact(spark, sf):
+        return (DD.dedup_exact(_t(spark, sf, "documents"))
+                .orderBy("digest"))
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_exact_keep(spark, sf):
+        return DD.dedup_exact_keep(_t(spark, sf, "documents")).orderBy("doc_id")
+    q["dedup_exact_keep"] = dedup_exact_keep
+
+    def dedup_minhash(spark, sf):
+        return (DD.dedup_minhash(_t(spark, sf, "documents"),
+                                 num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+                .orderBy("a", "b"))
+    q["dedup_minhash"] = dedup_minhash
+
+    def dedup_simhash(spark, sf):
+        return (DD.dedup_simhash(_t(spark, sf, "documents"), hamming_max=3)
+                .orderBy("a", "b"))
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_ngram_jaccard(spark, sf):
+        return (DD.ngram_jaccard_pairs(_t(spark, sf, "documents"),
+                                       n=3, threshold=0.4)
+                .orderBy("a", "b"))
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_embedding(spark, sf):
+        return (DD.dedup_embedding(_t(spark, sf, "embeddings"), threshold=0.95)
+                .orderBy("a", "b"))
+    q["dedup_embedding"] = dedup_embedding
+
+    # ---- similarity search
+    def ann_bruteforce(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return SIM.ann_bruteforce(emb, queries_df, k=10).orderBy("query_id", "rank")
+    q["ann_bruteforce"] = ann_bruteforce
+
+    def ann_lsh(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return SIM.ann_lsh(emb, queries_df, k=10).orderBy("query_id", "rank")
+    q["ann_lsh"] = ann_lsh
+
+    # ---- text analysis
+    def text_langid(spark, sf):
+        return (TX.lang_id(_t(spark, sf, "documents"))
+                .select("doc_id", "pred_lang", "lang_score").orderBy("doc_id"))
+    q["text_langid"] = text_langid
+
+    def text_quality(spark, sf):
+        return (TX.quality_score(_t(spark, sf, "documents"))
+                .select("doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
+                        "q_alpha_ratio", "q_digit_ratio", "q_punct_ratio",
+                        "q_stopword_ratio", "q_distinct_ratio", "quality")
+                .orderBy("doc_id"))
+    q["text_quality"] = text_quality
+
+    def text_tokens(spark, sf):
+        return (TX.token_counts(_t(spark, sf, "documents"))
+                .select("doc_id", "tok_whitespace", "tok_bpe_ish", "tok_chars_div4")
+                .orderBy("doc_id"))
+    q["text_tokens"] = text_tokens
+
+    def text_fingerprint(spark, sf):
+        return (TX.fingerprint(_t(spark, sf, "documents"))
+                .select("doc_id", "fp_full", "fp_min", "fp_max").orderBy("doc_id"))
+    q["text_fingerprint"] = text_fingerprint
+
+    # ---- multimodal plumbing (decode stubbed; plumbing real)
+    def media_features(spark, sf):
+        media = MM.synth_media(spark, n=500, seed=9)
+        return MM.extract_features(media, dim=16).orderBy("media_id")
+    q["media_features"] = media_features
+
+    def media_frames(spark, sf):
+        media = MM.synth_media(spark, n=200, seed=10)
+        return (MM.sample_frames(media, every_ms=5000)
+                .select("media_id", "frame_idx", "frame_ts_ms")
+                .orderBy("media_id", "frame_idx"))
+    q["media_frames"] = media_frames
+
+    return q
+
+
+# ------------------------------------------------------------- oracles
+
+_NORM = ("TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),"
+         " '\\s+', ' ', 'g'))")
+_WORDS = "STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')"
+_EN = "('the','and','of','to','is','that','with')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+    o["q3_top_orders"] = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    o["q5_nation_revenue"] = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+    o["events_daily"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY day, event_type ORDER BY day, event_type"""
+
+    # synthesis replays: exact SQL mirrors emitted by the compiler
+    o["synth_basic"] = compile_schema(SYNTH_BASIC_SCHEMA, seed=1).duckdb_sql(SYNTH_N)
+    o["synth_identifiers"] = compile_schema(SYNTH_IDENT_SCHEMA, seed=2).duckdb_sql(SYNTH_N)
+    o["synth_phone_numbers"] = SZ.phone_numbers(SYNTH_N, area_code=555, seed=3).sql()
+    o["synth_text_messages"] = SZ.text_messages(SYNTH_N, words=12, seed=4).sql()
+    o["synth_transactions"] = SZ.transactions_sql(
+        n_people=2000, max_tx=5, n_terminals=100, invalid_rate=0.05, seed=5)
+    o["synth_iot"] = SZ.iot_data_flat(n_devices=200, readings=50, seed=6).sql()
+
+    o["dedup_exact"] = f"""
+SELECT digest, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, MD5({_NORM}) AS digest FROM documents)
+GROUP BY digest HAVING COUNT(*) > 1 ORDER BY digest"""
+
+    o["dedup_exact_keep"] = f"""
+SELECT * FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5({_NORM}) ORDER BY doc_id) = 1
+ORDER BY doc_id"""
+
+    o["text_langid"] = """
+WITH scored AS (
+  SELECT doc_id,
+    [{'s': len(list_filter(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+               x -> x IN ('the','and','of','to','is','that','with'))), 'l': 'en'},
+     {'s': len(list_filter(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+               x -> x IN ('el','la','los','las','que','de','una'))), 'l': 'es'},
+     {'s': len(list_filter(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+               x -> x IN ('le','la','les','des','est','une','dans'))), 'l': 'fr'},
+     {'s': len(list_filter(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+               x -> x IN ('der','die','das','und','ist','nicht','ein'))), 'l': 'de'},
+     {'s': len(list_filter(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+               x -> x IN ('il','la','che','di','un','per','con'))), 'l': 'it'},
+     {'s': len(list_filter(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+               x -> x IN ('o','os','uma','que','de','para','com'))), 'l': 'pt'}
+    ] AS pairs
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN list_max(pairs)['s'] > 0 THEN list_max(pairs)['l']
+            ELSE 'und' END AS pred_lang,
+       list_max(pairs)['s'] AS lang_score
+FROM scored ORDER BY doc_id"""
+
+    o["text_quality"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    LENGTH(text) AS q_n_chars,
+    len({_WORDS}) AS q_n_words,
+    LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS digits,
+    LENGTH(REGEXP_REPLACE(text, '[^.,;:!?''"()]', '', 'g')) AS punct,
+    len(list_filter({_WORDS}, x -> x IN {_EN})) AS stop,
+    len(list_distinct({_WORDS})) AS uniq
+  FROM documents),
+r AS (
+  SELECT doc_id, q_n_chars, q_n_words,
+    q_n_chars / GREATEST(q_n_words, 1) AS q_mean_word_len,
+    alpha / CAST(GREATEST(q_n_chars, 1) AS DOUBLE) AS q_alpha_ratio,
+    digits / CAST(GREATEST(q_n_chars, 1) AS DOUBLE) AS q_digit_ratio,
+    punct / CAST(GREATEST(q_n_chars, 1) AS DOUBLE) AS q_punct_ratio,
+    stop / CAST(GREATEST(q_n_words, 1) AS DOUBLE) AS q_stopword_ratio,
+    uniq / CAST(GREATEST(q_n_words, 1) AS DOUBLE) AS q_distinct_ratio
+  FROM base)
+SELECT *, CASE WHEN q_n_words < 5 THEN 0.0
+    ELSE LEAST(1.0, q_alpha_ratio * 0.5 + q_distinct_ratio * 0.3
+               + LEAST(q_stopword_ratio * 4.0, 1.0) * 0.2) END AS quality
+FROM r ORDER BY doc_id"""
+
+    o["text_tokens"] = f"""
+SELECT doc_id,
+  len({_WORDS}) AS tok_whitespace,
+  len(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+')) AS tok_bpe_ish,
+  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS tok_chars_div4
+FROM documents ORDER BY doc_id"""
+
+    o["ann_bruteforce"] = """
+WITH normed AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      SQRT(list_sum(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM normed WHERE query_id < 5),
+scored AS (
+  SELECT query_id, c.vec_id AS cand_id,
+    ROUND(list_sum(list_transform(list_zip(qv, c.v), p -> p[1] * p[2])), 6)
+      AS cosine
+  FROM normed c CROSS JOIN q WHERE c.vec_id <> query_id)
+SELECT query_id, cand_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id) AS rank
+FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
+
+    # (dedup_minhash / dedup_simhash / text_fingerprint use xxhash64 —
+    # not available in DuckDB; dedup_ngram_jaccard / dedup_embedding /
+    # ann_lsh / synth_commuter / synth_correlate / media_* are checked
+    # rows-only this round.)
+    return o

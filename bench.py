@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.  Every query is forced through the noop sink so
+Catalyst cannot prune away unmeasured columns; synthesis benchmarks
+generate multi-million-row tables to measure rows/sec, not overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from nifi_datasynthesizer_spark import compile_schema, get_spark
+from nifi_datasynthesizer_spark import synthesizers as SZ
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_SYNTH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = get_spark(app="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = entrymod.queries()
+
+    # analytic + operator queries straight from the driver contract
+    names = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+             "events_daily", "dedup_exact", "dedup_minhash", "dedup_simhash",
+             "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+             "ann_bruteforce", "ann_lsh", "dedup_embedding"]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(q[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # synthesis throughput at bench scale (reference generates ~1e4-1e5
+    # rec/s single-node; we time BENCH_SYNTH_N rows end-to-end)
+    t0 = time.perf_counter()
+    _force(compile_schema(entrymod.SYNTH_BASIC_SCHEMA, seed=1)
+           .dataframe(spark, BENCH_SYNTH_N))
+    timings["synth_basic_2m"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(compile_schema(entrymod.SYNTH_IDENT_SCHEMA, seed=2)
+           .dataframe(spark, BENCH_SYNTH_N))
+    timings["synth_identifiers_2m"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(SZ.iot_data_flat(n_devices=BENCH_SYNTH_N // 100, readings=100,
+                            seed=6).df(spark))
+    timings["synth_iot_2m"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(SZ.transactions_df(spark, n_people=BENCH_SYNTH_N // 5, max_tx=5,
+                              n_terminals=1000, invalid_rate=0.05, seed=5))
+    timings["synth_transactions_2m"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "synth_rows": BENCH_SYNTH_N,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

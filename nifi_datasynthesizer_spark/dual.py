@@ -180,8 +180,13 @@ def element(idx0: D, values: list) -> D:
     if not values:
         raise ValueError("empty value list")
     sql_items = ", ".join(_sq(v) if isinstance(v, str) else _fmt_num(v) for v in values)
+    arr_sql = f"ARRAY[{sql_items}]"
+    if any(isinstance(v, float) for v in values):
+        # DuckDB infers DECIMAL[] from fixed-point literals; force DOUBLE[]
+        # so downstream arithmetic matches Spark's double semantics
+        arr_sql = f"CAST({arr_sql} AS DOUBLE[])"
     return D(lambda: F.element_at(F.lit(values), (idx0.c + 1).cast("int")),
-             f"(ARRAY[{sql_items}])[CAST(({idx0.s} + 1) AS BIGINT)]")
+             f"({arr_sql})[CAST(({idx0.s} + 1) AS BIGINT)]")
 
 
 def when_chain(pairs: list[tuple[D, D]], otherwise: D) -> D:

@@ -1,0 +1,58 @@
+"""Sources and sinks.
+
+The reference reads/writes via NiFi Record readers/writers (JSON, Avro,
+CSV — see DataSynthesizerBase's RECORD_WRITER property); here the
+equivalents are the Spark DataFrame reader/writer formats, plus
+normalization for awkward physical types (nanosecond parquet
+timestamps, which Spark's vectorized reader rejects by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing physical types.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) — Spark has no nanos
+    timestamp type, so it is read as long (nanosAsLong) and converted
+    to a microsecond timestamp column *losslessly for query purposes*
+    (micro precision), keeping filters/pushdown on the long column
+    available to Catalyst.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000)
+                                                    .cast("long")))
+    return df
+
+
+def write(df: DataFrame, path: str, fmt: str = "parquet",
+          mode: str = "overwrite", partition_by: list[str] | None = None,
+          compression: str = "zstd") -> None:
+    """Record-writer equivalent: parquet/json/csv/orc sinks.
+
+    Defaults tuned for scale: zstd parquet, caller-controlled
+    partitioning (partition_by on a low-cardinality column keeps file
+    counts sane at 100 TB)."""
+    w = df.write.mode(mode).format(fmt)
+    if fmt in ("parquet", "orc"):
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read(spark: SparkSession, path: str, fmt: str = "parquet",
+         schema=None) -> DataFrame:
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true").option("inferSchema", schema is None)
+    return r.load(path)

@@ -1,0 +1,213 @@
+"""Deduplication operators over a text corpus.
+
+All operators take a documents DataFrame (``doc_id``, ``text``) and
+are built from JVM-side built-ins only — no Python in the hot path.
+Scale notes per operator; every shuffle is on a key chosen to stay
+balanced at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- exact
+
+
+def normalize_text(col):
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    strip punctuation (mirrors common LLM-pipeline normalizers)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact near-duplicate groups by md5 of normalized text.
+
+    One shuffle on the 128-bit digest (uniform by construction — no
+    skew), map-side partial aggregation applies; at 100 TB this is the
+    textbook scalable groupBy.  Returns one row per duplicated digest
+    with the group size and the keeper (min doc_id).
+    """
+    h = docs.select(
+        F.col("doc_id"),
+        F.md5(normalize_text(F.col("text"))).alias("digest"),
+    )
+    return (h.groupBy("digest")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+def dedup_exact_keep(docs: DataFrame) -> DataFrame:
+    """Return the corpus with exact duplicates removed (keep min id)."""
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    return (docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ------------------------------------------------------------- shingles
+
+def _shingles(col, k: int = 5):
+    """Word k-shingles of the normalized text (array<string>)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k,
+                  F.transform(idx, lambda s: F.concat_ws(" ", F.slice(words, s + 1, k)))
+                  ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
+                       shingle_k: int = 5) -> DataFrame:
+    """MinHash signatures computed entirely JVM-side.
+
+    h_j(shingle) = (a_j * xxhash64(shingle) + b_j) mod p ­— the classic
+    Broder construction; the signature column is array<bigint> of
+    per-permutation minima.  Per-row only: no shuffle.
+    """
+    p = (1 << 31) - 1  # Mersenne prime; keeps a_j*h + b_j < 2**40 (no ANSI overflow)
+    sh = docs.select("doc_id", _shingles(F.col("text"), shingle_k).alias("sh"))
+    base = F.transform(F.col("sh"),
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+    mins = [
+        F.array_min(F.transform(base, lambda h: F.pmod(
+            h * F.lit(2 * j + 1) + F.lit(j * 2654435761 % p), F.lit(p))))
+        .alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.select("doc_id", F.array(*mins).alias("signature"))
+
+
+def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                  shingle_k: int = 5, jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH banding near-dup detection.
+
+    bands × rows layout: a pair colliding in ≥1 band becomes a
+    candidate; candidates are verified by estimated Jaccard from the
+    full signatures.  Shuffle is on (band_id, band_hash) — uniformly
+    distributed buckets; the self-join joins only within buckets.
+    Giant buckets (degenerate corpora) can be salted or capped
+    upstream.  Returns verified pairs (a < b) with est_jaccard.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_k)
+    bands_df = sig.select(
+        "doc_id", "signature",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("signature")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)]))
+            for b in range(bands)])).alias("band_id", "band_hash"))
+    left = bands_df.select(F.col("doc_id").alias("a"),
+                           F.col("signature").alias("sig_a"),
+                           "band_id", "band_hash")
+    right = bands_df.select(F.col("doc_id").alias("b"),
+                            F.col("signature").alias("sig_b"),
+                            "band_id", "band_hash")
+    cand = (left.join(right, ["band_id", "band_hash"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sig_a", "sig_b").distinct())
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v)) / F.lit(float(num_hashes)))
+    return (est.filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("a", "b", "est_jaccard"))
+
+
+# -------------------------------------------------------------- simhash
+
+def dedup_simhash(docs: DataFrame, bits: int = 64, hamming_max: int = 3,
+                  shingle_k: int = 2) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint = sign of per-bit sums of
+    shingle hashes; candidate pairs via 4-block Hamming banding
+    (pigeonhole: ≤3 differing bits ⇒ ≥1 identical 16-bit block).
+    All vectorized JVM expressions; shuffle only on (block_id, block).
+    """
+    sh = docs.select("doc_id", _shingles(F.col("text"), shingle_k).alias("sh"))
+    hashed = sh.select("doc_id",
+                       F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+    def _vote(mask):
+        # +1 if bit set else -1, summed over shingles
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # signed-64 bit mask
+        bit_sum = F.aggregate("hs", F.lit(0), _vote(mask))
+        bit_cols.append(F.when(bit_sum > 0, F.lit(mask)).otherwise(F.lit(0)))
+    fp = hashed.select(
+        "doc_id",
+        F.aggregate(F.array(*bit_cols), F.lit(0).cast("long"),
+                    lambda acc, v: acc.bitwiseOR(v.cast("long"))).alias("simhash"))
+    blocks = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", 16 * q).bitwiseAND(F.lit(0xFFFF))
+            for q in range(4)])).alias("block_id", "block"))
+    cand = (blocks.alias("l")
+            .join(blocks.alias("r"), ["block_id", "block"])
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                    F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+            .distinct())
+    return (cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= hamming_max)
+            .select("a", "b", "hamming"))
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.4,
+                        length_band: int = 32) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Blocking: documents are bucketed by (length band, first-token
+    hash band) to avoid the quadratic all-pairs join; within-bucket
+    pairs get exact Jaccard via array_intersect/array_union sizes.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(_shingles(F.col("text"), n)).alias("g"),
+        (F.length(normalize_text(F.col("text"))) / length_band)
+        .cast("int").alias("lb"))
+    left = grams.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"), "lb")
+    right = grams.select(F.col("doc_id").alias("b"), F.col("g").alias("gb"), "lb")
+    pairs = (left.join(right, "lb").filter(F.col("a") < F.col("b")))
+    sim = pairs.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("ga", "gb")) /
+        F.size(F.array_union("ga", "gb")).cast("double"))
+    return sim.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+# --------------------------------------------------- embedding near-dup
+
+def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
+                    bucket_bits: int = 8, seed: int = 7) -> DataFrame:
+    """Embedding cosine near-dup via random-hyperplane LSH buckets.
+
+    Vectors sharing all `bucket_bits` hyperplane signs land in one
+    bucket; cosine is computed exactly (zip_with dot product over
+    L2-normalized vectors) within buckets only.  Shuffle key is the
+    sign-pattern bucket — 2^bits buckets, balanced for isotropic data.
+    """
+    from .similarity import l2_normalize, random_hyperplane_bucket
+
+    normed = emb.select(F.col("vec_id"),
+                        l2_normalize(F.col("embedding")).alias("v"))
+    bucketed = normed.withColumn(
+        "bucket", random_hyperplane_bucket(F.col("v"), bucket_bits, seed))
+    left = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
+    right = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
+    pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    cos = pairs.withColumn(
+        "cosine",
+        F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v))
+    return cos.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio codecs, so the *decode* steps are
+stubbed (deterministic fakes clearly marked); everything Spark-side —
+schemas, Arrow batch shape, mapInPandas partitioning, metadata
+extraction — is real and tested.  Swapping the stub for PIL/ffmpeg is
+a one-function change that doesn't touch the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),        # image | audio | video
+    StructField("payload", BinaryType()),     # opaque encoded bytes
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),      # -1 when unknown
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+
+def synth_media(spark, n: int = 100, seed: int = 0) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from the
+    row index (so tests are stable), metadata shaped like real media."""
+    kinds = F.element_at(F.lit(["image", "audio", "video"]),
+                         (F.col("id") % 3 + 1).cast("int"))
+    mimes = F.element_at(F.lit(["image/png", "audio/wav", "video/mp4"]),
+                         (F.col("id") % 3 + 1).cast("int"))
+    payload = F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256) \
+        .cast("binary")
+    return (spark.range(n)
+            .select(F.col("id").alias("media_id"),
+                    kinds.alias("kind"),
+                    payload.alias("payload"),
+                    mimes.alias("mime"),
+                    (F.col("id") % 1920 + 1).cast("int").alias("width"),
+                    (F.col("id") % 1080 + 1).cast("int").alias("height"),
+                    (F.col("id") % 60000).cast("int").alias("duration_ms")))
+
+
+def _decode_image_stub(payload: bytes, dim: int) -> list[float]:
+    """STUB — container lacks PIL/libjpeg.  Deterministic fake feature:
+    byte histogram folded to `dim` floats.  Replace with real decode:
+
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+    """
+    acc = [0.0] * dim
+    for j, b in enumerate(payload):
+        acc[j % dim] += b / 255.0
+    norm = sum(acc) or 1.0
+    return [round(a / norm, 6) for a in acc]
+
+
+def extract_features(media: DataFrame, dim: int = 16,
+                     batch_hint: int = 1024) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched).
+
+    Partition-local, zero shuffle; batches arrive as pandas frames of
+    the input partitions, so executor memory is bounded by
+    `spark.sql.execution.arrow.maxRecordsPerBatch` — set it when
+    payloads are large (e.g. 64 for 4K images).
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_stub(p if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda p: len(p or b"")),
+                "feature": feats,
+            })
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing.  Decode is stubbed ⇒ this updates the
+    typed metadata and passes payload through; the mapInPandas shape
+    (schema + partitioning) is exactly what a real resize needs."""
+    return (media.withColumn("width", F.when(F.col("kind") == "image", width)
+                             .otherwise(F.col("width")))
+            .withColumn("height", F.when(F.col("kind") == "image", height)
+                        .otherwise(F.col("height"))))
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled
+    timestamp (posexplode over the computed timestamp grid).  Frame
+    *decode* is stubbed; the row fan-out, schema, and per-frame key
+    are the real thing."""
+    frames = F.sequence(F.lit(0), F.greatest((F.col("duration_ms") / every_ms)
+                                             .cast("int") - 1, F.lit(0)))
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload",
+                    F.posexplode(frames).alias("frame_idx", "_t"))
+            .withColumn("frame_ts_ms", F.col("_t") * every_ms)
+            .drop("_t")
+            .withColumn("frame_payload",
+                        F.sha2(F.concat(F.col("payload").cast("string"),
+                                        F.col("frame_idx").cast("string")), 256)
+                        .cast("binary")))  # STUB: real impl decodes the frame

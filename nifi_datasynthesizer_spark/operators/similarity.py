@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force exact top-k as the baseline; random-hyperplane LSH
+bucketing as the scale path (prunes the candidate set before the
+exact re-rank).  Dot products are pure higher-order-function
+expressions — JVM-side, no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    # cast to double *before* multiplying: float32 arithmetic differs
+    # between engines; double-everywhere keeps the oracle bit-exact
+    return F.aggregate(F.zip_with(a, b,
+                                  lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(v):
+    return F.sqrt(F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def l2_normalize(v):
+    n = l2_norm(v)
+    return F.transform(v, lambda x: x.cast("double") / n)
+
+
+def random_hyperplane_bucket(v, bits: int, seed: int):
+    """Sign pattern of `bits` pseudo-random hyperplanes.
+
+    Hyperplane j's weight for dimension d is a deterministic ±1 from
+    xxhash64(seed, j, d) — no stored projection matrix, so the bucket
+    function ships with the plan (nothing to broadcast)."""
+    def proj(j):
+        s = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x * (F.pmod(F.xxhash64(F.lit(seed), F.lit(j), d), F.lit(2))
+                                  .cast("double") * 2.0 - 1.0)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for j in range(bits):
+        bucket = bucket.bitwiseOR(proj(j))
+    return bucket
+
+
+def ann_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set (small side) against
+    the corpus — one narrow pass over the corpus, partial top-k per
+    partition via window rank after a shuffle on query_id only.
+
+    At 100 TB corpus × few thousand queries this is the right plan:
+    the corpus is never shuffled; only (query_id, score) pairs are.
+    """
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       l2_normalize(F.col("embedding")).alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cand_id"),
+                   l2_normalize(F.col("embedding")).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .withColumn("cosine", F.round(dot(F.col("qv"), F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine", "rank"))
+
+
+def ann_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
+            bucket_bits: int = 6, seed: int = 7) -> DataFrame:
+    """LSH-pruned ANN: candidates restricted to the query's hyperplane
+    bucket, then exact cosine re-rank.  Trades recall for a ~2^bits
+    reduction in scored candidates; the shuffle key is the bucket."""
+    q = (queries.select(F.col("vec_id").alias("query_id"),
+                        l2_normalize(F.col("embedding")).alias("qv"))
+         .withColumn("bucket", random_hyperplane_bucket(F.col("qv"), bucket_bits, seed)))
+    c = (emb.select(F.col("vec_id").alias("cand_id"),
+                    l2_normalize(F.col("embedding")).alias("cv"))
+         .withColumn("bucket", random_hyperplane_bucket(F.col("cv"), bucket_bits, seed)))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .withColumn("cosine", F.round(dot(F.col("qv"), F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine", "rank"))

@@ -46,10 +46,22 @@ class Ctx:
 
 # --------------------------------------------------------------- helpers
 
-def _d_exponential(u: D, mean: float) -> D:
-    """-mean * ln(u); rounded so libm ulp differences can't surface."""
-    ln = D(lambda: F.log(X.lit(1.0).c - u.c), f"LN(1.0 - {u.s})")
-    return X.round_(ln * (-mean), 9)
+_EXP_TABLE_SIZE = 4096
+_EXP_QUANTILES = [round(-math.log((k + 0.5) / _EXP_TABLE_SIZE), 9)
+                  for k in range(_EXP_TABLE_SIZE)]
+
+
+def _d_exponential(i: D, salt: int, mean: float) -> D:
+    """Exponential(mean) via a precomputed quantile table.
+
+    Runtime ``ln`` differs between JVM and libm by 1 ulp, which leaks
+    through any rounding with small probability — a flaky oracle.  A
+    4096-level quantile table computed once in Python is bit-identical
+    in both engines (literal doubles), transcendental-free at query
+    time, and statistically indistinguishable for synthesis.
+    """
+    q = X.element(uint(i, salt, 0, _EXP_TABLE_SIZE), _EXP_QUANTILES)
+    return q * mean
 
 
 def _normal01(ctx: Ctx, k: int = 0) -> D:
@@ -165,9 +177,11 @@ def s_gamma(spec, ctx):
     scale = alpha / k / beta
     total = None
     for j in range(k):
-        e = _d_exponential(u01(ctx.i, ctx.salt("gam", j)), 1.0)
+        e = _d_exponential(ctx.i, ctx.salt("gam", j), 1.0)
         total = e if total is None else total + e
-    return X.round_(total * scale, 9)
+    # no rounding: table quantiles are literal doubles, so the sum is
+    # already bit-identical across engines (round() is NOT — see text.py)
+    return total * scale
 
 
 def s_string(spec, ctx):
@@ -264,7 +278,7 @@ def s_date(spec, ctx):
         t = uint(ctx.i, ctx.salt("date"), 0, max(1, end_s - start_s)) + start_s
     else:
         # DateSampler.java default: end − Exponential(mean 100 days)
-        e = _d_exponential(u01(ctx.i, ctx.salt("date")), 100.0 * DAY_S)
+        e = _d_exponential(ctx.i, ctx.salt("date"), 100.0 * DAY_S)
         t = X.cast_long(X.lit(end_s) - X.floor(e))
     return _fmt_epoch_s(t, fmt)
 
@@ -531,7 +545,7 @@ def s_sequence(spec, ctx):
     maxlen = max(1, int(mean * 4))
     items = [_scalar(compile_field(base, ctx.child(f"[{j}]"))) for j in range(maxlen)]
     arr = X.array(items)
-    e = _d_exponential(u01(ctx.i, ctx.salt("seqlen")), mean)
+    e = _d_exponential(ctx.i, ctx.salt("seqlen"), mean)
     ln_ = (X.cast_long(X.floor(e)) % maxlen) + 1
     return D(lambda: F.slice(arr.c, 1, ln_.c.cast("int")),
              f"LIST_SLICE({arr.s}, 1, CAST({ln_.s} AS BIGINT))")

@@ -16,6 +16,9 @@ def get_spark(app: str = "nifi-datasynthesizer-spark",
     b = (SparkSession.builder.appName(app).master(master)
          # deterministic timestamp semantics everywhere
          .config("spark.sql.session.timeZone", "UTC")
+         # testdata events.parquet carries TIMESTAMP(NANOS): read as long,
+         # normalized by io.read_table
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
          # AQE: runtime coalescing + skew-join handling — essential at scale
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,336 @@
+"""Canned record generators — the reference's NiFi processors.
+
+Each processor from ``nifi-datasynthesizer-processors/src/main/java/
+org/apache/nifi/datasynthesizer/processors/synthesizers/`` becomes a
+function returning a DataFrame.  All are built on the same pure
+column algebra as the schema compiler, so they parallelize without
+shuffle and replay exactly in DuckDB.
+
+Hierarchical outputs (device → readings) are produced by *index
+arithmetic* instead of explode: a grid of ``n_parent × n_child`` rows
+where ``parent = i div n_child`` — a narrow map over ``spark.range``,
+with per-parent sequential state (random walks, arrival times)
+expressed as windows partitioned by parent.  This keeps every stage
+embarrassingly parallel at 100 TB (no single-reducer windows, no
+array explosions of unbounded size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import dual as X
+from . import vocab as V
+from .dual import D
+from .rng import u01, uint
+from .samplers import (
+    EPOCH_2013_08_01_S,
+    Ctx,
+    _fmt_epoch_s,
+    _normal01,
+    s_imei,
+    s_ipv4,
+    s_phone,
+    s_text,
+    s_uuid,
+    s_zip,
+)
+
+
+def _i() -> D:
+    return D(lambda: F.col("i"), "i")
+
+
+def _base(spark: SparkSession, n: int, partitions: int | None = None):
+    if partitions is None:
+        partitions = max(1, min(spark.sparkContext.defaultParallelism,
+                                n // 2_000_000 + 1))
+    return spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
+
+
+class Generated:
+    """A generated table plus its DuckDB replay SQL (oracle mirror)."""
+
+    def __init__(self, columns: list[tuple[str, D]], n: int,
+                 post_sql: str | None = None):
+        self.columns = columns
+        self.n = n
+        self.post_sql = post_sql  # e.g. trailing WHERE for filtered gens
+
+    def df(self, spark: SparkSession, partitions: int | None = None) -> DataFrame:
+        out = _base(spark, self.n, partitions).select(
+            *[d.c.alias(name) for name, d in self.columns])
+        return out
+
+    def sql(self, n: int | None = None) -> str:
+        cols = ", ".join(f'{d.s} AS "{name}"' for name, d in self.columns)
+        q = f"SELECT {cols} FROM range(0, {n or self.n}) AS t(i)"
+        if self.post_sql:
+            q += " " + self.post_sql
+        return q
+
+
+# ------------------------------------------------------------------ iot
+
+def iot_data_flat(n_devices: int = 100, readings: int = 100,
+                  seed: int = 0) -> Generated:
+    """IotData.java + resources/generators/iot-data.json, flattened:
+    one row per (device, reading).  device-id uuid, device-ip, home
+    lat/lon from the zip universe, a 1/min arrival `time` and a
+    random-walk `temp` starting at 30 — the walk is a window cumsum
+    partitioned by device (scales with device count)."""
+    n = n_devices * readings
+    i = _i()
+    dev = X.cast_long(X.idiv(i, readings))
+    j = X.cast_long(i % readings)
+    dctx = Ctx(dev, seed, "$.iot")
+    rctx = Ctx(i, seed, "$.iot.read")
+    zsub = s_zip({"onlyContinental": True, "fields": "latitude, longitude"}, dctx)
+    t = X.cast_long(j * 60) + (X.floor(u01(i, rctx.salt("jit")) * 59.0) % 60) \
+        + EPOCH_2013_08_01_S
+    step = _normal01(rctx) * 1.0  # sd=1, mean=0 per iot-data.json
+
+    def temp_col():
+        # window keys derived from i (sibling aliases are not visible
+        # inside the same select)
+        w = (Window.partitionBy(F.floor(F.col("i") / readings))
+             .orderBy(F.col("i") % readings)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return F.sum(step.c).over(w) + F.lit(30.0)
+
+    temp_sql = (f"(SUM({step.s}) OVER (PARTITION BY CAST(FLOOR(i / "
+                f"{float(readings)}) AS BIGINT) ORDER BY (i % {readings}) "
+                f"ROWS UNBOUNDED PRECEDING) + 30.0)")
+    cols = [
+        ("device_seq", dev),
+        ("reading_idx", j),
+        ("device_id", s_uuid({}, dctx)),
+        ("device_ip", s_ipv4({}, dctx)),
+        ("latitude", zsub["latitude"]),
+        ("longitude", zsub["longitude"]),
+        ("time", _fmt_epoch_s(t, "yyyy-MM-dd HH:mm:ss")),
+        ("temp", D(temp_col, temp_sql)),
+    ]
+    return Generated(cols, n)
+
+
+def iot_data(spark: SparkSession, n_devices: int = 100, readings: int = 100,
+             seed: int = 0) -> DataFrame:
+    """Nested form matching the reference record shape: one row per
+    device with an array<struct> of readings."""
+    flat = iot_data_flat(n_devices, readings, seed).df(spark)
+    return (flat.groupBy("device_seq", "device_id", "device_ip",
+                         "latitude", "longitude")
+            .agg(F.sort_array(F.collect_list(F.struct("reading_idx", "time", "temp")))
+                 .alias("readings")))
+
+
+# ------------------------------------------------------------ telephony
+
+def phone_numbers(n: int, area_code: int | None = None, seed: int = 0) -> Generated:
+    """PhoneNumber.java: {phone_number: 'NNN-NNN-NNNN'}."""
+    ctx = Ctx(_i(), seed, "$.phone")
+    spec = {"area_code": area_code} if area_code else {}
+    return Generated([("phone_number", s_phone(spec, ctx))], n)
+
+
+def text_messages(n: int, source_area: int | None = None,
+                  dest_area: int | None = None, words: int = 20,
+                  seed: int = 0) -> Generated:
+    """TextMessage.java: src/dst numbers + IMEIs, timestamp, message."""
+    i = _i()
+    sctx = Ctx(i, seed, "$.sms.src")
+    dctx = Ctx(i, seed, "$.sms.dst")
+    mctx = Ctx(i, seed, "$.sms.msg")
+    t = X.floor(u01(i, mctx.salt("ts")) * (3 * 365 * 86400.0)) + 1577836800
+    return Generated([
+        ("source_phone", s_phone({"area_code": source_area} if source_area else {}, sctx)),
+        ("source_imei", s_imei({}, sctx)),
+        ("destination_phone", s_phone({"area_code": dest_area} if dest_area else {}, dctx)),
+        ("timestamp", _fmt_epoch_s(t, "yyyy-MM-dd HH:mm:ss")),
+        ("message", s_text({"length": words}, mctx)),
+    ], n)
+
+
+# ----------------------------------------------------------------- text
+
+def text_blocks(n: int, words: int = 100, seed: int = 0) -> Generated:
+    """TextGenerator.java: free-form text records.  The reference uses
+    a Markov chain over a seed corpus (processors/data/MarkovChain.java);
+    we chain word picks through the hash of the previous word index so
+    bigram statistics are stable without any driver-side model."""
+    i = _i()
+    ctx = Ctx(i, seed, "$.textgen")
+    # chained picks: idx_k depends on (i, k, idx_{k-1} bucket)
+    parts = []
+    prev_bucket = X.lit(0)
+    for k in range(words):
+        r = uint(i, ctx.salt("w", k), 0, len(V.WORDS))
+        idx = (r + prev_bucket * 7919) % len(V.WORDS)
+        parts.append(X.element(idx, V.WORDS))
+        prev_bucket = idx % 97
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = X.concat(joined, " ", p)
+    return Generated([("text", joined)], n)
+
+
+# -------------------------------------------------------------- finance
+
+def transactions(n_people: int = 100, max_tx: int = 5,
+                 n_terminals: int = 50, invalid_rate: float = 0.05,
+                 seed: int = 0) -> Generated:
+    """Transactions.java: credit-card transactions.
+
+    Flat grid n_people × max_tx; per-row keep-probability emulates the
+    variable per-person transaction count (`max-transactions`,
+    `allow-zero-transactions`); terminals are a shared universe
+    (`terminal-generation-count`); `generate-invalid-transactions`
+    marks a fraction invalid with out-of-range amounts
+    (valid_transaction.json amounts 0..200, transaction.json 0..50000).
+    """
+    n = n_people * max_tx
+    i = _i()
+    person = X.cast_long(X.idiv(i, max_tx))
+    k = i % max_tx
+    pctx = Ctx(person, seed, "$.tx.person")
+    tctx = Ctx(i, seed, "$.tx")
+    n_tx = uint(person, pctx.salt("ntx"), 0, max_tx + 1)  # per-person count
+    keep = X.cast_long(k) < n_tx
+    terminal = uint(i, tctx.salt("term"), 0, n_terminals)
+    is_invalid = u01(i, tctx.salt("bad")) < invalid_rate
+    amt_valid = X.round_(u01(i, tctx.salt("amt")) * 200.0, 2)
+    amt_invalid = X.round_(u01(i, tctx.salt("amt2")) * 49800.0 + 200.0, 2)
+    t = X.floor(u01(i, tctx.salt("ts")) * (365 * 86400.0)) + 1609459200
+    cols = [
+        ("person_id", person),
+        ("card_number", X.concat(
+            "4", X.lpad(uint(person, pctx.salt("c1"), 0, 10 ** 7), 7, "0"),
+            X.lpad(uint(person, pctx.salt("c2"), 0, 10 ** 8), 8, "0"))),
+        ("terminal_id", X.cast_long(terminal)),
+        ("transaction_id", s_uuid({}, tctx)),
+        ("transaction_timestamp", X.cast_long(t)),
+        ("transaction_amount", X.when_chain([(is_invalid, amt_invalid)], amt_valid)),
+        ("is_valid", X.when_chain([(is_invalid, X.lit(False))], X.lit(True))),
+        ("__keep", keep),
+    ]
+    g = Generated(cols, n)
+    return g
+
+
+def transactions_df(spark: SparkSession, **kw) -> DataFrame:
+    g = transactions(**kw)
+    return g.df(spark).filter(F.col("__keep")).drop("__keep")
+
+
+def transactions_sql(n: int | None = None, **kw) -> str:
+    g = transactions(**kw)
+    inner = g.sql(n)
+    return (f'SELECT * EXCLUDE ("__keep") FROM ({inner}) WHERE "__keep"')
+
+
+# ------------------------------------------------------------- commuter
+
+COMMUTER_SCHEMA = ("driver_id long, home_zip string, home_lat double, "
+                   "home_lon double, trip int, t_offset_s long, "
+                   "lat double, lon double, mph double, rpm double")
+
+
+def commuter_data(spark: SparkSession, n_drivers: int = 10,
+                  home_zip: str | None = None, trips: int = 4,
+                  points_per_trip: int = 60, seed: int = 0) -> DataFrame:
+    """CommuterData.java / com/mapr/synth/drive/{Commuter,Car,Engine}.java:
+    simulate commuters driving home→work round trips.
+
+    The reference steps a Car model sequentially per driver; that is
+    inherently iterative, so we keep the simulation but distribute it
+    *per driver* with applyInPandas — each group is one driver's whole
+    trace, seeded by driver_id (deterministic under retries), groups
+    are tiny and independent → scales linearly with driver count.
+    Non-SQL-expressible ⇒ rows-only correctness check.
+    """
+    import numpy as np
+    import pandas as pd
+
+    zrows = V.ZIP_ROWS
+    if home_zip is not None:
+        base = [r for r in zrows if r[0] == home_zip] or [zrows[0]]
+    else:
+        base = zrows
+
+    bbase = spark.sparkContext.broadcast(base)
+
+    def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for driver in pdf["id"]:
+            rng = np.random.default_rng(seed * 1_000_003 + int(driver))
+            z = bbase.value[int(rng.integers(0, len(bbase.value)))]
+            home_lat, home_lon = z[3], z[4]
+            # work ~5 miles away (reference: "work": 5.0)
+            ang = rng.uniform(0, 2 * np.pi)
+            dlat = 5.0 / 69.0 * np.cos(ang)
+            dlon = 5.0 / 55.0 * np.sin(ang)
+            for trip in range(trips):
+                outbound = trip % 2 == 0
+                speed = 0.0
+                for p in range(points_per_trip):
+                    frac = p / max(1, points_per_trip - 1)
+                    f = frac if outbound else 1.0 - frac
+                    # noisy speed profile: accelerate, cruise, brake
+                    target = 45.0 * min(1.0, 4 * frac * (1 - frac) + 0.2)
+                    speed += 0.3 * (target - speed) + rng.normal(0, 2.0)
+                    speed = max(0.0, min(90.0, speed))
+                    out.append((
+                        int(driver), z[0], home_lat, home_lon, trip,
+                        trip * 43200 + p * 30,
+                        home_lat + dlat * f + rng.normal(0, 1e-4),
+                        home_lon + dlon * f + rng.normal(0, 1e-4),
+                        round(speed, 3),
+                        round(700.0 + speed * 35.0 + rng.normal(0, 50.0), 3),
+                    ))
+        return pd.DataFrame(out, columns=[
+            "driver_id", "home_zip", "home_lat", "home_lon", "trip",
+            "t_offset_s", "lat", "lon", "mph", "rpm"])
+
+    drivers = spark.range(0, n_drivers, 1,
+                          max(1, min(n_drivers, spark.sparkContext.defaultParallelism)))
+    return drivers.groupBy("id").applyInPandas(simulate, COMMUTER_SCHEMA)
+
+
+# ----------------------------------------------------------- correlator
+
+def correlate(input_df: DataFrame, schema, key_col: str, universe: int,
+              seed: int = 0, prefix: str = "corr_") -> DataFrame:
+    """DataCorrelator.java: join synthesized records into input records.
+
+    The reference generates a record pair per incoming FlowFile and
+    emplaces it.  Spark-first: compile the schema over the *key
+    universe* (one generated record per key), broadcast it, and join —
+    the synthesized dimension is generated once, not per row, and the
+    join is map-side (no shuffle of the fact table).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from .schema import compile_schema
+
+    spark = input_df.sparkSession
+    key_field = {"name": "__corr_i", "class": "id"}
+    dim = compile_schema([key_field] + list(schema), seed).dataframe(
+        spark, universe, partitions=1)
+    dim = dim.select(F.col("__corr_i").alias(f"{prefix}key"),
+                     *[F.col(c).alias(f"{prefix}{c}")
+                       for c in dim.columns if c != "__corr_i"])
+    keyed = input_df.withColumn(
+        f"{prefix}key",
+        (F.xxhash64(F.col(key_col)) % universe + universe) % universe)
+    return keyed.join(broadcast(dim), f"{prefix}key", "left")
+
+
+def remove_record_path(df: DataFrame, path: str) -> DataFrame:
+    """RemoveRecordPath.java: drop a (possibly nested) field, e.g.
+    'a.b.c' removes c inside struct a.b using dropFields (no rebuild)."""
+    if "." not in path:
+        return df.drop(path)
+    top, rest = path.split(".", 1)
+    return df.withColumn(top, F.col(top).dropFields(rest))

@@ -1,0 +1,41 @@
+"""The driver's correctness gate, run locally: every queries() entry
+with an oracle_sql() mirror must match DuckDB exactly at sf0.001 (the
+driver runs sf0.01; same code path)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import compare_with_duckdb
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_queries = entrymod.queries()
+_oracles = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["pred_lang", "n_docs", "avg_quality", "avg_words"]
+
+
+def test_every_oracle_has_query():
+    missing = set(_oracles) - set(_queries)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(_oracles))
+def test_oracle_match(spark, name):
+    df = _queries[name](spark, SF_DIR)
+    compare_with_duckdb(df, _oracles[name], sf_dir=SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(set(_queries) - set(_oracles)))
+def test_rows_only(spark, name):
+    df = _queries[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0

@@ -1,0 +1,119 @@
+"""Operator behavior tests with planted ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_datasynthesizer_spark.operators import dedup as DD
+from nifi_datasynthesizer_spark.operators import multimodal as MM
+from nifi_datasynthesizer_spark.operators import similarity as SIM
+from nifi_datasynthesizer_spark.operators import text as TX
+from nifi_datasynthesizer_spark import synthesizers as SZ
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight with great speed and joy")
+    near = base.replace("great speed", "high speed")      # near-dup of 0
+    rows = [
+        (0, base), (1, base.upper()),                     # exact dups (normalized)
+        (2, near),                                        # near-dup
+        (3, "completely different text about databases and query engines "
+            "optimizers shuffles partitions and broadcast joins at scale"),
+        (4, "el gato y el perro que viven en la casa de una familia"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_planted(planted_docs):
+    out = DD.dedup_exact(planted_docs).collect()
+    assert len(out) == 1
+    assert out[0].n_dups == 2 and out[0].keeper_doc_id == 0
+
+
+def test_dedup_minhash_planted(planted_docs):
+    # 32 bands × 2 rows: collision prob ≈ 1-(1-j²)³² — near-certain at j≈0.6
+    pairs = {(r.a, r.b) for r in
+             DD.dedup_minhash(planted_docs, bands=32,
+                              jaccard_threshold=0.3).collect()}
+    assert (0, 1) in pairs          # exact dup always survives
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup found
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_dedup_simhash_planted(planted_docs):
+    pairs = {(r.a, r.b) for r in
+             DD.dedup_simhash(planted_docs, hamming_max=6).collect()}
+    assert (0, 1) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_planted(planted_docs):
+    out = {(r.a, r.b): r.jaccard for r in
+           DD.ngram_jaccard_pairs(planted_docs, n=3, threshold=0.3).collect()}
+    assert out.get((0, 1)) == 1.0
+    assert 0.5 < out.get((0, 2), 0) < 1.0
+
+
+def test_lang_id(planted_docs):
+    out = {r.doc_id: r.pred_lang for r in TX.lang_id(planted_docs).collect()}
+    assert out[0] == "en" and out[4] == "es"
+
+
+def test_embedding_ops(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.04, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    dups = {(r.a, r.b) for r in DD.dedup_embedding(
+        emb, threshold=0.95, bucket_bits=2).collect()}
+    assert (0, 1) in dups and (2, 3) not in dups
+
+    knn = SIM.ann_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.cand_id for r in knn] == [1, 2] or [r.cand_id for r in knn][0] == 1
+
+
+def test_media_pipeline(spark):
+    media = MM.synth_media(spark, n=30, seed=1)
+    feats = MM.extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic across runs
+    feats2 = MM.extract_features(MM.synth_media(spark, n=30, seed=1), dim=8).collect()
+    assert [r.feature for r in sorted(feats, key=lambda r: r.media_id)] == \
+           [r.feature for r in sorted(feats2, key=lambda r: r.media_id)]
+    frames = MM.sample_frames(media, every_ms=10000)
+    assert frames.count() > 0
+
+
+def test_commuter_deterministic(spark):
+    a = SZ.commuter_data(spark, n_drivers=3, trips=2, points_per_trip=10,
+                         seed=5).orderBy("driver_id", "trip", "t_offset_s").collect()
+    b = SZ.commuter_data(spark, n_drivers=3, trips=2, points_per_trip=10,
+                         seed=5).orderBy("driver_id", "trip", "t_offset_s").collect()
+    assert a == b
+    assert len(a) == 3 * 2 * 10
+    assert all(0 <= r.mph <= 90 for r in a)
+
+
+def test_remove_record_path(spark):
+    df = spark.createDataFrame([(1, (2, 3))], "x long, s struct<a:long, b:long>")
+    out = SZ.remove_record_path(df, "s.a")
+    assert out.select("s.*").columns == ["b"]
+    out2 = SZ.remove_record_path(df, "x")
+    assert out2.columns == ["s"]
+
+
+def test_correlate_broadcast(spark):
+    cust = spark.createDataFrame([(k, f"c{k}") for k in range(10)],
+                                 ["c_custkey", "c_name"])
+    out = SZ.correlate(cust, [{"name": "score", "class": "int",
+                               "min": 0, "max": 100}],
+                       "c_custkey", universe=50, seed=1)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.corr_score is not None for r in rows)
+    # same key → same correlated record (deterministic dimension)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

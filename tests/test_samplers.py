@@ -1,0 +1,166 @@
+"""Per-sampler shape/range checks (mirrors the reference's processor
+tests, e.g. TestPhoneNumber's area-code assertion) plus full-schema
+DuckDB parity for samplers not covered by the entry-point oracles."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from nifi_datasynthesizer_spark import compile_schema
+from tests.conftest import compare_with_duckdb
+
+
+def rows(schema, n=300, seed=11):
+    return duckdb.sql(compile_schema(schema, seed=seed).duckdb_sql(n)).fetchall()
+
+
+def test_int_range():
+    for (v,) in rows([{"name": "v", "class": "int", "min": 5, "max": 9}]):
+        assert 5 <= v < 9
+
+
+def test_int_dist():
+    vals = {v for (v,) in rows([{"name": "v", "class": "int",
+                                 "dist": [1, 0.5, 2, 0.3, 3, 0.2]}])}
+    assert vals <= {1, 2, 3}
+
+
+def test_string_dist_weights():
+    out = [v for (v,) in rows([{"name": "v", "class": "string",
+                                "dist": {"a": 8, "b": 2}}], n=2000)]
+    frac_a = out.count("a") / len(out)
+    assert 0.7 < frac_a < 0.9
+
+
+def test_phone_area_code():
+    for (v,) in rows([{"name": "v", "class": "phone", "area_code": 555}]):
+        assert re.fullmatch(r"555-\d{3}-\d{4}", v), v
+
+
+def test_uuid_shape():
+    for (v,) in rows([{"name": "v", "class": "uuid"}]):
+        assert re.fullmatch(r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}", v), v
+
+
+def test_imei_luhn():
+    def luhn_ok(s):
+        total = 0
+        for idx, ch in enumerate(s):
+            d = int(ch)
+            if idx % 2 == 1:
+                d *= 2
+                d = d // 10 + d % 10
+            total += d
+        return total % 10 == 0
+    for (v,) in rows([{"name": "v", "class": "imei"}]):
+        assert len(v) == 15 and luhn_ok(v), v
+
+
+def test_vin_check_digit():
+    values = {c: v for c, v in zip("0123456789ABCDEFGHJKLMNPRSTUVWXYZ",
+              [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 1, 2, 3, 4, 5, 6, 7, 8,
+               1, 2, 3, 4, 5, 7, 9, 2, 3, 4, 5, 6, 7, 8, 9])}
+    weights = [8, 7, 6, 5, 4, 3, 2, 10, 0, 9, 8, 7, 6, 5, 4, 3, 2]
+    for (v,) in rows([{"name": "v", "class": "vin"}]):
+        assert len(v) == 17
+        total = sum(values[c] * w for c, w in zip(v, weights))
+        expect = total % 11
+        assert v[8] == ("X" if expect == 10 else str(expect)), v
+
+
+def test_ssn_shape():
+    for (v,) in rows([{"name": "v", "class": "ssn"}]):
+        assert re.fullmatch(r"\d{3}-\d{2}-\d{4}", v)
+        assert v[:3] != "666"
+
+
+def test_date_bounds():
+    for (v,) in rows([{"name": "v", "class": "date",
+                       "start": "2021-06-01", "end": "2021-06-30"}]):
+        assert "2021-06-01" <= v <= "2021-06-30", v
+
+
+def test_zip_fields_and_flatten():
+    out = rows([{"class": "flatten", "prefix": "loc_",
+                 "value": {"class": "zip", "fields": "latitude, longitude"}}])
+    for lat, lon in out:
+        assert 25.0 <= lat <= 49.0 and -124.0 <= lon <= -67.0
+
+
+def test_foreign_key_skew():
+    vals = [v for (v,) in rows([{"name": "v", "class": "foreign-key",
+                                 "size": 100, "skew": 2}], n=3000)]
+    # heavy skew → id 0 much more frequent than id 50+
+    assert vals.count(0) > 20 * max(1, vals.count(77))
+
+
+def test_sequence_and_join(spark):
+    schema = [{"name": "arr", "class": "sequence", "length": 3,
+               "base": {"class": "int", "min": 0, "max": 10}},
+              {"name": "joined", "class": "join", "separator": "-",
+               "value": {"class": "sequence", "length": 3,
+                         "array": [{"class": "int", "min": 1, "max": 2},
+                                   {"class": "int", "min": 5, "max": 6},
+                                   {"class": "int", "min": 9, "max": 10}]}}]
+    cs = compile_schema(schema, seed=4)
+    df = cs.dataframe(spark, 50).collect()
+    for r in df:
+        assert len(r.arr) == 3
+        assert r.joined == "1-5-9"
+    compare_with_duckdb(cs.dataframe(spark, 50), cs.duckdb_sql(50))
+
+
+@pytest.mark.parametrize("cls", ["word", "text", "name", "address",
+                                 "street-name", "state", "country",
+                                 "language", "email", "username", "domain",
+                                 "dns", "browser", "os", "mac", "ipv4",
+                                 "license-plate", "ssn", "uuid", "imei",
+                                 "vin", "changer", "long-tail",
+                                 "bursty-events", "event"])
+def test_sampler_parity(spark, cls):
+    """Every scalar sampler matches its DuckDB mirror exactly."""
+    schema = [{"name": "rid", "class": "id"}, {"name": "v", "class": cls}]
+    cs = compile_schema(schema, seed=13)
+    compare_with_duckdb(cs.dataframe(spark, 400), cs.duckdb_sql(400))
+
+
+def test_normal_moments():
+    vals = [v for (v,) in rows([{"name": "v", "class": "normal",
+                                 "mean": 50, "sd": 10}], n=5000)]
+    m = sum(vals) / len(vals)
+    sd = (sum((x - m) ** 2 for x in vals) / len(vals)) ** 0.5
+    assert abs(m - 50) < 1 and abs(sd - 10) < 1
+
+
+def test_gamma_mean():
+    vals = [float(v) for (v,) in rows([{"name": "v", "class": "gamma",
+                                        "alpha": 4, "beta": 2}], n=5000)]
+    m = sum(vals) / len(vals)
+    assert abs(m - 2.0) < 0.15  # mean = alpha/beta
+
+
+def test_vector_shape(spark):
+    cs = compile_schema([{"name": "v", "class": "vector", "size": 5,
+                          "min": -1, "max": 1}], seed=6)
+    for r in cs.dataframe(spark, 20).collect():
+        assert len(r.v) == 5 and all(-1 <= x <= 1 for x in r.v)
+
+
+def test_map_struct(spark):
+    cs = compile_schema([{"name": "m", "class": "map", "value": [
+        {"name": "a", "class": "int", "min": 0, "max": 5},
+        {"name": "b", "class": "word"}]}], seed=7)
+    for r in cs.dataframe(spark, 20).collect():
+        assert 0 <= r.m.a < 5 and isinstance(r.m.b, str)
+
+
+def test_random_walk_continuity(spark):
+    cs = compile_schema([{"name": "rid", "class": "id"},
+                         {"name": "w", "class": "random-walk",
+                          "start": 100.0, "mean": 0, "sd": 1}], seed=8)
+    vals = [r.w for r in cs.dataframe(spark, 200).orderBy("rid").collect()]
+    diffs = [abs(b - a) for a, b in zip(vals, vals[1:])]
+    assert max(diffs) < 6.0  # steps are N(0,1): |step| < 6 (Irwin-Hall bound)
