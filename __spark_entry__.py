@@ -79,6 +79,34 @@ SYNTH_IDENT_SCHEMA = [
     {"name": "lang", "class": "language"},
 ]
 
+SYNTH_EXOTIC_SCHEMA = [
+    {"name": "rec_id", "class": "id"},
+    {"name": "walk", "class": "random-walk", "start": 100.0, "mean": 0.0,
+     "sd": 2.0, "precision": 6},
+    {"name": "band", "class": "changer", "every": 25,
+     "value": {"class": "word"}},
+    {"name": "fan", "class": "long-tail", "alpha": 1.2, "universe": 1000},
+    {"name": "burst_t", "class": "bursty-events", "burst": 10,
+     "gap": 7200, "within": 2},
+    {"name": "arrival", "class": "event", "rate": "5/s",
+     "format": "yyyy-MM-dd HH:mm:ss"},
+    {"name": "tags", "class": "sequence", "base": {"class": "word"},
+     "length": 3},
+    {"name": "tag_line", "class": "join", "separator": "|",
+     "value": {"class": "sequence", "base": {"class": "word"}, "length": 4}},
+    {"name": "vec", "class": "vector", "size": 4, "min": -1.0, "max": 1.0},
+    {"name": "color", "class": "lookup",
+     "values": ["red", "green", "blue", "cyan", "magenta"]},
+    {"name": "grid", "class": "array-flatten",
+     "value": {"class": "sequence", "length": 2,
+               "base": {"class": "sequence", "length": 2,
+                        "base": {"class": "int", "min": 0, "max": 9}}}},
+    {"class": "flatten", "prefix": "m_",
+     "value": {"name": "meta", "class": "map", "value": [
+         {"name": "level", "class": "int", "min": 1, "max": 6},
+         {"name": "code", "class": "word"}]}},
+]
+
 SYNTH_N = 20_000
 
 
@@ -173,6 +201,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SZ.commuter_data(spark, n_drivers=20, trips=4,
                                 points_per_trip=30, seed=7)
     q["synth_commuter"] = synth_commuter
+
+    def synth_exotic(spark, sf):
+        return compile_schema(SYNTH_EXOTIC_SCHEMA, seed=11).dataframe(spark, SYNTH_N)
+    q["synth_exotic"] = synth_exotic
+
+    def synth_cpoc(spark, sf):
+        return SZ.cpoc_events(spark, n_users=1000, max_tx=16, seed=12)
+    q["synth_cpoc"] = synth_cpoc
 
     def synth_correlate(spark, sf):
         cust = _t(spark, sf, "customer")
@@ -325,6 +361,8 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type"""
     o["synth_transactions"] = SZ.transactions_sql(
         n_people=2000, max_tx=5, n_terminals=100, invalid_rate=0.05, seed=5)
     o["synth_iot"] = SZ.iot_data_flat(n_devices=200, readings=50, seed=6).sql()
+    o["synth_exotic"] = compile_schema(SYNTH_EXOTIC_SCHEMA, seed=11).duckdb_sql(SYNTH_N)
+    o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
 
     o["dedup_exact"] = f"""
 SELECT digest, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
@@ -409,8 +447,26 @@ SELECT query_id, cand_id, cosine,
                           ORDER BY cosine DESC, cand_id) AS rank
 FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
 
-    # (dedup_minhash / dedup_simhash / text_fingerprint use xxhash64 —
-    # not available in DuckDB; dedup_ngram_jaccard / dedup_embedding /
-    # ann_lsh / synth_commuter / synth_correlate / media_* are checked
-    # rows-only this round.)
+    # sketching / similarity mirrors (portable h60 + literal
+    # hyperplanes make these exactly replayable — see oracles.py)
+    from nifi_datasynthesizer_spark import oracles as OR
+
+    o["dedup_minhash"] = OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5)
+    o["dedup_simhash"] = OR.simhash_pairs_sql(bits=60, hamming_max=3, shingle_k=2)
+    o["dedup_ngram_jaccard"] = OR.ngram_jaccard_sql(n=3, threshold=0.4)
+    o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
+    o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)
+    o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
+    o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
+    o["synth_correlate"] = SZ.correlate_sql(
+        "customer",
+        [{"name": "risk_score", "class": "int", "min": 300, "max": 850},
+         {"name": "tier", "class": "string",
+          "dist": {"gold": 1, "silver": 3, "bronze": 6}}],
+        "c_custkey", universe=1000, seed=8)
+
+    # (synth_commuter is applyInPandas — non-SQL-expressible;
+    # media_features' stub feature fold uses Python banker's rounding —
+    # both stay rows-only.)
     return o

@@ -171,21 +171,40 @@ def md5(d: D) -> D:
     return D(lambda: F.md5(d.c), f"MD5({d.s})")
 
 
+def _spark_sq(s: str) -> str:
+    """Spark-SQL string literal (backslash escaping, unlike ANSI '')."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def element(idx0: D, values: list) -> D:
     """Pick ``values[idx0]`` (0-based index expr) from a python list.
 
     Spark: literal array + element_at (1-based).  DuckDB: list literal
-    subscript (1-based).
+    subscript (1-based).  The Spark literal is built as ONE parsed SQL
+    string (``F.expr``): ``F.lit(big_list)`` costs a py4j round-trip
+    per element — a 4096-entry lookup table would take seconds of
+    driver time per reference, which dominated plan construction.
     """
     if not values:
         raise ValueError("empty value list")
     sql_items = ", ".join(_sq(v) if isinstance(v, str) else _fmt_num(v) for v in values)
     arr_sql = f"ARRAY[{sql_items}]"
-    if any(isinstance(v, float) for v in values):
+    has_float = any(isinstance(v, float) for v in values)
+    if has_float:
         # DuckDB infers DECIMAL[] from fixed-point literals; force DOUBLE[]
         # so downstream arithmetic matches Spark's double semantics
         arr_sql = f"CAST({arr_sql} AS DOUBLE[])"
-    return D(lambda: F.element_at(F.lit(values), (idx0.c + 1).cast("int")),
+    def _spark_item(v):
+        if isinstance(v, str):
+            return _spark_sq(v)
+        if isinstance(v, bool):
+            return _fmt_num(v)
+        if isinstance(v, float):
+            return _fmt_num(v) + "D"
+        return _fmt_num(v) + "L"
+    spark_items = ", ".join(_spark_item(v) for v in values)
+    spark_arr = f"array({spark_items})"
+    return D(lambda: F.element_at(F.expr(spark_arr), (idx0.c + 1).cast("int")),
              f"({arr_sql})[CAST(({idx0.s} + 1) AS BIGINT)]")
 
 

@@ -11,6 +11,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..phash import h60
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy
+    per-row work (hashing every shingle costs far more than one
+    round-robin shuffle of raw text).  No-op when the scan already has
+    enough partitions — a 100 TB input is never re-shuffled."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # --------------------------------------------------------------- exact
 
 
@@ -64,21 +77,35 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
                        shingle_k: int = 5) -> DataFrame:
     """MinHash signatures computed entirely JVM-side.
 
-    h_j(shingle) = (a_j * xxhash64(shingle) + b_j) mod p ­— the classic
-    Broder construction; the signature column is array<bigint> of
-    per-permutation minima.  Per-row only: no shuffle.
+    h_j(shingle) = (a_j * h60(shingle) + b_j) mod p ­— the classic
+    Broder construction over the portable 60-bit hash (see phash.py),
+    so the oracle can replay signatures bit-exactly; the signature
+    column is array<bigint> of per-permutation minima.  Per-row only:
+    no shuffle.
     """
     p = (1 << 31) - 1  # Mersenne prime; keeps a_j*h + b_j < 2**40 (no ANSI overflow)
+    docs = ensure_parallelism(docs)
     sh = docs.select("doc_id", _shingles(F.col("text"), shingle_k).alias("sh"))
-    base = F.transform(F.col("sh"),
-                       lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
-    mins = [
-        F.array_min(F.transform(base, lambda h: F.pmod(
-            h * F.lit(2 * j + 1) + F.lit(j * 2654435761 % p), F.lit(p))))
-        .alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.select("doc_id", F.array(*mins).alias("signature"))
+    # Each shingle is md5-hashed exactly ONCE — bound via a 1-element
+    # array transform (HOF lambdas are interpreted: a repeated subtree
+    # would be re-evaluated per reference, and optimizer CSE can't be
+    # relied on inside lambdas).  All `num_hashes` permutations then
+    # derive arithmetically: a_j = 2j+1, b_j = j*2654435761 mod p.
+    perms = F.transform(
+        F.col("sh"),
+        lambda s: F.flatten(F.transform(
+            F.array(F.pmod(h60(s), F.lit(p))),
+            lambda hh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda j: F.pmod(hh * (j * 2 + 1)
+                                 + F.pmod(j * F.lit(2654435761), F.lit(p)),
+                                 F.lit(p))))))
+    # signature = element-wise min over the shingles' permutation rows
+    sig = F.aggregate(
+        perms,
+        F.array_repeat(F.lit(p).cast("long"), num_hashes),
+        lambda acc, ps: F.zip_with(acc, ps, lambda a, b: F.least(a, b)))
+    return sh.select("doc_id", sig.alias("signature"))
 
 
 def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
@@ -120,34 +147,40 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 # -------------------------------------------------------------- simhash
 
-def dedup_simhash(docs: DataFrame, bits: int = 64, hamming_max: int = 3,
+def dedup_simhash(docs: DataFrame, bits: int = 60, hamming_max: int = 3,
                   shingle_k: int = 2) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprint = sign of per-bit sums of
-    shingle hashes; candidate pairs via 4-block Hamming banding
-    (pigeonhole: ≤3 differing bits ⇒ ≥1 identical 16-bit block).
-    All vectorized JVM expressions; shuffle only on (block_id, block).
+    """SimHash near-dup: 60-bit fingerprint = sign of per-bit sums of
+    shingle hashes (portable h60, so DuckDB replays it); candidate
+    pairs via 4-block Hamming banding (pigeonhole: ≤3 differing bits ⇒
+    ≥1 identical 15-bit block).  All vectorized JVM expressions;
+    shuffle only on (block_id, block).
     """
+    docs = ensure_parallelism(docs)
     sh = docs.select("doc_id", _shingles(F.col("text"), shingle_k).alias("sh"))
-    hashed = sh.select("doc_id",
-                       F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
-    def _vote(mask):
-        # +1 if bit set else -1, summed over shingles
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
-
-    bit_cols = []
-    for b in range(bits):
-        mask = (1 << b) if b < 63 else -(1 << 63)  # signed-64 bit mask
-        bit_sum = F.aggregate("hs", F.lit(0), _vote(mask))
-        bit_cols.append(F.when(bit_sum > 0, F.lit(mask)).otherwise(F.lit(0)))
-    fp = hashed.select(
+    # md5 once per shingle (bound in a 1-element array, same rationale
+    # as minhash_signatures), ±1 votes per bit in one pass, then the
+    # sign vector packs into a 60-bit long.  F.expr because only SQL
+    # shiftright/shiftleft accept an expression shift amount.
+    fp = sh.select(
         "doc_id",
-        F.aggregate(F.array(*bit_cols), F.lit(0).cast("long"),
-                    lambda acc, v: acc.bitwiseOR(v.cast("long"))).alias("simhash"))
+        F.expr(f"""aggregate(
+            zip_with(
+              aggregate(
+                transform(sh, s -> flatten(transform(
+                    array(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)),
+                    hh -> transform(sequence(0, {bits - 1}),
+                                    b -> IF((shiftright(hh, b) & 1) = 1, 1, -1))))),
+                array_repeat(0, {bits}),
+                (acc, vs) -> zip_with(acc, vs, (a, v) -> a + v)),
+              sequence(0, {bits - 1}),
+              (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+            0L, (acc, x) -> acc + x)""").alias("simhash"))
+    block_bits = bits // 4
+    mask = (1 << block_bits) - 1
     blocks = fp.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned("simhash", 16 * q).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright("simhash", block_bits * q).bitwiseAND(F.lit(mask))
             for q in range(4)])).alias("block_id", "block"))
     cand = (blocks.alias("l")
             .join(blocks.alias("r"), ["block_id", "block"])
@@ -171,7 +204,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     hash band) to avoid the quadratic all-pairs join; within-bucket
     pairs get exact Jaccard via array_intersect/array_union sizes.
     """
-    grams = docs.select(
+    grams = ensure_parallelism(docs).select(
         "doc_id",
         F.array_distinct(_shingles(F.col("text"), n)).alias("g"),
         (F.length(normalize_text(F.col("text"))) / length_band)
@@ -208,6 +241,6 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
     pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
     cos = pairs.withColumn(
         "cosine",
-        F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, v: acc + v))
+        F.round(F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, v: acc + v), 6))
     return cos.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")

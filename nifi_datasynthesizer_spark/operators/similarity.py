@@ -31,25 +31,34 @@ def l2_normalize(v):
     return F.transform(v, lambda x: x.cast("double") / n)
 
 
-def random_hyperplane_bucket(v, bits: int, seed: int):
-    """Sign pattern of `bits` pseudo-random hyperplanes.
+def hyperplane_weights(bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix from the portable hash
+    (phash.h60_py) — computed once on the driver, shipped as plan
+    literals.  No per-row hashing, no broadcast variable, and the
+    DuckDB oracle embeds the identical literals."""
+    from ..phash import h60_py
+    return [[1.0 if h60_py(f"{seed}:{j}:{d}") % 2 == 1 else -1.0
+             for d in range(dim)]
+            for j in range(bits)]
 
-    Hyperplane j's weight for dimension d is a deterministic ±1 from
-    xxhash64(seed, j, d) — no stored projection matrix, so the bucket
-    function ships with the plan (nothing to broadcast)."""
+
+def random_hyperplane_bucket(v, bits: int, seed: int, dim: int = 64):
+    """Sign pattern of `bits` pseudo-random hyperplanes (sign-LSH).
+
+    proj_j = <v, w_j> with w_j a ±1 literal array — pure codegen
+    column arithmetic; the bucket function ships with the plan."""
+    ws = hyperplane_weights(bits, dim, seed)
+
     def proj(j):
         s = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, d: x * (F.pmod(F.xxhash64(F.lit(seed), F.lit(j), d), F.lit(2))
-                                  .cast("double") * 2.0 - 1.0)),
+            F.zip_with(v, F.slice(F.lit(ws[j]), 1, F.size(v)),
+                       lambda x, w: x.cast("double") * w),
             F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return F.when(s >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
 
-    bucket = F.lit(0)
+    bucket = F.lit(0).cast("long")
     for j in range(bits):
-        bucket = bucket.bitwiseOR(proj(j))
+        bucket = bucket + proj(j)
     return bucket
 
 

@@ -109,17 +109,25 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 ngram: int = 8) -> DataFrame:
-    """Rolling-hash document fingerprint: min and max xxhash64 over
-    word 8-grams plus full-document hash — the winnowing-style sketch
-    used for fast containment checks (cheaper than MinHash when only
-    a few hashes are needed)."""
+    """Rolling-hash document fingerprint: min and max h60 over word
+    8-grams plus full-document hash — the winnowing-style sketch used
+    for fast containment checks (cheaper than MinHash when only a few
+    hashes are needed).  h60 (portable md5-derived hash, phash.py)
+    keeps the sketch replayable in the DuckDB oracle."""
+    from ..phash import h60
     from .dedup import _shingles, normalize_text
 
+    from .dedup import ensure_parallelism
+    docs = ensure_parallelism(docs)
     grams = _shingles(F.col(text_col), ngram)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    return docs.select(
+    # hash the grams once into a materialized column; min and max then
+    # read the same array (two references to a non-cheap alias keep
+    # CollapseProject from inlining the md5 pass twice)
+    hashed = docs.select(
+        "*", F.transform(grams, lambda g: h60(g)).alias("__fp_hs"))
+    return hashed.select(
         "*",
-        F.xxhash64(normalize_text(F.col(text_col))).alias("fp_full"),
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
-    )
+        h60(normalize_text(F.col(text_col))).alias("fp_full"),
+        F.array_min("__fp_hs").alias("fp_min"),
+        F.array_max("__fp_hs").alias("fp_max"),
+    ).drop("__fp_hs")

@@ -1,0 +1,187 @@
+"""DuckDB oracle-SQL builders for the sketching/similarity operators.
+
+Each function returns ANSI-ish DuckDB SQL that replays the exact
+result of the matching Spark operator (operators/dedup.py,
+operators/similarity.py, operators/text.py, operators/multimodal.py)
+over the same parquet tables.  Replayability rests on two choices in
+the operators themselves:
+
+- every hash is the portable ``h60`` (phash.py: md5-derived 60-bit),
+- LSH hyperplanes are driver-computed ±1 literals (hyperplane_weights).
+
+The SQL mirrors the *semantics*, not Spark's physical plan: e.g. the
+MinHash oracle joins on band-slice equality where Spark buckets on a
+band hash — identical output absent a 60-bit hash collision.
+"""
+
+from __future__ import annotations
+
+from .operators.similarity import hyperplane_weights
+from .phash import h60_sql
+
+_NORM = ("TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),"
+         " '\\s+', ' ', 'g'))")
+
+
+def _shingles_cte(k: int, table: str = "documents") -> str:
+    """CTE `sh(doc_id, text, sh)` = word k-shingles of normalized text
+    (mirror of dedup._shingles)."""
+    return f"""sh AS (
+  SELECT doc_id, text,
+    CASE WHEN len(W) >= {k}
+         THEN list_transform(range(0, len(W) - {k} + 1),
+                             s -> array_to_string(list_slice(W, s + 1, s + {k}), ' '))
+         ELSE [array_to_string(W, ' ')] END AS sh
+  FROM (SELECT doc_id, text, string_split({_NORM}, ' ') AS W FROM {table}))"""
+
+
+def minhash_pairs_sql(num_hashes: int = 64, bands: int = 16,
+                      shingle_k: int = 5, jaccard_threshold: float = 0.5,
+                      table: str = "documents") -> str:
+    """Mirror of dedup.dedup_minhash."""
+    p = (1 << 31) - 1
+    rpb = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {2 * j + 1} + {j * 2654435761 % p}) % {p}))"
+        for j in range(num_hashes))
+    return f"""
+WITH {_shingles_cte(shingle_k, table)},
+base AS (SELECT doc_id, list_transform(sh, s -> {h60_sql('s')} % {p}) AS hs FROM sh),
+sig AS (SELECT doc_id, [{sig_exprs}] AS signature FROM base),
+bands AS (SELECT doc_id, signature, band_id,
+                 list_slice(signature, band_id * {rpb} + 1, band_id * {rpb} + {rpb}) AS sl
+          FROM sig, (SELECT unnest(range(0, {bands})) AS band_id)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                l.signature AS sa, r.signature AS sb
+         FROM bands l JOIN bands r
+           ON l.band_id = r.band_id AND l.sl = r.sl AND l.doc_id < r.doc_id),
+est AS (SELECT a, b,
+               len(list_filter(list_zip(sa, sb), q -> q[1] = q[2])) / {float(num_hashes)}
+                 AS est_jaccard
+        FROM cand)
+SELECT a, b, est_jaccard FROM est
+WHERE est_jaccard >= {jaccard_threshold} ORDER BY a, b"""
+
+
+def simhash_pairs_sql(bits: int = 60, hamming_max: int = 3,
+                      shingle_k: int = 2, table: str = "documents") -> str:
+    """Mirror of dedup.dedup_simhash."""
+    block_bits = bits // 4
+    mask = (1 << block_bits) - 1
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(bits))
+    return f"""
+WITH {_shingles_cte(shingle_k, table)},
+hashed AS (SELECT doc_id, list_transform(sh, s -> {h60_sql('s')}) AS hs FROM sh),
+fp AS (SELECT doc_id, ({bit_terms}) AS simhash FROM hashed),
+blocks AS (SELECT doc_id, simhash, q AS block_id,
+                  (simhash >> ({block_bits} * q)) & {mask} AS block
+           FROM fp, (SELECT unnest(range(0, 4)) AS q)),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                l.simhash AS ha, r.simhash AS hb
+         FROM blocks l JOIN blocks r
+           ON l.block_id = r.block_id AND l.block = r.block AND l.doc_id < r.doc_id),
+ham AS (SELECT a, b, bit_count(xor(ha, hb)) AS hamming FROM cand)
+SELECT a, b, hamming FROM ham WHERE hamming <= {hamming_max} ORDER BY a, b"""
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.4,
+                      length_band: int = 32, table: str = "documents") -> str:
+    """Mirror of dedup.ngram_jaccard_pairs (|A∩B| / (|A|+|B|-|A∩B|)
+    over distinct shingle sets — equals Spark's intersect/union sizes)."""
+    return f"""
+WITH {_shingles_cte(n, table)},
+g AS (SELECT doc_id, list_distinct(sh) AS g,
+             CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb
+      FROM sh),
+pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, l.g AS ga, r.g AS gb
+          FROM g l JOIN g r ON l.lb = r.lb AND l.doc_id < r.doc_id),
+j AS (SELECT a, b,
+             len(list_filter(ga, x -> list_contains(gb, x))) AS inter,
+             len(ga) + len(gb) AS tot
+      FROM pairs)
+SELECT a, b, inter / CAST(tot - inter AS DOUBLE) AS jaccard
+FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= {threshold} ORDER BY a, b"""
+
+
+def fingerprint_sql(ngram: int = 8, table: str = "documents") -> str:
+    """Mirror of text.fingerprint (doc_id + fp columns only)."""
+    return f"""
+WITH {_shingles_cte(ngram, table)}
+SELECT doc_id,
+       {h60_sql(_NORM)} AS fp_full,
+       list_min(list_transform(sh, g -> {h60_sql('g')})) AS fp_min,
+       list_max(list_transform(sh, g -> {h60_sql('g')})) AS fp_max
+FROM sh ORDER BY doc_id"""
+
+
+# ------------------------------------------------------- embeddings
+
+_NORMED = """normed AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      SQRT(list_sum(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+  FROM embeddings)"""
+
+
+def _bucket_terms(bits: int, seed: int, dim: int, vcol: str = "v") -> str:
+    ws = hyperplane_weights(bits, dim, seed)
+    terms = []
+    for j in range(bits):
+        lit = "[" + ", ".join(str(w) for w in ws[j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({vcol}, "
+            f"list_slice({lit}, 1, len({vcol}))), q -> q[1] * q[2])) >= 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
+def dedup_embedding_sql(threshold: float = 0.95, bucket_bits: int = 8,
+                        seed: int = 7, dim: int = 64) -> str:
+    """Mirror of dedup.dedup_embedding."""
+    return f"""
+WITH {_NORMED},
+b AS (SELECT vec_id, v, ({_bucket_terms(bucket_bits, seed, dim)}) AS bucket FROM normed),
+pairs AS (SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+cos AS (SELECT a, b,
+               ROUND(list_sum(list_transform(list_zip(va, vb), q -> q[1] * q[2])), 6)
+                 AS cosine
+        FROM pairs)
+SELECT a, b, cosine FROM cos WHERE cosine >= {threshold} ORDER BY a, b"""
+
+
+def ann_lsh_sql(k: int = 10, bucket_bits: int = 6, seed: int = 7,
+                dim: int = 64, query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.ann_lsh (queries = rows matching query_pred)."""
+    return f"""
+WITH {_NORMED},
+b AS (SELECT vec_id, v, ({_bucket_terms(bucket_bits, seed, dim)}) AS bucket FROM normed),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE {query_pred}),
+scored AS (SELECT query_id, c.vec_id AS cand_id,
+                  ROUND(list_sum(list_transform(list_zip(qv, c.v), p -> p[1] * p[2])), 6)
+                    AS cosine
+           FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id)
+SELECT query_id, cand_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id) AS rank
+FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
+# -------------------------------------------------------- multimodal
+
+def media_frames_sql(n: int = 200, every_ms: int = 5000) -> str:
+    """Mirror of multimodal.sample_frames over synth_media(n):
+    kind=video ⇔ media_id % 3 == 2, duration_ms = media_id % 60000."""
+    return f"""
+SELECT media_id, frame_idx, frame_idx * {every_ms} AS frame_ts_ms
+FROM (SELECT media_id,
+             unnest(range(0, GREATEST(CAST(FLOOR(dur / {every_ms}.0) AS INT) - 1, 0) + 1))
+               AS frame_idx
+      FROM (SELECT id AS media_id, id % 60000 AS dur
+            FROM range(0, {n}) t(id) WHERE id % 3 = 2))
+ORDER BY media_id, frame_idx"""

@@ -595,6 +595,107 @@ def _scalar(r) -> D:
     return r
 
 
+def s_array_flatten(spec, ctx):
+    """ArrayFlattener.java: flatten one nesting level of the delegate
+    sampler's array-of-arrays output."""
+    sub = dict(spec["value"])
+    r = compile_field(sub, ctx.child("flat"))
+    arr = _scalar(r)
+    return D(lambda: F.flatten(arr.c), f"flatten({arr.s})")
+
+
+_LOOKUP_MAX = 100_000
+
+
+def s_lookup(spec, ctx):
+    """FileSampler.java: uniform sample from an external file's rows.
+
+    The file (parquet/csv/json — DuckDB reads all three) is loaded
+    ONCE at schema-compile time and embedded as a plan literal, so
+    generation stays shuffle-free and the oracle replays it exactly.
+    Spec: ``file`` + optional ``field`` (default: first column), or an
+    inline ``values`` list.  For dimensions beyond {_LOOKUP_MAX} rows
+    use synthesizers.correlate (broadcast join) instead.
+    """
+    if "values" in spec:
+        vals = list(spec["values"])
+    else:
+        import duckdb
+        path = spec["file"]
+        rel = duckdb.sql(f"SELECT * FROM '{path}'")
+        col = spec.get("field") or rel.columns[0]
+        vals = [r[0] for r in
+                duckdb.sql(f"SELECT \"{col}\" FROM '{path}' "
+                           f"LIMIT {_LOOKUP_MAX}").fetchall()]
+    if not vals:
+        raise ValueError("lookup sampler: empty value set")
+    return pick(ctx.i, ctx.salt("lookup"), vals)
+
+
+def _epoch_utc(datestr: str) -> int:
+    import datetime as dt
+    d = dt.datetime.strptime(datestr, "%Y-%m-%d %H:%M:%S")
+    return int(d.replace(tzinfo=dt.timezone.utc).timestamp())
+
+
+def _flag(cond: D) -> D:
+    return X.when_chain([(cond, X.lit(1))], X.lit(0))
+
+
+def s_cpoc(spec, ctx):
+    """CommonPointOfCompromise.java: per-user card-fraud event history.
+
+    Reference model (samplers/CommonPointOfCompromise.java:36-100):
+    each user transacts at long-tailed merchants (merchant 0 = ATM)
+    over [start, end); users who hit the ATM during the compromise
+    window become vulnerable; during the exploit window their
+    transactions are fraud-flagged at `compromisedFraudRate` (vs a
+    background rate).  Stateless re-expression: the Poisson arrival
+    times are drawn as independent uniforms (order statistics of
+    uniforms ≡ Poisson arrivals given the count), the per-user count
+    from an Erlang(2) daily rate, and the Pitman–Yor merchant draw as
+    a quantized Zipf table — everything a pure function of (row, salt)
+    and O(maxTransactions) expression size.
+
+    Emits the per-user *random draws* (n_tx + parallel ts/merchant/roll
+    arrays); the derived labels (compromise, user vulnerability, fraud)
+    are deterministic functions of these draws computed once per
+    column in synthesizers.cpoc_events — keeping the compiled
+    expression O(maxTransactions) instead of O(maxTransactions²).
+    """
+    K = int(spec.get("maxTransactions", 16))
+    start = _epoch_utc(spec.get("start", "2014-01-01 00:00:00"))
+    end = _epoch_utc(spec.get("end", "2014-02-15 00:00:00"))
+    days = (end - start) / 86400.0
+    span = end - start
+
+    # per-user daily transaction rate ~ Erlang(2) (mean 2/day, like
+    # the reference's Gamma(2,1) transactionsPerDay)
+    rate = (_d_exponential(ctx.i, ctx.salt("r0"), 1.0)
+            + _d_exponential(ctx.i, ctx.salt("r1"), 1.0))
+    raw_n = X.cast_long(X.floor(rate * days))
+    n_tx = X.when_chain([(raw_n > K, X.lit(K))], raw_n)
+
+    # Pitman–Yor merchant popularity (ChineseRestaurant(100, 0.3)) ≈
+    # quantized Zipf over 100 merchants; merchant 0 = the ATM
+    zipf = quantize_weights(list(range(100)),
+                            [math.pow(k + 1.0, -1.2) for k in range(100)],
+                            table_size=4096)
+    times, merchs, rolls = [], [], []
+    for j in range(K):
+        times.append(X.cast_long(X.floor(
+            u01(ctx.i, ctx.salt("t", j)) * float(span))) + start)
+        merchs.append(X.cast_long(
+            X.element(uint(ctx.i, ctx.salt("m", j), 0, 4096), zipf)))
+        rolls.append(u01(ctx.i, ctx.salt("f", j)))
+    return {
+        "n_tx": n_tx,
+        "ts": X.array(times),
+        "merchant": X.array(merchs),
+        "roll": X.array(rolls),
+    }
+
+
 REGISTRY = {
     "id": s_id,
     "int": s_int,
@@ -642,6 +743,10 @@ REGISTRY = {
     "map": s_map,
     "flatten": s_flatten,
     "join": s_join,
+    "array-flatten": s_array_flatten,
+    "lookup": s_lookup,
+    "file": s_lookup,
+    "common-point-of-compromise": s_cpoc,
 }
 
 

@@ -40,6 +40,15 @@ class CompiledSchema:
         cols = ", ".join(f'{d.s} AS "{name}"' for name, d in self.columns)
         return f"SELECT {cols} FROM range(0, {n}) AS t(i)"
 
+    def project(self, df: DataFrame, index_col: str = "i",
+                keep: list[str] | None = None) -> DataFrame:
+        """Apply the compiled columns to ANY DataFrame that carries a
+        row-index column (batch or streaming) — e.g. a rate source's
+        ``value``.  ``keep`` passes through extra input columns."""
+        base = df.withColumn("i", F.col(index_col).cast("long"))
+        extra = [F.col(c) for c in (keep or []) if c != "i"]
+        return base.select(*extra, *[d.c.alias(name) for name, d in self.columns])
+
 
 def compile_schema(schema, seed: int = 0) -> CompiledSchema:
     """schema: JSON string or list of field specs (log-synth format)."""

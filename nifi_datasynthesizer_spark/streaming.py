@@ -1,0 +1,141 @@
+"""Structured-Streaming surface: streaming synthesis + stateful ops.
+
+The reference (NiFi) is a flow-oriented system: processors emit FlowFiles
+continuously.  Spark-first equivalent: the schema compiler's pure
+column algebra applied over an unbounded source — the ``rate``
+source's monotonically increasing ``value`` *is* the row index, so a
+streaming record n is bit-identical to batch record n (same
+counter-RNG), and a replayed/restarted query regenerates identical
+data — exactly-once by construction, no RNG state to checkpoint.
+
+Stateful ops: watermarked windowed aggregation, streaming exact dedup,
+and an ``applyInPandasWithState`` running-total operator (the shape a
+custom stateful accumulator needs at scale: state keyed + partitioned
+by group, timeouts for eviction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .schema import CompiledSchema, compile_schema
+
+
+# ------------------------------------------------------------ synthesis
+
+def synthesize_stream(spark: SparkSession, schema, rows_per_second: int = 1000,
+                      seed: int = 0, num_partitions: int | None = None) -> DataFrame:
+    """DataSynthesizer as an unbounded stream.
+
+    rate-source ``value`` (a gap-free global counter) feeds the same
+    compiled column expressions as the batch path; ``event_time``
+    (the rate timestamp) is kept for watermarking downstream.
+    Scale: rate-micro-batches are parallelized over
+    ``numPartitions``; generation itself is stateless and shuffle-free.
+    """
+    cs = schema if isinstance(schema, CompiledSchema) else compile_schema(schema, seed)
+    reader = (spark.readStream.format("rate")
+              .option("rowsPerSecond", rows_per_second))
+    if num_partitions:
+        reader = reader.option("numPartitions", num_partitions)
+    src = reader.load()  # (timestamp, value)
+    return cs.project(src.withColumnRenamed("timestamp", "event_time"),
+                      index_col="value", keep=["event_time"])
+
+
+# ---------------------------------------------------------- windowed agg
+
+def windowed_agg(stream: DataFrame, ts_col: str, keys: list[str],
+                 aggs: list, window: str = "1 minute",
+                 slide: str | None = None,
+                 watermark: str = "10 seconds") -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation — the standard
+    late-data-tolerant rollup.  State is bounded by the watermark;
+    the shuffle key is (window, *keys)."""
+    w = F.window(F.col(ts_col), window, slide) if slide else \
+        F.window(F.col(ts_col), window)
+    out = (stream.withWatermark(ts_col, watermark)
+           .groupBy(w.alias("win"), *keys)
+           .agg(*aggs))
+    rest = [c for c in out.columns if c != "win"]
+    return out.select(F.col("win.start").alias("win_start"),
+                      F.col("win.end").alias("win_end"), *rest)
+
+
+def sessionized_agg(stream: DataFrame, ts_col: str, keys: list[str],
+                    aggs: list, gap: str = "5 minutes",
+                    watermark: str = "10 seconds") -> DataFrame:
+    """Session-window aggregation (gap-based), watermark-bounded state."""
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), *keys)
+            .agg(*aggs))
+
+
+# ------------------------------------------------------- streaming dedup
+
+def dedup_stream_exact(stream: DataFrame, ts_col: str,
+                       text_col: str = "text",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized-text
+    digest within the watermark horizon survives.  State = one digest
+    per distinct document, evicted by event-time watermark —
+    dropDuplicates on (digest) with a watermark is Spark's bounded-state
+    dedup primitive."""
+    from .operators.dedup import normalize_text
+    digested = stream.withColumn("digest", F.md5(normalize_text(F.col(text_col))))
+    return (digested.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["digest"]))
+
+
+# ------------------------------------------- custom stateful (pandas)
+
+RUNNING_TOTAL_STATE = StructType([StructField("total", DoubleType()),
+                                  StructField("n", LongType())])
+RUNNING_TOTAL_OUT = StructType([StructField("key", StringType()),
+                                StructField("total", DoubleType()),
+                                StructField("n", LongType())])
+
+
+def running_totals(stream: DataFrame, key_col: str, value_col: str,
+                   timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running sum/count emitted every micro-batch.  This is the template
+    for reference-style accumulating processors (e.g. per-device
+    counters): state is partitioned by key (shuffle on key once),
+    Arrow-batched, and bounded by an optional ProcessingTimeTimeout."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame({"key": [key[0]], "total": [total], "n": [n]})
+
+    return (stream.select(F.col(key_col).cast("string").alias("key"),
+                          F.col(value_col))
+            .groupBy("key")
+            .applyInPandasWithState(update, RUNNING_TOTAL_OUT,
+                                    RUNNING_TOTAL_STATE, "update", timeout))
+
+
+# ----------------------------------------------------------- sinks
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append",
+                  available_now: bool = True):
+    """Drain a (finite-so-far) stream into an in-memory table — the
+    test/debug sink.  Returns the StreamingQuery (caller awaits)."""
+    return (stream.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=available_now)
+            .start())

@@ -308,10 +308,13 @@ def correlate(input_df: DataFrame, schema, key_col: str, universe: int,
     emplaces it.  Spark-first: compile the schema over the *key
     universe* (one generated record per key), broadcast it, and join —
     the synthesized dimension is generated once, not per row, and the
-    join is map-side (no shuffle of the fact table).
+    join is map-side (no shuffle of the fact table).  The key bucket
+    uses the portable hash (phash.h60) so the whole operator replays
+    in the DuckDB oracle (correlate_sql below).
     """
     from pyspark.sql.functions import broadcast
 
+    from .phash import h60
     from .schema import compile_schema
 
     spark = input_df.sparkSession
@@ -323,8 +326,108 @@ def correlate(input_df: DataFrame, schema, key_col: str, universe: int,
                        for c in dim.columns if c != "__corr_i"])
     keyed = input_df.withColumn(
         f"{prefix}key",
-        (F.xxhash64(F.col(key_col)) % universe + universe) % universe)
+        F.pmod(h60(F.col(key_col).cast("string")), F.lit(universe)))
     return keyed.join(broadcast(dim), f"{prefix}key", "left")
+
+
+def correlate_sql(table: str, schema, key_col: str, universe: int,
+                  seed: int = 0, prefix: str = "corr_") -> str:
+    """DuckDB oracle mirror of :func:`correlate` over a registered view."""
+    from .phash import h60_sql
+    from .schema import compile_schema
+
+    key_field = {"name": "__corr_i", "class": "id"}
+    cs = compile_schema([key_field] + list(schema), seed)
+    names = [name for name, _ in cs.columns if name != "__corr_i"]
+    dim_cols = ", ".join([f'"__corr_i" AS {prefix}key'] +
+                         [f'"{c}" AS "{prefix}{c}"' for c in names])
+    bucket = f"{h60_sql(f'CAST({key_col} AS VARCHAR)')} % {universe}"
+    return f"""
+WITH dim AS (SELECT {dim_cols} FROM ({cs.duckdb_sql(universe)})),
+keyed AS (SELECT *, {bucket} AS {prefix}key FROM {table})
+SELECT keyed.*, {', '.join(f'"{prefix}{c}"' for c in names)}
+FROM keyed LEFT JOIN dim USING ({prefix}key)"""
+
+
+_CPOC_DEFAULTS = {
+    "start": "2014-01-01 00:00:00", "end": "2014-02-15 00:00:00",
+    "compromiseStart": "2014-01-15 00:00:00",
+    "compromiseEnd": "2014-01-18 00:00:00",
+    "exploitStart": "2014-01-20 00:00:00",
+    "exploitEnd": "2014-01-31 00:00:00",
+}
+
+
+def _cpoc_parts(n_users: int, max_tx: int, seed: int):
+    from .samplers import _epoch_utc
+    from .schema import compile_schema
+    schema = [{"name": "user_id", "class": "id"},
+              {"class": "common-point-of-compromise",
+               "maxTransactions": max_tx, **_CPOC_DEFAULTS}]
+    cs = compile_schema(schema, seed)
+    w = {k: _epoch_utc(v) for k, v in _CPOC_DEFAULTS.items()}
+    return cs, w
+
+
+def cpoc_events(spark: SparkSession, n_users: int = 1000, max_tx: int = 16,
+                seed: int = 0, cfr: float = 0.3, ufr: float = 0.001) -> DataFrame:
+    """CommonPointOfCompromise.java:36-100 as exploded event rows.
+
+    The sampler emits each user's raw draws (times/merchants/rolls);
+    here the labels derive in single computed columns: per-user
+    vulnerability via an indexed array fold (NO shuffle — the window
+    that the SQL oracle uses is only the oracle's formulation), then
+    fraud by comparing the pre-drawn roll against the window-dependent
+    rate.  Output: one row per transaction.
+    """
+    cs, w = _cpoc_parts(n_users, max_tx, seed)
+    g = cs.dataframe(spark, n_users)
+    az = F.arrays_zip("ts", "merchant")
+    comp_user = F.array_max(F.transform(
+        az, lambda x, j: F.when((x["merchant"] == 0)
+                                & (x["ts"] >= w["compromiseStart"])
+                                & (x["ts"] < w["compromiseEnd"])
+                                & (j < F.col("n_tx")), 1).otherwise(0)))
+    g = g.withColumn("compromised", comp_user.cast("long"))
+    e = (g.select("user_id", "n_tx", "compromised",
+                  F.posexplode(F.arrays_zip("ts", "merchant", "roll"))
+                  .alias("j", "x"))
+         .filter(F.col("j") < F.col("n_tx")))
+    ts, merch, roll = F.col("x.ts"), F.col("x.merchant"), F.col("x.roll")
+    datestr = _fmt_epoch_s(D(lambda: ts, "ts"), "yyyy-MM-dd HH:mm:ss")
+    fraud = F.when((F.col("compromised") == 1)
+                   & (ts >= w["exploitStart"]) & (ts < w["exploitEnd"]),
+                   (roll < cfr).cast("long")
+                   ).otherwise((roll < ufr).cast("long"))
+    return e.select(
+        "user_id", "j", ts.alias("ts"), datestr.c.alias("date"),
+        merch.alias("merchant"),
+        ((merch == 0) & (ts >= w["compromiseStart"])
+         & (ts < w["compromiseEnd"])).cast("long").alias("compromise"),
+        F.col("compromised"), fraud.alias("fraud"))
+
+
+def cpoc_events_sql(n_users: int = 1000, max_tx: int = 16, seed: int = 0,
+                    cfr: float = 0.3, ufr: float = 0.001) -> str:
+    """DuckDB oracle mirror of :func:`cpoc_events`."""
+    cs, w = _cpoc_parts(n_users, max_tx, seed)
+    datestr = _fmt_epoch_s(D(lambda: F.col("ts"), "ts"), "yyyy-MM-dd HH:mm:ss")
+    return f"""
+WITH g AS ({cs.duckdb_sql(n_users)}),
+e AS (SELECT user_id, n_tx,
+             unnest(range(0, {max_tx})) AS j, unnest(ts) AS ts,
+             unnest(merchant) AS merchant, unnest(roll) AS roll
+      FROM g),
+v AS (SELECT * FROM e WHERE j < n_tx),
+c AS (SELECT *, CASE WHEN merchant = 0 AND ts >= {w['compromiseStart']}
+                      AND ts < {w['compromiseEnd']} THEN 1 ELSE 0 END AS compromise
+      FROM v),
+u AS (SELECT *, MAX(compromise) OVER (PARTITION BY user_id) AS compromised FROM c)
+SELECT user_id, j, ts, {datestr.s} AS date, merchant, compromise, compromised,
+       CASE WHEN compromised = 1 AND ts >= {w['exploitStart']} AND ts < {w['exploitEnd']}
+            THEN (CASE WHEN roll < {cfr} THEN 1 ELSE 0 END)
+            ELSE (CASE WHEN roll < {ufr} THEN 1 ELSE 0 END) END AS fraud
+FROM u ORDER BY user_id, j"""
 
 
 def remove_record_path(df: DataFrame, path: str) -> DataFrame:
