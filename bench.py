@@ -35,8 +35,9 @@ def main() -> None:
     # analytic + operator queries straight from the driver contract
     names = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
              "events_daily", "dedup_exact", "dedup_minhash", "dedup_simhash",
-             "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-             "ann_bruteforce", "ann_lsh", "dedup_embedding"]
+             "dedup_ngram_jaccard", "text_langid", "text_quality",
+             "text_tokens", "text_fingerprint", "ann_bruteforce", "ann_lsh",
+             "dedup_embedding", "synth_cpoc", "synth_exotic", "media_frames"]
 
     timings: dict[str, float] = {}
     for name in names:

@@ -39,9 +39,16 @@ def _fmt_num(v) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
-        # repr() is shortest round-trip; both engines parse to the same double
+        # repr() is shortest round-trip.  ALWAYS exponent notation on
+        # the SQL side: DuckDB parses a bare `1.234` as DECIMAL and
+        # converts — which can land 1 ulp away from the correctly
+        # rounded double — while `1.234e0` parses directly as DOUBLE.
         r = repr(v)
-        return r if ("e" in r or "." in r or "inf" in r or "nan" in r) else r + ".0"
+        if "inf" in r or "nan" in r:
+            return r
+        if "e" not in r and "E" not in r:
+            r += "e0"
+        return r
     raise TypeError(f"not a number: {v!r}")
 
 
@@ -229,3 +236,35 @@ def date_from_days(days: D) -> D:
 def array(items: list[D]) -> D:
     return D(lambda: F.array(*[d.c for d in items]),
              "ARRAY[" + ", ".join(d.s for d in items) + "]")
+
+
+_BIND_N = 0
+
+
+def bind(val: D, fn) -> D:
+    """Let-binding: evaluate ``val`` ONCE, then apply ``fn`` to it.
+
+    Both engines lack a scalar ``let``; a 1-element-array transform is
+    the portable equivalent (the lambda argument is materialized before
+    the body runs).  Essential when ``fn`` references its argument many
+    times and ``val`` is expensive (md5, big case chains): a plain D
+    composition would textually duplicate — and re-evaluate — the
+    subtree per reference.
+    """
+    global _BIND_N
+    _BIND_N += 1
+    var = f"__b{_BIND_N}"  # unique: nested binds must not shadow in SQL
+
+    def cf():
+        def lam(x):
+            return fn(D(lambda: x, var)).c
+        return F.element_at(F.transform(F.array(val.c), lam), 1)
+
+    body_sql = fn(D(lambda: None, var)).s
+    return D(cf, f"(list_transform([{val.s}], {var} -> {body_sql}))[1]")
+
+
+def struct_(fields: dict[str, D]) -> D:
+    return D(lambda: F.struct(*[d.c.alias(k) for k, d in fields.items()]),
+             "struct_pack(" + ", ".join(f"{k} := {d.s}"
+                                        for k, d in fields.items()) + ")")

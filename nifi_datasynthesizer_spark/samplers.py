@@ -64,18 +64,33 @@ def _d_exponential(i: D, salt: int, mean: float) -> D:
     return q * mean
 
 
-def _normal01(ctx: Ctx, k: int = 0) -> D:
-    """Irwin–Hall 12-sum approximation of N(0,1).
+_N01_TABLE_SIZE = 8192
+_N01_QUANTILES: list[float] | None = None
 
-    Arithmetic-only (no erf/log/cos) so the DuckDB oracle reproduces it
-    bit-for-bit; adequate tails for synthesis (|z| <= 6).  Replaces
-    NormalSampler.java's Random.nextGaussian().
+
+def _n01_table() -> list[float]:
+    global _N01_QUANTILES
+    if _N01_QUANTILES is None:
+        from statistics import NormalDist
+        nd = NormalDist()
+        _N01_QUANTILES = [round(nd.inv_cdf((k + 0.5) / _N01_TABLE_SIZE), 9)
+                          for k in range(_N01_TABLE_SIZE)]
+    return _N01_QUANTILES
+
+
+def _normal01(ctx: Ctx, k: int = 0) -> D:
+    """N(0,1) via an 8192-level inverse-CDF quantile table.
+
+    ONE uniform draw per value (the earlier Irwin–Hall 12-sum cost 12
+    mix chains per draw — the hottest expression in generation) and
+    still bit-identical across engines: the quantiles are literal
+    doubles computed once in Python.  Tails truncate at ±3.66σ —
+    irrelevant for synthesis.  Replaces NormalSampler.java's
+    Random.nextGaussian().
     """
-    total = None
-    for j in range(12):
-        u = u01(ctx.i, ctx.salt("n01", k, j))
-        total = u if total is None else total + u
-    return total - 6.0
+    q = X.element(uint(ctx.i, ctx.salt("n01", k), 0, _N01_TABLE_SIZE),
+                  _n01_table())
+    return q
 
 
 def _digits(ctx: Ctx, tag: str, n: int) -> list[D]:
@@ -306,14 +321,19 @@ def s_foreign_key(spec, ctx):
     return X.cast_long(X.element(uint(ctx.i, ctx.salt("fk"), 0, 4096), table))
 
 
+def _row_md5(ctx: Ctx, tag: str) -> D:
+    """One md5 hex string per (row, field) — the cheap entropy source
+    for identifier samplers (32 hex chars from a single hash vs a
+    31-bit mix chain per digit)."""
+    return X.md5(X.concat(X.lit(f"{ctx.salt(tag)}:"), X.cast_string(ctx.i)))
+
+
 def s_uuid(spec, ctx):
-    """Deterministic v4-shaped UUID from four 31-bit mixes."""
-    g = [mix(ctx.i, ctx.salt("uuid", j)) for j in range(8)]
-    h = [_hex4(v % 65536) for v in g]
-    mid = X.concat("4", X.substr(h[3], 2, 3))          # version nibble
-    var = X.concat("8", X.substr(h[4], 2, 3))          # variant nibble
-    return X.concat(h[0], h[1], "-", h[2], "-", mid, "-", var, "-",
-                    h[5], h[6], h[7])
+    """Deterministic v4-shaped UUID: one md5, formatted 8-4-4-4-12 with
+    version/variant nibbles forced."""
+    return X.bind(_row_md5(ctx, "uuid"), lambda m: X.concat(
+        X.substr(m, 1, 8), "-", X.substr(m, 9, 4), "-4", X.substr(m, 14, 3),
+        "-8", X.substr(m, 18, 3), "-", X.substr(m, 21, 12)))
 
 
 def s_ssn(spec, ctx):
@@ -325,16 +345,22 @@ def s_ssn(spec, ctx):
                     "-", X.lpad(serial, 4, "0"))
 
 
+def _hex_byte(m: D, pos: int) -> D:
+    """Hex chars [pos, pos+1] of a md5 string → integer 0..255."""
+    h = X.substr(m, pos, 2)
+    return D(lambda: F.conv(h.c, 16, 10).cast("long"),
+             f"(('0x' || {h.s})::BIGINT)")
+
+
 def s_ipv4(spec, ctx):
-    o = [uint(ctx.i, ctx.salt("ip", j), 1 if j == 0 else 0, 255 if j == 0 else 256)
-         for j in range(4)]
-    return _join_str(o, ".")
+    return X.bind(_row_md5(ctx, "ip"), lambda m: _join_str(
+        [_hex_byte(m, 1) % 254 + 1] + [_hex_byte(m, 3 + 2 * j) for j in range(3)],
+        "."))
 
 
 def s_mac(spec, ctx):
-    parts = [X.substr(_hex4(uint(ctx.i, ctx.salt("mac", j), 0, 256)), 3, 2)
-             for j in range(6)]
-    return _join_str(parts, ":")
+    return X.bind(_row_md5(ctx, "mac"), lambda m: _join_str(
+        [X.substr(m, 1 + 2 * j, 2) for j in range(6)], ":"))
 
 
 def s_email(spec, ctx):
@@ -372,19 +398,25 @@ def s_os(spec, ctx):
 
 
 def s_imei(spec, ctx):
-    """ImeiSampler.java: 14 digits + Luhn check digit, all in integer
-    algebra (doubling/digit-sum expressed with % and floor-div)."""
-    ds = _digits(ctx, "imei", 14)
-    total = None
-    for j, d in enumerate(ds):
-        if j % 2 == 1:  # double every 2nd digit (0-based odd), sum digits
-            dd = d * 2
-            term = X.idiv(dd, 10) + dd % 10
-        else:
-            term = d
-        total = term if total is None else total + term
-    check = (X.lit(10) - (total % 10)) % 10
-    return X.concat(*[X.cast_string(d) for d in ds], X.cast_string(check))
+    """ImeiSampler.java: 14 digits + Luhn check digit.
+
+    The 14 digits come from one md5 (each hex byte mod 10 — a 2.4%
+    multinomial skew, irrelevant for synthesis); the Luhn sum is
+    integer algebra over the bound digit values (doubling/digit-sum
+    via % and floor-div)."""
+    def body(m: D) -> D:
+        ds = [_hex_byte(m, 1 + 2 * j) % 10 for j in range(14)]
+        total = None
+        for j, d in enumerate(ds):
+            if j % 2 == 1:  # double every 2nd digit (0-based odd), sum digits
+                dd = d * 2
+                term = X.idiv(dd, 10) + dd % 10
+            else:
+                term = d
+            total = term if total is None else total + term
+        check = (X.lit(10) - (total % 10)) % 10
+        return X.concat(*[X.cast_string(d) for d in ds], X.cast_string(check))
+    return X.bind(_row_md5(ctx, "imei"), body)
 
 
 def s_phone(spec, ctx):
@@ -415,15 +447,22 @@ def s_random_walk(spec, ctx):
     start = float(spec.get("start", 0.0))
     mean = float(spec.get("mean", 0.0))
     sd = float(spec.get("sd", 1.0))
-    step = _normal01(ctx) * sd + mean
+    # steps quantized to integer units of 10^-precision: the windowed
+    # SUM is then exact integer arithmetic, immune to the engines'
+    # different float-summation orders (DuckDB: segment tree; Spark:
+    # sequential) — the one place a cumsum could drift a ulp
+    p = int(spec.get("precision", 6))
+    unit = 10 ** p
+    tbl = [int(round((q * sd + mean) * unit)) for q in _n01_table()]
+    step = X.element(uint(ctx.i, ctx.salt("rw"), 0, _N01_TABLE_SIZE), tbl)
 
     def build():
         w = Window.orderBy(F.col("i")).rowsBetween(Window.unboundedPreceding, 0)
-        return F.sum(step.c).over(w) + F.lit(start)
+        return F.sum(step.c).over(w)
 
-    out = D(build, f"(SUM({step.s}) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) + {start})")
-    p = spec.get("precision")
-    return X.round_(out, int(p)) if p is not None else out
+    cum = D(build, f"CAST(SUM({step.s}) OVER (ORDER BY i ROWS UNBOUNDED "
+                   f"PRECEDING) AS BIGINT)")
+    return (X.cast_double(cum) + float(start * unit)) / float(unit)
 
 
 def s_changer(spec, ctx):
@@ -523,13 +562,40 @@ def s_toll(spec, ctx):
     }
 
 
+MAX_SEQUENCE_LEN = 64  # expression-size cap; longer hierarchies should
+# use the grid synthesizers (synthesizers.py: index-arithmetic rows)
+
+
+def _seq_elements(base: dict, ctx, n: int):
+    """Compile `n` positional draws of `base`.
+
+    random-walk bases accumulate across *positions* (the reference
+    walks within one record's sequence) — cumulative sums share the
+    step subtrees, so the Spark Column DAG stays O(n)."""
+    if base.get("class") == "random-walk":
+        start = float(base.get("start", 0.0))
+        mean = float(base.get("mean", 0.0))
+        sd = float(base.get("sd", 1.0))
+        prec = base.get("precision")
+        out, cum = [], None
+        for j in range(n):
+            step = _normal01(ctx.child(f"[{j}]")) * sd + mean
+            cum = step if cum is None else cum + step
+            v = cum + start
+            out.append(X.round_(v, int(prec)) if prec is not None else v)
+        return out
+    return [compile_field(dict(base), ctx.child(f"[{j}]")) for j in range(n)]
+
+
 def s_sequence(spec, ctx):
     """SequenceSampler.java: array-valued field.
 
     - `array`: one draw per sub-spec (heterogeneous positions),
     - `base` + `length`: fixed-length homogeneous array,
     - `base` + `lengthDistribution`: exponential-mean random length
-      (built as slice of a max-length array — per-row, no state).
+      (built as slice of a max-length array — per-row, no state),
+    - map bases → array<struct>; with `flat: true` → parallel arrays
+      per sub-field (struct-of-arrays, SequenceSampler.setFlat).
     """
     if "array" in spec:
         items = []
@@ -538,17 +604,30 @@ def s_sequence(spec, ctx):
         return X.array([X.cast_string(it) for it in items])
     base = dict(spec.get("base", {"class": "int"}))
     if "length" in spec:
-        n = int(spec["length"])
-        items = [_scalar(compile_field(base, ctx.child(f"[{j}]"))) for j in range(n)]
-        return X.array(items)
-    mean = float(spec.get("lengthDistribution", 5))
-    maxlen = max(1, int(mean * 4))
-    items = [_scalar(compile_field(base, ctx.child(f"[{j}]"))) for j in range(maxlen)]
-    arr = X.array(items)
-    e = _d_exponential(ctx.i, ctx.salt("seqlen"), mean)
-    ln_ = (X.cast_long(X.floor(e)) % maxlen) + 1
-    return D(lambda: F.slice(arr.c, 1, ln_.c.cast("int")),
-             f"LIST_SLICE({arr.s}, 1, CAST({ln_.s} AS BIGINT))")
+        n, ln_ = int(spec["length"]), None
+    else:
+        mean = float(spec.get("lengthDistribution", 5))
+        n = max(1, min(int(mean * 4), MAX_SEQUENCE_LEN))
+        e = _d_exponential(ctx.i, ctx.salt("seqlen"), mean)
+        ln_ = (X.cast_long(X.floor(e)) % n) + 1
+    if n > MAX_SEQUENCE_LEN:
+        raise ValueError(
+            f"sequence length {n} > {MAX_SEQUENCE_LEN}: use the grid "
+            "synthesizers (synthesizers.py) for deep hierarchies")
+
+    def _slice(arr: D) -> D:
+        if ln_ is None:
+            return arr
+        return D(lambda: F.slice(arr.c, 1, ln_.c.cast("int")),
+                 f"LIST_SLICE({arr.s}, 1, CAST({ln_.s} AS BIGINT))")
+
+    items = _seq_elements(base, ctx, n)
+    if items and isinstance(items[0], dict):
+        if spec.get("flat"):
+            return {k: _slice(X.array([it[k] for it in items]))
+                    for k in items[0]}
+        return _slice(X.array([X.struct_(it) for it in items]))
+    return _slice(X.array([_scalar(it) for it in items]))
 
 
 def s_map(spec, ctx):

@@ -31,8 +31,11 @@ class CompiledSchema:
     def dataframe(self, spark: SparkSession, n: int,
                   partitions: int | None = None) -> DataFrame:
         if partitions is None:
-            partitions = max(1, min(spark.sparkContext.defaultParallelism,
-                                    n // DEFAULT_ROWS_PER_PARTITION + 1))
+            # use every core as soon as n is non-trivial; above
+            # ROWS_PER_PARTITION per core, grow the task count so a
+            # task never exceeds ~one in-memory chunk (100 TB-safe)
+            par = spark.sparkContext.defaultParallelism
+            partitions = max(1, min(n, max(par, n // DEFAULT_ROWS_PER_PARTITION)))
         base = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
         return base.select(*[d.c.alias(name) for name, d in self.columns])
 

@@ -44,8 +44,8 @@ def _i() -> D:
 
 def _base(spark: SparkSession, n: int, partitions: int | None = None):
     if partitions is None:
-        partitions = max(1, min(spark.sparkContext.defaultParallelism,
-                                n // 2_000_000 + 1))
+        par = spark.sparkContext.defaultParallelism
+        partitions = max(1, min(n, max(par, n // 2_000_000)))
     return spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
 
 
