@@ -64,13 +64,23 @@ def dedup_exact_keep(docs: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- shingles
 
 def _shingles(col, k: int = 5):
-    """Word k-shingles of the normalized text (array<string>)."""
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k,
-                  F.transform(idx, lambda s: F.concat_ws(" ", F.slice(words, s + 1, k)))
-                  ).otherwise(F.array(F.concat_ws(" ", words)))
+    """Word k-shingles of the normalized text (array<string>).
+
+    The normalize+split pass is bound ONCE via a 1-element-array
+    transform: HOF lambdas re-evaluate every referenced subtree per
+    element, so referencing the split directly from the per-position
+    lambda would re-normalize the document once per shingle (~50× the
+    work — measured 11s → 1s on the sf0.1 corpus)."""
+    def body(words):
+        n = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda s: F.concat_ws(" ", F.slice(words, s + 1, k)))
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+
+    return F.element_at(
+        F.transform(F.array(F.split(normalize_text(col), " ")), body), 1)
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
@@ -91,20 +101,19 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     # would be re-evaluated per reference, and optimizer CSE can't be
     # relied on inside lambdas).  All `num_hashes` permutations then
     # derive arithmetically: a_j = 2j+1, b_j = j*2654435761 mod p.
-    perms = F.transform(
-        F.col("sh"),
-        lambda s: F.flatten(F.transform(
-            F.array(F.pmod(h60(s), F.lit(p))),
-            lambda hh: F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda j: F.pmod(hh * (j * 2 + 1)
-                                 + F.pmod(j * F.lit(2654435761), F.lit(p)),
-                                 F.lit(p))))))
-    # signature = element-wise min over the shingles' permutation rows
+    hs = F.transform(F.col("sh"), lambda s: F.pmod(h60(s), F.lit(p)))
+    # fold the hashed shingles straight into the 64-wide running-min —
+    # no per-shingle permutation array is materialized
     sig = F.aggregate(
-        perms,
+        hs,
         F.array_repeat(F.lit(p).cast("long"), num_hashes),
-        lambda acc, ps: F.zip_with(acc, ps, lambda a, b: F.least(a, b)))
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda a, j: F.least(
+                a, F.pmod(h * (j * 2 + 1)
+                          + F.pmod(j * F.lit(2654435761), F.lit(p)),
+                          F.lit(p)))))
     return sh.select("doc_id", sig.alias("signature"))
 
 
@@ -166,12 +175,10 @@ def dedup_simhash(docs: DataFrame, bits: int = 60, hamming_max: int = 3,
         F.expr(f"""aggregate(
             zip_with(
               aggregate(
-                transform(sh, s -> flatten(transform(
-                    array(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)),
-                    hh -> transform(sequence(0, {bits - 1}),
-                                    b -> IF((shiftright(hh, b) & 1) = 1, 1, -1))))),
+                transform(sh, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)),
                 array_repeat(0, {bits}),
-                (acc, vs) -> zip_with(acc, vs, (a, v) -> a + v)),
+                (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                                     (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
               sequence(0, {bits - 1}),
               (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
             0L, (acc, x) -> acc + x)""").alias("simhash"))
