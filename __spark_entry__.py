@@ -188,6 +188,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SZ.text_messages(SYNTH_N, words=12, seed=4).df(spark)
     q["synth_text_messages"] = synth_text_messages
 
+    def synth_text_blocks(spark, sf):
+        return SZ.text_blocks(SYNTH_N, words=40, seed=13).df(spark)
+    q["synth_text_blocks"] = synth_text_blocks
+
+    def remove_path(spark, sf):
+        schema = [{"name": "rec_id", "class": "id"},
+                  {"name": "meta", "class": "map", "value": [
+                      {"name": "level", "class": "int", "min": 1, "max": 6},
+                      {"name": "code", "class": "word"},
+                      {"name": "tag", "class": "word"}]}]
+        df = compile_schema(schema, seed=14).dataframe(spark, SYNTH_N)
+        pruned = SZ.remove_record_path(df, "meta.code")
+        return pruned.select("rec_id", F.col("meta.level").alias("level"),
+                             F.col("meta.tag").alias("tag"))
+    q["remove_path"] = remove_path
+
     def synth_transactions(spark, sf):
         return SZ.transactions_df(spark, n_people=2000, max_tx=5,
                                   n_terminals=100, invalid_rate=0.05, seed=5)
@@ -362,6 +378,15 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type"""
         n_people=2000, max_tx=5, n_terminals=100, invalid_rate=0.05, seed=5)
     o["synth_iot"] = SZ.iot_data_flat(n_devices=200, readings=50, seed=6).sql()
     o["synth_exotic"] = compile_schema(SYNTH_EXOTIC_SCHEMA, seed=11).duckdb_sql(SYNTH_N)
+    o["synth_text_blocks"] = SZ.text_blocks(SYNTH_N, words=40, seed=13).sql()
+    _rp = compile_schema(
+        [{"name": "rec_id", "class": "id"},
+         {"name": "meta", "class": "map", "value": [
+             {"name": "level", "class": "int", "min": 1, "max": 6},
+             {"name": "code", "class": "word"},
+             {"name": "tag", "class": "word"}]}], seed=14)
+    o["remove_path"] = (f"SELECT rec_id, meta['level'] AS level, "
+                        f"meta['tag'] AS tag FROM ({_rp.duckdb_sql(SYNTH_N)})")
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
 
     o["dedup_exact"] = f"""

@@ -70,10 +70,9 @@ def compile_schema(schema, seed: int = 0) -> CompiledSchema:
             if spec.get("class") == "flatten" or "name" not in spec:
                 out.extend(r.items())           # lift to top level
             else:
-                # named struct field
-                c = F.struct(*[d.c.alias(k) for k, d in r.items()])
-                s = "struct_pack(" + ", ".join(f"{k} := {d.s}" for k, d in r.items()) + ")"
-                out.append((name, D(c, s)))
+                # named struct field (lazy: no Spark session at compile time)
+                from . import dual as X
+                out.append((name, X.struct_(r)))
         else:
             out.append((name, r))
     return CompiledSchema(out)

@@ -162,14 +162,18 @@ def text_blocks(n: int, words: int = 100, seed: int = 0) -> Generated:
     bigram statistics are stable without any driver-side model."""
     i = _i()
     ctx = Ctx(i, seed, "$.textgen")
-    # chained picks: idx_k depends on (i, k, idx_{k-1} bucket)
+    # Markov-ish bigram coupling WITHOUT chaining whole index trees
+    # (a k-deep chain is O(words²) expression text and trips the
+    # analyzer's fixed-point limit): word_k mixes its own draw with the
+    # PREVIOUS raw draw, so adjacent words share entropy — stable
+    # bigram statistics, O(words) expression size.
     parts = []
-    prev_bucket = X.lit(0)
+    prev = None
     for k in range(words):
         r = uint(i, ctx.salt("w", k), 0, len(V.WORDS))
-        idx = (r + prev_bucket * 7919) % len(V.WORDS)
+        idx = r if prev is None else (r + (prev % 97) * 7919) % len(V.WORDS)
         parts.append(X.element(idx, V.WORDS))
-        prev_bucket = idx % 97
+        prev = r
     joined = parts[0]
     for p in parts[1:]:
         joined = X.concat(joined, " ", p)
