@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return compile_schema(SYNTH_EXOTIC_SCHEMA, seed=11).dataframe(spark, SYNTH_N)
     q["synth_exotic"] = synth_exotic
 
+    def synth_vehicle_commuter(spark, sf):
+        schema = [{"name": "rec_id", "class": "id"},
+                  {"class": "vehicle", "years": "1995-2010"},
+                  {"class": "commuter", "maxTrips": 4}]
+        return compile_schema(schema, seed=15).dataframe(spark, 5000)
+    q["synth_vehicle_commuter"] = synth_vehicle_commuter
+
     def synth_cpoc(spark, sf):
         return SZ.cpoc_events(spark, n_users=1000, max_tx=16, seed=12)
     q["synth_cpoc"] = synth_cpoc
@@ -388,6 +395,10 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type"""
     o["remove_path"] = (f"SELECT rec_id, meta['level'] AS level, "
                         f"meta['tag'] AS tag FROM ({_rp.duckdb_sql(SYNTH_N)})")
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
+    o["synth_vehicle_commuter"] = compile_schema(
+        [{"name": "rec_id", "class": "id"},
+         {"class": "vehicle", "years": "1995-2010"},
+         {"class": "commuter", "maxTrips": 4}], seed=15).duckdb_sql(5000)
 
     o["dedup_exact"] = f"""
 SELECT digest, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id

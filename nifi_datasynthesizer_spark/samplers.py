@@ -775,6 +775,60 @@ def s_cpoc(spec, ctx):
     }
 
 
+def s_vehicle(spec, ctx):
+    """AutoCertification.java ('vehicle'): car certification record —
+    VIN, manufacturer, model year, license plate, certification
+    expiration date."""
+    makes = ["Ford", "BMW", "Toyota", "Honda", "Chevrolet",
+             "Nissan", "Volkswagen", "Hyundai"]
+    y0, _, y1 = str(spec.get("years", "1990-2014")).partition("-")
+    lo, hi = int(y0), int(y1 or y0)
+    year = uint(ctx.i, ctx.salt("vy"), lo, hi + 1)
+    exp = s_date({"format": "yyyy-MM-dd",
+                  "start": "2013-01-01", "end": "2016-01-01"}, ctx.child("exp"))
+    return {
+        "VIN": s_vin(spec, ctx),
+        "manufacturer": pick(ctx.i, ctx.salt("vmake"), makes),
+        "year": X.cast_long(year),
+        "license": s_license_plate(spec, ctx),
+        "expiration": exp,
+    }
+
+
+def s_commuter(spec, ctx):
+    """drive/Commuter.java ('commuter'): per-driver commute summary +
+    parallel trip arrays (start time, distance, duration).
+
+    The reference simulates each GPS point imperatively; the
+    column-algebra class emits the per-trip summary draws (home/work
+    zip, per-trip start/distance/speed), while the full GPS trail
+    simulation lives in synthesizers.commuter_data (applyInPandas) —
+    the Spark-first split between per-row algebra and genuinely
+    imperative simulation."""
+    K = int(spec.get("maxTrips", 8))
+    home = s_zip({}, ctx.child("home"))
+    commute_km = u01(ctx.i, ctx.salt("ckm")) * 40.0 + 2.0
+    starts, kms, mins = [], [], []
+    for j in range(K):
+        day_s = X.cast_long(X.floor(
+            u01(ctx.i, ctx.salt("ts", j)) * 86400.0))
+        starts.append(day_s + EPOCH_2013_08_01_S + j * DAY_S)
+        km = commute_km * (u01(ctx.i, ctx.salt("kj", j)) * 0.2 + 0.9)
+        kms.append(km)
+        speed = u01(ctx.i, ctx.salt("sp", j)) * 40.0 + 30.0  # km/h
+        mins.append(km / speed * 60.0)
+    return {
+        "home_zip": home["zip"],
+        "home_lat": home["latitude"],
+        "home_lon": home["longitude"],
+        "commute_km": commute_km,
+        "n_trips": X.cast_long(uint(ctx.i, ctx.salt("nt"), 1, K + 1)),
+        "trip_start": X.array(starts),
+        "trip_km": X.array(kms),
+        "trip_minutes": X.array(mins),
+    }
+
+
 REGISTRY = {
     "id": s_id,
     "int": s_int,
@@ -801,6 +855,7 @@ REGISTRY = {
     "ip": s_ipv4,
     "mac": s_mac,
     "email": s_email,
+    "email-name": s_email,
     "username": s_username,
     "domain": s_domain,
     "dns": s_dns,
@@ -813,7 +868,9 @@ REGISTRY = {
     "changer": s_changer,
     "long-tail": s_long_tail,
     "pitman-yor": s_long_tail,
+    "pitman_yor": s_long_tail,
     "bursty-events": s_bursty,
+    "bursts": s_bursty,
     "vin": s_vin,
     "license-plate": s_license_plate,
     "header": s_header,
@@ -826,6 +883,8 @@ REGISTRY = {
     "lookup": s_lookup,
     "file": s_lookup,
     "common-point-of-compromise": s_cpoc,
+    "vehicle": s_vehicle,
+    "commuter": s_commuter,
 }
 
 
