@@ -281,6 +281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.ann_bruteforce(emb, queries_df, k=10).orderBy("query_id", "rank")
     q["ann_bruteforce"] = ann_bruteforce
 
+    def ann_ivf(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return SIM.ann_ivf(emb, queries_df, k=10).orderBy("query_id", "rank")
+    q["ann_ivf"] = ann_ivf
+
     def ann_lsh(spark, sf):
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -494,6 +500,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
+    o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["synth_correlate"] = SZ.correlate_sql(
         "customer",

@@ -83,6 +83,48 @@ def ann_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame
             .select("query_id", "cand_id", "cosine", "rank"))
 
 
+def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
+            n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-style ANN: coarse quantization to centroid cells, queries
+    probe only their `n_probe` nearest cells, exact cosine re-rank
+    within the probed cells.
+
+    Centroids are the first `n_centroids` corpus vectors (deterministic
+    — replayable by the SQL oracle; swap in k-means output for better
+    recall without touching the plan shape).  Scale: the corpus is
+    scanned once to assign cells (broadcast centroid table, argmax in
+    one pass), then shuffles only on cell id; queries broadcast.
+    """
+    cent = (emb.filter(F.col("vec_id") < n_centroids)
+            .select(F.col("vec_id").alias("cell"),
+                    l2_normalize(F.col("embedding")).alias("cv")))
+    corpus = emb.select(F.col("vec_id").alias("cand_id"),
+                        l2_normalize(F.col("embedding")).alias("v"))
+    # assign: argmax-cosine cell per corpus vector (broadcast join +
+    # max_by — no per-row loops, one shuffle on cand_id for the argmax)
+    scored_cells = (corpus.crossJoin(F.broadcast(cent))
+                    .withColumn("sim", F.round(dot(F.col("v"), F.col("cv")), 6)))
+    assigned = (scored_cells.groupBy("cand_id")
+                .agg(F.max_by("cell", F.struct(F.col("sim"), -F.col("cell")))
+                     .alias("cell"),
+                     F.first("v").alias("v")))
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       l2_normalize(F.col("embedding")).alias("qv"))
+    q_cells = (q.crossJoin(F.broadcast(cent))
+               .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")), 6)))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (q_cells.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= n_probe)
+              .select("query_id", "qv", "cell"))
+    cand = (assigned.join(F.broadcast(probes), "cell")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn("cosine", F.round(dot(F.col("qv"), F.col("v")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine", "rank"))
+
+
 def ann_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
             bucket_bits: int = 6, seed: int = 7) -> DataFrame:
     """LSH-pruned ANN: candidates restricted to the query's hyperplane

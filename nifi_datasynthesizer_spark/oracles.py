@@ -172,6 +172,36 @@ SELECT query_id, cand_id, cosine,
 FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
+def ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+                query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.ann_ivf (deterministic first-N centroids)."""
+    dotp = "ROUND(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), 6)"
+    return f"""
+WITH {_NORMED},
+cent AS (SELECT vec_id AS cell, v AS cv FROM normed WHERE vec_id < {n_centroids}),
+scored AS (SELECT c.vec_id AS cand_id, c.v AS v, ct.cell,
+                  {dotp.format(a='c.v', b='ct.cv')} AS sim
+           FROM normed c CROSS JOIN cent ct),
+assigned AS (SELECT cand_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id
+                                 ORDER BY sim DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM normed WHERE {query_pred}),
+qcell AS (SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {dotp.format(a='q.qv', b='ct.cv')} DESC,
+                                       ct.cell ASC) AS rn
+    FROM qs q CROSS JOIN cent ct) WHERE rn <= {n_probe}),
+cand AS (SELECT query_id, cand_id, {dotp.format(a='qv', b='a.v')} AS cosine
+         FROM assigned a JOIN qcell USING (cell)
+         WHERE cand_id <> query_id)
+SELECT query_id, cand_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id) AS rank
+FROM cand QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 # -------------------------------------------------------- multimodal
 
 def media_frames_sql(n: int = 200, every_ms: int = 5000) -> str:
