@@ -318,6 +318,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "fp_full", "fp_min", "fp_max").orderBy("doc_id"))
     q["text_fingerprint"] = text_fingerprint
 
+    # ---- composed corpus-hygiene pipeline
+    def corpus_clean(spark, sf):
+        from nifi_datasynthesizer_spark.operators.pipeline import corpus_clean as CC
+        out = CC(_t(spark, sf, "documents"), min_quality=0.3,
+                 near_dup_threshold=0.5)
+        return (out.select("doc_id", "pred_lang", "lang_score",
+                           "q_n_words", "quality").orderBy("doc_id"))
+    q["corpus_clean"] = corpus_clean
+
     # ---- multimodal plumbing (decode stubbed; plumbing real)
     def media_features(spark, sf):
         media = MM.synth_media(spark, n=500, seed=9)
@@ -502,6 +511,8 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
     o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
+    o["corpus_clean"] = OR.corpus_clean_sql(min_quality=0.3,
+                                            near_dup_threshold=0.5)
     o["synth_correlate"] = SZ.correlate_sql(
         "customer",
         [{"name": "risk_score", "class": "int", "min": 300, "max": 850},

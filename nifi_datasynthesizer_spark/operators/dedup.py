@@ -118,15 +118,22 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
 
 
 def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
-                  shingle_k: int = 5, jaccard_threshold: float = 0.5) -> DataFrame:
+                  shingle_k: int = 5, jaccard_threshold: float = 0.5,
+                  max_bucket: int | None = None) -> DataFrame:
     """MinHash + LSH banding near-dup detection.
 
     bands × rows layout: a pair colliding in ≥1 band becomes a
     candidate; candidates are verified by estimated Jaccard from the
     full signatures.  Shuffle is on (band_id, band_hash) — uniformly
     distributed buckets; the self-join joins only within buckets.
-    Giant buckets (degenerate corpora) can be salted or capped
-    upstream.  Returns verified pairs (a < b) with est_jaccard.
+    Returns verified pairs (a < b) with est_jaccard.
+
+    ``max_bucket`` is the skew guard for degenerate corpora (e.g.
+    millions of identical boilerplate pages collapsing into one
+    bucket, turning the self-join quadratic): buckets larger than the
+    cap are dropped BEFORE the join — their members are exact-level
+    duplicates better handled by dedup_exact first.  Default None
+    keeps exact parity with the oracle.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_k)
@@ -137,6 +144,10 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                 F.col("signature")[b * rows_per_band + r].cast("string")
                 for r in range(rows_per_band)]))
             for b in range(bands)])).alias("band_id", "band_hash"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        bands_df = (bands_df.withColumn("__bsz", F.count("*").over(w))
+                    .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     left = bands_df.select(F.col("doc_id").alias("a"),
                            F.col("signature").alias("sig_a"),
                            "band_id", "band_hash")

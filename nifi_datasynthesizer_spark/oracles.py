@@ -172,6 +172,64 @@ SELECT query_id, cand_id, cosine,
 FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
+_WORDS = "STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')"
+
+
+def _langid_exprs() -> tuple[str, str]:
+    """(pred_lang, lang_score) SQL over an implicit `text` column —
+    mirror of text.lang_id."""
+    from .operators.text import _LANG_MARKERS
+    pairs = ", ".join(
+        "{'s': len(list_filter(%s, x -> x IN (%s))), 'l': '%s'}"
+        % (_WORDS, ", ".join(f"'{m}'" for m in marks), lang)
+        for lang, marks in _LANG_MARKERS.items())
+    best = f"list_max([{pairs}])"
+    return (f"CASE WHEN {best}['s'] > 0 THEN {best}['l'] ELSE 'und' END",
+            f"{best}['s']")
+
+
+def _quality_exprs() -> tuple[str, str]:
+    """(q_n_words, quality) SQL over an implicit `text` column —
+    mirror of text.quality_score's blended signal."""
+    from .operators.text import _LANG_MARKERS
+    en = ", ".join(f"'{m}'" for m in _LANG_MARKERS["en"])
+    n_words = f"len({_WORDS})"
+    alpha = ("LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) / "
+             "CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)")
+    stop = (f"len(list_filter({_WORDS}, x -> x IN ({en}))) / "
+            f"CAST(GREATEST({n_words}, 1) AS DOUBLE)")
+    uniq = (f"len(list_distinct({_WORDS})) / "
+            f"CAST(GREATEST({n_words}, 1) AS DOUBLE)")
+    quality = (f"CASE WHEN {n_words} < 5 THEN 0.0e0 ELSE LEAST(1.0e0, "
+               f"{alpha} * 0.5e0 + {uniq} * 0.3e0 + "
+               f"LEAST({stop} * 4.0e0, 1.0e0) * 0.2e0) END")
+    return n_words, quality
+
+
+def corpus_clean_sql(min_quality: float = 0.3,
+                     near_dup_threshold: float = 0.5,
+                     table: str = "documents") -> str:
+    """Mirror of pipeline.corpus_clean (exact-dedup → annotate →
+    quality filter → minhash near-dup removal, keep lower doc_id)."""
+    pred_lang, lang_score = _langid_exprs()
+    n_words, quality = _quality_exprs()
+    mh = minhash_pairs_sql(jaccard_threshold=near_dup_threshold,
+                           table="filtered")
+    return f"""
+WITH kept AS (SELECT doc_id, text FROM {table}
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5({_NORM})
+                                         ORDER BY doc_id) = 1),
+ann AS (SELECT doc_id, text, {pred_lang} AS pred_lang,
+               {lang_score} AS lang_score, {n_words} AS q_n_words,
+               {quality} AS quality
+        FROM kept),
+filtered AS (SELECT * FROM ann WHERE quality >= {min_quality}),
+losers AS (SELECT DISTINCT b AS doc_id FROM ({mh}))
+SELECT doc_id, pred_lang, lang_score, q_n_words, quality
+FROM filtered WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id"""
+
+
 def ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4,
                 query_pred: str = "vec_id < 5") -> str:
     """Mirror of similarity.ann_ivf (deterministic first-N centroids)."""

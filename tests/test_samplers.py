@@ -164,3 +164,34 @@ def test_random_walk_continuity(spark):
     vals = [r.w for r in cs.dataframe(spark, 200).orderBy("rid").collect()]
     diffs = [abs(b - a) for a, b in zip(vals, vals[1:])]
     assert max(diffs) < 6.0  # steps are N(0,1): |step| < 6 (Irwin-Hall bound)
+
+
+def test_lookup_file_mode(spark):
+    """FileSampler: external-file dimension loaded at compile time."""
+    import duckdb
+    from nifi_datasynthesizer_spark import compile_schema
+    schema = [{"name": "rid", "class": "id"},
+              {"name": "nation", "class": "lookup",
+               "file": "/root/testdata/sf0.001/nation.parquet",
+               "field": "n_name"}]
+    cs = compile_schema(schema, seed=4)
+    sdf = cs.dataframe(spark, 200).toPandas()
+    valid = {r[0] for r in duckdb.sql(
+        "SELECT n_name FROM '/root/testdata/sf0.001/nation.parquet'").fetchall()}
+    assert set(sdf.nation) <= valid
+    assert len(set(sdf.nation)) > 5  # actually sampling the universe
+    ddf = duckdb.sql(cs.duckdb_sql(200)).df()
+    assert list(sdf.nation) == list(ddf.nation)
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket drops degenerate buckets instead of joining them."""
+    from nifi_datasynthesizer_spark.operators.dedup import dedup_minhash
+    rows = [(i, "the exact same boilerplate text repeated endlessly here")
+            for i in range(50)] + [(100 + i, f"unique doc number {i} "
+                                    f"with its own words {i*7}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup_minhash(docs, jaccard_threshold=0.5).count()
+    capped = dedup_minhash(docs, jaccard_threshold=0.5, max_bucket=10).count()
+    assert uncapped == 50 * 49 // 2  # quadratic pair blowup
+    assert capped == 0               # giant bucket dropped pre-join
