@@ -171,6 +171,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("day", "event_type"))
     q["events_daily"] = events_daily
 
+    def events_sessionize(spark, sf):
+        from pyspark.sql import Window
+        ev = _t(spark, sf, "events").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value")
+        w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        gap = F.col("tus") - F.lag("tus").over(w)
+        is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        wc = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        s = (ev.withColumn("__new", is_new)
+             .withColumn("session_idx", F.sum("__new").over(wc)))
+        return (s.groupBy("user_id", "session_idx")
+                .agg(F.count("*").alias("n_events"),
+                     F.min("tus").alias("session_start_us"),
+                     F.max("tus").alias("session_end_us"),
+                     (F.max("tus") - F.min("tus")).alias("duration_us"),
+                     F.round(F.sum("value"), 2).alias("total_value"))
+                .orderBy("user_id", "session_idx"))
+    q["events_sessionize"] = events_sessionize
+
+    def events_retention(spark, sf):
+        ev = _t(spark, sf, "events").select(
+            "user_id", F.to_date("ts").alias("day")).distinct()
+        cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+        j = ev.join(cohort, "user_id")
+        return (j.groupBy("cohort",
+                          F.datediff("day", "cohort").alias("day_offset"))
+                .agg(F.countDistinct("user_id").alias("active_users"))
+                .orderBy("cohort", "day_offset"))
+    q["events_retention"] = events_retention
+
     # ---- schema-driven synthesis (the reference's core capability)
     def synth_basic(spark, sf):
         return compile_schema(SYNTH_BASIC_SCHEMA, seed=1).dataframe(spark, SYNTH_N)
@@ -390,6 +421,29 @@ GROUP BY n_name ORDER BY revenue DESC, n_name"""
 SELECT CAST(ts AS DATE) AS day, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY day, event_type ORDER BY day, event_type"""
+
+    o["events_sessionize"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+m AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+       MAX(tus) - MIN(tus) AS duration_us,
+       ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
+
+    o["events_retention"] = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+SELECT cohort, (day - cohort) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS active_users
+FROM d JOIN c USING (user_id)
+GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""
 
     # synthesis replays: exact SQL mirrors emitted by the compiler
     o["synth_basic"] = compile_schema(SYNTH_BASIC_SCHEMA, seed=1).duckdb_sql(SYNTH_N)

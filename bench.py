@@ -37,7 +37,9 @@ def main() -> None:
              "events_daily", "dedup_exact", "dedup_minhash", "dedup_simhash",
              "dedup_ngram_jaccard", "text_langid", "text_quality",
              "text_tokens", "text_fingerprint", "ann_bruteforce", "ann_lsh",
-             "dedup_embedding", "synth_cpoc", "synth_exotic", "media_frames"]
+             "ann_ivf", "dedup_embedding", "corpus_clean", "synth_cpoc",
+             "synth_exotic", "media_frames", "events_sessionize",
+             "events_retention"]
 
     timings: dict[str, float] = {}
     for name in names:

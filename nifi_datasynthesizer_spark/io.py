@@ -27,8 +27,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000)
-                                                    .cast("long")))
+        # integer `div`, NOT `/`: epoch nanos exceed 2**53, so a double
+        # round-trip would round the low microsecond digit
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
