@@ -160,8 +160,17 @@ def s_int(spec, ctx):
     if power:
         u = u01(ctx.i, ctx.salt("int"))
         skewed = D(lambda: F.pow(u.c, float(power + 1)), f"POWER({u.s}, {float(power + 1)})")
-        return X.cast_long(X.floor(skewed * float(hi - lo))) + lo
-    return X.cast_long(uint(ctx.i, ctx.salt("int"), lo, hi))
+        out = X.cast_long(X.floor(skewed * float(hi - lo))) + lo
+    else:
+        out = X.cast_long(uint(ctx.i, ctx.salt("int"), lo, hi))
+    fmt = spec.get("format")
+    if fmt:  # IntegerSampler.setFormat: java String.format; "%0Nd" subset
+        import re
+        m = re.fullmatch(r"%0(\d+)d", str(fmt))
+        if not m:
+            raise ValueError(f"unsupported int format {fmt!r} (only %0Nd)")
+        return X.lpad(out, int(m.group(1)), "0")
+    return out
 
 
 def s_double(spec, ctx):
@@ -255,16 +264,66 @@ def s_language(spec, ctx):
 
 
 def s_zip(spec, ctx):
-    """ZipSampler.java: emits a zip record; `fields` selects sub-fields,
-    `onlyContinental` restricts the universe."""
-    n = len(V.ZIP_ROWS)
-    idx = uint(ctx.i, ctx.salt("zip"), 0, n)
+    """ZipSampler.java: emits a zip record.
+
+    - `fields` selects sub-fields ("latitude, longitude"),
+    - `onlyContinental` restricts to the continental-US bounding box
+      (reference: BoundingBox(22, 50, -130, -65)),
+    - `latitude`/`longitude`: "min,max" bounds,
+    - `near`: "lat, lon" + `milesFrom`/`kmFrom` radius (default 10 mi,
+      ZipSampler.setNear) — RadialBound re-expressed as a COMPILE-TIME
+    universe restriction (haversine over the vocab in Python), so the
+    runtime plan stays a single table pick; `latitudeFuzz`/
+    `longitudeFuzz` add uniform jitter.
+    """
+    keep = list(range(len(V.ZIP_ROWS)))
+
+    def _bbox(lat_lo, lat_hi, lon_lo, lon_hi):
+        return [k for k in keep
+                if lat_lo <= V.ZIP_LATS[k] <= lat_hi
+                and lon_lo <= V.ZIP_LONS[k] <= lon_hi]
+
+    if spec.get("onlyContinental"):
+        keep = _bbox(22, 50, -130, -65)
+    if spec.get("latitude"):
+        lo, hi = [float(x) for x in str(spec["latitude"]).split(",")]
+        keep = _bbox(lo, hi, -180, 180)
+    if spec.get("longitude"):
+        lo, hi = [float(x) for x in str(spec["longitude"]).split(",")]
+        keep = _bbox(-90, 90, lo, hi)
+    if spec.get("near"):
+        clat, clon = [float(x.strip()) for x in
+                      str(spec["near"]).replace(",", " ").split()]
+        radius_mi = float(spec.get("milesFrom",
+                          float(spec.get("kmFrom", 16.09)) * 0.621371))
+
+        def dist_mi(k):
+            la, lo = math.radians(V.ZIP_LATS[k]), math.radians(V.ZIP_LONS[k])
+            ca, co = math.radians(clat), math.radians(clon)
+            h = (math.sin((la - ca) / 2) ** 2
+                 + math.cos(ca) * math.cos(la) * math.sin((lo - co) / 2) ** 2)
+            return 3958.8 * 2 * math.asin(math.sqrt(h))
+        keep = [k for k in keep if dist_mi(k) <= radius_mi]
+    if not keep:
+        raise ValueError("zip sampler: no zips satisfy the location bounds")
+
+    idx = uint(ctx.i, ctx.salt("zip"), 0, len(keep))
+    lat: D = X.element(idx, [V.ZIP_LATS[k] for k in keep])
+    lon: D = X.element(idx, [V.ZIP_LONS[k] for k in keep])
+    for axis, var in (("latitudeFuzz", "lat"), ("longitudeFuzz", "lon")):
+        fz = float(spec.get(axis, 0) or 0)
+        if fz:
+            jit = (u01(ctx.i, ctx.salt(axis)) * 2.0 - 1.0) * fz
+            if var == "lat":
+                lat = lat + jit
+            else:
+                lon = lon + jit
     sub = {
-        "zip": X.element(idx, V.ZIP_CODES),
-        "city": X.element(idx, V.ZIP_CITIES),
-        "state": X.element(idx, V.ZIP_STATES),
-        "latitude": X.element(idx, V.ZIP_LATS),
-        "longitude": X.element(idx, V.ZIP_LONS),
+        "zip": X.element(idx, [V.ZIP_CODES[k] for k in keep]),
+        "city": X.element(idx, [V.ZIP_CITIES[k] for k in keep]),
+        "state": X.element(idx, [V.ZIP_STATES[k] for k in keep]),
+        "latitude": lat,
+        "longitude": lon,
     }
     fields = spec.get("fields")
     if fields:

@@ -195,3 +195,34 @@ def test_minhash_bucket_cap(spark):
     capped = dedup_minhash(docs, jaccard_threshold=0.5, max_bucket=10).count()
     assert uncapped == 50 * 49 // 2  # quadratic pair blowup
     assert capped == 0               # giant bucket dropped pre-join
+
+
+def test_zip_near_and_bounds(spark):
+    import duckdb
+    from nifi_datasynthesizer_spark import compile_schema
+    schema = [{"name": "rid", "class": "id"},
+              {"class": "flatten", "prefix": "z_",
+               "value": {"name": "z", "class": "zip",
+                         "near": "40.7, -74.0", "milesFrom": 150}},
+              {"name": "code", "class": "int", "min": 1, "max": 500,
+               "format": "%05d"}]
+    cs = compile_schema(schema, seed=6)
+    sdf = cs.dataframe(spark, 100).toPandas()
+    assert ((sdf.z_latitude > 37) & (sdf.z_latitude < 44)).all()
+    assert ((sdf.z_longitude > -78) & (sdf.z_longitude < -70)).all()
+    assert sdf.code.str.fullmatch(r"\d{5}").all()
+    ddf = duckdb.sql(cs.duckdb_sql(100)).df()
+    assert list(sdf.code) == list(ddf.code)
+    assert list(sdf.z_zip) == list(ddf.z_zip)
+
+
+def test_zip_continental(spark):
+    from nifi_datasynthesizer_spark import compile_schema
+    schema = [{"name": "rid", "class": "id"},
+              {"class": "flatten", "prefix": "",
+               "value": {"name": "z", "class": "zip",
+                         "onlyContinental": True,
+                         "latitudeFuzz": 0.01, "longitudeFuzz": 0.01}}]
+    sdf = compile_schema(schema, seed=7).dataframe(spark, 200).toPandas()
+    assert ((sdf.latitude >= 21.9) & (sdf.latitude <= 50.1)).all()
+    assert ((sdf.longitude >= -130.1) & (sdf.longitude <= -64.9)).all()
