@@ -59,15 +59,23 @@ class D:
     DuckDB oracle SQL — compile without an active SparkContext.
     """
 
-    __slots__ = ("cf", "s")
+    __slots__ = ("cf", "s", "_cc")
 
     def __init__(self, cf, s: str):
         self.cf = cf if callable(cf) else (lambda: cf)
         self.s = s
+        self._cc = None
 
     @property
     def c(self) -> Column:
-        return self.cf()
+        # Memoized: a Column is an immutable JVM expression handle, and
+        # samplers share subtrees heavily (cumulative chains, reused
+        # draws).  Rebuilding per reference made plan construction
+        # O(tree²) py4j round-trips — 12s of driver time for one
+        # 16-element sequence schema.
+        if self._cc is None:
+            self._cc = self.cf()
+        return self._cc
 
     # -- arithmetic ----------------------------------------------------
     def _bin(self, other: "D | int | float", op: str, fn) -> "D":
@@ -125,7 +133,20 @@ def floor(d: D) -> D:
 
 def idiv(a: D, b: int) -> D:
     """Exact integer division for 0 <= a < 2**52."""
+    if b > 1 and (b & (b - 1)) == 0:
+        return shiftr(a, b.bit_length() - 1)
     return floor(a / float(b))
+
+
+def band(a: D, mask: int) -> D:
+    """Bitwise AND with a constant — replaces ``% 2**k`` on non-negative
+    ints (identical result, no division)."""
+    return D(lambda: a.c.bitwiseAND(F.lit(mask)), f"({a.s} & {mask})")
+
+
+def shiftr(a: D, bits: int) -> D:
+    """Arithmetic right shift — replaces ``// 2**bits`` for a >= 0."""
+    return D(lambda: F.shiftright(a.c, bits), f"({a.s} >> {bits})")
 
 
 def round_(d: D, n: int) -> D:
@@ -156,6 +177,10 @@ def concat(*parts) -> D:
 def lpad(d: D, width: int, pad: str) -> D:
     return D(lambda: F.lpad(d.c.cast("string"), width, pad),
              f"LPAD(CAST({d.s} AS VARCHAR), {width}, {_sq(pad)})")
+
+
+def reverse(d: D) -> D:
+    return D(lambda: F.reverse(d.c), f"REVERSE({d.s})")
 
 
 def lower(d: D) -> D:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from . import dual as X
 from . import vocab as V
 from .dual import D
-from .rng import mix, pick, pick_weighted, quantize_weights, salt_of, u01, uint
+from .rng import M31, mix, pick, pick_weighted, quantize_weights, salt_of, u01, uint
 
 EPOCH_2013_08_01_S = 1375315200  # DateSampler.java default end epoch
 DAY_S = 86400
@@ -459,23 +459,28 @@ def s_os(spec, ctx):
 def s_imei(spec, ctx):
     """ImeiSampler.java: 14 digits + Luhn check digit.
 
-    The 14 digits come from one md5 (each hex byte mod 10 — a 2.4%
-    multinomial skew, irrelevant for synthesis); the Luhn sum is
-    integer algebra over the bound digit values (doubling/digit-sum
-    via % and floor-div)."""
-    def body(m: D) -> D:
-        ds = [_hex_byte(m, 1 + 2 * j) % 10 for j in range(14)]
-        total = None
-        for j, d in enumerate(ds):
-            if j % 2 == 1:  # double every 2nd digit (0-based odd), sum digits
-                dd = d * 2
-                term = X.idiv(dd, 10) + dd % 10
-            else:
-                term = d
-            total = term if total is None else total + term
-        check = (X.lit(10) - (total % 10)) % 10
-        return X.concat(*[X.cast_string(d) for d in ds], X.cast_string(check))
-    return X.bind(_row_md5(ctx, "imei"), body)
+    Two 31-bit draws supply 7 decimal digits each (bias < 0.5% per
+    digit); the Luhn sum is pure integer algebra over the same draws,
+    and the digit string is two zero-padded 7-digit numbers — no
+    per-digit string work, no hashing, fully codegen'd."""
+    h1 = mix(ctx.i, ctx.salt("imei_a"))
+    h2 = mix(ctx.i, ctx.salt("imei_b"))
+    total = None
+    for j in range(14):
+        h = h1 if j < 7 else h2
+        d = X.idiv(h, 10 ** (j % 7)) % 10
+        if j % 2 == 1:  # Luhn: double every 2nd digit, then digit-sum
+            dd = d * 2
+            term = X.idiv(dd, 10) + dd % 10
+        else:
+            term = d
+        total = term if total is None else total + term
+    check = (X.lit(10) - (total % 10)) % 10
+    # digit j of the IMEI is digit j%7 (LEAST-significant first) of h;
+    # printing must match: reverse each 7-digit block string-wise
+    return X.concat(X.reverse(X.lpad(h1 % 10_000_000, 7, "0")),
+                    X.reverse(X.lpad(h2 % 10_000_000, 7, "0")),
+                    X.cast_string(check))
 
 
 def s_phone(spec, ctx):
@@ -558,40 +563,117 @@ def s_bursty(spec, ctx):
     return X.cast_long(X.floor(t)) + start_s
 
 
+_VIN_ALPHABET = "0123456789ABCDEFGHJKLMNPRSTUVWXYZ"  # no I,O,Q
+_VIN_VALUES = {c: v for c, v in zip(_VIN_ALPHABET,
+               [0, 1, 2, 3, 4, 5, 6, 7, 8, 9,        # 0-9
+                1, 2, 3, 4, 5, 6, 7, 8,              # A-H
+                1, 2, 3, 4, 5, 7, 9,                 # J-N, P, R
+                2, 3, 4, 5, 6, 7, 8, 9])}            # S-Z
+_VIN_WEIGHTS = [8, 7, 6, 5, 4, 3, 2, 10, 0, 9, 8, 7, 6, 5, 4, 3, 2]
+# VinSampler.computeYearCode: index = year - 1980 into this cycle
+_VIN_YEAR_CODES = "ABCDEFGHJKLMNPRSTVWXY123456789ABCDEFGHJK"
+_VIN_WMIS = [  # (wmi, make) — VinSampler's documented make set
+    ("1FA", "ford"), ("1GC", "chevrolet"), ("1G1", "chevrolet"),
+    ("1GM", "gm"), ("WBA", "bmw"), ("WBS", "bmw"), ("3VW", "vw"),
+    ("WAU", "audi"), ("JA3", "mitsubishi"), ("JF1", "subaru"),
+    ("JM1", "mazda"), ("JHM", "honda"), ("1HG", "honda"),
+    ("JT2", "toyota"), ("2T1", "toyota"), ("KMH", "hyundai"),
+    ("KNA", "kia"), ("1N4", "nissan"), ("JN1", "nissan"),
+    ("ZFF", "ferrari"), ("SAJ", "jaguar"), ("SCE", "delorean"),
+    ("1C3", "chrysler"), ("5YJ", "tesla"),
+]
+_VIN_COUNTRIES = {  # VinSampler.setCountries country → makes (approx fill())
+    "us": {"ford", "chevrolet", "gm", "tesla", "chrysler", "delorean"},
+    "ca": {"ford", "chevrolet", "gm"},
+    "de": {"bmw", "vw", "audi"},
+    "jp": {"mitsubishi", "subaru", "mazda", "honda", "toyota", "nissan"},
+    "kr": {"hyundai", "kia"},
+    "uk": {"jaguar"},
+    "eu": {"bmw", "vw", "audi", "ferrari", "jaguar"},
+}
+_VIN_COUNTRIES["north_america"] = _VIN_COUNTRIES["us"] | _VIN_COUNTRIES["ca"]
+_VIN_PLANTS = ["5", "V", "G", "M", "F", "A", "B", "C"]  # fordPlantCodes + bmw-ish
+
+
+def _vin_gibberish(tag: str, length: int) -> str:
+    """Deterministic stand-in for VinSampler.gibberish (model codes)."""
+    h = salt_of("vin-model", tag)
+    out = []
+    for _ in range(length):
+        h = (h * 48271 + 11) % M31
+        out.append(_VIN_ALPHABET[h % 33])
+    return "".join(out)
+
+
 def s_vin(spec, ctx):
-    """VinSampler.java: 17-char VIN with ISO 3779 check digit, computed
-    in integer algebra over the picked character indices."""
-    alphabet = "0123456789ABCDEFGHJKLMNPRSTUVWXYZ"  # no I,O,Q
-    values = {c: v for c, v in zip(alphabet,
-              [0, 1, 2, 3, 4, 5, 6, 7, 8, 9,        # 0-9
-               1, 2, 3, 4, 5, 6, 7, 8,              # A-H
-               1, 2, 3, 4, 5, 7, 9,                 # J-N, P, R
-               2, 3, 4, 5, 6, 7, 8, 9])}            # S-Z
-    weights = [8, 7, 6, 5, 4, 3, 2, 10, 0, 9, 8, 7, 6, 5, 4, 3, 2]
-    wmis = ["1HG", "1FA", "1GC", "2T1", "3VW", "5YJ", "JHM", "KMH", "WAU", "WBA"]
-    wmi_idx = uint(ctx.i, ctx.salt("wmi"), 0, len(wmis))
-    chars: list[D] = []
-    vals: list[D] = []
-    for pos in range(17):
-        if pos < 3:
-            cs = [w[pos] for w in wmis]
-            chars.append(X.element(wmi_idx, cs))
-            vals.append(X.element(wmi_idx, [values[c] for c in cs]))
-        elif pos == 8:
-            chars.append(X.lit(""))  # placeholder for check digit
-            vals.append(X.lit(0))
-        else:
-            k = uint(ctx.i, ctx.salt("vin", pos), 0, len(alphabet))
-            chars.append(X.element(k, list(alphabet)))
-            vals.append(X.element(k, [values[c] for c in alphabet]))
-    total = None
-    for pos in range(17):
-        term = vals[pos] * weights[pos]
-        total = term if total is None else total + term
-    rem = total % 11
-    check = X.when_chain([(rem.eq(10), X.lit("X"))], X.cast_string(rem))
-    parts = chars[:8] + [check] + chars[9:]
-    return X.concat(*parts)
+    """VinSampler.java: structured 17-char VIN.
+
+    The reference composes WMI (restricted make set) + restraint +
+    model codes, a year code (computeYearCode: 1980-indexed cycle), a
+    plant code, and a **sequential** 6-digit serial
+    (``sequenceCounter.incrementAndGet()``), then fixes the ISO 3779
+    check digit at position 9 (addCheckDigit).  We precompute the
+    (front8, partial-checksum) table at compile time so the runtime
+    plan is 3 table picks + integer digit algebra over the row index —
+    no per-character draws.  Params: ``makes``, ``countries``,
+    ``years`` ("1990-2014" or comma list), ``verbose``.
+    """
+    makes_f = {m.strip().lower() for m in str(spec.get("makes", "")).split(",") if m.strip()}
+    if spec.get("countries") or spec.get("country"):
+        cs = str(spec.get("countries") or spec.get("country"))
+        allowed = set()
+        for c in cs.split(","):
+            allowed |= _VIN_COUNTRIES.get(c.strip().lower(), set())
+        makes_f = (makes_f & allowed) if makes_f else allowed
+    wmis = [(w, m) for w, m in _VIN_WMIS if not makes_f or m in makes_f]
+    if not wmis:
+        raise ValueError("vin sampler: no makes match the constraints")
+
+    fronts, sums, make_names = [], [], []
+    for wmi, make in wmis:
+        for r in "ABCD":                       # restraint codes
+            for t in range(4):                 # model codes per make
+                front = wmi + r + _vin_gibberish(f"{make}:{t}", 4)
+                fronts.append(front)
+                sums.append(sum(_VIN_VALUES[c] * _VIN_WEIGHTS[p]
+                                for p, c in enumerate(front)))
+                make_names.append(make)
+
+    years = []
+    for part in str(spec.get("years", "1990-2014")).split(","):
+        part = part.strip()
+        if "-" in part[1:]:
+            lo, hi = part.split("-")
+            years.extend(range(int(lo), int(hi) + 1))
+        elif part:
+            years.append(int(part))
+    years = [y for y in years if 1980 <= y <= 2019]
+    if not years:
+        raise ValueError("vin sampler: no legal years")
+    ycodes = [_VIN_YEAR_CODES[y - 1980] for y in years]
+
+    kf = uint(ctx.i, ctx.salt("vin_f"), 0, len(fronts))
+    ky = uint(ctx.i, ctx.salt("vin_y"), 0, len(years))
+    kp = uint(ctx.i, ctx.salt("vin_p"), 0, len(_VIN_PLANTS))
+    seq = (ctx.i + 1) % 1000000                # sequenceCounter analogue
+
+    total = (X.element(kf, sums)
+             + X.element(ky, [_VIN_VALUES[c] for c in ycodes]) * _VIN_WEIGHTS[9]
+             + X.element(kp, [_VIN_VALUES[c] for c in _VIN_PLANTS]) * _VIN_WEIGHTS[10])
+    for j in range(6):                         # serial digit j → weight j+2
+        total = total + (X.idiv(seq, 10 ** j) % 10) * (j + 2)
+
+    vin = X.bind(total % 11, lambda rem: X.concat(
+        X.element(kf, fronts),
+        X.when_chain([(rem.eq(10), X.lit("X"))], X.cast_string(rem)),
+        X.element(ky, ycodes),
+        X.element(kp, _VIN_PLANTS),
+        X.lpad(seq, 6, "0")))
+    if spec.get("verbose"):
+        return {"VIN": vin,
+                "manufacturer": X.element(kf, make_names),
+                "year": X.cast_long(X.element(ky, years))}
+    return vin
 
 
 def s_license_plate(spec, ctx):
