@@ -179,6 +179,20 @@ def lpad(d: D, width: int, pad: str) -> D:
              f"LPAD(CAST({d.s} AS VARCHAR), {width}, {_sq(pad)})")
 
 
+def least(items: list[D]) -> D:
+    if len(items) == 1:
+        return items[0]
+    return D(lambda: F.least(*[d.c for d in items]),
+             "LEAST(" + ", ".join(d.s for d in items) + ")")
+
+
+def greatest(items: list[D]) -> D:
+    if len(items) == 1:
+        return items[0]
+    return D(lambda: F.greatest(*[d.c for d in items]),
+             "GREATEST(" + ", ".join(d.s for d in items) + ")")
+
+
 def reverse(d: D) -> D:
     return D(lambda: F.reverse(d.c), f"REVERSE({d.s})")
 

@@ -156,11 +156,15 @@ def s_int(spec, ctx):
         vals = [int(v) for v in dist[0::2]]
         ws = [float(p) for p in dist[1::2]]
         return X.cast_long(pick_weighted(ctx.i, ctx.salt("int"), vals, ws))
-    power = int(spec.get("power", 0))
+    power = int(spec.get("skew", spec.get("power", 0)))
     if power:
-        u = u01(ctx.i, ctx.salt("int"))
-        skewed = D(lambda: F.pow(u.c, float(power + 1)), f"POWER({u.s}, {float(power + 1)})")
-        out = X.cast_long(X.floor(skewed * float(hi - lo))) + lo
+        # IntegerSampler.setSkew: "skew is added by taking the min of
+        # several samples"; negative skew prefers large values.  Exact
+        # re-expression: LEAST/GREATEST over |skew|+1 independent draws
+        # (no pow() → no libm ulp divergence between engines).
+        draws = [uint(ctx.i, ctx.salt("int", j), lo, hi)
+                 for j in range(abs(power) + 1)]
+        out = X.cast_long(X.least(draws) if power > 0 else X.greatest(draws))
     else:
         out = X.cast_long(uint(ctx.i, ctx.salt("int"), lo, hi))
     fmt = spec.get("format")
@@ -181,13 +185,26 @@ def s_double(spec, ctx):
         vals = [float(v) for v in dist[0::2]]
         ws = [float(p) for p in dist[1::2]]
         return X.cast_double(pick_weighted(ctx.i, ctx.salt("dbl"), vals, ws))
-    return u01(ctx.i, ctx.salt("dbl")) * (hi - lo) + lo
+    skew = int(spec.get("skew", spec.get("power", 0)))
+    if skew:  # DoubleSampler.setSkew: min (or max, if negative) of several
+        draws = [u01(ctx.i, ctx.salt("dbl", j)) for j in range(abs(skew) + 1)]
+        u = X.least(draws) if skew > 0 else X.greatest(draws)
+    else:
+        u = u01(ctx.i, ctx.salt("dbl"))
+    return u * (hi - lo) + lo
 
 
 def s_normal(spec, ctx):
+    """NormalSampler.java: mean/sd/precision; min/max clamp the sample
+    (the reference rejection-resamples — a loop; clamping keeps the
+    plan one pure expression and only moves tail mass to the bounds)."""
     mean = float(spec.get("mean", 0.0))
     sd = float(spec.get("sd", 1.0))
     out = _normal01(ctx) * sd + mean
+    if spec.get("min") is not None:
+        out = X.greatest([out, X.lit(float(spec["min"]))])
+    if spec.get("max") is not None:
+        out = X.least([out, X.lit(float(spec["max"]))])
     p = spec.get("precision")
     return X.round_(out, int(p)) if p is not None else out
 
@@ -195,8 +212,19 @@ def s_normal(spec, ctx):
 def s_gamma(spec, ctx):
     """Erlang(k, rate): sum of k exponentials (GammaSampler.java for
     integer alpha; fractional part approximated by scaling)."""
-    alpha = float(spec.get("alpha", spec.get("dof", 1.0)))
-    beta = float(spec.get("beta", 1.0))  # rate
+    # GammaSampler.java parameterizations (javadoc: "mean is
+    # alpha*scale = alpha/rate"); beta is the colt-style RATE
+    if spec.get("dof") is not None:
+        alpha = float(spec["dof"]) / 2.0
+        beta = 1.0 / (2.0 * float(spec.get("scale", 1.0)))
+    else:
+        alpha = float(spec.get("alpha", 1.0))
+        if spec.get("rate") is not None:
+            beta = float(spec["rate"])
+        elif spec.get("scale") is not None:
+            beta = 1.0 / float(spec["scale"])
+        else:
+            beta = float(spec.get("beta", 1.0))
     k = max(1, int(round(alpha)))
     scale = alpha / k / beta
     total = None
@@ -365,11 +393,26 @@ def s_event(spec, ctx):
     (no global running sum ⇒ no single-partition window at 100 TB).
     """
     rate_s = _parse_rate_per_s(spec.get("rate", "1/s"))
-    start_s = int(spec.get("start_epoch", EPOCH_2013_08_01_S))
+    if spec.get("start"):  # ArrivalSampler.setStart: time of first event
+        start_s = _parse_datetime_s(str(spec["start"]))
+    else:
+        start_s = int(spec.get("start_epoch", EPOCH_2013_08_01_S))
     step = 1.0 / rate_s
+    offset_s = float(spec.get("offset", 0.0)) / 1000.0  # min gap, millis
+    offset_s = min(offset_s, step)
     u = u01(ctx.i, ctx.salt("event"))
-    t = X.cast_long(X.floor((X.cast_double(ctx.i) + u) * step)) + start_s
+    base = X.cast_double(ctx.i) * offset_s
+    t = X.cast_long(X.floor(base + (X.cast_double(ctx.i) + u)
+                            * (step - offset_s))) + start_s
     return _fmt_epoch_s(t, spec.get("format", "yyyy-MM-dd HH:mm:ss"))
+
+
+def _parse_datetime_s(s: str) -> int:
+    """'yyyy-MM-dd[ HH:mm:ss]' → epoch seconds, timezone-free (UTC)."""
+    import datetime as _dt
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+    d = _dt.datetime.strptime(s, fmt).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp())
 
 
 def s_foreign_key(spec, ctx):
@@ -396,12 +439,42 @@ def s_uuid(spec, ctx):
 
 
 def s_ssn(spec, ctx):
-    area = uint(ctx.i, ctx.salt("ssn_a"), 1, 899)
-    area = X.when_chain([(area.eq(666), X.lit(667))], area)  # 666 never issued
+    """SsnSampler.java: area code from the SSA allocation table, then
+    -GG-SSSS (group 1-99, serial 1-9999, both as in the reference).
+
+    ``types`` filters the area universe ("normal", "extra");
+    ``fields`` selects verbose sub-fields from {ssn, state,
+    description, type}; ``verbose`` emits a struct.  The reference
+    defaults to verbose {ssn, state}; ours defaults to the compact
+    string (flat DataFrame ergonomics) — set ``verbose`` for parity.
+    Note: SsnSampler's resource loop reads ``fields.get(1)`` as both
+    loop bound and start, so the reference only ever samples each
+    range's END area; we sample the full documented range.
+    """
+    import re as _re
+    types = {t for t in _re.split(r"[\s,;]+", str(spec.get("types", "normal"))) if t}
+    areas = [(a, st, ty, de) for (s0, s1, st, ty, de) in V.SSN_RANGES
+             for a in range(s0, s1 + 1) if ty in types]
+    if not areas:
+        raise ValueError(f"ssn sampler: no areas of type {sorted(types)}")
+    k = uint(ctx.i, ctx.salt("ssn_a"), 0, len(areas))
     group = uint(ctx.i, ctx.salt("ssn_g"), 1, 100)
     serial = uint(ctx.i, ctx.salt("ssn_s"), 1, 10000)
-    return X.concat(X.lpad(area, 3, "0"), "-", X.lpad(group, 2, "0"),
-                    "-", X.lpad(serial, 4, "0"))
+    ssn = X.concat(X.element(k, [f"{a:03d}" for a, _, _, _ in areas]), "-",
+                   X.lpad(group, 2, "0"), "-", X.lpad(serial, 4, "0"))
+    if spec.get("verbose"):
+        keep = [f for f in _re.split(r"[\s,;]+",
+                str(spec.get("fields", "ssn,state"))) if f]
+        legal = {"ssn", "state", "description", "type"}
+        bad = set(keep) - legal
+        if bad:
+            raise ValueError(f"ssn sampler: illegal fields {sorted(bad)}")
+        cols = {"ssn": lambda: ssn,
+                "state": lambda: X.element(k, [st for _, st, _, _ in areas]),
+                "type": lambda: X.element(k, [ty for _, _, ty, _ in areas]),
+                "description": lambda: X.element(k, [de for _, _, _, de in areas])}
+        return {f: cols[f]() for f in keep}
+    return ssn
 
 
 def _hex_byte(m: D, pos: int) -> D:
@@ -412,6 +485,21 @@ def _hex_byte(m: D, pos: int) -> D:
 
 
 def s_ipv4(spec, ctx):
+    """IpV4AddressSampler.java: dotted quad; ``private`` restricts to
+    RFC-1918 space (10/8, 172.16/12, 192.168/16 — the same pools
+    faker's privateIpV4Address draws from)."""
+    if spec.get("private"):
+        h = mix(ctx.i, ctx.salt("ip"))
+        b2 = X.shiftr(h, 8) % 256
+        b3 = h % 256
+        fam = X.shiftr(h, 16) % 3
+        first = X.element(fam, ["10", "172", "192"])
+        second = X.when_chain(
+            [(fam.eq(0), X.cast_string(X.shiftr(h, 4) % 256)),
+             (fam.eq(1), X.cast_string(X.shiftr(h, 4) % 16 + 16))],
+            X.lit("168"))
+        return X.concat(first, ".", second, ".", X.cast_string(b2),
+                        ".", X.cast_string(b3))
     return X.bind(_row_md5(ctx, "ip"), lambda m: _join_str(
         [_hex_byte(m, 1) % 254 + 1] + [_hex_byte(m, 3 + 2 * j) for j in range(3)],
         "."))
@@ -493,10 +581,54 @@ def s_phone(spec, ctx):
 
 
 def s_vector(spec, ctx):
-    size = int(spec.get("size", 8))
-    lo = float(spec.get("min", 0.0))
-    hi = float(spec.get("max", 1.0))
-    items = [u01(ctx.i, ctx.salt("vec", j)) * (hi - lo) + lo for j in range(size)]
+    """VectorSampler.java: array of doubles.
+
+    Parameter parity: uniform [min,max) OR normal (mean/sd with min/max
+    clamps); `transform` exp|log applied after sampling (the reference
+    samples in inverse-transformed space); `resolution` snaps to the
+    nearest multiple (half-up — Math.rint's half-even differs between
+    libm/JVM, so we use the deterministic floor(x/r+0.5)*r in both
+    engines); `length` aliases `size`."""
+    size = int(spec.get("size", spec.get("length", 8)))
+    mean = spec.get("mean")
+    xform = spec.get("transform")
+    res = spec.get("resolution")
+    if xform not in (None, "exp", "log"):
+        raise ValueError('vector transform must be "exp" or "log"')
+
+    if xform or res is not None or mean is not None:
+        # value table computed in Python (quantile → clamp → transform
+        # → snap), so the runtime plan is one pick per element and no
+        # engine-local libm is involved
+        K = 4096
+        if mean is not None:
+            from statistics import NormalDist
+            nd = NormalDist()
+            sd = float(spec.get("sd", 1.0))
+            base = [nd.inv_cdf((k + 0.5) / K) * sd + float(mean) for k in range(K)]
+            if spec.get("min") is not None:
+                base = [max(v, float(spec["min"])) for v in base]
+            if spec.get("max") is not None:
+                base = [min(v, float(spec["max"])) for v in base]
+        else:
+            lo = float(spec.get("min", 0.0))
+            hi = float(spec.get("max", 1.0))
+            base = [(k + 0.5) / K * (hi - lo) + lo for k in range(K)]
+        if xform == "exp":
+            base = [math.exp(v) for v in base]
+        elif xform == "log":
+            base = [math.log(v) for v in base]
+        if res is not None:
+            r = float(res)
+            base = [math.floor(v / r + 0.5) * r for v in base]
+        base = [round(v, 9) for v in base]
+        items = [X.element(uint(ctx.i, ctx.salt("vec", j), 0, K), base)
+                 for j in range(size)]
+    else:
+        lo = float(spec.get("min", 0.0))
+        hi = float(spec.get("max", 1.0))
+        items = [u01(ctx.i, ctx.salt("vec", j)) * (hi - lo) + lo
+                 for j in range(size)]
     return X.array(items)
 
 

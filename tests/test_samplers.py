@@ -226,3 +226,74 @@ def test_zip_continental(spark):
     sdf = compile_schema(schema, seed=7).dataframe(spark, 200).toPandas()
     assert ((sdf.latitude >= 21.9) & (sdf.latitude <= 50.1)).all()
     assert ((sdf.longitude >= -130.1) & (sdf.longitude <= -64.9)).all()
+
+
+def test_int_skew_min_of_k():
+    lows = [v for (v,) in rows([{"name": "v", "class": "int",
+                                 "min": 0, "max": 100, "skew": 4}], n=2000)]
+    highs = [v for (v,) in rows([{"name": "v", "class": "int",
+                                  "min": 0, "max": 100, "skew": -4}], n=2000)]
+    assert sum(lows) / len(lows) < 30       # min of 5 draws ≈ 16.7
+    assert sum(highs) / len(highs) > 70     # max of 5 draws ≈ 83.3
+    assert all(0 <= v < 100 for v in lows + highs)
+
+
+def test_ssn_verbose_types():
+    rs = rows([{"name": "rid", "class": "id"},
+               {"class": "flatten", "prefix": "s_",
+                "value": {"name": "s", "class": "ssn", "verbose": True,
+                          "fields": "ssn,state,type", "types": "normal,extra"}}],
+              n=400)
+    states = {r[2] for r in rs}
+    types = {r[3] for r in rs}
+    assert types <= {"normal", "extra"}
+    assert "extra" in types            # VI/PI areas reachable
+    assert "NY" in states or "CA" in states
+    import re
+    assert all(re.fullmatch(r"\d{3}-\d{2}-\d{4}", r[1]) for r in rs)
+
+
+def test_ipv4_private():
+    import re
+    for (v,) in rows([{"name": "v", "class": "ipv4", "private": True}], n=300):
+        assert re.fullmatch(r"\d+\.\d+\.\d+\.\d+", v)
+        a, b, _, _ = [int(x) for x in v.split(".")]
+        assert (a == 10) or (a == 172 and 16 <= b < 32) or (a == 192 and b == 168), v
+
+
+def test_vector_transform_resolution():
+    rs = rows([{"name": "v", "class": "vector", "size": 4, "mean": 0.0,
+                "sd": 1.0, "transform": "exp", "resolution": 0.25}], n=200)
+    import math
+    for (arr,) in rs:
+        assert len(arr) == 4
+        for x in arr:
+            assert x >= 0                      # exp output
+            assert abs(x / 0.25 - round(x / 0.25)) < 1e-9  # snapped
+
+
+def test_gamma_rate_scale_dof():
+    m_rate = [float(v) for (v,) in rows([{"name": "v", "class": "gamma",
+                                          "alpha": 4, "rate": 2}], n=4000)]
+    m_scale = [float(v) for (v,) in rows([{"name": "v", "class": "gamma",
+                                           "alpha": 2, "scale": 3}], n=4000)]
+    assert abs(sum(m_rate) / len(m_rate) - 2.0) < 0.2    # alpha/rate
+    assert abs(sum(m_scale) / len(m_scale) - 6.0) < 0.5  # alpha*scale
+
+
+def test_normal_clamp():
+    vals = [float(v) for (v,) in rows([{"name": "v", "class": "normal",
+                                        "mean": 0, "sd": 5,
+                                        "min": -2, "max": 2}], n=1000)]
+    assert all(-2 <= v <= 2 for v in vals)
+    assert any(v == 2 for v in vals)  # clamped mass at bound
+
+
+def test_event_start_offset():
+    rs = rows([{"name": "rid", "class": "id"},
+               {"name": "t", "class": "event", "rate": "1/s",
+                "start": "2020-06-01 00:00:00", "offset": 400.0,
+                "format": "s"}], n=50)
+    ts = [r[1] for r in sorted(rs)]
+    assert ts[0] >= 1590969600
+    assert all(b - a >= 0 for a, b in zip(ts, ts[1:]))
