@@ -41,12 +41,28 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
     Defaults tuned for scale: zstd parquet, caller-controlled
     partitioning (partition_by on a low-cardinality column keeps file
     counts sane at 100 TB)."""
+    if fmt == "avro" and not _has_avro(df.sparkSession):
+        # NiFi's Avro record writer maps to the external spark-avro
+        # module (built-in since 2.4 but not on every classpath)
+        raise NotImplementedError(
+            "avro sink needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "available here: parquet, orc, json, csv")
     w = df.write.mode(mode).format(fmt)
     if fmt in ("parquet", "orc"):
         w = w.option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def _has_avro(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat")
+        return True
+    except Exception:
+        return False
 
 
 def read(spark: SparkSession, path: str, fmt: str = "parquet",

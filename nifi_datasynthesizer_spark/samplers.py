@@ -249,7 +249,50 @@ def s_word(spec, ctx):
     return pick(ctx.i, ctx.salt("word"), V.WORDS)
 
 
+_TEXT_QUOTES = {
+    # TextSampler.java faker types — exemplar quote pools (the
+    # reference draws from java-faker's quote data files)
+    "chucknorris": [
+        "Chuck Norris can divide by zero.",
+        "Chuck Norris counted to infinity. Twice.",
+        "Chuck Norris writes code that optimizes itself.",
+        "Chuck Norris's keyboard has no escape key; nothing escapes.",
+        "Chuck Norris can unit-test an entire application with a single assert.",
+        "Chuck Norris solved the halting problem by staring at it.",
+    ],
+    "backtothefuture": [
+        "Roads? Where we're going, we don't need roads.",
+        "Great Scott!",
+        "If you put your mind to it, you can accomplish anything.",
+        "Nobody calls me chicken.",
+        "Your future is whatever you make it, so make it a good one.",
+        "This is heavy.",
+    ],
+    "gameofthrones": [
+        "Winter is coming.",
+        "A mind needs books as a sword needs a whetstone.",
+        "When you play the game of thrones, you win or you die.",
+        "The night is dark and full of terrors.",
+        "A lion does not concern himself with the opinion of sheep.",
+        "Chaos is a ladder.",
+    ],
+}
+
+
 def s_text(spec, ctx):
+    """TextSampler.java: ``text`` entries form a bag sampled verbatim;
+    ``type`` picks a canned quote pool (chucknorris / backtothefuture /
+    gameofthrones); otherwise an n-word string from the vocab
+    (``length`` words)."""
+    bag = spec.get("text")
+    if bag:
+        vals = [str(v) for v in (bag if isinstance(bag, list) else [bag])]
+        return pick(ctx.i, ctx.salt("textbag"), vals)
+    typ = str(spec.get("type", "")).lower().replace("_", "")
+    if typ:
+        if typ not in _TEXT_QUOTES:
+            raise ValueError(f"text type must be one of {sorted(_TEXT_QUOTES)}")
+        return pick(ctx.i, ctx.salt("textq"), _TEXT_QUOTES[typ])
     n_words = int(spec.get("length", 10))
     parts = [pick(ctx.i, ctx.salt("text", j), V.WORDS) for j in range(n_words)]
     return _join_str(parts, " ")
@@ -532,8 +575,67 @@ def s_domain(spec, ctx):
 
 
 def s_dns(spec, ctx):
-    host = pick(ctx.i, ctx.salt("host"), ["www", "api", "cdn", "mail", "app"])
-    return X.concat(host, ".", s_domain(spec, ctx))
+    """DnsSampler.java: DNS query records.
+
+    The reference simulates a stateful per-user query process —
+    Pitman–Yor domains seeded from f500-domains.csv, active/inactive
+    sessions, day/night dilation.  Scale-first re-expression: the
+    domain comes from a Zipf(1+discount) table over the f500 head plus
+    a synthetic tail (the P-Y predictive distribution's power-law
+    behavior, precomputed so DuckDB replays it exactly); times are a
+    jittered renewal over [start, end); sessions/dilation average out
+    and are dropped.  ``fields`` selects from {domain, revDomain, ip,
+    ipV4, time, timestamp_ms, timestamp_s}; plain-string mode (no
+    fields) returns the hostname, as before.
+    """
+    fields = spec.get("fields")
+    if not fields:
+        host = pick(ctx.i, ctx.salt("host"), ["www", "api", "cdn", "mail", "app"])
+        return X.concat(host, ".", s_domain(spec, ctx))
+
+    import re as _re
+    keep = [f for f in _re.split(r"[\s,;]+", str(fields)) if f]
+    legal = {"domain", "revDomain", "ip", "ipx", "ipV4", "time",
+             "timestamp_ms", "timestamp_s"}
+    bad = set(keep) - legal
+    if bad:
+        raise ValueError(f"dns sampler: illegal fields {sorted(bad)}")
+
+    alpha = float(spec.get("alpha", 1000.0))
+    discount = float(spec.get("discount", 0.3))
+    universe = list(V.F500_DOMAINS)
+    n_tail = min(4096, max(64, int(alpha)))
+    universe += [f"{_vin_gibberish(f'dns{t}', 8).lower()}.com" for t in range(n_tail)]
+    ws = [math.pow(k + 1.0, -(1.0 + discount)) for k in range(len(universe))]
+    dom = pick_weighted(ctx.i, ctx.salt("dnsd"), universe, ws, table_size=4096)
+    rev_table = [".".join(reversed(d.split("."))) for d in universe]
+    rev = pick_weighted(ctx.i, ctx.salt("dnsd"), rev_table, ws, table_size=4096)
+
+    start_s = (_parse_datetime_s(str(spec["start"])) if spec.get("start")
+               else EPOCH_2013_08_01_S)
+    end_s = (_parse_datetime_s(str(spec["end"])) if spec.get("end")
+             else start_s + 3 * 86400)
+    u = u01(ctx.i, ctx.salt("dnst"))
+    span = float(end_s - start_s)
+    ts = X.cast_long(X.floor((X.cast_double(ctx.i % 86400) + u)
+                             * (span / 86400.0))) + start_s
+
+    v4p = float(spec.get("v4Prob", spec.get("v4prob", 1.0)))
+    v4 = s_ipv4({}, ctx)
+    if v4p < 1.0:
+        h = mix(ctx.i, ctx.salt("dns6"))
+        v6 = X.concat("2001:db8:", _hex4(X.shiftr(h, 16) % 65536), ":",
+                      _hex4(h % 65536), "::1")
+        ip = X.when_chain([(u01(ctx.i, ctx.salt("dns46")) < v4p, v4)], v6)
+    else:
+        ip = v4
+
+    cols = {"domain": lambda: dom, "revDomain": lambda: rev,
+            "ip": lambda: ip, "ipx": lambda: ip, "ipV4": lambda: v4,
+            "time": lambda: _fmt_epoch_s(ts, spec.get("format", "yyyy-MM-dd HH:mm:ss")),
+            "timestamp_ms": lambda: X.cast_long(ts * 1000),
+            "timestamp_s": lambda: X.cast_long(ts)}
+    return {f: cols[f]() for f in keep}
 
 
 def s_browser(spec, ctx):
@@ -816,13 +918,73 @@ def s_license_plate(spec, ctx):
 
 
 def s_header(spec, ctx):
-    ua = pick(ctx.i, ctx.salt("ua"), V.USER_AGENT_BITS)
-    return {
-        "user_agent": ua,
-        "accept": pick(ctx.i, ctx.salt("acc"),
-                       ["*/*", "text/html", "application/json"]),
-        "host": s_domain(spec, ctx),
-    }
+    """HeaderSampler.java: a full HTTP request-header text blob.
+
+    ``type`` selects the template — normal, mal1 (identity encoding),
+    mal2 (blank encoding), mal3 (lowercase header names), ababil
+    (fixed IE6 UA, fr) — and ``prolog`` prefixes the blob, mirroring
+    the reference's freemarker templates (resources/web-headers/*).
+    """
+    htype = str(spec.get("type", "normal")).lower()
+    if htype not in ("normal", "mal1", "mal2", "mal3", "ababil"):
+        raise ValueError(f"header type must be normal/mal1/mal2/mal3/ababil, got {htype!r}")
+
+    def url(tag: str, image: D | None) -> D:
+        path = uint(ctx.i, ctx.salt("hu", tag), 0, 1_000_000)
+        hx = uint(ctx.i, ctx.salt("hx", tag), 0, 0x1_000_000)
+        hex6 = X.lpad(D(lambda: F.lower(F.hex(hx.c)), f"LOWER(TO_HEX({hx.s}))"), 6, "0")
+        ext = (X.when_chain([(image.eq(1), X.lit(".jpg"))], X.lit(".html"))
+               if image is not None else X.lit(".html"))
+        return X.concat("http://foo.bar.com/", X.lpad(path, 6, "0"), "/", hex6, ext)
+
+    is_img = X.cast_long(u01(ctx.i, ctx.salt("himg")) < 0.3)
+    host = X.concat("x", X.lpad(uint(ctx.i, ctx.salt("hh"), 0, 5), 3, "0"), ".foo.com")
+    accept = X.when_chain(
+        [(is_img.eq(1), X.lit("image/png,image/*;q=0.8,*/*;q=0.5"))],
+        X.lit("text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8"))
+    if htype == "ababil":
+        ua = X.lit("Mozilla/4.0 (compatible; MSIE 6.0; Windows NT 5.1;)")
+        lang = X.lit("fr")
+    else:
+        fams = [f for f, _ in V.HEADER_BROWSER_WEIGHTS]
+        ws = [float(w) for _, w in V.HEADER_BROWSER_WEIGHTS]
+        fam = pick_weighted(ctx.i, ctx.salt("hbr"), list(range(len(fams))), ws)
+        uas = [pick(ctx.i, ctx.salt("hua", f), V.UA_BY_BROWSER[f]) for f in fams]
+        ua = X.when_chain([(fam.eq(j), uas[j]) for j in range(len(fams) - 1)],
+                          uas[-1])
+        lg = pick(ctx.i, ctx.salt("hlg"), V.LANGUAGES)
+        lang = X.concat(lg, "-", X.upper(lg), ",", lg, ";q=0.5")
+    if htype == "mal1":
+        enc = X.lit("identity")
+    elif htype == "mal2":
+        enc = X.lit("             ")
+    else:
+        enc = pick(ctx.i, ctx.salt("hen"), ["gzip", "deflate", "gzip, deflate"])
+    referer = url("ref", None)
+
+    if htype == "ababil":
+        body = X.concat("GET ", url("u", is_img), "\nHost: ", host,
+                        "\nUser-Agent: ", ua,
+                        "\nAccept-Encoding: deflate\nAccept-Charset: UTF-8"
+                        "\nAccept-Language: fr\nCache-Control: no-cache"
+                        "\nPragma: no-cache\nConnection: Keep-Alive")
+    else:
+        lc = htype == "mal3"  # mal3 template lowercases header names
+        def h(name: str) -> str:
+            return name.lower() if lc else name
+        body = X.concat(
+            "GET ", url("u", is_img), " HTTP/1.1\n",
+            h("Host") + ": ", host, "\n",
+            h("User-Agent") + ": ", ua, "\n",
+            h("Accept") + ": ", accept, "\n",
+            h("Accept-Language") + ": ", lang, "\n",
+            h("Accept-Encoding") + ": ", enc, "\n",
+            h("Referer") + ": ", referer, "\n",
+            h("Connection") + ": keep-alive\n",
+            h("If-None-Match") + ': "v9”\n',
+            h("Cache-Control") + ": max-age=0")
+    prolog = spec.get("prolog")
+    return X.concat(X.lit(str(prolog)), body) if prolog else body
 
 
 def s_toll(spec, ctx):
@@ -981,6 +1143,12 @@ def s_lookup(spec, ctx):
                            f"LIMIT {_LOOKUP_MAX}").fetchall()]
     if not vals:
         raise ValueError("lookup sampler: empty value set")
+    skew = int(spec.get("skew", 0))
+    if skew:  # FileSampler.setSkew: min (max if negative) of several picks
+        draws = [uint(ctx.i, ctx.salt("lookup", j), 0, len(vals))
+                 for j in range(abs(skew) + 1)]
+        idx = X.least(draws) if skew > 0 else X.greatest(draws)
+        return X.element(idx, vals)
     return pick(ctx.i, ctx.salt("lookup"), vals)
 
 

@@ -297,3 +297,55 @@ def test_event_start_offset():
     ts = [r[1] for r in sorted(rs)]
     assert ts[0] >= 1590969600
     assert all(b - a >= 0 for a, b in zip(ts, ts[1:]))
+
+
+def test_header_templates():
+    rs = rows([{"name": "rid", "class": "id"},
+               {"name": "h", "class": "header"}], n=60)
+    assert all(r[1].startswith("GET http://foo.bar.com/") for r in rs)
+    assert all("User-Agent: " in r[1] and "Referer: " in r[1] for r in rs)
+    mal3 = rows([{"name": "rid", "class": "id"},
+                 {"name": "h", "class": "header", "type": "mal3"}], n=20)
+    assert all("user-agent: " in r[1] and "User-Agent" not in r[1] for r in mal3)
+    abab = rows([{"name": "rid", "class": "id"},
+                 {"name": "h", "class": "header", "type": "ababil",
+                  "prolog": "XX"}], n=20)
+    assert all(r[1].startswith("XXGET ") and "MSIE 6.0" in r[1] for r in abab)
+    mal2 = rows([{"name": "rid", "class": "id"},
+                 {"name": "h", "class": "header", "type": "mal2"}], n=20)
+    assert all("Accept-Encoding:              \n" in r[1] for r in mal2)
+
+
+def test_dns_fields():
+    rs = rows([{"name": "rid", "class": "id"},
+               {"class": "flatten", "prefix": "d_",
+                "value": {"name": "d", "class": "dns", "discount": 0.3,
+                          "fields": "domain,revDomain,ipV4,timestamp_s",
+                          "start": "2021-01-01", "end": "2021-01-04"}}], n=500)
+    import re
+    doms = [r[1] for r in rs]
+    assert all("." in d for d in doms)
+    # head of the distribution should hit f500 names repeatedly
+    from collections import Counter
+    top = Counter(doms).most_common(1)[0]
+    assert top[1] > 5
+    for r in rs:
+        assert r[2] == ".".join(reversed(r[1].split(".")))
+        assert re.fullmatch(r"\d+\.\d+\.\d+\.\d+", r[3])
+        assert 1609459200 <= r[4] < 1609459200 + 3 * 86400
+
+
+def test_text_bag_and_quotes():
+    bag = rows([{"name": "v", "class": "text", "text": ["aa bb", "cc dd"]}], n=40)
+    assert {v for (v,) in bag} == {"aa bb", "cc dd"}
+    q = rows([{"name": "v", "class": "text", "type": "chucknorris"}], n=40)
+    assert all("Chuck Norris" in v for (v,) in q)
+
+
+def test_lookup_skew(tmp_path):
+    import duckdb
+    f = tmp_path / "dim.csv"
+    f.write_text("k\n" + "\n".join(str(i) for i in range(100)) + "\n")
+    low = rows([{"name": "v", "class": "lookup", "file": str(f), "skew": 4}], n=500)
+    vals = [int(v) for (v,) in low]
+    assert sum(vals) / len(vals) < 35  # min-of-5 over 0..99
