@@ -574,7 +574,33 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
           "dist": {"gold": 1, "silver": 3, "bronze": 6}}],
         "c_custkey", universe=1000, seed=8)
 
-    # (synth_commuter is applyInPandas — non-SQL-expressible;
-    # media_features' stub feature fold uses Python banker's rounding —
-    # both stay rows-only.)
+    # media_features: the stub feature is integer ppm lanes over the
+    # ASCII bytes of sha256(seed || id) — exact in both engines.  The
+    # mapInPandas plumbing on the Spark side is the thing under test;
+    # the mirror recomputes the same fold in pure SQL.
+    o["media_features"] = """
+WITH m AS (
+  SELECT CAST(range AS BIGINT) AS media_id,
+         sha256('9' || CAST(range AS VARCHAR)) AS h
+  FROM range(500)
+), lanes AS (
+  SELECT media_id, h,
+    list_transform(range(0, 16), k ->
+      ord(substr(h, CAST(k AS INT) + 1, 1))
+      + ord(substr(h, CAST(k AS INT) + 17, 1))
+      + ord(substr(h, CAST(k AS INT) + 33, 1))
+      + ord(substr(h, CAST(k AS INT) + 49, 1))) AS ls
+  FROM m
+)
+SELECT media_id,
+  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(64 AS BIGINT) AS n_bytes,
+  list_transform(ls, x ->
+      CAST(x * 1000000 // list_sum(ls) AS BIGINT) / 1000000.0) AS feature
+FROM lanes ORDER BY media_id
+"""
+
+    # (synth_commuter is applyInPandas — non-SQL-expressible; it stays
+    # rows-only.)
     return o

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -39,7 +39,7 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
     StructField("n_bytes", LongType()),
-    StructField("feature", ArrayType(FloatType())),
+    StructField("feature", ArrayType(DoubleType())),
 ])
 
 
@@ -64,15 +64,18 @@ def synth_media(spark, n: int = 100, seed: int = 0) -> DataFrame:
 
 def _decode_image_stub(payload: bytes, dim: int) -> list[float]:
     """STUB — container lacks PIL/libjpeg.  Deterministic fake feature:
-    byte histogram folded to `dim` floats.  Replace with real decode:
+    byte histogram folded to `dim` lanes, emitted as exact
+    parts-per-million fractions (integer math throughout, then one
+    IEEE double division — bit-identical in any engine, which is what
+    lets the DuckDB oracle replay this).  Replace with real decode:
 
         from PIL import Image; img = Image.open(io.BytesIO(payload))
     """
-    acc = [0.0] * dim
+    acc = [0] * dim
     for j, b in enumerate(payload):
-        acc[j % dim] += b / 255.0
-    norm = sum(acc) or 1.0
-    return [round(a / norm, 6) for a in acc]
+        acc[j % dim] += b
+    norm = sum(acc) or 1
+    return [(a * 1_000_000 // norm) / 1e6 for a in acc]
 
 
 def extract_features(media: DataFrame, dim: int = 16,
