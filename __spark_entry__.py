@@ -26,6 +26,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# Array columns must leave queries() as strings: the driver's
+# canonicalizer sorts a pandas frame and dies on unhashable lists.
+# Exact-integer arrays join as-is; double arrays are floored to integer
+# parts-per-million first — both engines compute the same IEEE doubles
+# from the same algebra, so floor(x*1e6) is bit-identical on each side
+# while decimal *formatting* of raw doubles is not.
+
+def _arr_str(c) -> "F.Column":
+    """array<exact-int> -> 'a,b,c'."""
+    return F.array_join(F.transform(c, lambda e: e.cast("string")), ",")
+
+
+def _arr_ppm(c) -> "F.Column":
+    """array<double> -> 'floor(e*1e6),...' (engine-portable exact)."""
+    return F.array_join(
+        F.transform(c, lambda e: F.floor(e * F.lit(1000000.0))
+                    .cast("long").cast("string")), ",")
+
+
+def _sql_arr_str(col: str) -> str:
+    return f"array_to_string({col}, ',')"
+
+
+def _sql_arr_ppm(col: str) -> str:
+    return (f"array_to_string(list_transform({col}, "
+            f"e -> CAST(FLOOR(e * 1e6) AS BIGINT)), ',')")
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -79,7 +107,10 @@ SYNTH_IDENT_SCHEMA = [
     {"name": "lang", "class": "language"},
 ]
 
-SYNTH_EXOTIC_SCHEMA = [
+# Exotic samplers split scalar vs nested: one bad column in a combined
+# query hides eleven good ones (round-1 lesson), and the driver's
+# canonicalizer can't sort raw array columns.
+SYNTH_EXOTIC_SCALAR_SCHEMA = [
     {"name": "rec_id", "class": "id"},
     {"name": "walk", "class": "random-walk", "start": 100.0, "mean": 0.0,
      "sd": 2.0, "precision": 6},
@@ -90,21 +121,25 @@ SYNTH_EXOTIC_SCHEMA = [
      "gap": 7200, "within": 2},
     {"name": "arrival", "class": "event", "rate": "5/s",
      "format": "yyyy-MM-dd HH:mm:ss"},
+    {"name": "color", "class": "lookup",
+     "values": ["red", "green", "blue", "cyan", "magenta"]},
+    {"class": "flatten", "prefix": "m_",
+     "value": {"name": "meta", "class": "map", "value": [
+         {"name": "level", "class": "int", "min": 1, "max": 6},
+         {"name": "code", "class": "word"}]}},
+]
+
+SYNTH_EXOTIC_NESTED_SCHEMA = [
+    {"name": "rec_id", "class": "id"},
     {"name": "tags", "class": "sequence", "base": {"class": "word"},
      "length": 3},
     {"name": "tag_line", "class": "join", "separator": "|",
      "value": {"class": "sequence", "base": {"class": "word"}, "length": 4}},
     {"name": "vec", "class": "vector", "size": 4, "min": -1.0, "max": 1.0},
-    {"name": "color", "class": "lookup",
-     "values": ["red", "green", "blue", "cyan", "magenta"]},
     {"name": "grid", "class": "array-flatten",
      "value": {"class": "sequence", "length": 2,
                "base": {"class": "sequence", "length": 2,
                         "base": {"class": "int", "min": 0, "max": 9}}}},
-    {"class": "flatten", "prefix": "m_",
-     "value": {"name": "meta", "class": "map", "value": [
-         {"name": "level", "class": "int", "min": 1, "max": 6},
-         {"name": "code", "class": "word"}]}},
 ]
 
 SYNTH_N = 20_000
@@ -249,15 +284,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 points_per_trip=30, seed=7)
     q["synth_commuter"] = synth_commuter
 
-    def synth_exotic(spark, sf):
-        return compile_schema(SYNTH_EXOTIC_SCHEMA, seed=11).dataframe(spark, SYNTH_N)
-    q["synth_exotic"] = synth_exotic
+    def synth_exotic_scalar(spark, sf):
+        return compile_schema(SYNTH_EXOTIC_SCALAR_SCHEMA,
+                              seed=11).dataframe(spark, SYNTH_N)
+    q["synth_exotic_scalar"] = synth_exotic_scalar
+
+    def synth_exotic_nested(spark, sf):
+        df = compile_schema(SYNTH_EXOTIC_NESTED_SCHEMA,
+                            seed=11).dataframe(spark, SYNTH_N)
+        return df.select(
+            "rec_id",
+            _arr_str(F.col("tags")).alias("tags"),
+            "tag_line",
+            _arr_ppm(F.col("vec")).alias("vec"),
+            _arr_str(F.col("grid")).alias("grid"))
+    q["synth_exotic_nested"] = synth_exotic_nested
 
     def synth_vehicle_commuter(spark, sf):
         schema = [{"name": "rec_id", "class": "id"},
                   {"class": "vehicle", "years": "1995-2010"},
                   {"class": "commuter", "maxTrips": 4}]
-        return compile_schema(schema, seed=15).dataframe(spark, 5000)
+        df = compile_schema(schema, seed=15).dataframe(spark, 5000)
+        return df.select(
+            *[c for c in df.columns
+              if c not in ("trip_start", "trip_km", "trip_minutes")],
+            _arr_str(F.col("trip_start")).alias("trip_start"),
+            _arr_ppm(F.col("trip_km")).alias("trip_km"),
+            _arr_ppm(F.col("trip_minutes")).alias("trip_minutes"))
     q["synth_vehicle_commuter"] = synth_vehicle_commuter
 
     def synth_cpoc(spark, sf):
@@ -361,7 +414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- multimodal plumbing (decode stubbed; plumbing real)
     def media_features(spark, sf):
         media = MM.synth_media(spark, n=500, seed=9)
-        return MM.extract_features(media, dim=16).orderBy("media_id")
+        feats = MM.extract_features(media, dim=16)
+        return (feats.select("media_id", "kind", "n_bytes",
+                             _arr_ppm(F.col("feature")).alias("feature"))
+                .orderBy("media_id"))
     q["media_features"] = media_features
 
     def media_frames(spark, sf):
@@ -453,7 +509,17 @@ GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""
     o["synth_transactions"] = SZ.transactions_sql(
         n_people=2000, max_tx=5, n_terminals=100, invalid_rate=0.05, seed=5)
     o["synth_iot"] = SZ.iot_data_flat(n_devices=200, readings=50, seed=6).sql()
-    o["synth_exotic"] = compile_schema(SYNTH_EXOTIC_SCHEMA, seed=11).duckdb_sql(SYNTH_N)
+    o["synth_exotic_scalar"] = compile_schema(
+        SYNTH_EXOTIC_SCALAR_SCHEMA, seed=11).duckdb_sql(SYNTH_N)
+    _ex_nested = compile_schema(
+        SYNTH_EXOTIC_NESTED_SCHEMA, seed=11).duckdb_sql(SYNTH_N)
+    o["synth_exotic_nested"] = f"""
+SELECT rec_id,
+       {_sql_arr_str('tags')} AS tags,
+       tag_line,
+       {_sql_arr_ppm('vec')} AS vec,
+       {_sql_arr_str('grid')} AS grid
+FROM ({_ex_nested})"""
     o["synth_text_blocks"] = SZ.text_blocks(SYNTH_N, words=40, seed=13).sql()
     _rp = compile_schema(
         [{"name": "rec_id", "class": "id"},
@@ -464,10 +530,16 @@ GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""
     o["remove_path"] = (f"SELECT rec_id, meta['level'] AS level, "
                         f"meta['tag'] AS tag FROM ({_rp.duckdb_sql(SYNTH_N)})")
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
-    o["synth_vehicle_commuter"] = compile_schema(
+    _vc = compile_schema(
         [{"name": "rec_id", "class": "id"},
          {"class": "vehicle", "years": "1995-2010"},
          {"class": "commuter", "maxTrips": 4}], seed=15).duckdb_sql(5000)
+    o["synth_vehicle_commuter"] = f"""
+SELECT * EXCLUDE (trip_start, trip_km, trip_minutes),
+       {_sql_arr_str('trip_start')} AS trip_start,
+       {_sql_arr_ppm('trip_km')} AS trip_km,
+       {_sql_arr_ppm('trip_minutes')} AS trip_minutes
+FROM ({_vc})"""
 
     o["dedup_exact"] = f"""
 SELECT digest, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
@@ -592,13 +664,18 @@ WITH m AS (
       + ord(substr(h, CAST(k AS INT) + 49, 1))) AS ls
   FROM m
 )
+, feat AS (
+  SELECT media_id,
+    list_transform(ls, x ->
+        CAST(x * 1000000 // list_sum(ls) AS BIGINT) / 1000000.0) AS feature
+  FROM lanes
+)
 SELECT media_id,
   CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
        ELSE 'video' END AS kind,
   CAST(64 AS BIGINT) AS n_bytes,
-  list_transform(ls, x ->
-      CAST(x * 1000000 // list_sum(ls) AS BIGINT) / 1000000.0) AS feature
-FROM lanes ORDER BY media_id
+  """ + _sql_arr_ppm('feature') + """ AS feature
+FROM feat ORDER BY media_id
 """
 
     # (synth_commuter is applyInPandas — non-SQL-expressible; it stays

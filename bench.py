@@ -38,7 +38,8 @@ def main() -> None:
              "dedup_ngram_jaccard", "text_langid", "text_quality",
              "text_tokens", "text_fingerprint", "ann_bruteforce", "ann_lsh",
              "ann_ivf", "dedup_embedding", "corpus_clean", "synth_cpoc",
-             "synth_exotic", "media_frames", "events_sessionize",
+             "synth_exotic_scalar", "synth_exotic_nested",
+             "media_frames", "events_sessionize",
              "events_retention"]
 
     timings: dict[str, float] = {}

@@ -25,6 +25,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (micro precision), keeping filters/pushdown on the long column
     available to Catalyst.
     """
+    if name == "events":
+        # must work under ANY caller-built session (the driver builds a
+        # vanilla one), so set the legacy-read conf here, not only in
+        # session.get_spark(); runtime-settable, cheap if already set
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, NOT `/`: epoch nanos exceed 2**53, so a double

@@ -33,6 +33,19 @@ def test_oracle_match(spark, name):
     compare_with_duckdb(df, _oracles[name], sf_dir=SF_DIR)
 
 
+@pytest.mark.parametrize("name", sorted(_oracles))
+def test_canonicalizer_safe_schema(spark, name):
+    """The driver's _canon sorts a pandas frame on every column — any
+    array/map/struct column raises `unhashable type: list` there (the
+    local harness stringifies, the driver does not — round-1 lesson).
+    Oracle-backed queries must emit only atomic columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    df = _queries[name](spark, SF_DIR)
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, f"{name}: non-atomic driver-visible columns {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(_queries) - set(_oracles)))
 def test_rows_only(spark, name):
     df = _queries[name](spark, SF_DIR)
