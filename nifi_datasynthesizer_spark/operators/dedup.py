@@ -137,8 +137,13 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_k)
+    # The band join carries doc_id ONLY: shipping the 64-long signature
+    # through a 16-way band explode would amplify shuffle bytes ~16×512 B
+    # per doc.  Full signatures are re-attached to the (few) candidate
+    # pairs afterwards by doc_id; the two attach joins are shaped
+    # identically so Catalyst reuses one signature exchange for both.
     bands_df = sig.select(
-        "doc_id", "signature",
+        "doc_id",
         F.posexplode(F.array(*[
             F.xxhash64(F.concat_ws(",", *[
                 F.col("signature")[b * rows_per_band + r].cast("string")
@@ -148,15 +153,16 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
         w = Window.partitionBy("band_id", "band_hash")
         bands_df = (bands_df.withColumn("__bsz", F.count("*").over(w))
                     .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
-    left = bands_df.select(F.col("doc_id").alias("a"),
-                           F.col("signature").alias("sig_a"),
-                           "band_id", "band_hash")
-    right = bands_df.select(F.col("doc_id").alias("b"),
-                            F.col("signature").alias("sig_b"),
-                            "band_id", "band_hash")
-    cand = (left.join(right, ["band_id", "band_hash"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", "sig_a", "sig_b").distinct())
+    left = bands_df.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    right = bands_df.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+    cand_ids = (left.join(right, ["band_id", "band_hash"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+    cand = (cand_ids
+            .join(sig.select(F.col("doc_id").alias("a"),
+                             F.col("signature").alias("sig_a")), "a")
+            .join(sig.select(F.col("doc_id").alias("b"),
+                             F.col("signature").alias("sig_b")), "b"))
     est = cand.withColumn(
         "est_jaccard",
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -215,21 +221,31 @@ def dedup_simhash(docs: DataFrame, bits: int = 60, hamming_max: int = 3,
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.4,
-                        length_band: int = 32) -> DataFrame:
+                        length_band: int = 32,
+                        token_bands: int = 16) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     Blocking: documents are bucketed by (length band, first-token
     hash band) to avoid the quadratic all-pairs join; within-bucket
     pairs get exact Jaccard via array_intersect/array_union sizes.
+    The two-key block matters at scale: a length band alone holds
+    O(corpus/1000) docs at 100 TB and the within-band self-join goes
+    quadratic; length × first-token-hash divides that by another
+    ``token_bands`` while near-identical docs (same opening words,
+    similar length) still collide.
     """
+    first_tok = F.element_at(F.split(normalize_text(F.col("text")), " "), 1)
     grams = ensure_parallelism(docs).select(
         "doc_id",
         F.array_distinct(_shingles(F.col("text"), n)).alias("g"),
         (F.length(normalize_text(F.col("text"))) / length_band)
-        .cast("int").alias("lb"))
-    left = grams.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"), "lb")
-    right = grams.select(F.col("doc_id").alias("b"), F.col("g").alias("gb"), "lb")
-    pairs = (left.join(right, "lb").filter(F.col("a") < F.col("b")))
+        .cast("int").alias("lb"),
+        F.pmod(h60(first_tok), F.lit(token_bands)).alias("tb"))
+    left = grams.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"),
+                        "lb", "tb")
+    right = grams.select(F.col("doc_id").alias("b"), F.col("g").alias("gb"),
+                         "lb", "tb")
+    pairs = (left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b")))
     sim = pairs.withColumn(
         "jaccard",
         F.size(F.array_intersect("ga", "gb")) /

@@ -89,16 +89,22 @@ SELECT a, b, hamming FROM ham WHERE hamming <= {hamming_max} ORDER BY a, b"""
 
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.4,
-                      length_band: int = 32, table: str = "documents") -> str:
+                      length_band: int = 32, token_bands: int = 16,
+                      table: str = "documents") -> str:
     """Mirror of dedup.ngram_jaccard_pairs (|A∩B| / (|A|+|B|-|A∩B|)
-    over distinct shingle sets — equals Spark's intersect/union sizes)."""
+    over distinct shingle sets — equals Spark's intersect/union sizes;
+    blocking on (length band, first-token h60 band) exactly as the
+    operator does)."""
+    first_tok = f"string_split({_NORM}, ' ')[1]"
     return f"""
 WITH {_shingles_cte(n, table)},
 g AS (SELECT doc_id, list_distinct(sh) AS g,
-             CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb
+             CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
+             {h60_sql(first_tok)} % {token_bands} AS tb
       FROM sh),
 pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, l.g AS ga, r.g AS gb
-          FROM g l JOIN g r ON l.lb = r.lb AND l.doc_id < r.doc_id),
+          FROM g l JOIN g r ON l.lb = r.lb AND l.tb = r.tb
+                           AND l.doc_id < r.doc_id),
 j AS (SELECT a, b,
              len(list_filter(ga, x -> list_contains(gb, x))) AS inter,
              len(ga) + len(gb) AS tot

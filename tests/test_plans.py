@@ -77,6 +77,28 @@ def test_minhash_shuffles_only_on_bands(spark):
     assert any("band" in j for j in joins) or "band_hash" in p
 
 
+def test_minhash_band_join_ships_ids_only(spark):
+    """The banded self-join must not carry the 64-long signature array
+    (16× ~512 B/doc of shuffle amplification at scale) — signatures
+    re-attach to candidate pairs by doc_id afterwards."""
+    df = entrymod.queries()["dedup_minhash"](spark, SF)
+    p = _plan(df)
+    for line in p.splitlines():
+        if line.strip().startswith("Output") and "band_hash" in line:
+            assert "signature" not in line, f"signature rides the band join: {line}"
+
+
+def test_ngram_jaccard_blocks_on_token_band(spark):
+    """The candidate join key must be (length band, first-token band) —
+    length alone goes quadratic within a band at 100 TB."""
+    df = entrymod.queries()["dedup_ngram_jaccard"](spark, SF)
+    p = _plan(df)
+    key_lines = [ln for ln in p.splitlines()
+                 if "keys" in ln.lower() and "lb#" in ln]
+    assert key_lines, "no join keyed on the length band found"
+    assert all("tb#" in ln for ln in key_lines), key_lines
+
+
 def test_exact_dedup_partial_aggregation(spark):
     df = entrymod.queries()["dedup_exact"](spark, SF)
     p = _plan(df)
