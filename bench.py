@@ -70,6 +70,25 @@ def main() -> None:
                               n_terminals=1000, invalid_rate=0.05, seed=5))
     timings["synth_transactions_2m"] = round(time.perf_counter() - t0, 3)
 
+    # IVF recall vs exact bruteforce at this SF (stratified centroids =
+    # the oracle-gated path; kmeans = the production recall path)
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators import similarity as SIM
+    emb = read_table(spark, SF_DIR, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5)
+    truth = {(r.query_id, r.cand_id)
+             for r in SIM.ann_bruteforce(emb, qdf, k=10).collect()}
+    got_strat = {(r.query_id, r.cand_id)
+                 for r in SIM.ann_ivf(emb, qdf, k=10).collect()}
+    cents = SIM.kmeans_centroids(emb, n_centroids=16, sample_fraction=0.25,
+                                 iters=5)
+    got_km = {(r.query_id, r.cand_id)
+              for r in SIM.ann_ivf(emb, qdf, k=10, centroids=cents).collect()}
+    recall = {
+        "ann_ivf_recall_stratified": round(len(truth & got_strat) / len(truth), 3),
+        "ann_ivf_recall_kmeans": round(len(truth & got_km) / len(truth), 3),
+    }
+
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
     print(json.dumps({
@@ -79,6 +98,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "synth_rows": BENCH_SYNTH_N,
+        **recall,
     }))
     spark.stop()
 

@@ -83,31 +83,55 @@ def ann_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame
             .select("query_id", "cand_id", "cosine", "rank"))
 
 
+def stratified_centroid_ids(n_total: int, n_centroids: int) -> list[int]:
+    """Evenly-spaced corpus positions as IVF centroids — deterministic
+    (the SQL oracle recomputes the same ids from COUNT(*)) and spread
+    across the id range rather than clustered at the head.  Swap in
+    kmeans_centroids() output for data-adaptive cells; the plan shape
+    is identical."""
+    return sorted({(j * n_total) // n_centroids for j in range(n_centroids)})
+
+
 def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
-            n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+            n_centroids: int = 16, n_probe: int = 4,
+            centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN: coarse quantization to centroid cells, queries
     probe only their `n_probe` nearest cells, exact cosine re-rank
     within the probed cells.
 
-    Centroids are the first `n_centroids` corpus vectors (deterministic
-    — replayable by the SQL oracle; swap in k-means output for better
-    recall without touching the plan shape).  Scale: the corpus is
-    scanned once to assign cells (broadcast centroid table, argmax in
-    one pass), then shuffles only on cell id; queries broadcast.
+    Scale: cell assignment is a NARROW per-row argmax — the whole
+    centroid table rides into every corpus partition as a single
+    broadcast row holding an array<struct<cell,cv>>, and the best cell
+    is an array_max over per-centroid cosines.  No 16× row blowup, no
+    corpus shuffle, no aggregation: at 100 TB the corpus is scanned
+    once and only (cell-pruned) candidate rows ever move.  Queries
+    broadcast; the only exchange keyed on data is the final per-query
+    top-k window over pruned candidates.
     """
-    cent = (emb.filter(F.col("vec_id") < n_centroids)
-            .select(F.col("vec_id").alias("cell"),
-                    l2_normalize(F.col("embedding")).alias("cv")))
+    if centroids is not None:
+        # explicit (e.g. kmeans_centroids) cells: cell id = list index
+        cent = (emb.sparkSession
+                .createDataFrame([(j, c) for j, c in enumerate(centroids)],
+                                 "cell long, cv array<double>"))
+    else:
+        n_total = emb.count()  # parquet footer count — cheap at any scale
+        cent_ids = stratified_centroid_ids(n_total, n_centroids)
+        cent = (emb.filter(F.col("vec_id").isin(cent_ids))
+                .select(F.col("vec_id").alias("cell"),
+                        l2_normalize(F.col("embedding")).alias("cv")))
     corpus = emb.select(F.col("vec_id").alias("cand_id"),
                         l2_normalize(F.col("embedding")).alias("v"))
-    # assign: argmax-cosine cell per corpus vector (broadcast join +
-    # max_by — no per-row loops, one shuffle on cand_id for the argmax)
-    scored_cells = (corpus.crossJoin(F.broadcast(cent))
-                    .withColumn("sim", F.round(dot(F.col("v"), F.col("cv")), 6)))
-    assigned = (scored_cells.groupBy("cand_id")
-                .agg(F.max_by("cell", F.struct(F.col("sim"), -F.col("cell")))
-                     .alias("cell"),
-                     F.first("v").alias("v")))
+    # pack all centroids into ONE row; broadcast-nested-loop join of a
+    # 1-row build side = a narrow map with the array in scope
+    cent_arr = cent.agg(F.collect_list(F.struct("cell", "cv")).alias("cents"))
+    best = F.array_max(F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(dot(F.col("v"), c["cv"]), 6).alias("sim"),
+            (-c["cell"]).alias("negcell"),   # ties → smallest cell
+            c["cell"].alias("cell"))))
+    assigned = (corpus.join(F.broadcast(cent_arr))
+                .select("cand_id", "v", best["cell"].alias("cell")))
     q = queries.select(F.col("vec_id").alias("query_id"),
                        l2_normalize(F.col("embedding")).alias("qv"))
     q_cells = (q.crossJoin(F.broadcast(cent))
@@ -123,6 +147,43 @@ def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "cand_id", "cosine", "rank"))
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
+                     sample_fraction: float = 0.01, iters: int = 5,
+                     seed: int = 7) -> list[list[float]]:
+    """Data-adaptive IVF centroids: Lloyd's k-means on a deterministic
+    corpus sample, computed driver-side in numpy (the sample is tiny —
+    centroid fitting never needs the cluster) and returned as plain
+    lists ready to embed as plan literals.
+
+    Sampling is by hash of vec_id (pmod(h60, M)) — reproducible under
+    retries/speculation, unlike rand().  Not oracle-gated: exact SQL
+    replay of iterative float means is not portable (accumulation
+    order), so ann_ivf keeps stratified ids for its CORRECTNESS entry
+    and this is the production recall path (see bench ann_ivf_recall).
+    """
+    import numpy as np
+
+    m = max(2, int(round(1.0 / max(sample_fraction, 1e-9))))
+    sample = (emb.select(l2_normalize(F.col("embedding")).alias("v"))
+              .filter(F.pmod(F.xxhash64(F.col("vec_id") + seed), F.lit(m)) == 0)
+              .limit(100_000).collect())
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    if len(x) < n_centroids:        # degenerate corpus: pad by cycling
+        x = np.tile(x, (int(np.ceil(n_centroids / max(len(x), 1))), 1))
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        sims = x @ cents.T                      # cosine (all normalized)
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                norm = np.linalg.norm(c)
+                if norm > 0:
+                    cents[j] = c / norm
+    return cents.tolist()
 
 
 def ann_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,

@@ -238,11 +238,16 @@ ORDER BY doc_id"""
 
 def ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4,
                 query_pred: str = "vec_id < 5") -> str:
-    """Mirror of similarity.ann_ivf (deterministic first-N centroids)."""
+    """Mirror of similarity.ann_ivf (stratified centroid ids
+    j*N//n_centroids — same integer arithmetic as
+    similarity.stratified_centroid_ids)."""
     dotp = "ROUND(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), 6)"
     return f"""
 WITH {_NORMED},
-cent AS (SELECT vec_id AS cell, v AS cv FROM normed WHERE vec_id < {n_centroids}),
+cent AS (SELECT vec_id AS cell, v AS cv FROM normed
+         WHERE vec_id IN (
+           SELECT (j * (SELECT COUNT(*) FROM embeddings)) // {n_centroids}
+           FROM (SELECT unnest(range(0, {n_centroids})) AS j))),
 scored AS (SELECT c.vec_id AS cand_id, c.v AS v, ct.cell,
                   {dotp.format(a='c.v', b='ct.cv')} AS sim
            FROM normed c CROSS JOIN cent ct),

@@ -74,6 +74,27 @@ def test_embedding_ops(spark):
     assert [r.cand_id for r in knn] == [1, 2] or [r.cand_id for r in knn][0] == 1
 
 
+def test_stratified_centroid_ids():
+    ids = SIM.stratified_centroid_ids(2000, 16)
+    assert len(ids) == 16 and ids[0] == 0 and max(ids) < 2000
+    assert ids == sorted(ids)
+    # degenerate: corpus smaller than centroid count collapses dupes
+    assert SIM.stratified_centroid_ids(3, 16) == [0, 1, 2]
+
+
+def test_kmeans_centroids_deterministic(spark):
+    import math
+    rows = [(i, [float((i * 7 + j * 13) % 10) for j in range(8)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = SIM.kmeans_centroids(emb, n_centroids=4, sample_fraction=0.5, iters=3)
+    b = SIM.kmeans_centroids(emb, n_centroids=4, sample_fraction=0.5, iters=3)
+    assert a == b                       # hash-sampled, not rand() — replayable
+    assert len(a) == 4 and all(len(c) == 8 for c in a)
+    for c in a:                         # unit-norm output
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+
+
 def test_media_pipeline(spark):
     media = MM.synth_media(spark, n=30, seed=1)
     feats = MM.extract_features(media, dim=8).collect()

@@ -99,6 +99,17 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_ann_ivf_assignment_is_narrow(spark):
+    """IVF cell assignment must be a per-row argmax over the broadcast
+    centroid array — not a crossJoin row-blowup + groupBy argmax that
+    shuffles the whole corpus (r1 weakness)."""
+    df = entrymod.queries()["ann_ivf"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" in p          # 1-row centroid array
+    assert "max_by" not in p                        # old groupBy argmax
+    assert "hashpartitioning(cand_id" not in p      # corpus never shuffles
+
+
 def test_exact_dedup_partial_aggregation(spark):
     df = entrymod.queries()["dedup_exact"](spark, SF)
     p = _plan(df)
