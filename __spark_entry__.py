@@ -142,6 +142,22 @@ SYNTH_EXOTIC_NESTED_SCHEMA = [
                         "base": {"class": "int", "min": 0, "max": 9}}}},
 ]
 
+# dns/header/toll/street-name (the four previously unit-only samplers)
+# in one oracle-gated query; structs flatten to scalar columns
+SYNTH_NET_SCHEMA = [
+    {"name": "rec_id", "class": "id"},
+    {"name": "host", "class": "dns"},          # plain-string hostname mode
+    {"class": "flatten", "prefix": "dns_",
+     "value": {"name": "d", "class": "dns",
+               "fields": "domain,ipV4,timestamp_s",
+               "alpha": 200, "discount": 0.3}},
+    {"name": "hdr", "class": "header"},
+    {"name": "hdr_mal", "class": "header", "type": "mal3"},
+    {"class": "flatten", "prefix": "toll_",
+     "value": {"name": "t", "class": "toll"}},
+    {"name": "street", "class": "street-name"},
+]
+
 SYNTH_N = 20_000
 
 
@@ -312,6 +328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _arr_ppm(F.col("trip_km")).alias("trip_km"),
             _arr_ppm(F.col("trip_minutes")).alias("trip_minutes"))
     q["synth_vehicle_commuter"] = synth_vehicle_commuter
+
+    def synth_net(spark, sf):
+        return compile_schema(SYNTH_NET_SCHEMA, seed=16).dataframe(spark, 10_000)
+    q["synth_net"] = synth_net
 
     def synth_cpoc(spark, sf):
         return SZ.cpoc_events(spark, n_users=1000, max_tx=16, seed=12)
@@ -529,6 +549,7 @@ FROM ({_ex_nested})"""
              {"name": "tag", "class": "word"}]}], seed=14)
     o["remove_path"] = (f"SELECT rec_id, meta['level'] AS level, "
                         f"meta['tag'] AS tag FROM ({_rp.duckdb_sql(SYNTH_N)})")
+    o["synth_net"] = compile_schema(SYNTH_NET_SCHEMA, seed=16).duckdb_sql(10_000)
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
     _vc = compile_schema(
         [{"name": "rec_id", "class": "id"},
