@@ -70,6 +70,13 @@ def main() -> None:
                               n_terminals=1000, invalid_rate=0.05, seed=5))
     timings["synth_transactions_2m"] = round(time.perf_counter() - t0, 3)
 
+    # commuter simulation throughput (vectorized applyInPandas):
+    # 1k drivers × 4 trips × 60 points = 240k simulated GPS readings
+    t0 = time.perf_counter()
+    _force(SZ.commuter_data(spark, n_drivers=1000, trips=4,
+                            points_per_trip=60, seed=7))
+    timings["synth_commuter_1k"] = round(time.perf_counter() - t0, 3)
+
     # IVF recall vs exact bruteforce at this SF (stratified centroids =
     # the oracle-gated path; kmeans = the production recall path)
     from nifi_datasynthesizer_spark.io import read_table

@@ -265,41 +265,74 @@ def commuter_data(spark: SparkSession, n_drivers: int = 10,
 
     bbase = spark.sparkContext.broadcast(base)
 
+    T, P = trips, points_per_trip
+
     def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for driver in pdf["id"]:
-            rng = np.random.default_rng(seed * 1_000_003 + int(driver))
+        # Vectorized exactly: one batched standard-normal draw per trip
+        # consumes the SAME bitstream as the reference per-point draws
+        # (numpy fills C-order: point-major, then speed/lat/lon/rpm —
+        # bit-identical values, ~10× less Python).  Per-driver Python
+        # is only the RNG draws; the clipped speed recursion (nonlinear
+        # first-order filter, no closed form) iterates P steps over a
+        # width-(drivers×trips) numpy state, and the output frame is
+        # assembled once per BUCKET of drivers, not per driver.
+        ids = [int(d) for d in pdf["id"]]
+        D = len(ids)
+        cols = ["driver_id", "home_zip", "home_lat", "home_lon", "trip",
+                "t_offset_s", "lat", "lon", "mph", "rpm"]
+        if not D:
+            return pd.DataFrame(columns=cols)
+        frac = np.arange(P) / max(1, P - 1)
+        target = 45.0 * np.minimum(1.0, 4 * frac * (1 - frac) + 0.2)
+        out_f = np.where(np.arange(T)[:, None] % 2 == 0, frac, 1.0 - frac)
+        zips, lats, lons, dlats, dlons = [], [], [], [], []
+        noise = np.empty((D, T, P, 4))
+        for i, driver in enumerate(ids):
+            rng = np.random.default_rng(seed * 1_000_003 + driver)
             z = bbase.value[int(rng.integers(0, len(bbase.value)))]
-            home_lat, home_lon = z[3], z[4]
             # work ~5 miles away (reference: "work": 5.0)
             ang = rng.uniform(0, 2 * np.pi)
-            dlat = 5.0 / 69.0 * np.cos(ang)
-            dlon = 5.0 / 55.0 * np.sin(ang)
-            for trip in range(trips):
-                outbound = trip % 2 == 0
-                speed = 0.0
-                for p in range(points_per_trip):
-                    frac = p / max(1, points_per_trip - 1)
-                    f = frac if outbound else 1.0 - frac
-                    # noisy speed profile: accelerate, cruise, brake
-                    target = 45.0 * min(1.0, 4 * frac * (1 - frac) + 0.2)
-                    speed += 0.3 * (target - speed) + rng.normal(0, 2.0)
-                    speed = max(0.0, min(90.0, speed))
-                    out.append((
-                        int(driver), z[0], home_lat, home_lon, trip,
-                        trip * 43200 + p * 30,
-                        home_lat + dlat * f + rng.normal(0, 1e-4),
-                        home_lon + dlon * f + rng.normal(0, 1e-4),
-                        round(speed, 3),
-                        round(700.0 + speed * 35.0 + rng.normal(0, 50.0), 3),
-                    ))
-        return pd.DataFrame(out, columns=[
-            "driver_id", "home_zip", "home_lat", "home_lon", "trip",
-            "t_offset_s", "lat", "lon", "mph", "rpm"])
+            zips.append(z[0]); lats.append(z[3]); lons.append(z[4])
+            dlats.append(5.0 / 69.0 * np.cos(ang))
+            dlons.append(5.0 / 55.0 * np.sin(ang))
+            for t in range(T):          # per-trip draws keep stream order
+                noise[i, t] = rng.normal(size=(P, 4))
+        home_lat = np.array(lats)[:, None, None]
+        home_lon = np.array(lons)[:, None, None]
+        dlat = np.array(dlats)[:, None, None]
+        dlon = np.array(dlons)[:, None, None]
+        sn = noise[:, :, :, 0].reshape(D * T, P)
+        s = np.zeros(D * T)
+        speeds = np.empty((D * T, P))
+        for p in range(P):
+            s = np.clip(0.7 * s + 0.3 * target[p] + 2.0 * sn[:, p], 0.0, 90.0)
+            speeds[:, p] = s
+        speeds = speeds.reshape(D, T, P)
+        lat = home_lat + dlat * out_f + 1e-4 * noise[:, :, :, 1]
+        lon = home_lon + dlon * out_f + 1e-4 * noise[:, :, :, 2]
+        rpm = 700.0 + speeds * 35.0 + 50.0 * noise[:, :, :, 3]
+        return pd.DataFrame({
+            "driver_id": np.repeat(np.asarray(ids, dtype=np.int64), T * P),
+            "home_zip": np.repeat(np.asarray(zips, dtype=object), T * P),
+            "home_lat": np.repeat(np.asarray(lats), T * P),
+            "home_lon": np.repeat(np.asarray(lons), T * P),
+            "trip": np.tile(np.repeat(np.arange(T, dtype=np.int32), P), D),
+            "t_offset_s": np.tile(np.repeat(np.arange(T), P) * 43200
+                                  + np.tile(np.arange(P), T) * 30, D),
+            "lat": lat.ravel(),
+            "lon": lon.ravel(),
+            "mph": np.round(speeds.ravel(), 3),
+            "rpm": np.round(rpm.ravel(), 3),
+        })
 
-    drivers = spark.range(0, n_drivers, 1,
-                          max(1, min(n_drivers, spark.sparkContext.defaultParallelism)))
-    return drivers.groupBy("id").applyInPandas(simulate, COMMUTER_SCHEMA)
+    # bucket many drivers per group: one pandas frame per DRIVER (the
+    # r1 shape) pays ~1 ms of Arrow/pandas overhead per driver; one per
+    # BUCKET amortizes it across ~n/buckets drivers
+    par = max(1, spark.sparkContext.defaultParallelism)
+    buckets = max(1, min(n_drivers, par * 4))
+    drivers = spark.range(0, n_drivers, 1, max(1, min(n_drivers, par)))
+    return (drivers.groupBy(F.pmod(F.col("id"), F.lit(buckets)))
+            .applyInPandas(simulate, COMMUTER_SCHEMA))
 
 
 # ----------------------------------------------------------- correlator
