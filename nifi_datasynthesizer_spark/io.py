@@ -56,15 +56,21 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
     w = df.write.mode(mode).format(fmt)
     if fmt in ("parquet", "orc"):
         w = w.option("compression", compression)
+    if fmt == "csv":
+        w = w.option("header", "true")  # read() expects per-file headers
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
 
 
 def _has_avro(spark: SparkSession) -> bool:
+    """True iff the session can actually resolve the 'avro' data
+    source.  Class.forName on AvroFileFormat is NOT sufficient — the
+    pyspark wheel ships some sql.avro classes without registering the
+    provider, so we ask Spark's own DataSource lookup."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.avro.AvroFileFormat")
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource \
+            .lookupDataSource("avro", spark._jsparkSession.sessionState().conf())
         return True
     except Exception:
         return False
