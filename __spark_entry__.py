@@ -253,6 +253,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("cohort", "day_offset"))
     q["events_retention"] = events_retention
 
+    def streaming_events_daily(spark, sf):
+        """Streaming path under the correctness gate: the events table
+        replayed as a file stream (one file per micro-batch) through
+        the watermarked windowed-agg operator, drained to completion —
+        the final table equals the batch daily rollup, so the same SQL
+        oracle applies."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = ST.windowed_agg(
+            ev, "ts", ["event_type"],
+            [F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value")],
+            window="1 day", watermark="0 seconds")
+        out = ST.run_bounded(agg, "stream_events_daily")
+        return (out.select(F.to_date("win_start").alias("day"), "event_type",
+                           "n_events", "total_value")
+                .orderBy("day", "event_type"))
+    q["streaming_events_daily"] = streaming_events_daily
+
     # ---- schema-driven synthesis (the reference's core capability)
     def synth_basic(spark, sf):
         return compile_schema(SYNTH_BASIC_SCHEMA, seed=1).dataframe(spark, SYNTH_N)
@@ -344,6 +367,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "dist": {"gold": 1, "silver": 3, "bronze": 6}}]
         return SZ.correlate(cust, schema, "c_custkey", universe=1000, seed=8)
     q["synth_correlate"] = synth_correlate
+
+    def synth_correlate_pair(spark, sf):
+        cust = _t(spark, sf, "customer").select("c_custkey", "c_name",
+                                                "c_nationkey")
+        schema_a = [{"name": "risk_score", "class": "int",
+                     "min": 300, "max": 850}]
+        schema_b = [{"name": "churn_p", "class": "double",
+                     "min": 0.0, "max": 1.0},
+                    {"name": "plan", "class": "string",
+                     "dist": {"basic": 5, "plus": 3, "max": 1}}]
+        return SZ.correlate_pair(cust, schema_a, schema_b, "c_custkey",
+                                 universe=800, seed=21)
+    q["synth_correlate_pair"] = synth_correlate_pair
 
     # ---- dedup family
     def dedup_exact(spark, sf):
@@ -513,6 +549,13 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
        ROUND(SUM(value), 2) AS total_value
 FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
 
+    # streaming daily rollup drains to the same final table as the
+    # batch rollup (complete-mode bounded run) — identical oracle
+    o["streaming_events_daily"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY day, event_type ORDER BY day, event_type"""
+
     o["events_retention"] = """
 WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
 c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
@@ -660,6 +703,13 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["corpus_clean"] = OR.corpus_clean_sql(min_quality=0.3,
                                             near_dup_threshold=0.5)
+    o["synth_correlate_pair"] = SZ.correlate_pair_sql(
+        "(SELECT c_custkey, c_name, c_nationkey FROM customer)",
+        [{"name": "risk_score", "class": "int", "min": 300, "max": 850}],
+        [{"name": "churn_p", "class": "double", "min": 0.0, "max": 1.0},
+         {"name": "plan", "class": "string",
+          "dist": {"basic": 5, "plus": 3, "max": 1}}],
+        "c_custkey", universe=800, seed=21)
     o["synth_correlate"] = SZ.correlate_sql(
         "customer",
         [{"name": "risk_score", "class": "int", "min": 300, "max": 850},

@@ -139,3 +139,39 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append",
             .outputMode(output_mode)
             .trigger(availableNow=available_now)
             .start())
+
+
+def run_bounded(stream: DataFrame, name: str,
+                output_mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation over a BOUNDED source to completion
+    (availableNow) and return the final result as a batch DataFrame.
+
+    ``complete`` output makes the final table independent of micro-batch
+    boundaries and watermark progress — the result equals the batch
+    aggregation over the same data, which is what lets a streaming
+    operator carry a SQL oracle.  Used by the driver contract to put
+    the streaming path under the same correctness gate as batch."""
+    q = run_to_memory(stream, name, output_mode=output_mode,
+                      available_now=True)
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream.sparkSession.table(name)
+
+
+def file_stream(spark: SparkSession, path: str, schema,
+                max_files_per_trigger: int = 1,
+                glob_filter: str | None = None) -> DataFrame:
+    """Bounded file source as a stream (one file per micro-batch) —
+    the replay harness for exercising streaming operators on the same
+    parquet tables the batch path reads.
+
+    ``path`` must be a DIRECTORY (FileStreamSource pins basePath to the
+    source path and requires a directory); select one table out of a
+    shared directory with ``glob_filter`` (e.g. ``events.parquet``)."""
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    return reader.parquet(path)

@@ -386,6 +386,27 @@ SELECT keyed.*, {', '.join(f'"{prefix}{c}"' for c in names)}
 FROM keyed LEFT JOIN dim USING ({prefix}key)"""
 
 
+def correlate_pair(input_df: DataFrame, schema_a, schema_b, key_col: str,
+                   universe: int, seed: int = 0, prefix_a: str = "a_",
+                   prefix_b: str = "b_") -> DataFrame:
+    """DataCorrelator.java full parity: the reference generates records
+    from TWO schemas and embeds both into each incoming record
+    (processors/DataCorrelator.java RECORD_GENERATOR_{A,B}); this
+    composes two broadcast dimension joins — still zero fact-table
+    shuffles, one plan."""
+    out = correlate(input_df, schema_a, key_col, universe, seed, prefix_a)
+    return correlate(out, schema_b, key_col, universe, seed + 1, prefix_b)
+
+
+def correlate_pair_sql(table: str, schema_a, schema_b, key_col: str,
+                       universe: int, seed: int = 0, prefix_a: str = "a_",
+                       prefix_b: str = "b_") -> str:
+    """DuckDB oracle mirror of :func:`correlate_pair`."""
+    inner = correlate_sql(table, schema_a, key_col, universe, seed, prefix_a)
+    return correlate_sql(f"({inner})", schema_b, key_col, universe,
+                         seed + 1, prefix_b)
+
+
 _CPOC_DEFAULTS = {
     "start": "2014-01-01 00:00:00", "end": "2014-02-15 00:00:00",
     "compromiseStart": "2014-01-15 00:00:00",
