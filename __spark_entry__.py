@@ -356,6 +356,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return compile_schema(SYNTH_NET_SCHEMA, seed=16).dataframe(spark, 10_000)
     q["synth_net"] = synth_net
 
+    def synth_registry(spark, sf):
+        """DataGenerator controller service under the gate: schemas are
+        registered by name and generated through the registry — the
+        NiFi pattern of many processors sharing one service."""
+        from nifi_datasynthesizer_spark.schema import SchemaRegistry
+        reg = SchemaRegistry()
+        reg.define("orders_lite", [
+            {"name": "order_id", "class": "id"},
+            {"name": "cust", "class": "foreign-key", "size": 300, "skew": 1},
+            {"name": "amount", "class": "double", "min": 5, "max": 500},
+            {"name": "status", "class": "string",
+             "dist": {"open": 2, "shipped": 5, "returned": 1}}], seed=17)
+        return reg.generate(spark, "orders_lite", SYNTH_N)
+    q["synth_registry"] = synth_registry
+
     def synth_cpoc(spark, sf):
         return SZ.cpoc_events(spark, n_users=1000, max_tx=16, seed=12)
     q["synth_cpoc"] = synth_cpoc
@@ -408,6 +423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        n=3, threshold=0.4)
                 .orderBy("a", "b"))
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_groups(spark, sf):
+        pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
+                                 num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        return DD.dup_groups(pairs).orderBy("doc_id")
+    q["dedup_groups"] = dedup_groups
 
     def dedup_embedding(spark, sf):
         return (DD.dedup_embedding(_t(spark, sf, "embeddings"), threshold=0.95)
@@ -593,6 +615,13 @@ FROM ({_ex_nested})"""
     o["remove_path"] = (f"SELECT rec_id, meta['level'] AS level, "
                         f"meta['tag'] AS tag FROM ({_rp.duckdb_sql(SYNTH_N)})")
     o["synth_net"] = compile_schema(SYNTH_NET_SCHEMA, seed=16).duckdb_sql(10_000)
+    o["synth_registry"] = compile_schema([
+        {"name": "order_id", "class": "id"},
+        {"name": "cust", "class": "foreign-key", "size": 300, "skew": 1},
+        {"name": "amount", "class": "double", "min": 5, "max": 500},
+        {"name": "status", "class": "string",
+         "dist": {"open": 2, "shipped": 5, "returned": 1}}],
+        seed=17).duckdb_sql(SYNTH_N)
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
     _vc = compile_schema(
         [{"name": "rec_id", "class": "id"},
@@ -696,6 +725,8 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5)
     o["dedup_simhash"] = OR.simhash_pairs_sql(bits=60, hamming_max=3, shingle_k=2)
     o["dedup_ngram_jaccard"] = OR.ngram_jaccard_sql(n=3, threshold=0.4)
+    o["dedup_groups"] = OR.dup_groups_sql(OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)

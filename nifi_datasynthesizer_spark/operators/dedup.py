@@ -139,9 +139,11 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     sig = minhash_signatures(docs, num_hashes, shingle_k)
     # The band join carries doc_id ONLY: shipping the 64-long signature
     # through a 16-way band explode would amplify shuffle bytes ~16×512 B
-    # per doc.  Full signatures are re-attached to the (few) candidate
-    # pairs afterwards by doc_id; the two attach joins are shaped
-    # identically so Catalyst reuses one signature exchange for both.
+    # per doc.  Signatures for the verification stage are RECOMPUTED,
+    # but only over the candidate docs (semi-join on the collided ids —
+    # a tiny fraction of the corpus), so total signature-hashing work
+    # stays ~one full pass like the naive plan while the wide arrays
+    # never ride the band shuffle.
     bands_df = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -158,11 +160,15 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     cand_ids = (left.join(right, ["band_id", "band_hash"])
                 .filter(F.col("a") < F.col("b"))
                 .select("a", "b").distinct())
+    hit_ids = (cand_ids.select(F.col("a").alias("doc_id"))
+               .union(cand_ids.select(F.col("b").alias("doc_id"))).distinct())
+    sig_cand = minhash_signatures(docs.join(hit_ids, "doc_id", "leftsemi"),
+                                  num_hashes, shingle_k)
     cand = (cand_ids
-            .join(sig.select(F.col("doc_id").alias("a"),
-                             F.col("signature").alias("sig_a")), "a")
-            .join(sig.select(F.col("doc_id").alias("b"),
-                             F.col("signature").alias("sig_b")), "b"))
+            .join(sig_cand.select(F.col("doc_id").alias("a"),
+                                  F.col("signature").alias("sig_a")), "a")
+            .join(sig_cand.select(F.col("doc_id").alias("b"),
+                                  F.col("signature").alias("sig_b")), "b"))
     est = cand.withColumn(
         "est_jaccard",
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -251,6 +257,59 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         F.size(F.array_intersect("ga", "gb")) /
         F.size(F.array_union("ga", "gb")).cast("double"))
     return sim.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+# ------------------------------------------------- duplicate grouping
+
+def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: every document in a
+    transitive duplicate cluster gets the cluster's min doc_id as
+    ``group_id`` (the keeper).  This is the step after any pairwise
+    dedup operator — pairs (a,b), (b,c) must collapse to ONE keeper,
+    not two.
+
+    Iterative min-label propagation: label(x) ← min(label(x),
+    min label over neighbors), repeated until a fixpoint.  Each round
+    is one shuffle keyed by node id; rounds needed = graph diameter
+    (duplicate clusters are shallow — a handful).  Convergence is
+    detected from the label-sum, which is strictly decreasing until
+    the fixpoint (labels only ever decrease), so the check is a cheap
+    aggregate, not a join-diff.  Each round persists its labels and
+    unpersists the previous round — lineage stays O(1) deep, which is
+    what makes the loop viable on a 1000-executor cluster (no
+    re-execution cascade, deterministic under task retries because the
+    labels themselves are deterministic).
+    """
+    a, b = F.col("a"), F.col("b")
+    # edges are re-read EVERY round: persist once or the upstream pair
+    # generator (e.g. the whole minhash pipeline) re-executes per round
+    edges = (pairs.select(a.alias("src"), b.alias("dst"))
+             .union(pairs.select(b.alias("src"), a.alias("dst")))
+             .distinct()).persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))).persist()
+    prev_sig = None
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(neigh, "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nlabel", "label"))
+                              .alias("label"))).persist()
+        s = new_labels.agg(F.sum("label").alias("s"),
+                           F.count("*").alias("n")).collect()[0]
+        labels.unpersist()
+        labels = new_labels
+        sig = (s["s"], s["n"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # the final labels (and edges beneath them) stay persisted: the
+    # returned frame is lazy, and dropping the cache here would replay
+    # every iteration's lineage when the caller finally materializes
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("group_id"))
 
 
 # --------------------------------------------------- embedding near-dup

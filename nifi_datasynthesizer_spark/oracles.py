@@ -113,6 +113,25 @@ SELECT a, b, inter / CAST(tot - inter AS DOUBLE) AS jaccard
 FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= {threshold} ORDER BY a, b"""
 
 
+def dup_groups_sql(pairs_sql: str) -> str:
+    """Mirror of dedup.dup_groups over the pair set produced by
+    ``pairs_sql`` (columns a, b, ...): connected components as the
+    min reachable label via a recursive CTE — the fixpoint of min-label
+    propagation equals min-over-reachable on a symmetric graph."""
+    return f"""
+WITH RECURSIVE prs AS ({pairs_sql}),
+edges AS (SELECT a AS src, b AS dst FROM prs
+          UNION SELECT b, a FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS group_id
+FROM reach GROUP BY node ORDER BY doc_id"""
+
+
 def fingerprint_sql(ngram: int = 8, table: str = "documents") -> str:
     """Mirror of text.fingerprint (doc_id + fp columns only)."""
     return f"""

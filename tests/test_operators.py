@@ -74,6 +74,14 @@ def test_embedding_ops(spark):
     assert [r.cand_id for r in knn] == [1, 2] or [r.cand_id for r in knn][0] == 1
 
 
+def test_dup_groups_transitive(spark):
+    # chain 1-2-3 plus pair 10-11: components {1,2,3}→1, {10,11}→10
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.7)], ["a", "b", "est_jaccard"])
+    out = {r.doc_id: r.group_id for r in DD.dup_groups(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_stratified_centroid_ids():
     ids = SIM.stratified_centroid_ids(2000, 16)
     assert len(ids) == 16 and ids[0] == 0 and max(ids) < 2000
