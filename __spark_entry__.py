@@ -253,6 +253,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("cohort", "day_offset"))
     q["events_retention"] = events_retention
 
+    def events_asof_balance(spark, sf):
+        """As-of (point-in-time) join: each event picks up the most
+        recent prior noon balance snapshot of its user — the classic
+        'dimension as of event time' shape Spark lacks natively."""
+        from nifi_datasynthesizer_spark.operators.temporal import asof_join
+        ev = _t(spark, sf, "events").select(
+            "user_id", "event_id",
+            F.expr("unix_micros(ts) div 1000000").alias("tsec"), "value")
+        snaps = (ev.groupBy("user_id",
+                            F.expr("tsec div 86400").alias("day"))
+                 .agg(F.round(F.sum("value"), 2).alias("balance"))
+                 .select("user_id",
+                         (F.col("day") * 86400 + 43200).alias("tsec"),
+                         "balance"))
+        out = asof_join(ev, snaps, on="user_id", ts="tsec")
+        return (out.select("user_id", "event_id", "tsec", "value",
+                           F.coalesce("balance_asof", F.lit(-1.0))
+                           .alias("balance_asof"))
+                .orderBy("event_id"))
+    q["events_asof_balance"] = events_asof_balance
+
+    def events_range_windows(spark, sf):
+        """Range join: events matched into [day-start, day-start+6h)
+        maintenance windows of their event_type via bucketed interval
+        explode + equi-join (no inequality-join cartesian)."""
+        from nifi_datasynthesizer_spark.operators.temporal import range_join
+        ev = _t(spark, sf, "events").select(
+            "event_id", "event_type",
+            F.expr("unix_micros(ts) div 1000000").alias("tsec"))
+        wins = (ev.select("event_type",
+                          (F.expr("tsec div 86400") * 86400).alias("ws"))
+                .distinct()
+                .withColumn("we", F.col("ws") + 21600))
+        out = range_join(ev, wins, ts="tsec", start="ws", end="we",
+                         bucket_width=3600, on="event_type")
+        return (out.select("event_id", "event_type", "tsec", "ws", "we")
+                .orderBy("event_id"))
+    q["events_range_windows"] = events_range_windows
+
     def streaming_events_daily(spark, sf):
         """Streaming path under the correctness gate: the events table
         replayed as a file stream (one file per micro-batch) through
@@ -570,6 +609,29 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
        MAX(tus) - MIN(tus) AS duration_us,
        ROUND(SUM(value), 2) AS total_value
 FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
+
+    o["events_asof_balance"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec, value
+           FROM events),
+s AS (SELECT user_id, (tsec // 86400) * 86400 + 43200 AS tsec,
+             ROUND(SUM(value), 2) AS balance
+      FROM e GROUP BY user_id, tsec // 86400)
+SELECT e.user_id, e.event_id, e.tsec, e.value,
+       COALESCE(s.balance, -1.0) AS balance_asof
+FROM e ASOF LEFT JOIN s
+  ON e.user_id = s.user_id AND e.tsec >= s.tsec
+ORDER BY e.event_id"""
+
+    o["events_range_windows"] = """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) // 1000000 AS tsec
+           FROM events),
+w AS (SELECT DISTINCT event_type, (tsec // 86400) * 86400 AS ws,
+             (tsec // 86400) * 86400 + 21600 AS we
+      FROM e)
+SELECT e.event_id, e.event_type, e.tsec, w.ws, w.we
+FROM e JOIN w ON e.event_type = w.event_type
+             AND e.tsec >= w.ws AND e.tsec < w.we
+ORDER BY e.event_id"""
 
     # streaming daily rollup drains to the same final table as the
     # batch rollup (complete-mode bounded run) — identical oracle

@@ -74,6 +74,36 @@ def test_embedding_ops(spark):
     assert [r.cand_id for r in knn] == [1, 2] or [r.cand_id for r in knn][0] == 1
 
 
+def test_asof_join_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import asof_join
+    ev = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2, 205), ("u1", 3, 300), ("u2", 4, 150)],
+        "k string, event_id long, t long")
+    snap = spark.createDataFrame(
+        [("u1", 200, 10.0), ("u1", 300, 20.0), ("u2", 500, 9.0)],
+        "k string, t long, bal double")
+    out = {r.event_id: r.bal_asof
+           for r in asof_join(ev, snap, on="k", ts="t").collect()}
+    assert out[1] is None          # no snapshot at or before t=100
+    assert out[2] == 10.0          # t=205 sees the t=200 snapshot
+    assert out[3] == 20.0          # same-instant snapshot is visible
+    assert out[4] is None          # u2's snapshot is in the future
+
+
+def test_range_join_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import range_join
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 25), (3, 99), (4, 100)], "pid long, t long")
+    ivs = spark.createDataFrame(
+        [(100, 0, 100), (200, 20, 30)], "iid long, s long, e long")
+    out = {(r.pid, r.iid)
+           for r in range_join(pts, ivs, ts="t", start="s", end="e",
+                               bucket_width=10).collect()}
+    # interval [0,100) spans 10 buckets; [20,30) exactly one
+    assert out == {(1, 100), (2, 100), (2, 200), (3, 100)}
+    # t=100 excluded (end-exclusive), iid 200 catches only t=25
+
+
 def test_dup_groups_transitive(spark):
     # chain 1-2-3 plus pair 10-11: components {1,2,3}→1, {10,11}→10
     pairs = spark.createDataFrame(
