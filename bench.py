@@ -35,12 +35,13 @@ def main() -> None:
     # analytic + operator queries straight from the driver contract
     names = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
              "events_daily", "dedup_exact", "dedup_minhash", "dedup_simhash",
-             "dedup_ngram_jaccard", "text_langid", "text_quality",
-             "text_tokens", "text_fingerprint", "ann_bruteforce", "ann_lsh",
-             "ann_ivf", "dedup_embedding", "corpus_clean", "synth_cpoc",
-             "synth_exotic_scalar", "synth_exotic_nested",
-             "media_frames", "events_sessionize",
-             "events_retention"]
+             "dedup_ngram_jaccard", "dedup_groups", "text_langid",
+             "text_quality", "text_tokens", "text_fingerprint",
+             "ann_bruteforce", "ann_lsh", "ann_ivf", "dedup_embedding",
+             "corpus_clean", "synth_cpoc", "synth_exotic_scalar",
+             "synth_exotic_nested", "synth_net", "media_frames",
+             "events_sessionize", "events_retention", "events_asof_balance",
+             "events_range_windows", "streaming_events_daily"]
 
     timings: dict[str, float] = {}
     for name in names:
@@ -85,16 +86,20 @@ def main() -> None:
     qdf = emb.filter(F.col("vec_id") < 5)
     truth = {(r.query_id, r.cand_id)
              for r in SIM.ann_bruteforce(emb, qdf, k=10).collect()}
-    got_strat = {(r.query_id, r.cand_id)
-                 for r in SIM.ann_ivf(emb, qdf, k=10).collect()}
     cents = SIM.kmeans_centroids(emb, n_centroids=16, sample_fraction=0.25,
                                  iters=5)
-    got_km = {(r.query_id, r.cand_id)
-              for r in SIM.ann_ivf(emb, qdf, k=10, centroids=cents).collect()}
-    recall = {
-        "ann_ivf_recall_stratified": round(len(truth & got_strat) / len(truth), 3),
-        "ann_ivf_recall_kmeans": round(len(truth & got_km) / len(truth), 3),
-    }
+    recall = {}
+    for probe in (4, 8):
+        got_strat = {(r.query_id, r.cand_id)
+                     for r in SIM.ann_ivf(emb, qdf, k=10,
+                                          n_probe=probe).collect()}
+        got_km = {(r.query_id, r.cand_id)
+                  for r in SIM.ann_ivf(emb, qdf, k=10, n_probe=probe,
+                                       centroids=cents).collect()}
+        recall[f"ann_ivf_recall_stratified_p{probe}"] = round(
+            len(truth & got_strat) / len(truth), 3)
+        recall[f"ann_ivf_recall_kmeans_p{probe}"] = round(
+            len(truth & got_km) / len(truth), 3)
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)

@@ -110,6 +110,27 @@ def test_ann_ivf_assignment_is_narrow(spark):
     assert "hashpartitioning(cand_id" not in p      # corpus never shuffles
 
 
+def test_asof_join_single_shuffle_no_cartesian(spark):
+    """The as-of join must be the union+window plan: exchanges only on
+    the join key, never a nested-loop/cartesian from an inequality
+    join."""
+    df = entrymod.queries()["events_asof_balance"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_range_join_is_equi_join(spark):
+    """Interval containment must compile to an equi-join on the time
+    bucket (+ key), not Spark's nested-loop fallback."""
+    df = entrymod.queries()["events_range_windows"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "__bucket" in p          # bucket is part of the join key
+
+
 def test_exact_dedup_partial_aggregation(spark):
     df = entrymod.queries()["dedup_exact"](spark, SF)
     p = _plan(df)
