@@ -519,6 +519,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "fp_full", "fp_min", "fp_max").orderBy("doc_id"))
     q["text_fingerprint"] = text_fingerprint
 
+    def text_embed(spark, sf):
+        emb = TX.hash_embed(_t(spark, sf, "documents"), dim=16)
+        return (emb.select("doc_id",
+                           _arr_str(F.col("embedding")).alias("embedding"))
+                .orderBy("doc_id"))
+    q["text_embed"] = text_embed
+
+    def corpus_stats(spark, sf):
+        d = TX.quality_score(TX.lang_id(_t(spark, sf, "documents")))
+        return (d.groupBy("pred_lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.round(F.avg("quality"), 4).alias("avg_quality"),
+                     F.round(F.expr("percentile(q_n_words, 0.5)"), 4)
+                     .alias("median_words"),
+                     F.round(F.expr("percentile(q_n_words, 0.9)"), 4)
+                     .alias("p90_words"))
+                .orderBy("pred_lang"))
+    q["corpus_stats"] = corpus_stats
+
     # ---- composed corpus-hygiene pipeline
     def corpus_clean(spark, sf):
         from nifi_datasynthesizer_spark.operators.pipeline import corpus_clean as CC
@@ -790,6 +809,8 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["dedup_groups"] = OR.dup_groups_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
+    o["text_embed"] = OR.hash_embed_sql(dim=16)
+    o["corpus_stats"] = OR.corpus_stats_sql()
     o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
     o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)

@@ -107,6 +107,38 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_embed(docs: DataFrame, dim: int = 16,
+               text_col: str = "text") -> DataFrame:
+    """Feature-hashing text embedding: ``embedding`` = length-``dim``
+    array of token counts bucketed by h60(token) mod dim — the classic
+    hashing-trick vectorizer, producing input for the ANN/embedding
+    operators without any model.
+
+    Counts stay INTEGER (no normalization here — ann_* operators
+    l2-normalize on the way in), which keeps the column exactly
+    replayable in SQL with zero float-formatting concerns.  Tokens are
+    hashed ONCE into a materialized bucket array; the per-bucket counts
+    then scan that small int array `dim` times (cheap compares), not
+    the md5 pass.
+    """
+    from ..phash import h60
+    from .dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hs_expr = F.transform(toks, lambda s: h60(s) % dim)
+
+    # bind the hashed buckets ONCE via the 1-element-array transform
+    # (an alias referenced once gets inlined by CollapseProject and the
+    # md5 pass would re-run per output lane — see dedup._shingles)
+    def body(hb):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda k: F.size(F.filter(hb, lambda h: h == k)).cast("long"))
+
+    counts = F.element_at(F.transform(F.array(hs_expr), body), 1)
+    return docs.select("*", counts.alias("embedding"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 ngram: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min and max h60 over word

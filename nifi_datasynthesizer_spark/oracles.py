@@ -113,6 +113,37 @@ SELECT a, b, inter / CAST(tot - inter AS DOUBLE) AS jaccard
 FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= {threshold} ORDER BY a, b"""
 
 
+def hash_embed_sql(dim: int = 16, table: str = "documents") -> str:
+    """Mirror of text.hash_embed (embedding stringified as the driver
+    queries do — integer counts join exactly)."""
+    return f"""
+WITH hb AS (SELECT doc_id,
+                   list_transform(string_split({_NORM}, ' '),
+                                  s -> {h60_sql('s')} % {dim}) AS hs
+            FROM {table})
+SELECT doc_id,
+       array_to_string(list_transform(range(0, {dim}),
+         k -> len(list_filter(hs, h -> h = k))), ',') AS embedding
+FROM hb ORDER BY doc_id"""
+
+
+def corpus_stats_sql(table: str = "documents") -> str:
+    """Mirror of the corpus_stats query: per-language exact stats —
+    Spark's exact `percentile` and DuckDB's quantile_cont share the
+    R-7 linear-interpolation definition."""
+    pred_lang, lang_score = _langid_exprs()
+    n_words, quality = _quality_exprs()
+    return f"""
+WITH ann AS (SELECT doc_id, {pred_lang} AS pred_lang,
+                    {n_words} AS q_n_words, {quality} AS quality
+             FROM {table})
+SELECT pred_lang, COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 4) AS avg_quality,
+       ROUND(quantile_cont(q_n_words, 0.5), 4) AS median_words,
+       ROUND(quantile_cont(q_n_words, 0.9), 4) AS p90_words
+FROM ann GROUP BY pred_lang ORDER BY pred_lang"""
+
+
 def dup_groups_sql(pairs_sql: str) -> str:
     """Mirror of dedup.dup_groups over the pair set produced by
     ``pairs_sql`` (columns a, b, ...): connected components as the
