@@ -157,9 +157,15 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                     .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     left = bands_df.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
     right = bands_df.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+    # cand_ids is referenced THREE times downstream (pair list, and the
+    # two id sides of the verify attach) — without a persist the whole
+    # signature+band pipeline re-evaluates per reference when joins
+    # broadcast (no exchange for Catalyst to reuse).  The frame is tiny
+    # (candidate id pairs), so caching it pins the expensive pass to
+    # exactly one evaluation per action.
     cand_ids = (left.join(right, ["band_id", "band_hash"])
                 .filter(F.col("a") < F.col("b"))
-                .select("a", "b").distinct())
+                .select("a", "b").distinct()).persist()
     hit_ids = (cand_ids.select(F.col("a").alias("doc_id"))
                .union(cand_ids.select(F.col("b").alias("doc_id"))).distinct())
     sig_cand = minhash_signatures(docs.join(hit_ids, "doc_id", "leftsemi"),
