@@ -342,6 +342,22 @@ def test_text_bag_and_quotes():
     assert all("Chuck Norris" in v for (v,) in q)
 
 
+def test_invalid_schemas_rejected():
+    """Reference TestDataSynthesizer.testSetState: an invalid schema
+    must fail validation up front (assertNotValid), a valid single
+    field must pass — our equivalents are compile-time ValueErrors."""
+    import pytest
+
+    from nifi_datasynthesizer_spark import compile_schema
+    with pytest.raises(ValueError):
+        compile_schema([{"name": "x", "class": "no-such-sampler"}])
+    with pytest.raises(ValueError):
+        compile_schema([{"name": "d", "class": "dns", "fields": "bogus"}])
+    with pytest.raises(ValueError):
+        compile_schema([{"name": "h", "class": "header", "type": "evil"}])
+    compile_schema([{"name": "br", "class": "browser"}])  # valid: no raise
+
+
 def test_lookup_skew(tmp_path):
     import duckdb
     f = tmp_path / "dim.csv"
