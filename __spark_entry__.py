@@ -292,6 +292,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_id"))
     q["events_range_windows"] = events_range_windows
 
+    def events_salted_join(spark, sf):
+        """Skew-resistant join: event_type is the canonical hot key
+        (a handful of values across every row); the salted join spreads
+        each type over 8 sub-keys.  Result equals the plain join — the
+        oracle IS the plain join."""
+        from nifi_datasynthesizer_spark.operators.skew import salted_join
+        ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+        dim = (ev.groupBy("event_type")
+               .agg(F.count("*").alias("n_type"),
+                    F.round(F.avg("value"), 2).alias("type_avg")))
+        out = salted_join(ev, dim, key="event_type", salt_col="event_id",
+                          salt=8)
+        return (out.select("event_id", "event_type", "value",
+                           "n_type", "type_avg")
+                .orderBy("event_id"))
+    q["events_salted_join"] = events_salted_join
+
+    def media_resize(spark, sf):
+        media = MM.synth_media(spark, n=300, seed=18)
+        return (MM.resize_images(media, width=256, height=256)
+                .select("media_id", "kind", "mime", "width", "height",
+                        "duration_ms")
+                .orderBy("media_id"))
+    q["media_resize"] = media_resize
+
     def streaming_events_daily(spark, sf):
         """Streaming path under the correctness gate: the events table
         replayed as a file stream (one file per micro-batch) through
@@ -628,6 +653,27 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
        MAX(tus) - MIN(tus) AS duration_us,
        ROUND(SUM(value), 2) AS total_value
 FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
+
+    o["events_salted_join"] = """
+WITH e AS (SELECT event_id, event_type, value FROM events),
+d AS (SELECT event_type, COUNT(*) AS n_type,
+             ROUND(AVG(value), 2) AS type_avg
+      FROM e GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value, d.n_type, d.type_avg
+FROM e JOIN d USING (event_type) ORDER BY e.event_id"""
+
+    o["media_resize"] = """
+SELECT media_id,
+  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CASE media_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS mime,
+  CAST(CASE WHEN media_id % 3 = 0 THEN 256
+            ELSE media_id % 1920 + 1 END AS INT) AS width,
+  CAST(CASE WHEN media_id % 3 = 0 THEN 256
+            ELSE media_id % 1080 + 1 END AS INT) AS height,
+  CAST(media_id % 60000 AS INT) AS duration_ms
+FROM range(0, 300) t(media_id) ORDER BY media_id"""
 
     o["events_asof_balance"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec, value

@@ -74,6 +74,24 @@ def test_embedding_ops(spark):
     assert [r.cand_id for r in knn] == [1, 2] or [r.cand_id for r in knn][0] == 1
 
 
+def test_salted_join_equals_plain(spark):
+    from nifi_datasynthesizer_spark.operators.skew import salted_join
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(200)],
+        "fid long, k string, v double")
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, attr long")
+    plain = {(r.fid, r.attr) for r in fact.join(dim, "k").collect()}
+    salted = {(r.fid, r.attr)
+              for r in salted_join(fact, dim, key="k", salt_col="fid",
+                                   salt=4, force_shuffle=True).collect()}
+    assert salted == plain
+    # the whole point: the shuffle join key includes the salt
+    p = salted_join(fact, dim, key="k", salt_col="fid", salt=4,
+                    force_shuffle=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "__salt" in p and ("ShuffledHashJoin" in p or "SortMergeJoin" in p)
+
+
 def test_asof_join_planted(spark):
     from nifi_datasynthesizer_spark.operators.temporal import asof_join
     ev = spark.createDataFrame(
