@@ -76,6 +76,25 @@ def _has_avro(spark: SparkSession) -> bool:
         return False
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_by: list[str],
+                   num_buckets: int, sort_by: list[str] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Bucketed managed table — the co-located-join primitive.
+
+    Two tables bucketed on their join key with the same bucket count
+    join WITHOUT an exchange on either side (the bucketed scan already
+    satisfies the required hash distribution); at 100 TB that deletes
+    the two largest shuffles of a fact-fact join.  ``sort_by`` inside
+    buckets additionally removes the sort before a sort-merge join.
+    Bucketing metadata lives in the session catalog, so this writes a
+    managed table (``saveAsTable``), not a bare path.
+    """
+    w = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def read(spark: SparkSession, path: str, fmt: str = "parquet",
          schema=None) -> DataFrame:
     r = spark.read.format(fmt)

@@ -47,6 +47,29 @@ def test_write_partitioned(spark, small_df, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Both sides bucketed on the join key with equal bucket counts →
+    the sort-merge join runs with NO exchange on either side (the
+    bucketed scans already satisfy the hash distribution)."""
+    from nifi_datasynthesizer_spark.io import read_table, write_bucketed
+    sf = "/root/testdata/sf0.001"
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8)
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8)
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        j = a.hint("merge").join(b, a.o_orderkey == b.l_orderkey)
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+        assert j.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_avro_gate(spark, small_df, tmp_path):
     path = str(tmp_path / "avro")
     if nio._has_avro(spark):
