@@ -43,6 +43,13 @@ def main() -> None:
              "events_sessionize", "events_retention", "events_asof_balance",
              "events_range_windows", "streaming_events_daily"]
 
+    # warm the JVM/codegen/parquet-footer paths once so the first timed
+    # query measures the query, not JIT compilation
+    from nifi_datasynthesizer_spark.io import read_table as _rt
+    _force(_rt(spark, SF_DIR, "lineitem")
+           .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    _force(spark.range(1_000_000).select(F.md5(F.col("id").cast("string"))))
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

@@ -38,6 +38,13 @@ def corpus_clean(docs: DataFrame, min_quality: float = 0.0,
     if langs:
         out = out.filter(F.col("pred_lang").isin(*langs))
     if near_dup_threshold is not None:
+        # `out` feeds BOTH the minhash pair generator and the final
+        # anti-join: without a persist the whole window-dedup + langid
+        # + quality pipeline re-executes per reference (broadcast-scale
+        # joins leave no exchange to reuse).  At cluster scale the same
+        # boundary is where you'd checkpoint the cleaned corpus to
+        # parquet between passes.
+        out = out.persist()
         pairs = dedup_minhash(out, jaccard_threshold=near_dup_threshold)
         losers = pairs.select(F.col("b").alias("doc_id")).distinct()
         out = out.join(losers, "doc_id", "left_anti")
