@@ -292,9 +292,15 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = (pairs.select(a.alias("src"), b.alias("dst"))
              .union(pairs.select(b.alias("src"), a.alias("dst")))
              .distinct()).persist()
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node"))).persist()
-    prev_sig = None
+    # initialize with round 1 for free: label = min(self, neighbors)
+    # straight from the edge aggregation (one groupBy instead of a
+    # distinct + a full propagation round)
+    labels = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+              ).persist()
+    s0 = labels.agg(F.sum("label").alias("s"),
+                    F.count("*").alias("n")).collect()[0]
+    prev_sig = (s0["s"], s0["n"])
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.src == labels.node)
                  .groupBy(F.col("dst").alias("node"))
