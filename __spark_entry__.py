@@ -160,6 +160,22 @@ SYNTH_NET_SCHEMA = [
 
 SYNTH_N = 20_000
 
+# email/ip/ssn/phone bearing records for the PII-scrub query — the
+# generated fields are concatenated into one sentence, scrubbed, and
+# the oracle replays generation + regex scrub in DuckDB
+SYNTH_PII_SCHEMA = [
+    {"name": "rec_id", "class": "id"},
+    {"name": "em", "class": "email"},
+    {"name": "ip", "class": "ipv4"},
+    {"name": "ssn", "class": "ssn"},
+    {"name": "ph", "class": "phone"},
+]
+
+# training-mix rates for the corpus_sample query: each of the 20
+# sources keeps a different deterministic fraction
+SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
+                for i in range(20)}
+
 
 # -------------------------------------------------------------- queries
 
@@ -563,6 +579,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("pred_lang"))
     q["corpus_stats"] = corpus_stats
 
+    # ---- corpus curation (sampling / decontamination / chunking /
+    # repetition / PII)
+    def corpus_sample(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.sample_stratified(_t(spark, sf, "documents"),
+                                     SAMPLE_RATES, default_rate=0.0)
+                .select("doc_id", "source", "lang", "n_chars")
+                .orderBy("doc_id"))
+    q["corpus_sample"] = corpus_sample
+
+    def corpus_decontaminate(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        docs = _t(spark, sf, "documents")
+        ev = docs.filter(F.col("doc_id") % 101 == 0)
+        tr = docs.filter(F.col("doc_id") % 101 != 0)
+        return CU.decontaminate(tr, ev, ngram=8).orderBy("doc_id")
+    q["corpus_decontaminate"] = corpus_decontaminate
+
+    def text_chunks(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.chunk_words(_t(spark, sf, "documents"), max_words=24)
+                .orderBy("doc_id", "chunk_id"))
+    q["text_chunks"] = text_chunks
+
+    def text_repetition(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.repetition_stats(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+    q["text_repetition"] = text_repetition
+
+    def text_pii_scrub(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        base = compile_schema(SYNTH_PII_SCHEMA, seed=17).dataframe(spark, SYNTH_N)
+        doc = base.select(
+            "rec_id",
+            F.concat_ws(" ", F.lit("contact"), F.col("em"), F.lit("from"),
+                        F.col("ip"), F.lit("ssn"), F.col("ssn"),
+                        F.lit("call"), F.col("ph")).alias("text"))
+        return (CU.pii_scrub(doc)
+                .select("rec_id", "text_scrubbed", "n_email", "n_ipv4",
+                        "n_ssn", "n_phone")
+                .orderBy("rec_id"))
+    q["text_pii_scrub"] = text_pii_scrub
+
     # ---- composed corpus-hygiene pipeline
     def corpus_clean(spark, sf):
         from nifi_datasynthesizer_spark.operators.pipeline import corpus_clean as CC
@@ -863,6 +923,23 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["corpus_clean"] = OR.corpus_clean_sql(min_quality=0.3,
                                             near_dup_threshold=0.5)
+    o["corpus_sample"] = (
+        "SELECT doc_id, source, lang, n_chars FROM ("
+        + OR.sample_stratified_sql(SAMPLE_RATES, default_rate=0.0)
+        + ") ORDER BY doc_id")
+    o["corpus_decontaminate"] = OR.decontaminate_sql(
+        ngram=8, eval_pred="doc_id % 101 = 0")
+    o["text_chunks"] = OR.chunk_words_sql(max_words=24)
+    o["text_repetition"] = OR.repetition_stats_sql()
+    _pii_counts, _pii_scrubbed = OR.pii_scrub_exprs()
+    o["text_pii_scrub"] = f"""
+SELECT rec_id, {_pii_scrubbed} AS text_scrubbed,
+       {', '.join(_pii_counts)}
+FROM (SELECT rec_id,
+             CONCAT_WS(' ', 'contact', em, 'from', ip, 'ssn', ssn,
+                       'call', ph) AS text
+      FROM ({compile_schema(SYNTH_PII_SCHEMA, seed=17).duckdb_sql(SYNTH_N)}))
+ORDER BY rec_id"""
     o["synth_correlate_pair"] = SZ.correlate_pair_sql(
         "(SELECT c_custkey, c_name, c_nationkey FROM customer)",
         [{"name": "risk_score", "class": "int", "min": 300, "max": 850}],

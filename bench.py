@@ -38,7 +38,9 @@ def main() -> None:
              "dedup_ngram_jaccard", "dedup_groups", "text_langid",
              "text_quality", "text_tokens", "text_fingerprint",
              "ann_bruteforce", "ann_lsh", "ann_ivf", "dedup_embedding",
-             "corpus_clean", "synth_cpoc", "synth_exotic_scalar",
+             "corpus_clean", "corpus_sample", "corpus_decontaminate",
+             "text_chunks", "text_repetition", "text_pii_scrub",
+             "synth_cpoc", "synth_exotic_scalar",
              "synth_exotic_nested", "synth_net", "media_frames",
              "events_sessionize", "events_retention", "events_asof_balance",
              "events_range_windows", "streaming_events_daily"]

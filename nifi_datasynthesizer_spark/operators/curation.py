@@ -1,0 +1,191 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The steps between "raw crawl" and "training mix" that aren't dedup or
+similarity: deterministic stratified sampling (domain mixing),
+benchmark decontamination, document chunking, repetition analysis
+(Gopher-style filters), and PII scrubbing.  All column-algebra /
+built-in functions — no Python in the hot path — and every operator
+has a DuckDB oracle mirror (oracles_curation.py).
+
+Reference scope note: the reference (nifi-datasynthesizer) generates
+data; these operators consume corpora at scale.  They are the §2c
+"beyond the reference" surface from SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..phash import h60
+from .dedup import _shingles, ensure_parallelism
+
+PPM = 1_000_000
+
+
+def sample_stratified(df: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.0, id_col: str = "doc_id",
+                      stratum_col: str = "source", salt: int = 0) -> DataFrame:
+    """Deterministic hash-based stratified sampling (domain mixing).
+
+    Keeps a row iff ``h60(id || ':' || salt) % 1e6 < rate(stratum)*1e6``
+    — the standard way to build a training mix ("25% of web, 100% of
+    books") that is (a) exactly reproducible across runs, cluster
+    sizes and task retries (no rand()), (b) a pure narrow filter: at
+    100 TB this is one scan with no shuffle, and consistent across
+    tables (same id ⇒ same decision, so a row and its derived
+    features stay in or out together).  ``salt`` decorrelates
+    independent sampling passes over the same ids.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; strata not
+    listed keep ``default_rate``.  The rate lookup compiles to a CASE
+    chain over plan literals — no join, broadcast or otherwise.
+    """
+    draw = h60(F.concat(F.col(id_col).cast("string"),
+                        F.lit(f":{salt}"))) % PPM
+    rate = None
+    for value, frac in sorted(rates.items()):
+        ppm = F.lit(int(round(frac * PPM)))
+        cond = F.col(stratum_col) == value
+        rate = F.when(cond, ppm) if rate is None else rate.when(cond, ppm)
+    rate = (rate.otherwise(F.lit(int(round(default_rate * PPM))))
+            if rate is not None else F.lit(int(round(default_rate * PPM))))
+    return df.filter(draw < rate)
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  ngram: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``ngram``-gram with an evaluation set.
+
+    The standard pre-training hygiene step (remove test-set leakage).
+    Plan shape for 100 TB: the eval side (benchmarks are MBs, not TBs)
+    collapses to a distinct set of 60-bit gram hashes and is
+    **broadcast**; the training corpus explodes to (doc_id, gram hash)
+    and semi-joins against the broadcast set — so the only shuffle is
+    the final per-doc count over the *hit* rows (a tiny fraction of
+    the corpus).  The full corpus is never exchanged.
+
+    Returns (doc_id, n_hit_grams): contaminated training docs with the
+    number of distinct leaked grams.
+    """
+    eval_grams = (eval_docs
+                  .select(F.explode(_shingles(F.col("text"), ngram)).alias("g"))
+                  .select(h60(F.col("g")).alias("gh"))
+                  .distinct())
+    train_grams = (ensure_parallelism(train)
+                   .select("doc_id",
+                           F.explode(_shingles(F.col("text"), ngram)).alias("g"))
+                   .select("doc_id", h60(F.col("g")).alias("gh")))
+    hits = train_grams.join(F.broadcast(eval_grams), "gh")
+    return (hits.groupBy("doc_id")
+            .agg(F.count_distinct("gh").alias("n_hit_grams")))
+
+
+def chunk_words(docs: DataFrame, max_words: int = 64,
+                text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size word windows (training-sample
+    chunking).  Emits (doc_id, chunk_id, chunk_text, chunk_words) —
+    one row per window, last window ragged.
+
+    Narrow explode, zero shuffle: each input row produces its chunks
+    on the same executor; at 100 TB the output partitioning simply
+    inherits the scan.  The word split is bound once via the
+    1-element-array transform (HOF lambdas re-evaluate referenced
+    subtrees per element).
+    """
+    def body(words):
+        n_chunks = F.ceil(F.size(words) / float(max_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(words, i * max_words + 1, max_words))
+                .alias("chunk_text")))
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = F.element_at(F.transform(F.array(words), body), 1)
+    out = docs.select("doc_id", F.explode(chunks).alias("c"))
+    return out.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.size(F.split(F.col("c.chunk_text"), r"\s+")).alias("chunk_words"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, adapted to counts over words:
+
+    - ``top_word_frac``: occurrences of the most frequent word / words
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 − distinct/total
+      n-grams (fraction of repeated n-grams)
+
+    Repetitious machine-generated text scores high on all three; the
+    standard filter drops docs above thresholds.  Ratios are raw
+    IEEE int/int divisions (bit-identical across engines — see
+    text.quality_score).  Per-row HOFs only, no shuffle; the word
+    array is bound once and the per-distinct-word count scan is
+    O(words · distinct words) on ≤kB documents.
+    """
+    def body(words):
+        n = F.size(words)
+        top = F.array_max(F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w))))
+        return F.struct(
+            n.alias("n"), top.alias("top"))
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    g2 = _shingles(F.col(text_col), 2)
+    g3 = _shingles(F.col(text_col), 3)
+    stats = F.element_at(F.transform(F.array(words), body), 1)
+    out = docs.select(
+        "doc_id", stats.alias("s"),
+        (F.lit(1.0) - F.size(F.array_distinct(g2))
+         / F.greatest(F.size(g2), F.lit(1)).cast("double"))
+        .alias("dup_2gram_frac"),
+        (F.lit(1.0) - F.size(F.array_distinct(g3))
+         / F.greatest(F.size(g3), F.lit(1)).cast("double"))
+        .alias("dup_3gram_frac"))
+    return out.select(
+        "doc_id",
+        F.col("s.n").alias("n_words"),
+        (F.col("s.top") / F.greatest(F.col("s.n"), F.lit(1)).cast("double"))
+        .alias("top_word_frac"),
+        "dup_2gram_frac", "dup_3gram_frac")
+
+
+# PII patterns — shared Java-regex/RE2 subset (no lookaround, no
+# backrefs), so Spark's regexp_* and DuckDB's regexp_* with the 'g'
+# flag apply them identically.  Order matters only for the scrub
+# (counts are taken on the original text): emails first so their
+# dotted domains can't be half-eaten by the IP rule.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII (emails, IPv4s, SSNs, US phone numbers) from a
+    text column, appending per-kind match counts.
+
+    Adds ``{text_col}_scrubbed`` plus ``n_email``/``n_ipv4``/
+    ``n_ssn``/``n_phone``.  Counts come from the original text;
+    replacements apply in PII_PATTERNS order.  Pure regexp column
+    expressions — one narrow codegen pass, no shuffle, safe to run
+    inline in any 100 TB scan.  The SSN and phone patterns are
+    disjoint (3-2-4 vs 3-3-4 digit groups), so ordering between them
+    is immaterial.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select("*", scrubbed.alias(f"{text_col}_scrubbed"), *counts)

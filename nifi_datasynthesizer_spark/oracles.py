@@ -334,3 +334,98 @@ FROM (SELECT media_id,
       FROM (SELECT id AS media_id, id % 60000 AS dur
             FROM range(0, {n}) t(id) WHERE id % 3 = 2))
 ORDER BY media_id, frame_idx"""
+
+
+# --------------------------------------------------------- curation
+
+_RAW_WORDS = "STRING_SPLIT_REGEX(TRIM(text), '\\s+')"
+
+
+def _grams_expr(k: int, w: str = "W") -> str:
+    """Word k-gram list over a words-list SQL expression — inline
+    mirror of dedup._shingles' body (same short-doc fallback)."""
+    return (f"CASE WHEN len({w}) >= {k} "
+            f"THEN list_transform(range(0, len({w}) - {k} + 1), "
+            f"s -> array_to_string(list_slice({w}, s + 1, s + {k}), ' ')) "
+            f"ELSE [array_to_string({w}, ' ')] END")
+
+
+def sample_stratified_sql(rates: dict[str, float], default_rate: float = 0.0,
+                          salt: int = 0, table: str = "documents",
+                          id_col: str = "doc_id",
+                          stratum_col: str = "source") -> str:
+    """Mirror of curation.sample_stratified."""
+    whens = " ".join(
+        f"WHEN '{v}' THEN {int(round(r * 1_000_000))}"
+        for v, r in sorted(rates.items()))
+    rate = f"CASE {stratum_col} {whens} ELSE {int(round(default_rate * 1_000_000))} END"
+    draw = h60_sql(f"{id_col}::VARCHAR || ':{salt}'")
+    return (f"SELECT * FROM {table} "
+            f"WHERE {draw} % 1000000 < {rate}")
+
+
+def decontaminate_sql(ngram: int = 8, eval_pred: str = "doc_id % 101 = 0",
+                      table: str = "documents") -> str:
+    """Mirror of curation.decontaminate with the eval set carved out of
+    the same table by ``eval_pred``."""
+    return f"""
+WITH {_shingles_cte(ngram, table)},
+grams AS (SELECT doc_id, {h60_sql('g')} AS gh
+          FROM (SELECT doc_id, unnest(sh) AS g FROM sh)),
+ev AS (SELECT DISTINCT gh FROM grams WHERE {eval_pred}),
+tr AS (SELECT doc_id, gh FROM grams WHERE NOT ({eval_pred}))
+SELECT doc_id, COUNT(DISTINCT gh) AS n_hit_grams
+FROM tr JOIN ev USING (gh)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def chunk_words_sql(max_words: int = 64, table: str = "documents") -> str:
+    """Mirror of curation.chunk_words."""
+    m = max_words
+    return f"""
+WITH W AS (SELECT doc_id, {_RAW_WORDS} AS w FROM {table}),
+ex AS (SELECT doc_id, w,
+              unnest(range(0, GREATEST(CAST(CEIL(len(w) / {float(m)}) AS INT), 1)))
+                AS chunk_id
+       FROM W)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(w, chunk_id * {m} + 1, chunk_id * {m} + {m}), ' ')
+         AS chunk_text,
+       len(string_split_regex(
+           array_to_string(list_slice(w, chunk_id * {m} + 1, chunk_id * {m} + {m}), ' '),
+           '\\s+')) AS chunk_words
+FROM ex ORDER BY doc_id, chunk_id"""
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    """Mirror of curation.repetition_stats (raw-split words for the
+    top-word signal, normalized shingles for the n-gram signals)."""
+    g2, g3 = _grams_expr(2, "NW"), _grams_expr(3, "NW")
+    return f"""
+WITH W AS (SELECT doc_id, {_RAW_WORDS} AS w,
+                  STRING_SPLIT({_NORM}, ' ') AS NW
+           FROM {table}),
+g AS (SELECT doc_id, w, {g2} AS g2, {g3} AS g3 FROM W)
+SELECT doc_id, len(w) AS n_words,
+       list_max(list_transform(list_distinct(w),
+                               x -> len(list_filter(w, y -> y = x))))
+         / CAST(GREATEST(len(w), 1) AS DOUBLE) AS top_word_frac,
+       1.0e0 - len(list_distinct(g2)) / CAST(GREATEST(len(g2), 1) AS DOUBLE)
+         AS dup_2gram_frac,
+       1.0e0 - len(list_distinct(g3)) / CAST(GREATEST(len(g3), 1) AS DOUBLE)
+         AS dup_3gram_frac
+FROM g ORDER BY doc_id"""
+
+
+def pii_scrub_exprs() -> tuple[list[str], str]:
+    """(per-kind count exprs, scrubbed expr) over an implicit `text`
+    column — mirror of curation.pii_scrub (same pattern order)."""
+    from .operators.curation import PII_PATTERNS
+    counts = [
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+    return counts, scrubbed

@@ -194,3 +194,72 @@ def test_correlate_broadcast(spark):
     # same key → same correlated record (deterministic dimension)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+# ------------------------------------------------------------ curation
+
+def test_sample_stratified_deterministic(spark):
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    rows = [(i, "keep" if i % 2 == 0 else "drop") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = CU.sample_stratified(df, {"keep": 1.0, "drop": 0.0})
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [i for i in range(200) if i % 2 == 0]
+    # partial rate: deterministic subset, same decision every run
+    half = CU.sample_stratified(df, {"keep": 0.5, "drop": 0.5})
+    a = sorted(r.doc_id for r in half.collect())
+    b = sorted(r.doc_id for r in half.collect())
+    assert a == b and 0 < len(a) < 200
+    # salt decorrelates draws
+    other = CU.sample_stratified(df, {"keep": 0.5, "drop": 0.5}, salt=1)
+    assert sorted(r.doc_id for r in other.collect()) != a
+
+
+def test_decontaminate_planted(spark):
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    ev = spark.createDataFrame(
+        [(100, f"prefix words then {leak} trailing content here")],
+        ["doc_id", "text"])
+    tr = spark.createDataFrame(
+        [(1, f"training document embedding {leak} inside the body text"),
+         (2, "totally unrelated words about spark catalyst tungsten "
+             "codegen shuffle partitions broadcast")],
+        ["doc_id", "text"])
+    hits = {r.doc_id: r.n_hit_grams for r in CU.decontaminate(tr, ev).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+
+
+def test_chunk_words_planted(spark):
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    out = CU.chunk_words(df, max_words=24).orderBy("chunk_id").collect()
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert [r.chunk_words for r in out] == [24, 24, 2]
+    assert " ".join(r.chunk_text for r in out) == " ".join(words)
+
+
+def test_repetition_stats_planted(spark):
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    df = spark.createDataFrame([(0, "a a a a b")], ["doc_id", "text"])
+    r = CU.repetition_stats(df).collect()[0]
+    assert r.n_words == 5
+    assert abs(r.top_word_frac - 0.8) < 1e-12
+    # 2-grams: [a a, a a, a a, a b] -> 2 distinct of 4
+    assert abs(r.dup_2gram_frac - 0.5) < 1e-12
+
+
+def test_pii_scrub_planted(spark):
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    df = spark.createDataFrame(
+        [(0, "mail bob@example.com ip 10.1.2.3 ssn 123-45-6789 "
+             "tel 555-123-4567 end"),
+         (1, "nothing sensitive here")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in CU.pii_scrub(df).collect()}
+    assert out[0].n_email == 1 and out[0].n_ipv4 == 1
+    assert out[0].n_ssn == 1 and out[0].n_phone == 1
+    assert out[0].text_scrubbed == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> end"
+    assert out[1].text_scrubbed == "nothing sensitive here"
+    assert out[1].n_email == out[1].n_ssn == 0

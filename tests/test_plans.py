@@ -136,3 +136,25 @@ def test_exact_dedup_partial_aggregation(spark):
     p = _plan(df)
     # map-side partial agg before the exchange (two HashAggregate levels)
     assert p.count("HashAggregate") >= 2
+
+
+def test_curation_narrow_ops_shuffle_free(spark):
+    """Sampling, chunking, repetition stats and PII scrubbing are pure
+    narrow passes — at 100 TB they must ride the scan with no
+    exchange."""
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    docs = read_table(spark, SF, "documents")
+    for df in (CU.sample_stratified(docs, {"src0": 0.5}, default_rate=0.1),
+               CU.chunk_words(docs, 24),
+               CU.pii_scrub(docs)):
+        assert "Exchange" not in _plan(df)
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval side must broadcast (benchmarks are small); the corpus
+    must never be sort-merge-joined."""
+    df = entrymod.queries()["corpus_decontaminate"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
