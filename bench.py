@@ -40,7 +40,7 @@ def main() -> None:
              "ann_bruteforce", "ann_lsh", "ann_ivf", "dedup_embedding",
              "corpus_clean", "corpus_sample", "corpus_decontaminate",
              "text_chunks", "text_repetition", "text_pii_scrub",
-             "synth_cpoc", "synth_exotic_scalar",
+             "synth_markov_text", "synth_cpoc", "synth_exotic_scalar",
              "synth_exotic_nested", "synth_net", "media_frames",
              "events_sessionize", "events_retention", "events_asof_balance",
              "events_range_windows", "streaming_events_daily"]

@@ -180,6 +180,150 @@ def text_blocks(n: int, words: int = 100, seed: int = 0) -> Generated:
     return Generated([("text", joined)], n)
 
 
+# A small original seed corpus for the Markov generator (the reference
+# ships public-domain novels; we ship our own prose).  Recurring
+# phrases are deliberate: repeated word triples are what give the
+# chain its branch points.
+_MARKOV_SEED = (
+    "the engine reads the table and the engine builds a plan for the "
+    "query and the plan is a tree of operators that the optimizer "
+    "rewrites until the plan is cheap enough to run on the cluster "
+    "every operator in the plan consumes a stream of rows and emits a "
+    "stream of rows so the engine can pipeline the work across the "
+    "cluster without writing the rows to disk the optimizer pushes "
+    "the filter below the join and the optimizer prunes the columns "
+    "that the query never reads so the scan touches less data and the "
+    "query runs faster when the table is large the engine splits the "
+    "table into partitions and the cluster works on the partitions in "
+    "parallel and the engine merges the results into one answer a "
+    "join shuffles the rows by key unless the small side fits in "
+    "memory and then the engine broadcasts the small side to every "
+    "node so the join runs without a shuffle the planner counts the "
+    "rows in the table and the planner picks the strategy that moves "
+    "the least data across the network because the network is the "
+    "slowest part of the cluster when a key is hot the engine salts "
+    "the key and spreads the work across the cluster so no node falls "
+    "behind the rest of the cluster a good plan reads the data once "
+    "and a bad plan reads the data many times so the engine caches "
+    "the results that the query needs again and the cache saves the "
+    "cluster from repeating the work"
+)
+
+
+def _markov_model(seed_text: str, key_size: int):
+    """Compile a word-level Markov chain (MarkovChain.java semantics:
+    split on single spaces, key = ``key_size`` consecutive words,
+    value = following word) into flat transition arrays suitable for a
+    per-row fold: sorted keys ``kt``; per-key successor slice
+    ``offs``/``cnts`` into ``ws`` (successor words, document order)
+    and ``nks`` (index of the key the walk slides to, −1 when the
+    successor window never occurs as a key — the document tail, where
+    the reference's walk would abort)."""
+    words = seed_text.split(" ")
+    chain: dict[str, list[str]] = {}
+    for i in range(len(words) - key_size):
+        key = " ".join(words[i:i + key_size])
+        chain.setdefault(key, []).append(words[i + key_size])
+    keys = sorted(chain)
+    key_idx = {k: j for j, k in enumerate(keys)}
+    offs, cnts, ws, nks = [], [], [], []
+    for k in keys:
+        succ = chain[k]
+        offs.append(len(ws))
+        cnts.append(len(succ))
+        tail = k.split(" ")[1:]
+        for w in succ:
+            ws.append(w)
+            nks.append(key_idx.get(" ".join(tail + [w]), -1))
+    return keys, offs, cnts, ws, nks
+
+
+def markov_text(n: int, words: int = 24, key_size: int = 3,
+                seed: int = 0, seed_text: str | None = None) -> Generated:
+    """TextGenerator.java / MarkovChain.java: Markov-chain text.
+
+    The reference walks a ``key_size``-gram chain over a seed corpus
+    (random start key, append a uniformly drawn successor, slide the
+    window) once per trigger and stamps the one walk onto every record
+    in the batch; here every record gets its own walk — same chain
+    semantics, per-row determinism.  Two deliberate divergences:
+    start-key order is sorted (the reference indexes a HashMap's
+    keySet array — JVM-iteration-order nondeterminism), and a walk
+    that slides off the document tail terminates (the reference would
+    NPE on the missing key).
+
+    Spark-first shape: the chain is compiled driver-side into flat
+    transition arrays (plan constants, like the LSH hyperplanes); each
+    row folds its pre-drawn counter-RNG values through one
+    ``F.aggregate`` whose state is (key index, text so far).  The
+    transition arrays are bound ONCE via the 1-element-array transform
+    (HOF lambdas re-evaluate referenced subtrees per element — an
+    unbound 2000-literal array would be rebuilt per step per row).
+    The DuckDB mirror is the same fold via ``list_reduce``.
+    """
+    from .dual import _sq
+    from .rng import mix, salt_of
+
+    text = seed_text if seed_text is not None else _MARKOV_SEED
+    keys, offs, cnts, ws, nks = _markov_model(text, key_size)
+    steps = max(words - key_size, 0)
+    i = _i()
+    k0 = uint(i, salt_of("$.markov", seed, "k0"), 0, len(keys))
+    draws = [mix(i, salt_of("$.markov", seed, "d", j)) for j in range(steps)]
+
+    arr_i = lambda xs: "array(%s)" % ",".join(f"{x}L" for x in xs)
+    arr_s = lambda xs: "array(%s)" % ",".join(_sq(x) for x in xs)
+
+    def col():
+        ctx = F.struct(
+            F.expr(arr_i(offs)).alias("o"), F.expr(arr_i(cnts)).alias("c"),
+            F.expr(arr_i(nks)).alias("nk"), F.expr(arr_s(ws)).alias("w"),
+            F.expr(arr_s([k for k in keys])).alias("kt"))
+        dcol = F.array(*[d.c for d in draws])
+        k0c = k0.c.cast("long")
+
+        def fold(cx):
+            init = F.struct(
+                k0c.alias("k"),
+                F.element_at(cx["kt"], (k0c + 1).cast("int")).alias("t"))
+
+            def merge(acc, d):
+                k = acc["k"]
+                cnt = F.element_at(cx["c"], (k + 1).cast("int"))
+                slot = (F.element_at(cx["o"], (k + 1).cast("int"))
+                        + F.pmod(d, cnt) + 1).cast("int")
+                return (F.when(k < 0, acc)
+                        .otherwise(F.struct(
+                            F.element_at(cx["nk"], slot).alias("k"),
+                            F.concat(acc["t"], F.lit(" "),
+                                     F.element_at(cx["w"], slot)).alias("t"))))
+
+            return F.aggregate(dcol, init, merge)["t"]
+
+        return F.element_at(F.transform(F.array(ctx), fold), 1)
+
+    o = "[%s]" % ",".join(f"{x}::BIGINT" for x in offs)
+    c = "[%s]" % ",".join(f"{x}::BIGINT" for x in cnts)
+    nk = "[%s]" % ",".join(f"{x}::BIGINT" for x in nks)
+    w = "[%s]" % ",".join(_sq(x) for x in ws)
+    kt = "[%s]" % ",".join(_sq(x) for x in keys)
+    dlist = "[%s]" % ",".join(d.s for d in draws)
+    slot = f"(({o})[(a.k + 1)::INT] + (e.k % ({c})[(a.k + 1)::INT]) + 1)::INT"
+    # field order in the accumulator struct is LOAD-BEARING: DuckDB's
+    # list_reduce evaluates result-struct fields sequentially and
+    # mutates the accumulator field-by-field, so an expression reading
+    # a.k after the 'k' field was written sees the NEW key.  't'
+    # (which reads the old key) must therefore be computed before 'k'.
+    sql = f"""(list_reduce(
+  list_concat(
+    [{{'t': ({kt})[(({k0.s}) + 1)::INT], 'k': ({k0.s})::BIGINT}}],
+    list_transform({dlist}, d -> {{'t': '', 'k': d::BIGINT}})),
+  (a, e) -> CASE WHEN a.k < 0 THEN a ELSE
+    {{'t': a.t || ' ' || ({w})[{slot}], 'k': ({nk})[{slot}]}} END)).t"""
+    rec = D(lambda: F.col("i").cast("long"), "CAST(i AS BIGINT)")
+    return Generated([("rec_id", rec), ("message", D(col, sql))], n)
+
+
 # -------------------------------------------------------------- finance
 
 def transactions(n_people: int = 100, max_tx: int = 5,

@@ -365,3 +365,59 @@ def test_lookup_skew(tmp_path):
     low = rows([{"name": "v", "class": "lookup", "file": str(f), "skew": 4}], n=500)
     vals = [int(v) for (v,) in low]
     assert sum(vals) / len(vals) < 35  # min-of-5 over 0..99
+
+
+# ------------------------------------------------------------- markov
+
+def test_markov_model_shape():
+    from nifi_datasynthesizer_spark.synthesizers import (_MARKOV_SEED,
+                                                         _markov_model)
+    keys, offs, cnts, ws, nks = _markov_model(_MARKOV_SEED, 3)
+    assert len(offs) == len(cnts) == len(keys)
+    assert len(ws) == len(nks) == sum(cnts)
+    assert offs == [sum(cnts[:i]) for i in range(len(cnts))]
+    # every key has at least one successor; branch points exist
+    assert min(cnts) >= 1 and max(cnts) > 1
+    # next-key indices are valid or the -1 tail sentinel
+    assert all(-1 <= nk < len(keys) for nk in nks)
+
+
+def test_markov_text_matches_python_walk(spark):
+    """The Spark fold must replay MarkovChain.java's walk semantics:
+    start at a (deterministically drawn) key, append a drawn successor,
+    slide the key window — verified against a plain-Python walk over
+    the same compiled model and the same counter-RNG draws."""
+    import duckdb
+
+    from nifi_datasynthesizer_spark import synthesizers as SZ
+    from nifi_datasynthesizer_spark.rng import mix, salt_of, uint
+    from nifi_datasynthesizer_spark.synthesizers import (_MARKOV_SEED, _i,
+                                                         _markov_model)
+
+    words, seed, n = 18, 11, 50
+    keys, offs, cnts, ws, nks = _markov_model(_MARKOV_SEED, 3)
+    i = _i()
+    k0 = uint(i, salt_of("$.markov", seed, "k0"), 0, len(keys))
+    draws = [mix(i, salt_of("$.markov", seed, "d", j))
+             for j in range(words - 3)]
+    sel = ", ".join([k0.s + " AS k0"]
+                    + [f"{d.s} AS d{j}" for j, d in enumerate(draws)])
+    expected = []
+    for row in duckdb.sql(
+            f"SELECT {sel} FROM range(0, {n}) t(i) ORDER BY i").fetchall():
+        k, ds = row[0], row[1:]
+        text = keys[k].split(" ")
+        for d in ds:
+            if k < 0:
+                break
+            slot = offs[k] + d % cnts[k]
+            text.append(ws[slot])
+            k = nks[slot]
+        expected.append(" ".join(text))
+
+    got = [r.message for r in
+           SZ.markov_text(n, words=words, seed=seed).df(spark)
+           .orderBy("rec_id").collect()]
+    assert got == expected
+    # texts branch (not one degenerate walk stamped everywhere)
+    assert len(set(got)) > 5
