@@ -394,6 +394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SZ.markov_text(5000, words=16, seed=5).df(spark)
     q["synth_markov_text"] = synth_markov_text
 
+    def synth_markov_sms(spark, sf):
+        # TextMessage.java parity: produceText char-budget message
+        return SZ.text_messages(2000, source_area=212, words=20, seed=6,
+                                markov_chars=80).df(spark)
+    q["synth_markov_sms"] = synth_markov_sms
+
     def synth_transactions(spark, sf):
         return SZ.transactions_df(spark, n_people=2000, max_tx=5,
                                   n_terminals=100, invalid_rate=0.05, seed=5)
@@ -784,6 +790,8 @@ GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""
     o["synth_phone_numbers"] = SZ.phone_numbers(SYNTH_N, area_code=555, seed=3).sql()
     o["synth_text_messages"] = SZ.text_messages(SYNTH_N, words=12, seed=4).sql()
     o["synth_markov_text"] = SZ.markov_text(5000, words=16, seed=5).sql()
+    o["synth_markov_sms"] = SZ.text_messages(2000, source_area=212, words=20,
+                                             seed=6, markov_chars=80).sql()
     o["synth_transactions"] = SZ.transactions_sql(
         n_people=2000, max_tx=5, n_terminals=100, invalid_rate=0.05, seed=5)
     o["synth_iot"] = SZ.iot_data_flat(n_devices=200, readings=50, seed=6).sql()

@@ -137,19 +137,31 @@ def phone_numbers(n: int, area_code: int | None = None, seed: int = 0) -> Genera
 
 def text_messages(n: int, source_area: int | None = None,
                   dest_area: int | None = None, words: int = 20,
-                  seed: int = 0) -> Generated:
-    """TextMessage.java: src/dst numbers + IMEIs, timestamp, message."""
+                  seed: int = 0,
+                  markov_chars: int | None = None) -> Generated:
+    """TextMessage.java: src/dst numbers + IMEIs, timestamp, message.
+
+    ``markov_chars`` switches the message body to the reference's
+    actual text source — MarkovChain.produceText over a seed corpus
+    with a character budget (TextMessage.java builds its message
+    schema from ``textGen.produceText(textLength)``); default stays
+    the cheap hash-chain text."""
     i = _i()
     sctx = Ctx(i, seed, "$.sms.src")
     dctx = Ctx(i, seed, "$.sms.dst")
     mctx = Ctx(i, seed, "$.sms.msg")
     t = X.floor(u01(i, mctx.salt("ts")) * (3 * 365 * 86400.0)) + 1577836800
+    if markov_chars is not None:
+        msg = markov_message(words=3 + markov_chars // 3, seed=seed,
+                             max_chars=markov_chars)
+    else:
+        msg = s_text({"length": words}, mctx)
     return Generated([
         ("source_phone", s_phone({"area_code": source_area} if source_area else {}, sctx)),
         ("source_imei", s_imei({}, sctx)),
         ("destination_phone", s_phone({"area_code": dest_area} if dest_area else {}, dctx)),
         ("timestamp", _fmt_epoch_s(t, "yyyy-MM-dd HH:mm:ss")),
-        ("message", s_text({"length": words}, mctx)),
+        ("message", msg),
     ], n)
 
 
@@ -238,28 +250,17 @@ def _markov_model(seed_text: str, key_size: int):
     return keys, offs, cnts, ws, nks
 
 
-def markov_text(n: int, words: int = 24, key_size: int = 3,
-                seed: int = 0, seed_text: str | None = None) -> Generated:
-    """TextGenerator.java / MarkovChain.java: Markov-chain text.
-
-    The reference walks a ``key_size``-gram chain over a seed corpus
-    (random start key, append a uniformly drawn successor, slide the
-    window) once per trigger and stamps the one walk onto every record
-    in the batch; here every record gets its own walk — same chain
-    semantics, per-row determinism.  Two deliberate divergences:
-    start-key order is sorted (the reference indexes a HashMap's
-    keySet array — JVM-iteration-order nondeterminism), and a walk
-    that slides off the document tail terminates (the reference would
-    NPE on the missing key).
-
-    Spark-first shape: the chain is compiled driver-side into flat
-    transition arrays (plan constants, like the LSH hyperplanes); each
-    row folds its pre-drawn counter-RNG values through one
-    ``F.aggregate`` whose state is (key index, text so far).  The
-    transition arrays are bound ONCE via the 1-element-array transform
-    (HOF lambdas re-evaluate referenced subtrees per element — an
-    unbound 2000-literal array would be rebuilt per step per row).
-    The DuckDB mirror is the same fold via ``list_reduce``.
+def markov_message(words: int = 24, key_size: int = 3, seed: int = 0,
+                   seed_text: str | None = None,
+                   max_chars: int | None = None) -> D:
+    """The Markov walk as a dual scalar expression (one text value per
+    row) — see :func:`markov_text` for semantics.  ``max_chars``
+    switches to MarkovChain.produceText's character-budget mode: the
+    walk stops before a word that would push the text past the budget
+    (our counter is ``len(text) + 1 + len(word)`` — the reference
+    counts appended-word chars plus word count separately; same
+    growth, slightly different bookkeeping, documented divergence).
+    ``words`` bounds the step count in both modes.
     """
     from .dual import _sq
     from .rng import mix, salt_of
@@ -292,11 +293,16 @@ def markov_text(n: int, words: int = 24, key_size: int = 3,
                 cnt = F.element_at(cx["c"], (k + 1).cast("int"))
                 slot = (F.element_at(cx["o"], (k + 1).cast("int"))
                         + F.pmod(d, cnt) + 1).cast("int")
-                return (F.when(k < 0, acc)
-                        .otherwise(F.struct(
-                            F.element_at(cx["nk"], slot).alias("k"),
-                            F.concat(acc["t"], F.lit(" "),
-                                     F.element_at(cx["w"], slot)).alias("t"))))
+                word = F.element_at(cx["w"], slot)
+                out = F.when(k < 0, acc)
+                if max_chars is not None:
+                    out = out.when(
+                        F.length(acc["t"]) + 1 + F.length(word) > max_chars,
+                        F.struct(F.lit(-1).cast("long").alias("k"),
+                                 acc["t"].alias("t")))
+                return out.otherwise(F.struct(
+                    F.element_at(cx["nk"], slot).alias("k"),
+                    F.concat(acc["t"], F.lit(" "), word).alias("t")))
 
             return F.aggregate(dcol, init, merge)["t"]
 
@@ -314,14 +320,45 @@ def markov_text(n: int, words: int = 24, key_size: int = 3,
     # mutates the accumulator field-by-field, so an expression reading
     # a.k after the 'k' field was written sees the NEW key.  't'
     # (which reads the old key) must therefore be computed before 'k'.
+    budget = ("" if max_chars is None else
+              f"WHEN length(a.t) + 1 + length(({w})[{slot}]) > {max_chars} "
+              f"THEN {{'t': a.t, 'k': (-1)::BIGINT}} ")
     sql = f"""(list_reduce(
   list_concat(
     [{{'t': ({kt})[(({k0.s}) + 1)::INT], 'k': ({k0.s})::BIGINT}}],
     list_transform({dlist}, d -> {{'t': '', 'k': d::BIGINT}})),
-  (a, e) -> CASE WHEN a.k < 0 THEN a ELSE
+  (a, e) -> CASE WHEN a.k < 0 THEN a {budget}ELSE
     {{'t': a.t || ' ' || ({w})[{slot}], 'k': ({nk})[{slot}]}} END)).t"""
+    return D(col, sql)
+
+
+def markov_text(n: int, words: int = 24, key_size: int = 3,
+                seed: int = 0, seed_text: str | None = None,
+                max_chars: int | None = None) -> Generated:
+    """TextGenerator.java / MarkovChain.java: Markov-chain text.
+
+    The reference walks a ``key_size``-gram chain over a seed corpus
+    (random start key, append a uniformly drawn successor, slide the
+    window) once per trigger and stamps the one walk onto every record
+    in the batch; here every record gets its own walk — same chain
+    semantics, per-row determinism.  Two deliberate divergences:
+    start-key order is sorted (the reference indexes a HashMap's
+    keySet array — JVM-iteration-order nondeterminism), and a walk
+    that slides off the document tail terminates (the reference would
+    NPE on the missing key).
+
+    Spark-first shape: the chain is compiled driver-side into flat
+    transition arrays (plan constants, like the LSH hyperplanes); each
+    row folds its pre-drawn counter-RNG values through one
+    ``F.aggregate`` whose state is (key index, text so far).  The
+    transition arrays are bound ONCE via the 1-element-array transform
+    (HOF lambdas re-evaluate referenced subtrees per element — an
+    unbound 2000-literal array would be rebuilt per step per row).
+    The DuckDB mirror is the same fold via ``list_reduce``.
+    """
     rec = D(lambda: F.col("i").cast("long"), "CAST(i AS BIGINT)")
-    return Generated([("rec_id", rec), ("message", D(col, sql))], n)
+    msg = markov_message(words, key_size, seed, seed_text, max_chars)
+    return Generated([("rec_id", rec), ("message", msg)], n)
 
 
 # -------------------------------------------------------------- finance

@@ -421,3 +421,17 @@ def test_markov_text_matches_python_walk(spark):
     assert got == expected
     # texts branch (not one degenerate walk stamped everywhere)
     assert len(set(got)) > 5
+
+
+def test_markov_char_budget(spark):
+    """produceText mode: no message exceeds the char budget, and the
+    walk stays a valid chain prefix (budget only truncates)."""
+    from nifi_datasynthesizer_spark import synthesizers as SZ
+    lim = SZ.markov_text(40, words=30, seed=7, max_chars=60).df(spark)
+    free = SZ.markov_text(40, words=30, seed=7).df(spark)
+    lim_rows = {r.rec_id: r.message for r in lim.collect()}
+    free_rows = {r.rec_id: r.message for r in free.collect()}
+    assert all(len(m) <= 60 for m in lim_rows.values())
+    assert any(len(m) < len(free_rows[k]) for k, m in lim_rows.items())
+    for k, m in lim_rows.items():
+        assert free_rows[k].startswith(m)
