@@ -129,9 +129,21 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     def body(words):
         n = F.size(words)
-        top = F.array_max(F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w))))
+        # top-count via sorted run-lengths: O(L log L) per doc, not the
+        # O(L · distinct) count-per-distinct-word scan — the difference
+        # between linearithmic and quadratic on book-length documents
+        top = F.aggregate(
+            F.array_sort(words),
+            F.struct(F.lit(0).cast("long").alias("best"),
+                     F.lit(0).cast("long").alias("run"),
+                     F.lit("").alias("prev")),
+            lambda a, w: F.struct(
+                F.greatest(a["best"],
+                           F.when(w == a["prev"], a["run"] + 1)
+                           .otherwise(F.lit(1).cast("long"))).alias("best"),
+                F.when(w == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1).cast("long")).alias("run"),
+                w.alias("prev")))["best"]
         return F.struct(
             n.alias("n"), top.alias("top"))
 

@@ -407,8 +407,20 @@ WITH W AS (SELECT doc_id, {_RAW_WORDS} AS w,
            FROM {table}),
 g AS (SELECT doc_id, w, {g2} AS g2, {g3} AS g3 FROM W)
 SELECT doc_id, len(w) AS n_words,
-       list_max(list_transform(list_distinct(w),
-                               x -> len(list_filter(w, y -> y = x))))
+       -- sorted run-length fold (mirror of curation.repetition_stats);
+       -- field order matters: every field reads only pre-mutation
+       -- accumulator fields (list_reduce mutates field-by-field)
+       (list_reduce(
+          list_concat([{{'best': 0::BIGINT, 'run': 0::BIGINT, 'prev': ''}}],
+                      list_transform(list_sort(w),
+                                     x -> {{'best': 0::BIGINT,
+                                            'run': 0::BIGINT, 'prev': x}})),
+          (a, e) -> {{'best': GREATEST(a.best,
+                                       CASE WHEN e.prev = a.prev
+                                            THEN a.run + 1 ELSE 1 END),
+                      'run': CASE WHEN e.prev = a.prev
+                                  THEN a.run + 1 ELSE 1 END,
+                      'prev': e.prev}})).best
          / CAST(GREATEST(len(w), 1) AS DOUBLE) AS top_word_frac,
        1.0e0 - len(list_distinct(g2)) / CAST(GREATEST(len(g2), 1) AS DOUBLE)
          AS dup_2gram_frac,
