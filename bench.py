@@ -88,11 +88,15 @@ def main() -> None:
     timings["synth_commuter_1k"] = round(time.perf_counter() - t0, 3)
 
     # IVF recall vs exact bruteforce at this SF (stratified centroids =
-    # the oracle-gated path; kmeans = the production recall path)
+    # the oracle-gated path; kmeans++ = the production path for real,
+    # clustered corpora — on this SYNTHETIC isotropic embedding table
+    # the two tie within noise, as expected: with no cluster structure
+    # any balanced Voronoi partition prunes equally).  50 queries (500
+    # truth pairs) keeps the recall estimate stable to ~±0.02.
     from nifi_datasynthesizer_spark.io import read_table
     from nifi_datasynthesizer_spark.operators import similarity as SIM
     emb = read_table(spark, SF_DIR, "embeddings")
-    qdf = emb.filter(F.col("vec_id") < 5)
+    qdf = emb.filter(F.col("vec_id") < 50)
     truth = {(r.query_id, r.cand_id)
              for r in SIM.ann_bruteforce(emb, qdf, k=10).collect()}
     cents = SIM.kmeans_centroids(emb, n_centroids=16, sample_fraction=0.25,

@@ -172,7 +172,20 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
     x = np.array([r["v"] for r in sample], dtype=np.float64)
     if len(x) < n_centroids:        # degenerate corpus: pad by cycling
         x = np.tile(x, (int(np.ceil(n_centroids / max(len(x), 1))), 1))
-    cents = x[:n_centroids].copy()
+    # k-means++ seeding (deterministic Generator): spread initial
+    # centers by cosine distance instead of taking the sample head —
+    # head-of-sample init degenerates when the sample is ordered
+    rng = np.random.default_rng(seed)
+    picked = [int(rng.integers(len(x)))]
+    for _ in range(n_centroids - 1):
+        d = 1.0 - np.max(x @ x[picked].T, axis=1)
+        d = np.maximum(d, 0.0)
+        tot = d.sum()
+        if tot <= 0:
+            picked.append(int(rng.integers(len(x))))
+        else:
+            picked.append(int(rng.choice(len(x), p=d / tot)))
+    cents = x[picked].copy()
     for _ in range(iters):
         sims = x @ cents.T                      # cosine (all normalized)
         assign = sims.argmax(axis=1)
