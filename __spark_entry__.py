@@ -356,6 +356,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("day", "event_type"))
     q["streaming_events_daily"] = streaming_events_daily
 
+    def streaming_sessionize(spark, sf):
+        """Native session windows (F.session_window, gap-merged state)
+        over the replayed events stream, drained to completion.  The
+        batch mirror is gap-based sessionization; the boundary rule
+        differs — session_window opens a NEW session when the gap is
+        exactly equal to the gap duration (intervals are half-open), so
+        the oracle uses >= where the batch lag-rule query uses >."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = ST.sessionized_agg(
+            ev, "ts", ["user_id"],
+            [F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value")],
+            gap="30 minutes", watermark="0 seconds")
+        out = ST.run_bounded(agg, "stream_sessionize")
+        return (out.select("user_id",
+                           F.unix_micros(F.col("sess.start"))
+                           .alias("session_start_us"),
+                           "n_events", "total_value")
+                .orderBy("user_id", "session_start_us"))
+    q["streaming_sessionize"] = streaming_sessionize
+
+    def streaming_dedup_docs(spark, sf):
+        """Streaming exact dedup (dropDuplicatesWithinWatermark) over
+        the documents table replayed as a stream.  Which doc_id
+        survives inside a micro-batch is partition-order-dependent, so
+        the gated output is the surviving digest SET (deterministic);
+        the oracle is the batch distinct over the same digest."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        raw = spark.read.parquet(f"{sf}/documents.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="documents.parquet")
+        # offset off epoch: a row AT the initial watermark (epoch 0)
+        # would be discarded as late before the dedup state sees it
+        ev = src.withColumn(
+            "event_time",
+            F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000)))
+        kept = ST.dedup_stream_exact(ev, "event_time", watermark="1 hour")
+        q_ = ST.run_to_memory(kept.select("digest"), "stream_dedup_docs",
+                              output_mode="append")
+        try:
+            q_.awaitTermination()
+        finally:
+            q_.stop()
+        return (spark.table("stream_dedup_docs").select("digest")
+                .distinct().orderBy("digest"))
+    q["streaming_dedup_docs"] = streaming_dedup_docs
+
     # ---- schema-driven synthesis (the reference's core capability)
     def synth_basic(spark, sf):
         return compile_schema(SYNTH_BASIC_SCHEMA, seed=1).dataframe(spark, SYNTH_N)
@@ -775,6 +827,22 @@ ORDER BY e.event_id"""
 SELECT CAST(ts AS DATE) AS day, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY day, event_type ORDER BY day, event_type"""
+
+    o["streaming_sessionize"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+m AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m)
+SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start_us"""
+
+    o["streaming_dedup_docs"] = f"""
+SELECT DISTINCT MD5({_NORM}) AS digest FROM documents ORDER BY digest"""
 
     o["events_retention"] = """
 WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
