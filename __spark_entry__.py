@@ -408,6 +408,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .distinct().orderBy("digest"))
     q["streaming_dedup_docs"] = streaming_dedup_docs
 
+    def streaming_running_totals(spark, sf):
+        """Custom stateful operator (applyInPandasWithState) under the
+        oracle gate: per-user running sum/count over the replayed
+        events stream.  Values are quantized to integer cents BEFORE
+        the stateful sum so the Python-side accumulation is exact and
+        order-independent (float sums drift across engines); the final
+        state per key equals the batch aggregate.  Update-mode output
+        may hold one row per key per micro-batch — the final state is
+        the row with the largest n (n is monotone per key)."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        ev = src.select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.floor(F.col("value") * 100).cast("double").alias("cents"))
+        out = ST.running_totals(ev, "user_id", "cents")
+        q_ = ST.run_to_memory(out, "stream_running_totals",
+                              output_mode="update")
+        try:
+            q_.awaitTermination()
+        finally:
+            q_.stop()
+        tbl = spark.table("stream_running_totals")
+        final = tbl.groupBy("key").agg(
+            F.max(F.struct("n", "total")).alias("s"))
+        return (final.select(F.col("key").alias("user_id"),
+                             F.col("s.n").alias("n_events"),
+                             (F.col("s.total") / F.lit(100.0))
+                             .alias("total_value"))
+                .orderBy("user_id"))
+    q["streaming_running_totals"] = streaming_running_totals
+
     # ---- schema-driven synthesis (the reference's core capability)
     def synth_basic(spark, sf):
         return compile_schema(SYNTH_BASIC_SCHEMA, seed=1).dataframe(spark, SYNTH_N)
@@ -843,6 +877,11 @@ FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start_us"""
 
     o["streaming_dedup_docs"] = f"""
 SELECT DISTINCT MD5({_NORM}) AS digest FROM documents ORDER BY digest"""
+
+    o["streaming_running_totals"] = """
+SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY user_id ORDER BY user_id"""
 
     o["events_retention"] = """
 WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
