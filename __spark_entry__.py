@@ -706,6 +706,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_repetition"] = text_repetition
 
+    def dedup_spans_q(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.dedup_spans(_t(spark, sf, "documents"), span_words=8)
+                .orderBy("doc_id"))
+    q["dedup_spans"] = dedup_spans_q
+
     def text_pii_scrub(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         base = compile_schema(SYNTH_PII_SCHEMA, seed=17).dataframe(spark, SYNTH_N)
@@ -1051,6 +1057,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["corpus_decontaminate"] = OR.decontaminate_sql(
         ngram=8, eval_pred="doc_id % 101 = 0")
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
+    o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
     o["text_repetition"] = OR.repetition_stats_sql()
     _pii_counts, _pii_scrubbed = OR.pii_scrub_exprs()
     o["text_pii_scrub"] = f"""

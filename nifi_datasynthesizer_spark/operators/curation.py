@@ -201,3 +201,51 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select("*", scrubbed.alias(f"{text_col}_scrubbed"), *counts)
+
+
+def dedup_spans(docs: DataFrame, span_words: int = 8,
+                text_col: str = "text") -> DataFrame:
+    """Span-level exact dedup (C4/RefinedWeb-style line dedup, adapted
+    to fixed word windows): any span whose normalized content already
+    occurred earlier in the corpus — ordered by (doc_id, span index) —
+    is removed, and each document's text is rebuilt from its surviving
+    spans in order.
+
+    Plan shape for 100 TB: the corpus explodes to spans (narrow, see
+    chunk_words), the global first-occurrence pick is ONE shuffle on
+    the span digest (uniform md5 key — no skew), and the rebuild is
+    one shuffle on doc_id.  Per-document span totals come from the
+    original docs scan as a pure column expression (no second
+    explode).  Nothing driver-side, no Python.
+
+    Returns (doc_id, text, n_spans, n_spans_removed).
+    """
+    from .dedup import normalize_text
+
+    spans = chunk_words(docs, max_words=span_words, text_col=text_col)
+    d = spans.withColumn("digest",
+                         F.md5(normalize_text(F.col("chunk_text"))))
+    # globally-first occurrence per digest; struct min == min by
+    # (doc_id, chunk_id) because the pair is unique per span
+    kept = (d.groupBy("digest")
+            .agg(F.min(F.struct("doc_id", "chunk_id", "chunk_text"))
+                 .alias("w"))
+            .select("w.doc_id", "w.chunk_id", "w.chunk_text"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("chunk_id", "chunk_text"))),
+                        lambda s: s["chunk_text"])).alias("text"),
+                    F.count("*").alias("n_spans_kept")))
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    totals = docs.select(
+        "doc_id",
+        F.greatest(F.ceil(F.size(words) / float(span_words)).cast("int"),
+                   F.lit(1)).alias("n_spans"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    (F.col("n_spans") - F.coalesce(F.col("n_spans_kept"),
+                                                   F.lit(0)))
+                    .cast("long").alias("n_spans_removed")))

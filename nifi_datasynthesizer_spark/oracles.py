@@ -441,3 +441,39 @@ def pii_scrub_exprs() -> tuple[list[str], str]:
     for _, pat, token in PII_PATTERNS:
         scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
     return counts, scrubbed
+
+
+def dedup_spans_sql(span_words: int = 8, table: str = "documents") -> str:
+    """Mirror of curation.dedup_spans: global first-occurrence pick per
+    normalized span digest (ROW_NUMBER over (doc_id, chunk_id) order ==
+    Spark's struct-min), rebuild by ordered string_agg."""
+    m = span_words
+    norm_chunk = ("TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(chunk_text),"
+                  " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+    return f"""
+WITH W AS (SELECT doc_id, {_RAW_WORDS} AS w FROM {table}),
+ex AS (SELECT doc_id, w,
+              unnest(range(0, GREATEST(CAST(CEIL(len(w) / {float(m)}) AS INT), 1)))
+                AS chunk_id
+       FROM W),
+c AS (SELECT doc_id, chunk_id,
+             array_to_string(list_slice(w, chunk_id * {m} + 1,
+                                        chunk_id * {m} + {m}), ' ')
+               AS chunk_text
+      FROM ex),
+d AS (SELECT doc_id, chunk_id, chunk_text, MD5({norm_chunk}) AS digest FROM c),
+k AS (SELECT doc_id, chunk_id, chunk_text FROM (
+        SELECT d.*, ROW_NUMBER() OVER (PARTITION BY digest
+                                       ORDER BY doc_id, chunk_id) AS rn
+        FROM d)
+      WHERE rn = 1),
+reb AS (SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text,
+               COUNT(*) AS kept
+        FROM k GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               GREATEST(CAST(CEIL(len(w) / {float(m)}) AS INT), 1) AS n_spans
+        FROM W)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(t.n_spans - COALESCE(r.kept, 0) AS BIGINT) AS n_spans_removed
+FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""

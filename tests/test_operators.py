@@ -263,3 +263,26 @@ def test_pii_scrub_planted(spark):
     assert out[0].text_scrubbed == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> end"
     assert out[1].text_scrubbed == "nothing sensitive here"
     assert out[1].n_email == out[1].n_ssn == 0
+
+
+def test_dedup_spans_planted(spark):
+    """Span dedup: globally-first span survives, later exact repeats
+    are cut, documents rebuilt from surviving spans in order."""
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    rows = [
+        (0, "a b c d e f g h"),          # spans: [a b c d], [e f g h]
+        (1, "a b c d x y z w"),          # first span dups doc 0's
+        (2, "a b c d e f g h"),          # both spans dup doc 0's
+        (3, "p q r s"),                  # unique single span
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           CU.dedup_spans(docs, span_words=4).collect()}
+    assert out[0].text == "a b c d e f g h"
+    assert out[0].n_spans_removed == 0
+    assert out[1].text == "x y z w"           # leading dup span cut
+    assert out[1].n_spans_removed == 1
+    assert out[2].text == ""                  # fully duplicated doc
+    assert (out[2].n_spans, out[2].n_spans_removed) == (2, 2)
+    assert out[3].text == "p q r s"
+    assert out[3].n_spans == 1
