@@ -706,6 +706,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_repetition"] = text_repetition
 
+    def corpus_ngrams(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return CU.corpus_ngrams(_t(spark, sf, "documents"), n=2, k=20)
+    q["corpus_ngrams"] = corpus_ngrams
+
+    def corpus_pack(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.pack_sequences(_t(spark, sf, "documents"),
+                                  seq_tokens=256, shards=8)
+                .orderBy("doc_id"))
+    q["corpus_pack"] = corpus_pack
+
+    def corpus_mix(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.corpus_mix_report(_t(spark, sf, "documents"))
+                .orderBy("source", "lang"))
+    q["corpus_mix"] = corpus_mix
+
     def dedup_spans_q(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         return (CU.dedup_spans(_t(spark, sf, "documents"), span_words=8)
@@ -1058,6 +1076,9 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         ngram=8, eval_pred="doc_id % 101 = 0")
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
+    o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
+    o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)
+    o["corpus_mix"] = OR.corpus_mix_report_sql()
     o["text_repetition"] = OR.repetition_stats_sql()
     _pii_counts, _pii_scrubbed = OR.pii_scrub_exprs()
     o["text_pii_scrub"] = f"""

@@ -14,7 +14,7 @@ data; these operators consume corpora at scale.  They are the §2c
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..phash import h60
@@ -201,6 +201,87 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select("*", scrubbed.alias(f"{text_col}_scrubbed"), *counts)
+
+
+def corpus_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams (vocabulary /
+    boilerplate discovery — the usual first look at a new crawl).
+
+    Plan shape for 100 TB: documents explode to normalized n-grams
+    (narrow), then ONE hash aggregation on the gram string.  Heavy
+    hitters (the whole point of the query) are absorbed map-side by
+    partial aggregation before the exchange, so the shuffle carries
+    at most |distinct grams per partition| rows, not |grams|.  The
+    final top-k sorts only the aggregated result.  Ties at the k
+    boundary break on the gram string, so the result set is
+    deterministic.
+    """
+    grams = (ensure_parallelism(docs)
+             .select(F.explode(_shingles(F.col(text_col), n)).alias("gram")))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), "gram").limit(k)
+
+
+def pack_sequences(docs: DataFrame, seq_tokens: int = 256, shards: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """Concat-and-split sequence packing (GPT-style pretraining
+    batching): within a shard, documents are concatenated in doc_id
+    order and the token stream is cut every ``seq_tokens`` tokens.
+    Emits per document its shard, token count, start offset in the
+    shard's stream, and the first/last training-sequence ids it lands
+    in — everything a loader needs to materialize packed sequences.
+
+    Global packing is inherently sequential, which does not scale;
+    hash-sharding (h60 on doc_id) makes each shard an independent
+    stream.  The whole operator is ONE shuffle on the shard key plus
+    a per-shard window cumsum; token counts are integers, so the
+    running sum is exact and replayable.  ``shards`` would be O(10k)
+    on a real cluster; tests use a handful.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        (h60(F.col("doc_id").cast("string")) % shards).alias("shard"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    out = toks.select("doc_id", "shard", "n_tokens", start)
+    return out.select(
+        "doc_id", "shard", "n_tokens", "start_tok",
+        F.floor(F.col("start_tok") / seq_tokens).alias("first_pack"),
+        F.floor((F.col("start_tok")
+                 + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / seq_tokens).alias("last_pack"))
+
+
+def corpus_mix_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-mix accounting: per (source, lang) document counts,
+    token and char totals, and each cell's share of all tokens in
+    parts-per-million.
+
+    One aggregation over the corpus (map-side partials; the grouped
+    key space is tiny), then the ppm share is computed against the
+    global total via an unpartitioned window over the *aggregated*
+    rows — a handful of (source, lang) cells, so the single-task
+    window is free.  Shares are integer-floor ppm
+    (``tokens * 1e6 // total``), exact across engines.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    per = (docs
+           .select("source", "lang", F.size(words).cast("long").alias("t"),
+                   F.length(F.col(text_col)).cast("long").alias("c"))
+           .groupBy("source", "lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("t").alias("n_tokens"),
+                F.sum("c").alias("n_chars")))
+    total = F.sum("n_tokens").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing))
+    return per.select(
+        "source", "lang", "n_docs", "n_tokens", "n_chars",
+        F.floor(F.col("n_tokens") * PPM / total).alias("share_ppm"))
 
 
 def dedup_spans(docs: DataFrame, span_words: int = 8,

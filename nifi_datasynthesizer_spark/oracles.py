@@ -443,6 +443,51 @@ def pii_scrub_exprs() -> tuple[list[str], str]:
     return counts, scrubbed
 
 
+def corpus_ngrams_sql(n: int = 2, k: int = 20,
+                      table: str = "documents") -> str:
+    """Mirror of curation.corpus_ngrams: top-k normalized word
+    n-grams, ties at the boundary broken on the gram string."""
+    return f"""
+WITH W AS (SELECT string_split({_NORM}, ' ') AS w FROM {table}),
+g AS (SELECT unnest({_grams_expr(n, 'w')}) AS gram FROM W)
+SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+ORDER BY n DESC, gram LIMIT {k}"""
+
+
+def pack_sequences_sql(seq_tokens: int = 256, shards: int = 8,
+                       table: str = "documents") -> str:
+    """Mirror of curation.pack_sequences: per-shard running token sum
+    (integer, exact) and first/last pack ids."""
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len({_RAW_WORDS}) AS BIGINT) AS n_tokens,
+                  {h60_sql("CAST(doc_id AS VARCHAR)")} % {shards} AS shard
+           FROM {table}),
+s AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_tok
+      FROM t)
+SELECT doc_id, shard, n_tokens, start_tok,
+       CAST(FLOOR(start_tok / {float(seq_tokens)}) AS BIGINT) AS first_pack,
+       CAST(FLOOR((start_tok + GREATEST(n_tokens, 1) - 1)
+                  / {float(seq_tokens)}) AS BIGINT) AS last_pack
+FROM s ORDER BY doc_id"""
+
+
+def corpus_mix_report_sql(table: str = "documents") -> str:
+    """Mirror of curation.corpus_mix_report: per (source, lang)
+    totals with integer-floor ppm token share."""
+    return f"""
+WITH per AS (SELECT source, lang, COUNT(*) AS n_docs,
+                    SUM(CAST(len({_RAW_WORDS}) AS BIGINT)) AS n_tokens,
+                    SUM(CAST(LENGTH(text) AS BIGINT)) AS n_chars
+             FROM {table} GROUP BY source, lang)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+       CAST(FLOOR(n_tokens * 1000000 / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+            AS BIGINT) AS share_ppm
+FROM per ORDER BY source, lang"""
+
+
 def dedup_spans_sql(span_words: int = 8, table: str = "documents") -> str:
     """Mirror of curation.dedup_spans: global first-occurrence pick per
     normalized span digest (ROW_NUMBER over (doc_id, chunk_id) order ==

@@ -286,3 +286,44 @@ def test_dedup_spans_planted(spark):
     assert (out[2].n_spans, out[2].n_spans_removed) == (2, 2)
     assert out[3].text == "p q r s"
     assert out[3].n_spans == 1
+
+
+def test_corpus_ngrams_planted(spark):
+    """Top-k bigrams: counts over normalized text, ties broken on the
+    gram string."""
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "a dog ran")],
+        ["doc_id", "text"])
+    out = CU.corpus_ngrams(docs, n=2, k=3).collect()
+    assert (out[0].gram, out[0].n) == ("the cat", 2)
+    # four singletons compete for two slots; lexicographic tie-break
+    assert [(r.gram, r.n) for r in out[1:]] == [("a dog", 1), ("cat ran", 1)]
+
+
+def test_pack_sequences_planted(spark):
+    """Packing with one shard: running offsets and pack-id spans."""
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(0, 3), (1, 4), (2, 2)]],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           CU.pack_sequences(docs, seq_tokens=4, shards=1).collect()}
+    assert (out[0].start_tok, out[0].first_pack, out[0].last_pack) == (0, 0, 0)
+    assert (out[1].start_tok, out[1].first_pack, out[1].last_pack) == (3, 0, 1)
+    assert (out[2].start_tok, out[2].first_pack, out[2].last_pack) == (7, 1, 2)
+
+
+def test_corpus_mix_report_planted(spark):
+    """Mix accounting: per-(source,lang) totals and floor-ppm shares."""
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "web"), (1, "d e", "en", "web"),
+         (2, "f g h i j", "de", "books")],
+        ["doc_id", "text", "lang", "source"])
+    out = {(r.source, r.lang): r
+           for r in CU.corpus_mix_report(docs).collect()}
+    web = out[("web", "en")]
+    assert (web.n_docs, web.n_tokens) == (2, 5)
+    assert web.share_ppm == 500_000
+    assert out[("books", "de")].share_ppm == 500_000
