@@ -160,6 +160,10 @@ SYNTH_NET_SCHEMA = [
 
 SYNTH_N = 20_000
 
+# BM25 retrieval queries over the synthetic documents table (its
+# vocabulary is database/engine words, so these hit real postings)
+BM25_QUERIES = ["hash join table", "window sort merge", "scan filter fast"]
+
 # email/ip/ssn/phone bearing records for the PII-scrub query — the
 # generated fields are concatenated into one sentence, scrubbed, and
 # the oracle replays generation + regex scrub in DuckDB
@@ -706,6 +710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_repetition"] = text_repetition
 
+    def text_bm25(spark, sf):
+        from nifi_datasynthesizer_spark.operators import search as SE
+        return (SE.bm25_topk(_t(spark, sf, "documents"), BM25_QUERIES, k=10)
+                .orderBy("query_id", "rank"))
+    q["text_bm25"] = text_bm25
+
     def corpus_ngrams(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         return CU.corpus_ngrams(_t(spark, sf, "documents"), n=2, k=20)
@@ -1076,6 +1086,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         ngram=8, eval_pred="doc_id % 101 = 0")
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
+    o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)
     o["corpus_mix"] = OR.corpus_mix_report_sql()

@@ -488,6 +488,53 @@ SELECT source, lang, n_docs, n_tokens, n_chars,
 FROM per ORDER BY source, lang"""
 
 
+def bm25_topk_sql(queries: list[str], k: int = 10, k1: float = 1.2,
+                  b: float = 0.75, table: str = "documents") -> str:
+    """Mirror of search.bm25_topk: identical operand values and
+    operation order; ln() ulp drift absorbed by the 1e-4 score
+    quantization that both engines rank on."""
+    from .dual import _fmt_num
+    from .operators.search import _query_terms
+
+    terms = _query_terms(queries)
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    one, half = _fmt_num(1.0), _fmt_num(0.5)
+    k1s, bs, k11 = _fmt_num(k1), _fmt_num(b), _fmt_num(k1 + 1.0)
+
+    def term_score(i: int) -> str:
+        idf = (f"LN({one} + (n - df_{i} + {half}) / (df_{i} + {half}))")
+        return (f"({idf} * (tf_{i} * {k11}) / (tf_{i} + {k1s} * "
+                f"({one} - {bs} + {bs} * dl / avgdl)))")
+
+    selects = []
+    for qi, q in enumerate(queries):
+        idxs = [terms.index(tok) for tok in _query_terms([q])]
+        score = " + ".join(term_score(i) for i in idxs)
+        selects.append(
+            f"SELECT doc_id, {qi} AS query_id, "
+            f"CAST(FLOOR(({score}) * {_fmt_num(1e4)}) AS BIGINT) AS score_q4 "
+            f"FROM t, st")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {table}),
+t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, {tf_cols} FROM d),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl_raw,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols}
+       FROM t),
+sc AS ({union})
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score_q4 DESC, doc_id) AS rank,
+       doc_id, score_q4
+FROM sc WHERE score_q4 > 0
+QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 def dedup_spans_sql(span_words: int = 8, table: str = "documents") -> str:
     """Mirror of curation.dedup_spans: global first-occurrence pick per
     normalized span digest (ROW_NUMBER over (doc_id, chunk_id) order ==

@@ -327,3 +327,25 @@ def test_corpus_mix_report_planted(spark):
     assert (web.n_docs, web.n_tokens) == (2, 5)
     assert web.share_ppm == 500_000
     assert out[("books", "de")].share_ppm == 500_000
+
+
+def test_bm25_topk_planted(spark):
+    """BM25: rare-term matches outrank common-term matches; documents
+    without query terms are excluded."""
+    from nifi_datasynthesizer_spark.operators import search as SE
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana pear"),   # tf(apple)=2
+         (1, "apple kiwi kiwi kiwi"),      # tf(apple)=1, tf(kiwi)=3
+         (2, "banana pear plum grape"),    # no query terms
+         (3, "apple plum plum plum")],     # tf(apple)=1
+        ["doc_id", "text"])
+    out = SE.bm25_topk(docs, ["apple", "kiwi apple"], k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # q0 "apple": doc 0 (tf=2) first; doc 2 never appears
+    assert [r.doc_id for r in by_q[0]] == [0, 1, 3]
+    assert all(r.doc_id != 2 for r in out)
+    # q1 "kiwi apple": kiwi is rarer (df=1 vs 3) -> doc 1 dominates
+    assert by_q[1][0].doc_id == 1
+    assert by_q[1][0].score_q4 > by_q[1][1].score_q4
