@@ -1,0 +1,95 @@
+"""Distributed embedding clustering (Lloyd's k-means).
+
+Semantic-dedup / topic-bucketing step of an embedding pipeline:
+every vector gets a cluster id, clusters get centroids.  Distinct
+from similarity.kmeans_centroids (which fits centroids on a driver
+sample for IVF seeding): here the ASSIGNMENT of the full corpus is
+the product, so each iteration is a distributed pass.
+
+Plan shape for 100 TB per iteration:
+
+- assignment is a pure narrow projection: the k centroids are plan
+  literals (k × dim ints), the per-row argmin is an array expression
+  — no join, no shuffle, no row blowup (same pattern as ann_ivf cell
+  assignment);
+- the centroid update is ONE aggregation to k rows (map-side partial
+  sums over 64 per-dimension columns), collected to the driver —
+  k × dim integers, not data;
+- the final pass emits (vec_id, cluster, dist_q) without collecting.
+
+Exactness across engines: embeddings are quantized to integer
+micro-units (``floor(x * 1e6)``), so distances are exact int64
+arithmetic (|Δ|² ≤ 4e12 · dim ≪ 2⁶³), per-cluster sums are exact,
+and the centroid refresh ``floor(sum / count)`` is a single IEEE
+double division + floor — bit-identical in Spark, Python and DuckDB.
+Init is the k lowest-vec_id vectors (one TakeOrdered); empty
+clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def _quantize(col):
+    """array<float> -> array<bigint> micro-units (exact in both engines)."""
+    return F.transform(col, lambda v: F.floor(v.cast("double") * SCALE)
+                       .cast("long"))
+
+
+def _dist_expr(x, cent: list[int]):
+    """Exact squared L2 distance between the bound int array column
+    and a centroid literal (built as one SQL string — F.lit per
+    element costs a py4j round-trip each)."""
+    c = F.expr("array(" + ",".join(f"{v}L" for v in cent) + ")")
+    return F.aggregate(
+        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _assign(quant: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, xi) + centroid literals -> (vec_id, xi, cluster, dist_q).
+    Narrow: argmin over an array of k distance expressions."""
+    x = F.col("xi")
+    dists = F.array(*[_dist_expr(x, c) for c in centroids])
+    return quant.select(
+        "vec_id", "xi",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int").alias("cluster"),
+        F.array_min(dists).alias("dist_q"))
+
+
+def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over an embedding column; ``iters`` centroid
+    updates after first-k init, then a final assignment.
+
+    Returns (vec_id, cluster, dist_q) — dist_q is the exact squared
+    L2 distance in micro-unit² integers.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+
+    first = (quant.orderBy("vec_id").limit(k).collect())
+    centroids = [list(r.xi) for r in first]
+
+    for _ in range(iters):
+        assigned = _assign(quant, centroids)
+        sums = (assigned.groupBy("cluster")
+                .agg(F.count("*").alias("cnt"),
+                     *[F.sum(F.element_at("xi", d + 1)).alias(f"s{d}")
+                       for d in range(dim)])
+                .collect())
+        by_j = {r.cluster: r for r in sums}
+        centroids = [
+            [math.floor(float(by_j[j][f"s{d}"]) / by_j[j].cnt)
+             for d in range(dim)] if j in by_j else centroids[j]
+            for j in range(k)]
+
+    return (_assign(quant, centroids)
+            .select("vec_id", "cluster", "dist_q"))

@@ -535,6 +535,53 @@ FROM sc WHERE score_q4 > 0
 QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
+def cluster_embeddings_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                           table: str = "embeddings") -> str:
+    """Mirror of clustering.cluster_embeddings: the Lloyd iterations
+    unroll into CTE chains (assign_i -> update_i).  All-integer
+    micro-unit arithmetic, so every step replays exactly; the
+    centroid refresh floor(sum/count) is the same single IEEE double
+    division both engines perform."""
+    def dist(xi: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))")
+
+    parts = [f"""x AS (SELECT vec_id,
+  list_transform(embedding,
+                 v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+  FROM {table}),
+c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, xi AS c
+       FROM (SELECT vec_id, xi FROM x ORDER BY vec_id LIMIT {k}))"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (SELECT x.vec_id, x.xi, {prev}.j,
+        {dist('x.xi', f'{prev}.c')} AS dist
+        FROM x CROSS JOIN {prev}),
+a{i} AS (SELECT vec_id, xi, j AS cluster FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, j) AS rn FROM d{i})
+        WHERE rn = 1),
+s{i} AS (SELECT cluster, r.d, SUM(xi[r.d]) AS sv, COUNT(*) AS cnt
+        FROM a{i} CROSS JOIN range(1, {dim + 1}) r(d)
+        GROUP BY cluster, r.d),
+n{i} AS (SELECT cluster AS j,
+               list(CAST(FLOOR(CAST(sv AS DOUBLE) / cnt) AS BIGINT)
+                    ORDER BY d) AS c
+        FROM s{i} GROUP BY cluster),
+c{i} AS (SELECT {prev}.j, COALESCE(n{i}.c, {prev}.c) AS c
+        FROM {prev} LEFT JOIN n{i} ON n{i}.j = {prev}.j)""")
+        prev = f"c{i}"
+    parts.append(f"""fin AS (SELECT x.vec_id, {prev}.j,
+        {dist('x.xi', f'{prev}.c')} AS dist
+        FROM x CROSS JOIN {prev})""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT vec_id, CAST(j AS INT) AS cluster, CAST(dist AS BIGINT) AS dist_q
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, j) AS rn FROM fin)
+WHERE rn = 1 ORDER BY vec_id"""
+
+
 def dedup_spans_sql(span_words: int = 8, table: str = "documents") -> str:
     """Mirror of curation.dedup_spans: global first-occurrence pick per
     normalized span digest (ROW_NUMBER over (doc_id, chunk_id) order ==

@@ -349,3 +349,19 @@ def test_bm25_topk_planted(spark):
     # q1 "kiwi apple": kiwi is rarer (df=1 vs 3) -> doc 1 dominates
     assert by_q[1][0].doc_id == 1
     assert by_q[1][0].score_q4 > by_q[1][1].score_q4
+
+
+def test_cluster_embeddings_planted(spark):
+    """k-means: two well-separated blobs resolve to two clusters
+    regardless of which blob each point started nearest."""
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    lo = [(i, [0.1 * (i % 3), 0.0, 0.1, 0.0]) for i in range(0, 8, 2)]
+    hi = [(i, [5.0 + 0.1 * (i % 3), 5.0, 5.1, 5.0]) for i in range(1, 9, 2)]
+    emb = spark.createDataFrame(lo + hi, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           CL.cluster_embeddings(emb, k=2, iters=2).collect()}
+    lo_clusters = {out[i].cluster for i, _ in lo}
+    hi_clusters = {out[i].cluster for i, _ in hi}
+    assert len(lo_clusters) == 1 and len(hi_clusters) == 1
+    assert lo_clusters != hi_clusters
+    assert all(r.dist_q >= 0 for r in out.values())
