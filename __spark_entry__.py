@@ -710,6 +710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_repetition"] = text_repetition
 
+    def corpus_shuffle(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.corpus_shuffle(_t(spark, sf, "documents"),
+                                  shards=8, salt=1)
+                .orderBy("doc_id"))
+    q["corpus_shuffle"] = corpus_shuffle
+
     def embed_cluster(spark, sf):
         from nifi_datasynthesizer_spark.operators import clustering as CL
         return (CL.cluster_embeddings(_t(spark, sf, "embeddings"),
@@ -1093,6 +1100,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         ngram=8, eval_pred="doc_id % 101 = 0")
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
+    o["corpus_shuffle"] = OR.corpus_shuffle_sql(shards=8, salt=1)
     o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64)
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)

@@ -43,7 +43,9 @@ def main() -> None:
              "synth_markov_text", "synth_cpoc", "synth_exotic_scalar",
              "synth_exotic_nested", "synth_net", "media_frames",
              "events_sessionize", "events_retention", "events_asof_balance",
-             "events_range_windows", "streaming_events_daily"]
+             "events_range_windows", "streaming_events_daily",
+             "dedup_spans", "corpus_ngrams", "corpus_pack", "corpus_mix",
+             "text_bm25", "embed_cluster"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

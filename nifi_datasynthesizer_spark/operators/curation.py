@@ -284,6 +284,29 @@ def corpus_mix_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.floor(F.col("n_tokens") * PPM / total).alias("share_ppm"))
 
 
+def corpus_shuffle(docs: DataFrame, shards: int = 8, salt: int = 0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    pseudo-random but reproducible position — (shard, pos_in_shard) —
+    for epoch-order randomization of a training set.
+
+    A single global row_number would serialize on one task; instead
+    the h60 draw is split into independent (shard, within-shard rank)
+    coordinates, the same trick as pack_sequences: ONE shuffle on the
+    shard key, per-shard window rank.  Readers consume shards
+    round-robin, which preserves the uniform random order in
+    aggregate.  ``salt`` gives a fresh permutation per epoch.
+    """
+    draw = h60(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    keyed = docs.select(id_col, draw.alias("draw"),
+                        (draw % shards).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("draw", id_col)
+    return (keyed
+            .select(id_col, "shard",
+                    (F.row_number().over(w) - 1).cast("long")
+                    .alias("pos_in_shard")))
+
+
 def dedup_spans(docs: DataFrame, span_words: int = 8,
                 text_col: str = "text") -> DataFrame:
     """Span-level exact dedup (C4/RefinedWeb-style line dedup, adapted

@@ -582,6 +582,20 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
 WHERE rn = 1 ORDER BY vec_id"""
 
 
+def corpus_shuffle_sql(shards: int = 8, salt: int = 0,
+                       table: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    """Mirror of curation.corpus_shuffle."""
+    draw = h60_sql(f"CAST({id_col} AS VARCHAR) || '#{salt}'")
+    return f"""
+WITH k AS (SELECT {id_col}, {draw} AS draw, {draw} % {shards} AS shard
+           FROM {table})
+SELECT {id_col}, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY draw, {id_col}) - 1
+         AS pos_in_shard
+FROM k ORDER BY {id_col}"""
+
+
 def dedup_spans_sql(span_words: int = 8, table: str = "documents") -> str:
     """Mirror of curation.dedup_spans: global first-occurrence pick per
     normalized span digest (ROW_NUMBER over (doc_id, chunk_id) order ==

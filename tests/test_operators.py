@@ -365,3 +365,21 @@ def test_cluster_embeddings_planted(spark):
     assert len(lo_clusters) == 1 and len(hi_clusters) == 1
     assert lo_clusters != hi_clusters
     assert all(r.dist_q >= 0 for r in out.values())
+
+
+def test_corpus_shuffle_planted(spark):
+    """Shuffle: a permutation (dense 0..n-1 positions per shard),
+    reproducible, and salt-dependent."""
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    docs = spark.createDataFrame([(i, "t") for i in range(40)],
+                                 ["doc_id", "text"])
+    a = CU.corpus_shuffle(docs, shards=4, salt=0).collect()
+    b = CU.corpus_shuffle(docs, shards=4, salt=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    per_shard = {}
+    for r in a:
+        per_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(len(ps)))          # dense ranks
+    c = CU.corpus_shuffle(docs, shards=4, salt=1).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # salt varies
