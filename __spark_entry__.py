@@ -386,6 +386,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("user_id", "session_start_us"))
     q["streaming_sessionize"] = streaming_sessionize
 
+    def streaming_enrich_nation(spark, sf):
+        """Stream-static broadcast join: the replayed events stream is
+        enriched with the customer dimension (hash-mapped user_id →
+        c_custkey so every event hits) and rolled up per nation.  The
+        dim side is broadcast — each micro-batch joins map-side, no
+        stream-side shuffle before the aggregation.  Values quantize
+        to integer cents pre-agg so the sum is exact across engines."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        n_cust = cust.count()
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        ev = src.select(
+            (F.col("user_id") % F.lit(n_cust) + 1).alias("ck"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        joined = ev.join(F.broadcast(cust), ev.ck == cust.c_custkey)
+        agg = (joined.groupBy("c_nationkey")
+               .agg(F.count("*").alias("n_events"),
+                    F.sum("cents").alias("sum_cents")))
+        out = ST.run_bounded(agg, "stream_enrich_nation")
+        return (out.select("c_nationkey", "n_events",
+                           (F.col("sum_cents") / F.lit(100.0))
+                           .alias("total_value"))
+                .orderBy("c_nationkey"))
+    q["streaming_enrich_nation"] = streaming_enrich_nation
+
     def streaming_dedup_docs(spark, sf):
         """Streaming exact dedup (dropDuplicatesWithinWatermark) over
         the documents table replayed as a stream.  Which doc_id
@@ -925,6 +953,13 @@ FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start_us"""
 
     o["streaming_dedup_docs"] = f"""
 SELECT DISTINCT MD5({_NORM}) AS digest FROM documents ORDER BY digest"""
+
+    o["streaming_enrich_nation"] = """
+SELECT c_nationkey, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events e JOIN customer c
+  ON c.c_custkey = e.user_id % (SELECT COUNT(*) FROM customer) + 1
+GROUP BY c_nationkey ORDER BY c_nationkey"""
 
     o["streaming_running_totals"] = """
 SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS n_events,
