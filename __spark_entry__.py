@@ -19,6 +19,7 @@ from nifi_datasynthesizer_spark.operators import dedup as DD
 from nifi_datasynthesizer_spark.operators import multimodal as MM
 from nifi_datasynthesizer_spark.operators import similarity as SIM
 from nifi_datasynthesizer_spark.operators import text as TX
+from nifi_datasynthesizer_spark import io as IO
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -344,11 +345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the final table equals the batch daily rollup, so the same SQL
         oracle applies."""
         from nifi_datasynthesizer_spark import streaming as ST
-        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
         raw = spark.read.parquet(f"{sf}/events.parquet")
         src = ST.file_stream(spark, sf, raw.schema,
                              glob_filter="events.parquet")
-        ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = IO.normalize_event_ts(src)
         agg = ST.windowed_agg(
             ev, "ts", ["event_type"],
             [F.count("*").alias("n_events"),
@@ -368,11 +369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exactly equal to the gap duration (intervals are half-open), so
         the oracle uses >= where the batch lag-rule query uses >."""
         from nifi_datasynthesizer_spark import streaming as ST
-        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
         raw = spark.read.parquet(f"{sf}/events.parquet")
         src = ST.file_stream(spark, sf, raw.schema,
                              glob_filter="events.parquet")
-        ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = IO.normalize_event_ts(src)
         agg = ST.sessionized_agg(
             ev, "ts", ["user_id"],
             [F.count("*").alias("n_events"),
@@ -394,7 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream-side shuffle before the aggregation.  Values quantize
         to integer cents pre-agg so the sum is exact across engines."""
         from nifi_datasynthesizer_spark import streaming as ST
-        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
         raw = spark.read.parquet(f"{sf}/events.parquet")
         cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
         n_cust = cust.count()
@@ -450,7 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         may hold one row per key per micro-batch — the final state is
         the row with the largest n (n is monotone per key)."""
         from nifi_datasynthesizer_spark import streaming as ST
-        _ = _t(spark, sf, "events")  # sets the nanos read conf
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
         raw = spark.read.parquet(f"{sf}/events.parquet")
         src = ST.file_stream(spark, sf, raw.schema,
                              glob_filter="events.parquet")

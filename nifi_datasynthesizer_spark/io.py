@@ -16,25 +16,47 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (UTC instant),
+    whatever the physical encoding of the source:
+
+    - ``bigint`` epoch *nanos* (parquet TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong``) — integer ``div``, NOT
+      ``/``: epoch nanos exceed 2**53, so a double round-trip would
+      round the low microsecond digit;
+    - ``timestamp_ntz`` (parquet timestamp[us], isAdjustedToUTC=false)
+      — the wall time IS the UTC instant (generator semantics, and what
+      the DuckDB oracle's naive ``epoch_us(ts)`` assumes); cast is
+      correct because the caller pins the session timezone to UTC;
+    - ``timestamp`` — already normalized, pass through.
+    """
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing physical types.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) — Spark has no nanos
-    timestamp type, so it is read as long (nanosAsLong) and converted
-    to a microsecond timestamp column *losslessly for query purposes*
-    (micro precision), keeping filters/pushdown on the long column
-    available to Catalyst.
+    ``events.ts`` arrives as either INT64 TIMESTAMP(NANOS) or
+    timestamp[us] with no zone depending on the generator version; both
+    are normalized to a UTC-instant TIMESTAMP by
+    :func:`normalize_event_ts` so every downstream query sees one type.
     """
     if name == "events":
         # must work under ANY caller-built session (the driver builds a
-        # vanilla one), so set the legacy-read conf here, not only in
-        # session.get_spark(); runtime-settable, cheap if already set
+        # vanilla one), so set read/timezone confs here, not only in
+        # session.get_spark(); runtime-settable, cheap if already set.
+        # UTC pins cast/to_date semantics to match the DuckDB oracle's
+        # naive-timestamp arithmetic.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div`, NOT `/`: epoch nanos exceed 2**53, so a double
-        # round-trip would round the low microsecond digit
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 
