@@ -237,7 +237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
                 .agg(F.count("*").alias("n_events"),
-                     F.round(F.sum("value"), 2).alias("total_value"),
+                     # integer-cents sum: exact under any summation order
+                     (F.sum(F.floor(F.col("value") * 100).cast("long"))
+                      / F.lit(100.0)).alias("total_value"),
                      F.approx_count_distinct("user_id").alias("approx_users"))
                 .drop("approx_users")  # approx differs per engine; keep exact cols
                 .orderBy("day", "event_type"))
@@ -246,7 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_sessionize(spark, sf):
         from pyspark.sql import Window
         ev = _t(spark, sf, "events").select(
-            "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value")
+            "user_id", "event_id", F.unix_micros("ts").alias("tus"),
+            # quantize to integer cents pre-agg: float summation order
+            # differs across engines/partitionings, integer sums don't
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
         w = Window.partitionBy("user_id").orderBy("tus", "event_id")
         gap = F.col("tus") - F.lag("tus").over(w)
         is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
@@ -259,7 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.min("tus").alias("session_start_us"),
                      F.max("tus").alias("session_end_us"),
                      (F.max("tus") - F.min("tus")).alias("duration_us"),
-                     F.round(F.sum("value"), 2).alias("total_value"))
+                     (F.sum("cents") / F.lit(100.0)).alias("total_value"))
                 .orderBy("user_id", "session_idx"))
     q["events_sessionize"] = events_sessionize
 
@@ -284,7 +289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("unix_micros(ts) div 1000000").alias("tsec"), "value")
         snaps = (ev.groupBy("user_id",
                             F.expr("tsec div 86400").alias("day"))
-                 .agg(F.round(F.sum("value"), 2).alias("balance"))
+                 .agg((F.sum(F.floor(F.col("value") * 100).cast("long"))
+                       / F.lit(100.0)).alias("balance"))
                  .select("user_id",
                          (F.col("day") * 86400 + 43200).alias("tsec"),
                          "balance"))
@@ -353,11 +359,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         agg = ST.windowed_agg(
             ev, "ts", ["event_type"],
             [F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value")],
+             # integer-cents sum: exact under any micro-batch order
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("sum_cents")],
             window="1 day", watermark="0 seconds")
         out = ST.run_bounded(agg, "stream_events_daily")
         return (out.select(F.to_date("win_start").alias("day"), "event_type",
-                           "n_events", "total_value")
+                           "n_events",
+                           (F.col("sum_cents") / F.lit(100.0))
+                           .alias("total_value"))
                 .orderBy("day", "event_type"))
     q["streaming_events_daily"] = streaming_events_daily
 
@@ -377,13 +387,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         agg = ST.sessionized_agg(
             ev, "ts", ["user_id"],
             [F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value")],
+             # integer-cents sum: exact under any micro-batch order
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("sum_cents")],
             gap="30 minutes", watermark="0 seconds")
         out = ST.run_bounded(agg, "stream_sessionize")
         return (out.select("user_id",
                            F.unix_micros(F.col("sess.start"))
                            .alias("session_start_us"),
-                           "n_events", "total_value")
+                           "n_events",
+                           (F.col("sum_cents") / F.lit(100.0))
+                           .alias("total_value"))
                 .orderBy("user_id", "session_start_us"))
     q["streaming_sessionize"] = streaming_sessionize
 
@@ -870,11 +884,13 @@ GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
     o["events_daily"] = """
 SELECT CAST(ts AS DATE) AS day, event_type,
-       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY day, event_type ORDER BY day, event_type"""
 
     o["events_sessionize"] = """
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
 m AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
                        OR tus - LAG(tus) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS is_new
@@ -885,7 +901,7 @@ s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
        MAX(tus) - MIN(tus) AS duration_us,
-       ROUND(SUM(value), 2) AS total_value
+       SUM(cents) / 100.0 AS total_value
 FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
 
     o["events_salted_join"] = """
@@ -913,7 +929,7 @@ FROM range(0, 300) t(media_id) ORDER BY media_id"""
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec, value
            FROM events),
 s AS (SELECT user_id, (tsec // 86400) * 86400 + 43200 AS tsec,
-             ROUND(SUM(value), 2) AS balance
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS balance
       FROM e GROUP BY user_id, tsec // 86400)
 SELECT e.user_id, e.event_id, e.tsec, e.value,
        COALESCE(s.balance, -1.0) AS balance_asof
@@ -936,11 +952,13 @@ ORDER BY e.event_id"""
     # batch rollup (complete-mode bounded run) — identical oracle
     o["streaming_events_daily"] = """
 SELECT CAST(ts AS DATE) AS day, event_type,
-       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY day, event_type ORDER BY day, event_type"""
 
     o["streaming_sessionize"] = """
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
 m AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
                        OR tus - LAG(tus) OVER w >= 1800000000
                      THEN 1 ELSE 0 END AS is_new
@@ -949,7 +967,7 @@ s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM m)
 SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       SUM(cents) / 100.0 AS total_value
 FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_start_us"""
 
     o["streaming_dedup_docs"] = f"""

@@ -26,14 +26,19 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
       round the low microsecond digit;
     - ``timestamp_ntz`` (parquet timestamp[us], isAdjustedToUTC=false)
       — the wall time IS the UTC instant (generator semantics, and what
-      the DuckDB oracle's naive ``epoch_us(ts)`` assumes); cast is
-      correct because the caller pins the session timezone to UTC;
+      the DuckDB oracle's naive ``epoch_us(ts)`` assumes); the
+      ntz→timestamp cast interprets wall time in the *session*
+      timezone, so this function pins ``spark.sql.session.timeZone`` to
+      UTC itself (session-wide mutation, see :func:`read_table`) rather
+      than trusting the caller to have done it;
     - ``timestamp`` — already normalized, pass through.
     """
     t = dict(df.dtypes).get(col)
     if t == "bigint":
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # backticked: col may be a reserved word / contain specials
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     elif t == "timestamp_ntz":
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
@@ -45,6 +50,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp[us] with no zone depending on the generator version; both
     are normalized to a UTC-instant TIMESTAMP by
     :func:`normalize_event_ts` so every downstream query sees one type.
+
+    .. warning:: Reading ``events`` mutates SESSION-WIDE conf:
+       ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+       ``spark.sql.session.timeZone=UTC``.  The timezone pin changes
+       timestamp/date semantics of *unrelated* queries on the same
+       session; every oracle in this repo assumes UTC, so the pin is
+       intentional and idempotent, but callers embedding this engine in
+       a non-UTC session should be aware.
     """
     if name == "events":
         # must work under ANY caller-built session (the driver builds a
