@@ -108,8 +108,7 @@ def _join_str(parts: list[D], sep: str) -> D:
 
 def _hex4(v: D) -> D:
     """16-bit int → 4 lowercase hex chars (identical in both engines)."""
-    h = D(lambda: F.lower(F.hex(v.c)), f"LOWER(TO_HEX({v.s}))")
-    return D(lambda: F.lpad(h.c, 4, "0"), f"LPAD({h.s}, 4, '0')")
+    return X.lpad(X.hex_lower(v), 4, "0")
 
 
 def _fmt_epoch_s(ts_s: D, fmt: str) -> D:
@@ -522,9 +521,7 @@ def s_ssn(spec, ctx):
 
 def _hex_byte(m: D, pos: int) -> D:
     """Hex chars [pos, pos+1] of a md5 string → integer 0..255."""
-    h = X.substr(m, pos, 2)
-    return D(lambda: F.conv(h.c, 16, 10).cast("long"),
-             f"(('0x' || {h.s})::BIGINT)")
+    return X.hex_to_long(X.substr(m, pos, 2))
 
 
 def s_ipv4(spec, ctx):
@@ -754,12 +751,17 @@ def s_random_walk(spec, ctx):
     tbl = [int(round((q * sd + mean) * unit)) for q in _n01_table()]
     step = X.element(uint(ctx.i, ctx.salt("rw"), 0, _N01_TABLE_SIZE), tbl)
 
-    def build():
-        w = Window.orderBy(F.col("i")).rowsBetween(Window.unboundedPreceding, 0)
-        return F.sum(step.c).over(w)
-
-    cum = D(build, f"CAST(SUM({step.s}) OVER (ORDER BY i ROWS UNBOUNDED "
-                   f"PRECEDING) AS BIGINT)")
+    duck_cum = (f"CAST(SUM({step.s}) OVER (ORDER BY i ROWS UNBOUNDED "
+                f"PRECEDING) AS BIGINT)")
+    if step.cf is None:
+        cum = D(None, duck_cum,
+                f"SUM({step.ss}) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)")
+    else:
+        def build():
+            w = Window.orderBy(F.col("i")).rowsBetween(
+                Window.unboundedPreceding, 0)
+            return F.sum(step.c).over(w)
+        cum = D(build, duck_cum)
     return (X.cast_double(cum) + float(start * unit)) / float(unit)
 
 
@@ -932,7 +934,7 @@ def s_header(spec, ctx):
     def url(tag: str, image: D | None) -> D:
         path = uint(ctx.i, ctx.salt("hu", tag), 0, 1_000_000)
         hx = uint(ctx.i, ctx.salt("hx", tag), 0, 0x1_000_000)
-        hex6 = X.lpad(D(lambda: F.lower(F.hex(hx.c)), f"LOWER(TO_HEX({hx.s}))"), 6, "0")
+        hex6 = X.lpad(X.hex_lower(hx), 6, "0")
         ext = (X.when_chain([(image.eq(1), X.lit(".jpg"))], X.lit(".html"))
                if image is not None else X.lit(".html"))
         return X.concat("http://foo.bar.com/", X.lpad(path, 6, "0"), "/", hex6, ext)
@@ -1053,8 +1055,11 @@ def s_sequence(spec, ctx):
     def _slice(arr: D) -> D:
         if ln_ is None:
             return arr
-        return D(lambda: F.slice(arr.c, 1, ln_.c.cast("int")),
-                 f"LIST_SLICE({arr.s}, 1, CAST({ln_.s} AS BIGINT))")
+        ds = f"LIST_SLICE({arr.s}, 1, CAST({ln_.s} AS BIGINT))"
+        if arr.cf is None and ln_.cf is None:
+            return D(None, ds,
+                     f"slice({arr.ss}, 1, CAST({ln_.ss} AS INT))")
+        return D(lambda: F.slice(arr.c, 1, ln_.c.cast("int")), ds)
 
     items = _seq_elements(base, ctx, n)
     if items and isinstance(items[0], dict):
@@ -1095,8 +1100,11 @@ def s_join(spec, ctx):
     sub = dict(spec["value"])
     r = compile_field(sub, ctx.child("join"))
     arr = _scalar(r)
-    return D(lambda: F.concat_ws(sep, arr.c),
-             f"ARRAY_TO_STRING({arr.s}, '{sep}')")
+    ds = f"ARRAY_TO_STRING({arr.s}, '{sep}')"
+    if arr.cf is None:
+        from .dual import _spark_sq
+        return D(None, ds, f"concat_ws({_spark_sq(sep)}, {arr.ss})")
+    return D(lambda: F.concat_ws(sep, arr.c), ds)
 
 
 def _scalar(r) -> D:
@@ -1115,7 +1123,10 @@ def s_array_flatten(spec, ctx):
     sub = dict(spec["value"])
     r = compile_field(sub, ctx.child("flat"))
     arr = _scalar(r)
-    return D(lambda: F.flatten(arr.c), f"flatten({arr.s})")
+    ds = f"flatten({arr.s})"
+    if arr.cf is None:
+        return D(None, ds, f"flatten({arr.ss})")
+    return D(lambda: F.flatten(arr.c), ds)
 
 
 _LOOKUP_MAX = 100_000

@@ -59,7 +59,7 @@ def compile_schema(schema, seed: int = 0) -> CompiledSchema:
         schema = json.loads(schema)
     if not isinstance(schema, list):
         raise ValueError("schema must be a JSON array of field specs")
-    i = D(lambda: F.col("i"), "i")
+    i = D(None, "i", "i")
     out: list[tuple[str, D]] = []
     for spec in schema:
         spec = dict(spec)

@@ -39,7 +39,7 @@ from .samplers import (
 
 
 def _i() -> D:
-    return D(lambda: F.col("i"), "i")
+    return D(None, "i", "i")
 
 
 def _base(spark: SparkSession, n: int, partitions: int | None = None):
@@ -102,6 +102,13 @@ def iot_data_flat(n_devices: int = 100, readings: int = 100,
     temp_sql = (f"(SUM({step.s}) OVER (PARTITION BY CAST(FLOOR(i / "
                 f"{float(readings)}) AS BIGINT) ORDER BY (i % {readings}) "
                 f"ROWS UNBOUNDED PRECEDING) + 30.0)")
+    if step.cf is None:
+        temp_d = D(None, temp_sql,
+                   f"(SUM({step.ss}) OVER (PARTITION BY FLOOR(i / "
+                   f"{readings}L) ORDER BY (i % {readings}L) "
+                   f"ROWS UNBOUNDED PRECEDING) + 30.0D)")
+    else:
+        temp_d = D(temp_col, temp_sql)
     cols = [
         ("device_seq", dev),
         ("reading_idx", j),
@@ -110,7 +117,7 @@ def iot_data_flat(n_devices: int = 100, readings: int = 100,
         ("latitude", zsub["latitude"]),
         ("longitude", zsub["longitude"]),
         ("time", _fmt_epoch_s(t, "yyyy-MM-dd HH:mm:ss")),
-        ("temp", D(temp_col, temp_sql)),
+        ("temp", temp_d),
     ]
     return Generated(cols, n)
 
@@ -356,7 +363,7 @@ def markov_text(n: int, words: int = 24, key_size: int = 3,
     unbound 2000-literal array would be rebuilt per step per row).
     The DuckDB mirror is the same fold via ``list_reduce``.
     """
-    rec = D(lambda: F.col("i").cast("long"), "CAST(i AS BIGINT)")
+    rec = D(None, "CAST(i AS BIGINT)", "CAST(i AS BIGINT)")
     msg = markov_message(words, key_size, seed, seed_text, max_chars)
     return Generated([("rec_id", rec), ("message", msg)], n)
 
@@ -633,7 +640,7 @@ def cpoc_events(spark: SparkSession, n_users: int = 1000, max_tx: int = 16,
                   .alias("j", "x"))
          .filter(F.col("j") < F.col("n_tx")))
     ts, merch, roll = F.col("x.ts"), F.col("x.merchant"), F.col("x.roll")
-    datestr = _fmt_epoch_s(D(lambda: ts, "ts"), "yyyy-MM-dd HH:mm:ss")
+    datestr = _fmt_epoch_s(D(None, "ts", "x.ts"), "yyyy-MM-dd HH:mm:ss")
     fraud = F.when((F.col("compromised") == 1)
                    & (ts >= w["exploitStart"]) & (ts < w["exploitEnd"]),
                    (roll < cfr).cast("long")
@@ -650,7 +657,7 @@ def cpoc_events_sql(n_users: int = 1000, max_tx: int = 16, seed: int = 0,
                     cfr: float = 0.3, ufr: float = 0.001) -> str:
     """DuckDB oracle mirror of :func:`cpoc_events`."""
     cs, w = _cpoc_parts(n_users, max_tx, seed)
-    datestr = _fmt_epoch_s(D(lambda: F.col("ts"), "ts"), "yyyy-MM-dd HH:mm:ss")
+    datestr = _fmt_epoch_s(D(None, "ts", "ts"), "yyyy-MM-dd HH:mm:ss")
     return f"""
 WITH g AS ({cs.duckdb_sql(n_users)}),
 e AS (SELECT user_id, n_tx,
