@@ -836,6 +836,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("media_id", "frame_idx"))
     q["media_frames"] = media_frames
 
+    # ---- round-3 operators: keyword extraction, LM fluency, splits,
+    # int8 quantization, hybrid retrieval, stream-stream join
+    def text_keywords(spark, sf):
+        return (TX.tfidf_keywords(_t(spark, sf, "documents"), k=3)
+                .orderBy("doc_id", "rank"))
+    q["text_keywords"] = text_keywords
+
+    def text_fluency(spark, sf):
+        return (TX.bigram_fluency(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+    q["text_fluency"] = text_fluency
+
+    def corpus_split(spark, sf):
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.split_train_val_test(_t(spark, sf, "documents"),
+                                        val_frac=0.1, test_frac=0.1, salt=3)
+                .select("doc_id", "split").orderBy("doc_id"))
+    q["corpus_split"] = corpus_split
+
+    def embed_quantize(spark, sf):
+        from nifi_datasynthesizer_spark.operators import similarity as SIM
+        return (SIM.quantize_int8(_t(spark, sf, "embeddings"), dim=64)
+                .orderBy("vec_id"))
+    q["embed_quantize"] = embed_quantize
+
+    def search_rrf(spark, sf):
+        from nifi_datasynthesizer_spark.operators import search as SE
+        return (SE.rrf_fuse(_t(spark, sf, "documents"), BM25_QUERIES,
+                            k=10, pool=20)
+                .orderBy("query_id", "rank"))
+    q["search_rrf"] = search_rrf
+
+    def streaming_stream_join(spark, sf):
+        """Stream-stream attribution join under the oracle gate: view
+        events matched to same-user purchase events within 12 h, both
+        sides replayed as watermarked file streams and drained with
+        availableNow — the result set equals the batch interval join,
+        so a plain SQL oracle applies."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        views = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "view") \
+            .select("event_id", "ts", "user_id")
+        buys = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "purchase") \
+            .select("event_id", "ts", "user_id")
+        j = ST.interval_join(views, buys, key="user_id", ts_col="ts",
+                             within="12 hours")
+        out = ST.run_bounded(j.select(
+            F.col("l_event_id").alias("view_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts"))
+            .alias("gap_us")), "stream_interval_join", output_mode="append")
+        return out.orderBy("view_id", "purchase_id")
+    q["streaming_stream_join"] = streaming_stream_join
+
     return q
 
 
@@ -1215,6 +1276,21 @@ SELECT media_id,
   """ + _sql_arr_ppm('feature') + """ AS feature
 FROM feat ORDER BY media_id
 """
+
+    o["text_keywords"] = OR.tfidf_keywords_sql(k=3)
+    o["text_fluency"] = OR.bigram_fluency_sql()
+    o["corpus_split"] = OR.split_sql(val_frac=0.1, test_frac=0.1, salt=3)
+    o["embed_quantize"] = OR.quantize_int8_sql(dim=64)
+    o["search_rrf"] = OR.rrf_fuse_sql(BM25_QUERIES, k=10, pool=20)
+    # streaming interval join drains to exactly the batch join's rows
+    o["streaming_stream_join"] = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+ORDER BY view_id, purchase_id"""
 
     # (synth_commuter is applyInPandas — non-SQL-expressible; it stays
     # rows-only.)

@@ -45,7 +45,9 @@ def main() -> None:
              "events_sessionize", "events_retention", "events_asof_balance",
              "events_range_windows", "streaming_events_daily",
              "dedup_spans", "corpus_ngrams", "corpus_pack", "corpus_mix",
-             "text_bm25", "embed_cluster"]
+             "text_bm25", "embed_cluster", "text_keywords", "text_fluency",
+             "corpus_split", "embed_quantize", "search_rrf",
+             "streaming_stream_join"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -353,3 +353,26 @@ def dedup_spans(docs: DataFrame, span_words: int = 8,
                     (F.col("n_spans") - F.coalesce(F.col("n_spans_kept"),
                                                    F.lit(0)))
                     .cast("long").alias("n_spans_removed")))
+
+
+def split_train_val_test(df: DataFrame, val_frac: float = 0.1,
+                         test_frac: float = 0.1, id_col: str = "doc_id",
+                         salt: int = 0) -> DataFrame:
+    """Deterministic train/val/test assignment (the split every
+    training pipeline needs before anything touches the data).
+
+    ``h60(id || ':' || salt) % 1e6`` buckets each row into
+    [test | val | train] by ppm thresholds — a pure narrow projection:
+    no shuffle, no rand(), exactly reproducible across runs, cluster
+    sizes and task retries, and consistent across tables (same id ⇒
+    same split, so features derived in other tables never leak across
+    the boundary).  ``salt`` makes independent re-splits possible.
+    """
+    draw = h60(F.concat(F.col(id_col).cast("string"),
+                        F.lit(f":{salt}"))) % PPM
+    test_ppm = int(round(test_frac * PPM))
+    val_ppm = test_ppm + int(round(val_frac * PPM))
+    split = (F.when(draw < test_ppm, "test")
+             .when(draw < val_ppm, "val")
+             .otherwise("train"))
+    return df.withColumn("split", split)

@@ -107,3 +107,88 @@ def bm25_topk(docs: DataFrame, queries: list[str], k: int = 10,
     return (flat.select("query_id", F.row_number().over(w).alias("rank"),
                         "doc_id", "score_q4")
             .filter(F.col("rank") <= k))
+
+
+def rrf_fuse(docs: DataFrame, queries: list[str], k: int = 10,
+             dim: int = 16, pool: int = 20, rrf_k: int = 60,
+             text_col: str = "text") -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+    feature-hash embedding cosine (semantic proxy) rankings — the
+    standard two-tower fusion for corpus mining, where each ranker's
+    top-``pool`` feeds ``score = Σ 1/(rrf_k + rank)``.
+
+    Plan shape for 100 TB: both rankers follow the literal-query
+    design (corpus never exploded, one narrow scoring pass each, the
+    only data-sized exchange being the per-query top-``pool`` window);
+    the fusion join then touches ≤ 2·pool rows per query — driver-free
+    and broadcastable by construction.
+
+    Everything the final ranking depends on is integer: BM25 ranks,
+    cosine ranks (cos quantized to 1e-6 before ranking), and the RRF
+    contribution ``floor(1e9 / (rrf_k + rank))`` — so the fused order
+    replays exactly in the SQL oracle.
+    """
+    from ..phash import h60, h60_py
+
+    bm = bm25_topk(docs, queries, k=pool, text_col=text_col).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_bm"))
+
+    # embedding side: feature-hash the corpus (JVM-side, one pass)...
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hs_expr = F.transform(toks, lambda s: h60(s) % dim)
+
+    def body(hb):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda kk: F.size(F.filter(hb, lambda h: h == kk)).cast("long"))
+
+    emb = ensure_parallelism(docs).select(
+        "doc_id",
+        F.element_at(F.transform(F.array(hs_expr), body), 1).alias("dv"))
+
+    # ...and the queries driver-side with the SAME hash → plan literals
+    def qvec(q: str) -> list[int]:
+        import re
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", q.lower())).strip()
+        v = [0] * dim
+        for t in norm.split(" "):
+            if t:
+                v[h60_py(t) % dim] += 1
+        return v
+
+    per_query = []
+    for qi, q in enumerate(queries):
+        qv = qvec(q)
+        qnorm = sum(x * x for x in qv) ** 0.5
+        dot = sum(
+            (F.element_at(F.col("dv"), i + 1) * qv[i]
+             for i in range(dim) if qv[i]), F.lit(0))
+        dd = F.aggregate(F.col("dv"), F.lit(0).cast("long"),
+                         lambda a, x: a + x * x)
+        cos_q6 = F.floor(F.lit(1e6) * dot.cast("double")
+                         / (F.lit(qnorm) * F.sqrt(dd.cast("double"))))
+        per_query.append(F.struct(F.lit(qi).alias("query_id"),
+                                  cos_q6.cast("long").alias("cos_q6")))
+
+    sem = (emb.select("doc_id", F.explode(F.array(*per_query)).alias("r"))
+           .select("doc_id", "r.query_id", "r.cos_q6")
+           .filter(F.col("cos_q6") > 0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q6"), "doc_id")
+    se = (sem.select("query_id", "doc_id",
+                     F.row_number().over(w).alias("rank_sem"))
+          .filter(F.col("rank_sem") <= pool))
+
+    fused = (bm.join(se, ["query_id", "doc_id"], "full_outer")
+             .select("query_id", "doc_id",
+                     (F.coalesce(
+                         F.floor(F.lit(1e9) / (F.lit(rrf_k)
+                                               + F.col("rank_bm"))), F.lit(0))
+                      + F.coalesce(
+                         F.floor(F.lit(1e9) / (F.lit(rrf_k)
+                                               + F.col("rank_sem"))),
+                         F.lit(0))).cast("long").alias("rrf_q9")))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_q9"), "doc_id")
+    return (fused.select("query_id",
+                         F.row_number().over(wf).alias("rank"),
+                         "doc_id", "rrf_q9")
+            .filter(F.col("rank") <= k))

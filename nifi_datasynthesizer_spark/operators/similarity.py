@@ -217,3 +217,52 @@ def ann_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "cand_id", "cosine", "rank"))
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", dim: int = 64) -> DataFrame:
+    """Int8 affine quantization of an embedding column — the standard
+    4× memory/IO compression step before building a vector index at
+    scale (100 TB of fp32 embeddings → 25 TB of codes).
+
+    Per-dimension affine: ``code = round((x - min_d) / scale_d) - 128``
+    with ``scale_d = (max_d - min_d) / 255``.  The per-dimension
+    min/max come from ONE aggregation row (2·dim scalar aggregates —
+    no posexplode, no per-dimension shuffle) broadcast back to a
+    narrow projection; the quantization pass itself is shuffle-free.
+
+    Output keeps driver-visible columns atomic: per-vector code
+    checksum plus reconstruction-error stats (max |x - dequant(x)| in
+    1e-6 units) — the quality numbers a quantization step must report.
+    All arithmetic is single IEEE ops per element in identical order
+    in both engines, so results hash-match the SQL oracle exactly.
+    """
+    v = F.col(vec_col)
+    stats = emb.agg(*(
+        [F.min(F.element_at(v, d + 1)).alias(f"mn{d}") for d in range(dim)]
+        + [F.max(F.element_at(v, d + 1)).alias(f"mx{d}") for d in range(dim)]))
+    q = emb.crossJoin(F.broadcast(stats))
+    mn = F.array(*[F.col(f"mn{d}") for d in range(dim)])
+    mx = F.array(*[F.col(f"mx{d}") for d in range(dim)])
+    codes = F.zip_with(
+        v, F.zip_with(mn, mx, lambda a, b: F.struct(a.alias("mn"),
+                                                    b.alias("mx"))),
+        lambda x, s: F.when(
+            s["mx"] > s["mn"],
+            F.round((x.cast("double") - s["mn"])
+                    * 255.0 / (s["mx"] - s["mn"])).cast("long") - 128
+        ).otherwise(F.lit(0)))
+    deq = F.zip_with(
+        codes, F.zip_with(mn, mx, lambda a, b: F.struct(a.alias("mn"),
+                                                        b.alias("mx"))),
+        lambda c, s: F.when(
+            s["mx"] > s["mn"],
+            (c.cast("double") + 128.0) * (s["mx"] - s["mn"]) / 255.0
+            + s["mn"]).otherwise(s["mn"]))
+    err = F.zip_with(v, deq, lambda x, y: F.abs(x.cast("double") - y))
+    return (q.select(
+        F.col(id_col),
+        F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, c: acc + c).alias("code_sum"),
+        F.floor(F.array_max(err) * 1e6).cast("long").alias("max_err_q6"))
+    )

@@ -630,3 +630,178 @@ SELECT t.doc_id, COALESCE(r.text, '') AS text,
        CAST(t.n_spans AS BIGINT) AS n_spans,
        CAST(t.n_spans - COALESCE(r.kept, 0) AS BIGINT) AS n_spans_removed
 FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"""
+
+
+def tfidf_keywords_sql(k: int = 3, table: str = "documents") -> str:
+    """Mirror of text.tfidf_keywords: identical operand order
+    (tf * LN(n/df) * 1e4, floored), rank ties broken by word."""
+    return f"""
+WITH wx AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+            FROM {table}),
+w2 AS (SELECT * FROM wx WHERE word <> ''),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {table}),
+sc AS (SELECT tf.doc_id, tf.word, tf.tf,
+              CAST(FLOOR(tf.tf * LN(nn.n / df.df) * 1e4) AS BIGINT)
+                AS score_q4
+       FROM tf JOIN df USING (word), nn)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score_q4 DESC, word) AS rank,
+       word, tf, score_q4
+FROM sc QUALIFY rank <= {k} ORDER BY doc_id, rank"""
+
+
+def bigram_fluency_sql(table: str = "documents") -> str:
+    """Mirror of text.bigram_fluency: per-bigram conditional
+    probability floored to ppm BEFORE the per-doc integer mean."""
+    return f"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {table}),
+bg AS (SELECT doc_id, w[j + 1] AS w1, w[j + 2] AS w2
+       FROM d, LATERAL unnest(range(0, len(w) - 1)) AS t(j)
+       WHERE len(w) >= 2),
+lm2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+lm1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm2 GROUP BY w1),
+pr AS (SELECT lm2.w1, lm2.w2,
+              CAST(FLOOR(lm2.c2 * 1e6 / lm1.c1) AS BIGINT) AS p_ppm
+       FROM lm2 JOIN lm1 USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(FLOOR(CAST(SUM(p_ppm) AS BIGINT) / COUNT(*)) AS BIGINT)
+         AS fluency_ppm
+FROM bg JOIN pr USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def split_sql(val_frac: float = 0.1, test_frac: float = 0.1,
+              salt: int = 0, table: str = "documents") -> str:
+    """Mirror of curation.split_train_val_test."""
+    test_ppm = int(round(test_frac * 1_000_000))
+    val_ppm = test_ppm + int(round(val_frac * 1_000_000))
+    h = h60_sql(f"(CAST(doc_id AS VARCHAR) || ':{salt}')")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} % 1000000 < {test_ppm} THEN 'test'
+            WHEN {h} % 1000000 < {val_ppm} THEN 'val'
+            ELSE 'train' END AS split
+FROM {table} ORDER BY doc_id"""
+
+
+def quantize_int8_sql(dim: int = 64, table: str = "embeddings") -> str:
+    """Mirror of similarity.quantize_int8: FLOAT arithmetic stays
+    FLOAT until the same promotion points as the Spark expressions."""
+    return f"""
+WITH ex AS (SELECT vec_id, j, embedding[j + 1] AS x
+            FROM {table}, LATERAL unnest(range(0, {dim})) AS t(j)),
+st AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY j),
+q AS (SELECT vec_id, j, x, mn, mx,
+             CASE WHEN mx > mn
+                  THEN CAST(ROUND((CAST(x AS DOUBLE) - mn) * 255.0
+                                  / (mx - mn)) AS BIGINT) - 128
+                  ELSE 0 END AS code
+      FROM ex JOIN st USING (j)),
+r AS (SELECT vec_id, j, code, x,
+             CASE WHEN mx > mn
+                  THEN (CAST(code AS DOUBLE) + 128.0) * (mx - mn) / 255.0 + mn
+                  ELSE CAST(mn AS DOUBLE) END AS deq
+      FROM q)
+SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(FLOOR(MAX(ABS(CAST(x AS DOUBLE) - deq)) * 1e6) AS BIGINT)
+         AS max_err_q6
+FROM r GROUP BY vec_id ORDER BY vec_id"""
+
+
+def rrf_fuse_sql(queries: list[str], k: int = 10, dim: int = 16,
+                 pool: int = 20, rrf_k: int = 60,
+                 table: str = "documents") -> str:
+    """Mirror of search.rrf_fuse: BM25 CTEs as in bm25_topk_sql
+    (pool-deep), hash-embed cosine side with the same literal query
+    vectors, integer RRF fusion."""
+    import re
+
+    from .dual import _fmt_num
+    from .operators.search import _query_terms
+    from .phash import h60_py
+
+    terms = _query_terms(queries)
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    one, half = _fmt_num(1.0), _fmt_num(0.5)
+    k1s, bs, k11 = _fmt_num(1.2), _fmt_num(0.75), _fmt_num(1.2 + 1.0)
+
+    def term_score(i: int) -> str:
+        idf = f"LN({one} + (n - df_{i} + {half}) / (df_{i} + {half}))"
+        return (f"({idf} * (tf_{i} * {k11}) / (tf_{i} + {k1s} * "
+                f"({one} - {bs} + {bs} * dl / avgdl)))")
+
+    bm_sel, sem_sel = [], []
+    for qi, q in enumerate(queries):
+        idxs = [terms.index(tok) for tok in _query_terms([q])]
+        score = " + ".join(term_score(i) for i in idxs)
+        bm_sel.append(
+            f"SELECT doc_id, {qi} AS query_id, "
+            f"CAST(FLOOR(({score}) * {_fmt_num(1e4)}) AS BIGINT) AS score_q4 "
+            f"FROM t, st")
+        norm = re.sub(r"\s+", " ",
+                      re.sub(r"[^a-z0-9\s]", " ", q.lower())).strip()
+        qv = [0] * dim
+        for tok in norm.split(" "):
+            if tok:
+                qv[h60_py(tok) % dim] += 1
+        qnorm = sum(x * x for x in qv) ** 0.5
+        dot = " + ".join(f"dv[{i + 1}] * {qv[i]}"
+                         for i in range(dim) if qv[i]) or "0"
+        sem_sel.append(
+            f"SELECT doc_id, {qi} AS query_id, "
+            f"CAST(FLOOR({_fmt_num(1e6)} * CAST(({dot}) AS DOUBLE) / "
+            f"({_fmt_num(qnorm)} * SQRT(CAST(dd AS DOUBLE)))) AS BIGINT) "
+            f"AS cos_q6 FROM e")
+    bm_union = " UNION ALL ".join(bm_sel)
+    sem_union = " UNION ALL ".join(sem_sel)
+    return f"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {table}),
+t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, {tf_cols} FROM d),
+st AS (SELECT COUNT(*) AS n,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols}
+       FROM t),
+bsc AS ({bm_union}),
+bm AS (SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score_q4 DESC, doc_id) AS rank_bm
+       FROM bsc WHERE score_q4 > 0
+       QUALIFY rank_bm <= {pool}),
+hb AS (SELECT doc_id, list_transform(string_split({_NORM}, ' '),
+                                     s -> {h60_sql('s')} % {dim}) AS hs
+       FROM {table}),
+e AS (SELECT doc_id,
+             list_transform(range(0, {dim}),
+               kk -> CAST(len(list_filter(hs, h -> h = kk)) AS BIGINT)) AS dv,
+             CAST(list_sum(list_transform(
+               list_transform(range(0, {dim}),
+                 kk -> CAST(len(list_filter(hs, h -> h = kk)) AS BIGINT)),
+               x -> x * x)) AS BIGINT) AS dd
+      FROM hb),
+ssc AS ({sem_union}),
+se AS (SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_q6 DESC, doc_id) AS rank_sem
+       FROM ssc WHERE cos_q6 > 0
+       QUALIFY rank_sem <= {pool}),
+fu AS (SELECT COALESCE(bm.query_id, se.query_id) AS query_id,
+              COALESCE(bm.doc_id, se.doc_id) AS doc_id,
+              CAST(COALESCE(CAST(FLOOR({_fmt_num(1e9)} / ({rrf_k} + rank_bm))
+                                 AS BIGINT), 0)
+                   + COALESCE(CAST(FLOOR({_fmt_num(1e9)} / ({rrf_k}
+                                         + rank_sem)) AS BIGINT), 0)
+                   AS BIGINT) AS rrf_q9
+       FROM bm FULL OUTER JOIN se
+         ON bm.query_id = se.query_id AND bm.doc_id = se.doc_id)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf_q9 DESC, doc_id) AS rank,
+       doc_id, rrf_q9
+FROM fu QUALIFY rank <= {k} ORDER BY query_id, rank"""

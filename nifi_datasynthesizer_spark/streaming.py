@@ -175,3 +175,33 @@ def file_stream(spark: SparkSession, path: str, schema,
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
     return reader.parquet(path)
+
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  ts_col: str = "ts", within: str = "12 hours") -> DataFrame:
+    """Watermarked stream-stream inner join: each left event matches
+    right events of the same ``key`` with ``right.ts`` in
+    ``[left.ts, left.ts + within]`` — the attribution-join shape
+    (view→purchase, impression→click) Spark supports natively and most
+    engines cannot express incrementally.
+
+    Both sides carry a watermark equal to the join window, which is
+    what BOUNDS THE STATE: an unwatermarked stream-stream join must
+    keep every row forever, while this one evicts left rows once the
+    right watermark passes ``left.ts + within`` — at cluster scale the
+    state store holds one window of data per key, not the stream's
+    history.  Inner-join results emit as matches arrive (append mode),
+    so a bounded drain produces exactly the batch join's rows.
+
+    Columns are prefixed ``l_``/``r_`` BEFORE the watermark is applied
+    (renaming after would detach the event-time column).
+    """
+    lw = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]) \
+        .withWatermark(f"l_{ts_col}", within)
+    rw = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]) \
+        .withWatermark(f"r_{ts_col}", within)
+    cond = ((F.col(f"l_{key}") == F.col(f"r_{key}"))
+            & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+            & (F.col(f"r_{ts_col}")
+               <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {within}")))
+    return lw.join(rw, cond)

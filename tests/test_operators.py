@@ -383,3 +383,113 @@ def test_corpus_shuffle_planted(spark):
         assert sorted(ps) == list(range(len(ps)))          # dense ranks
     c = CU.corpus_shuffle(docs, shards=4, salt=1).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # salt varies
+
+
+def test_tfidf_keywords_planted(spark):
+    rows = [(0, "apple apple apple banana"),
+            (1, "banana cherry cherry"),
+            (2, "apple banana cherry date")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = TX.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 'apple' (tf=3, df=2) outranks 'banana' (tf=1, df=3)
+    assert by_doc[0][0]["word"] == "apple" and by_doc[0][0]["rank"] == 1
+    # doc 1: 'cherry' (tf=2, df=2) outranks 'banana'
+    assert by_doc[1][0]["word"] == "cherry"
+    # 'date' is unique to doc 2 → highest idf there
+    assert by_doc[2][0]["word"] == "date"
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_bigram_fluency_planted(spark):
+    # "a b" occurs in both docs; "a c" only in doc 1 → doc 0 (all
+    # transitions common) scores higher than doc 1 (half rare)
+    rows = [(0, "a b a b a b"), (1, "a c"), (2, "solo")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.bigram_fluency(docs).collect()}
+    assert out[0]["n_bigrams"] == 5
+    assert out[1]["n_bigrams"] == 1
+    assert out[0]["fluency_ppm"] > out[1]["fluency_ppm"]
+    assert 2 not in out  # single-word doc has no bigrams
+
+
+def test_split_deterministic(spark):
+    from nifi_datasynthesizer_spark.operators import curation as CU
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = CU.split_train_val_test(df, 0.1, 0.1, salt=0).collect()
+    b = CU.split_train_val_test(df.repartition(7), 0.1, 0.1, salt=0).collect()
+    assert {r["doc_id"]: r["split"] for r in a} == \
+           {r["doc_id"]: r["split"] for r in b}
+    counts = {}
+    for r in a:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert 0.05 < counts["test"] / 2000 < 0.15
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    assert counts["train"] / 2000 > 0.7
+
+
+def test_quantize_int8_bounds(spark):
+    import math
+    rows = [(i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = SIM.quantize_int8(emb, dim=8).collect()
+    assert len(out) == 50
+    # max reconstruction error bounded by half a quantization step:
+    # step = range/255 ≈ 2/255 → half-step ≈ 0.004 (q6 units: 4000)
+    assert all(r["max_err_q6"] <= 4200 for r in out)
+    assert all(-128 * 8 <= r["code_sum"] <= 127 * 8 for r in out)
+
+
+def test_rrf_fuse_planted(spark):
+    from nifi_datasynthesizer_spark.operators import search as SE
+    rows = [(0, "hash join table scan"), (1, "hash hash join join"),
+            (2, "window sort merge"), (3, "completely unrelated words here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = SE.rrf_fuse(docs, ["hash join"], k=4, pool=4).collect()
+    assert out[0]["rank"] == 1
+    # docs 0/1 match both rankers (lexical + hashed-cosine) → one of
+    # them must fuse to the top; doc 3 can only appear via feature-hash
+    # collisions, never above a doc that both rankers retrieved
+    assert out[0]["doc_id"] in (0, 1)
+    scores = {r["doc_id"]: r["rrf_q9"] for r in out}
+    if 3 in scores:
+        assert scores[3] < scores[out[0]["doc_id"]]
+    # fused top score = two contributions ≥ floor(1e9/61)+floor(1e9/64)
+    assert out[0]["rrf_q9"] > 30_000_000
+
+
+def test_interval_join_state_bound(spark):
+    """Stream-stream join plan carries watermarks on both sides (the
+    state-eviction contract) and produces the batch join's rows."""
+    from nifi_datasynthesizer_spark import streaming as ST
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    ev = [(i, base + datetime.timedelta(minutes=i * 7), i % 3)
+          for i in range(40)]
+    df = spark.createDataFrame(ev, ["event_id", "ts", "user_id"])
+    left = df.filter(F.col("event_id") % 2 == 0)
+    right = df.filter(F.col("event_id") % 2 == 1)
+    expected = (left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 HOUR")))
+        .count())
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(f"{td}/data")
+        src = ST.file_stream(spark, f"{td}/data", df.schema)
+        l = src.filter(F.col("event_id") % 2 == 0)
+        r = src.filter(F.col("event_id") % 2 == 1)
+        j = ST.interval_join(l, r, key="user_id", ts_col="ts",
+                             within="1 hour")
+        # both sides must carry event-time watermarks (state eviction)
+        analyzed = j._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("EventTimeWatermark") == 2
+        out = ST.run_bounded(
+            j.select("l_event_id", "r_event_id"), "t_interval_join",
+            output_mode="append")
+        assert out.count() == expected
