@@ -868,6 +868,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("query_id", "rank"))
     q["search_rrf"] = search_rrf
 
+    def events_funnel(spark, sf):
+        """Ordered funnel over event types: signup → view → purchase,
+        one shuffle on user_id, min-over-filter step folding (no
+        self-joins)."""
+        from nifi_datasynthesizer_spark.operators.temporal import funnel_steps
+        ev = _t(spark, sf, "events")
+        return (funnel_steps(ev, ["signup", "view", "purchase"])
+                .orderBy("user_id"))
+    q["events_funnel"] = events_funnel
+
+    def events_ohlc(spark, sf):
+        """Daily OHLC bars per user — the timeseries downsampling
+        rollup, integer-cents exact with (ts, event_id) tie-breaks."""
+        from nifi_datasynthesizer_spark.operators.temporal import ohlc
+        ev = _t(spark, sf, "events")
+        return (ohlc(ev, bucket_s=86400)
+                .orderBy("user_id", "bucket"))
+    q["events_ohlc"] = events_ohlc
+
     def streaming_stream_join(spark, sf):
         """Stream-stream attribution join under the oracle gate: view
         events matched to same-user purchase events within 12 h, both
@@ -1276,6 +1295,48 @@ SELECT media_id,
   """ + _sql_arr_ppm('feature') + """ AS feature
 FROM feat ORDER BY media_id
 """
+
+    o["events_funnel"] = """
+WITH e AS (SELECT user_id, event_type AS st, epoch_us(ts) AS tus
+           FROM events
+           WHERE event_type IN ('signup', 'view', 'purchase')),
+g AS (SELECT user_id,
+             list_sort(list(tus) FILTER (WHERE st = 'signup')) AS ts0,
+             list_sort(list(tus) FILTER (WHERE st = 'view')) AS ts1,
+             list_sort(list(tus) FILTER (WHERE st = 'purchase')) AS ts2
+      FROM e GROUP BY user_id),
+f0 AS (SELECT user_id, ts1, ts2, ts0[1] AS t0 FROM g),
+f1 AS (SELECT *, list_min(list_filter(ts1, x -> x > t0)) AS t1 FROM f0),
+f2 AS (SELECT *, list_min(list_filter(ts2, x -> x > t1)) AS t2 FROM f1)
+SELECT user_id,
+       (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS max_step,
+       t0 AS t_first_us, t2 AS t_final_us
+FROM f2
+WHERE (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+       + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+       + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) > 0
+ORDER BY user_id"""
+
+    o["events_ohlc"] = """
+WITH e AS (SELECT user_id, event_id,
+                  epoch_us(ts) // 86400000000 AS bucket,
+                  epoch_us(ts) AS tus,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY tus, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY tus DESC, event_id DESC) AS rn_d
+      FROM e)
+SELECT user_id, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_c,
+       MAX(cents) AS high_c, MIN(cents) AS low_c,
+       MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_c,
+       COUNT(*) AS n_ticks
+FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket"""
 
     o["text_keywords"] = OR.tfidf_keywords_sql(k=3)
     o["text_fluency"] = OR.bigram_fluency_sql()

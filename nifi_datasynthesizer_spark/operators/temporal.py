@@ -91,3 +91,87 @@ def range_join(left: DataFrame, right: DataFrame, ts: str,
            .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
            .drop("__bucket"))
     return out
+
+
+def funnel_steps(events: DataFrame, steps: list[str], key: str = "user_id",
+                 ts: str = "ts", type_col: str = "event_type",
+                 within_s: int | None = None) -> DataFrame:
+    """Ordered funnel analysis: for each key, how far through the
+    ``steps`` sequence it progressed (each step must occur strictly
+    after the previous one; optionally within ``within_s`` seconds of
+    step 1).  The product-analytics staple (signup → view → purchase).
+
+    Plan shape for 100 TB: events filtered to the step types (pushed to
+    the scan), ONE shuffle on ``key``, then a per-key aggregate that
+    computes the earliest valid completion time of each step with
+    ``min(case when ...)`` chains — no self-joins, no explode, no
+    window sort cascade: step k's earliest time only needs step k-1's,
+    so the whole funnel is one groupBy over (key, per-step min-ts
+    conditional aggregates) evaluated in two passes (t1 then t2..tk
+    from the per-key event list via min-over-filter on the grouped
+    arrays).  Output: (key, max_step, t_first, t_last).
+    """
+    from pyspark.sql import functions as F
+
+    tss = F.unix_micros(F.col(ts))
+    ev = (events.filter(F.col(type_col).isin(steps))
+          .select(F.col(key), F.col(type_col).alias("st"), tss.alias("tus")))
+    # per key: collect each step's sorted event times once (array_sort
+    # over collect_list — one shuffle, map-side combined lists)
+    aggs = [F.array_sort(F.collect_list(F.when(F.col("st") == s, F.col("tus"))))
+            .alias(f"ts_{i}") for i, s in enumerate(steps)]
+    g = ev.groupBy(key).agg(*aggs)
+    # fold: t_i = min element of ts_i strictly greater than t_{i-1}
+    # (F.get: null — not an ANSI error — on the empty array of a key
+    # that never did step 1)
+    t_prev = F.get(F.col("ts_0"), 0)
+    t_first = t_prev
+    reached = F.when(t_prev.isNotNull(), 1).otherwise(0)
+    t_last = t_prev
+    deadline = (t_prev + F.lit(within_s * 1_000_000)
+                if within_s is not None else None)
+    for i in range(1, len(steps)):
+        arr = F.col(f"ts_{i}")
+        nxt = F.array_min(F.filter(
+            arr, lambda x: x > t_last if deadline is None
+            else (x > t_last) & (x <= deadline)))
+        reached = reached + F.when(nxt.isNotNull(), 1).otherwise(0)
+        # once a step is missing, nxt is null and later steps see null
+        # t_last → their filters yield null too (monotone short-circuit)
+        t_last = nxt
+    return (g.select(F.col(key),
+                     reached.alias("max_step"),
+                     t_first.alias("t_first_us"),
+                     t_last.alias("t_final_us"))
+            .filter(F.col("max_step") > 0))
+
+
+def ohlc(events: DataFrame, key: str = "user_id", ts: str = "ts",
+         value: str = "value", id_col: str = "event_id",
+         bucket_s: int = 86400) -> DataFrame:
+    """Time-bucketed OHLC (open/high/low/close) downsampling — the
+    hypertable-rollup / financial-bar operator.
+
+    One shuffle on (key, bucket); open/close are ``min_by``/``max_by``
+    ordered by (ts, id) so simultaneous ticks still pick a
+    deterministic row; values are quantized to integer cents so
+    cross-engine compares are exact.  At 100 TB this is the canonical
+    pre-aggregation that turns a raw tick table into a bar table
+    1000× smaller.
+    """
+    from pyspark.sql import functions as F
+
+    tus = F.unix_micros(F.col(ts))
+    cents = F.floor(F.col(value) * 100).cast("long")
+    e = events.select(F.col(key),
+                      F.expr(f"unix_micros({ts}) div {bucket_s * 1_000_000}")
+                      .alias("bucket"),
+                      F.struct(tus.alias("t"),
+                               F.col(id_col).alias("i")).alias("ord"),
+                      cents.alias("cents"))
+    return (e.groupBy(key, "bucket")
+            .agg(F.min_by("cents", "ord").alias("open_c"),
+                 F.max("cents").alias("high_c"),
+                 F.min("cents").alias("low_c"),
+                 F.max_by("cents", "ord").alias("close_c"),
+                 F.count("*").alias("n_ticks")))

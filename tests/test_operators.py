@@ -493,3 +493,52 @@ def test_interval_join_state_bound(spark):
             j.select("l_event_id", "r_event_id"), "t_interval_join",
             output_mode="append")
         assert out.count() == expected
+
+
+def test_funnel_steps_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import funnel_steps
+    import datetime
+    b = datetime.datetime(2024, 1, 1)
+    mins = lambda m: b + datetime.timedelta(minutes=m)
+    rows = [
+        # user 1: full funnel in order
+        (1, mins(0), "signup"), (1, mins(5), "view"), (1, mins(9), "purchase"),
+        # user 2: purchase BEFORE view → stops at step 2
+        (2, mins(0), "signup"), (2, mins(3), "purchase"), (2, mins(7), "view"),
+        # user 3: never signed up → excluded
+        (3, mins(1), "view"), (3, mins(2), "purchase"),
+        # user 4: signup only
+        (4, mins(0), "signup"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in
+           funnel_steps(ev, ["signup", "view", "purchase"]).collect()}
+    assert out[1]["max_step"] == 3
+    assert out[2]["max_step"] == 2       # view after signup counts; no purchase after view
+    assert 3 not in out                  # no step-1 event
+    assert out[4]["max_step"] == 1 and out[4]["t_final_us"] is None
+    # within_s bound: purchase at +9min misses a 5-minute deadline
+    tight = {r["user_id"]: r for r in
+             funnel_steps(ev, ["signup", "view", "purchase"],
+                          within_s=300).collect()}
+    assert tight[1]["max_step"] == 2
+
+
+def test_ohlc_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import ohlc
+    import datetime
+    b = datetime.datetime(2024, 1, 1)
+    rows = [
+        (10, b + datetime.timedelta(hours=1), 7, 5.00),
+        (10, b + datetime.timedelta(hours=2), 8, 9.50),   # high
+        (10, b + datetime.timedelta(hours=3), 9, 1.25),   # low
+        (10, b + datetime.timedelta(hours=4), 11, 4.75),  # close
+        (10, b + datetime.timedelta(days=1), 12, 2.00),   # next bucket
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = ohlc(ev, bucket_s=86400).orderBy("bucket").collect()
+    assert len(out) == 2
+    d0 = out[0]
+    assert (d0["open_c"], d0["high_c"], d0["low_c"], d0["close_c"],
+            d0["n_ticks"]) == (500, 950, 125, 475, 4)
+    assert out[1]["open_c"] == out[1]["close_c"] == 200
