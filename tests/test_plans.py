@@ -158,3 +158,72 @@ def test_decontaminate_broadcasts_eval_set(spark):
     p = _plan(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_corpus_split_is_narrow(spark):
+    df = entrymod.queries()["corpus_split"](spark, SF)
+    p = _plan(df)
+    # split assignment is a pure projection — the only exchange allowed
+    # is the final presentation sort's
+    before_sort = p.split("Sort", 1)[0] if "Sort" in p else p
+    assert "hashpartitioning" not in before_sort
+
+
+def test_quantize_stats_is_single_row_broadcast(spark):
+    df = entrymod.queries()["embed_quantize"](spark, SF)
+    p = _plan(df)
+    # per-dim min/max collapse into ONE aggregate row broadcast back;
+    # the code pass itself must not shuffle the corpus by any key
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("SinglePartition") >= 1
+    # no posexplode-style blowup: the corpus is scanned only for the
+    # code pass and the 1-row stats aggregate
+    ps = _plan(df, "simple")
+    assert ps.count("Scan parquet") == 2
+
+
+def test_funnel_single_key_shuffle(spark):
+    df = entrymod.queries()["events_funnel"](spark, SF)
+    p = _plan(df)
+    # event-type filter reaches the scan; aggregation shuffles on
+    # user_id once; no joins of any kind in the funnel fold
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") >= 1
+
+
+def test_ohlc_single_shuffle_no_join(spark):
+    df = entrymod.queries()["events_ohlc"](spark, SF)
+    p = _plan(df)
+    assert "Join" not in p
+    # one partial+final aggregate pair over (user_id, bucket)
+    assert "partial_min" in p or "HashAggregate" in p
+
+
+def test_tfidf_df_derives_from_postings(spark):
+    df = entrymod.queries()["text_keywords"](spark, SF)
+    p = _plan(df)
+    # document frequencies must come from the aggregated postings, not
+    # a second corpus scan: documents.parquet is read for tf and for
+    # the 1-row corpus-size aggregate only
+    ps = _plan(df, "simple")
+    assert ps.count("Scan parquet") <= 3
+
+
+def test_interval_join_state_watermarks(spark):
+    from nifi_datasynthesizer_spark import streaming as ST
+    from pyspark.sql import functions as F
+    import datetime
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1)],
+        ["event_id", "ts", "user_id"])
+    # batch-side analysis of the streaming join shape: both inputs carry
+    # EventTimeWatermark nodes (bounded state) and the join condition
+    # includes the time range (state eviction can reason about it)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/data")
+        src = ST.file_stream(spark, f"{td}/data", df.schema)
+        j = ST.interval_join(src, src, key="user_id", ts_col="ts",
+                             within="1 hour")
+        analyzed = j._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("EventTimeWatermark") == 2
