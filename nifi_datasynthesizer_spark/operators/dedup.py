@@ -287,28 +287,30 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels themselves are deterministic).
     """
     a, b = F.col("a"), F.col("b")
+    # symmetric closure PLUS self-loops: with (n, n) present for every
+    # node, one join+aggregate per round computes
+    # label(dst) ← min over {dst} ∪ neighbors of label(src) — no
+    # separate left-join to merge a node's own label back in (one
+    # exchange fewer per round than the textbook formulation).
     # edges are re-read EVERY round: persist once or the upstream pair
     # generator (e.g. the whole minhash pipeline) re-executes per round
-    edges = (pairs.select(a.alias("src"), b.alias("dst"))
-             .union(pairs.select(b.alias("src"), a.alias("dst")))
-             .distinct()).persist()
+    sym = (pairs.select(a.alias("src"), b.alias("dst"))
+           .union(pairs.select(b.alias("src"), a.alias("dst"))))
+    loops = sym.select(F.col("src").alias("src")).distinct() \
+        .select(F.col("src"), F.col("src").alias("dst"))
+    edges = sym.union(loops).distinct().persist()
     # initialize with round 1 for free: label = min(self, neighbors)
-    # straight from the edge aggregation (one groupBy instead of a
-    # distinct + a full propagation round)
-    labels = (edges.groupBy(F.col("src").alias("node"))
-              .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-              ).persist()
+    # straight from the edge aggregation (self-loops make min(src)
+    # over dst-groups exactly that)
+    labels = (edges.groupBy(F.col("dst").alias("node"))
+              .agg(F.min("src").alias("label"))).persist()
     s0 = labels.agg(F.sum("label").alias("s"),
                     F.count("*").alias("n")).collect()[0]
     prev_sig = (s0["s"], s0["n"])
     for _ in range(max_iter):
-        neigh = (edges.join(labels, edges.src == labels.node)
-                 .groupBy(F.col("dst").alias("node"))
-                 .agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(neigh, "node", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nlabel", "label"))
-                              .alias("label"))).persist()
+        new_labels = (edges.join(labels, edges.src == labels.node)
+                      .groupBy(F.col("dst").alias("node"))
+                      .agg(F.min("label").alias("label"))).persist()
         s = new_labels.agg(F.sum("label").alias("s"),
                            F.count("*").alias("n")).collect()[0]
         labels.unpersist()
