@@ -887,6 +887,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("user_id", "bucket"))
     q["events_ohlc"] = events_ohlc
 
+    def events_anomaly(spark, sf):
+        """Per-user z-score outliers in exact integer algebra:
+        (c·n − s)² > z²·(n·ss − s²) over cents — no float mean/variance
+        anywhere, bit-identical across engines and partitionings."""
+        from nifi_datasynthesizer_spark.operators.temporal import anomalies_zscore
+        ev = _t(spark, sf, "events")
+        return (anomalies_zscore(ev, z=2)
+                .select("user_id", "event_id", "c", "n")
+                .orderBy("event_id"))
+    q["events_anomaly"] = events_anomaly
+
     def streaming_stream_join(spark, sf):
         """Stream-stream attribution join under the oracle gate: view
         events matched to same-user purchase events within 12 h, both
@@ -1337,6 +1348,18 @@ SELECT user_id, bucket,
        MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_c,
        COUNT(*) AS n_ticks
 FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket"""
+
+    o["events_anomaly"] = """
+WITH e AS (SELECT user_id, event_id,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+g AS (SELECT *, COUNT(*) OVER w AS n,
+             CAST(SUM(c) OVER w AS BIGINT) AS s,
+             CAST(SUM(c * c) OVER w AS BIGINT) AS ss
+      FROM e WINDOW w AS (PARTITION BY user_id))
+SELECT user_id, event_id, c, n
+FROM g
+WHERE (c * n - s) * (c * n - s) > 4 * (n * ss - s * s)
+ORDER BY event_id"""
 
     o["text_keywords"] = OR.tfidf_keywords_sql(k=3)
     o["text_fluency"] = OR.bigram_fluency_sql()

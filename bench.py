@@ -47,7 +47,8 @@ def main() -> None:
              "dedup_spans", "corpus_ngrams", "corpus_pack", "corpus_mix",
              "text_bm25", "embed_cluster", "text_keywords", "text_fluency",
              "corpus_split", "embed_quantize", "search_rrf",
-             "streaming_stream_join", "events_funnel", "events_ohlc"]
+             "streaming_stream_join", "events_funnel", "events_ohlc",
+             "events_anomaly"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -175,3 +175,33 @@ def ohlc(events: DataFrame, key: str = "user_id", ts: str = "ts",
                  F.min("cents").alias("low_c"),
                  F.max_by("cents", "ord").alias("close_c"),
                  F.count("*").alias("n_ticks")))
+
+
+def anomalies_zscore(events: DataFrame, key: str = "user_id",
+                     value: str = "value", id_col: str = "event_id",
+                     z: int = 2) -> DataFrame:
+    """Per-key z-score outliers computed in EXACT integer arithmetic.
+
+    ``|x - mean| > z·stddev`` rearranges to
+    ``(c·n - s)² > z²·(n·ss - s²)`` over integer cents
+    (c = cents, n = count, s = Σc, ss = Σc²) — no float mean, no float
+    variance, no accumulation-order drift: the flag is bit-identical on
+    any engine, partitioning, or retry.  Plan: ONE shuffle on ``key``
+    (window aggregates n/s/ss over the partition), then a narrow
+    integer filter.  Bounds: |c| ≤ 1e7 cents and n ≤ 1e7 rows/key keep
+    every intermediate < 2⁶³ comfortably for real workloads; beyond
+    that, switch s/ss to DECIMAL(38) — same algebra.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c = F.floor(F.col(value) * 100).cast("long")
+    e = events.select(F.col(key), F.col(id_col), c.alias("c"))
+    w = Window.partitionBy(key)
+    e = (e.withColumn("n", F.count("*").over(w))
+         .withColumn("s", F.sum("c").over(w))
+         .withColumn("ss", F.sum(F.col("c") * F.col("c")).over(w)))
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (e.filter(dev * dev > F.lit(z * z) * var_n2)
+            .select(key, id_col, "c", "n"))

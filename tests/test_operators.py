@@ -542,3 +542,17 @@ def test_ohlc_planted(spark):
     assert (d0["open_c"], d0["high_c"], d0["low_c"], d0["close_c"],
             d0["n_ticks"]) == (500, 950, 125, 475, 4)
     assert out[1]["open_c"] == out[1]["close_c"] == 200
+
+
+def test_anomalies_zscore_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import anomalies_zscore
+    # 20 ticks at 1.00 plus one at 100.00 → only the spike flags
+    rows = [(1, i, 1.00) for i in range(20)] + [(1, 99, 100.00)]
+    # user 2: constant series → zero variance → nothing flags
+    rows += [(2, 200 + i, 5.00) for i in range(10)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "value"])
+    out = anomalies_zscore(ev, z=2).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 99)]
+    # exact under repartitioning (integer algebra, no float drift)
+    out2 = anomalies_zscore(ev.repartition(7), z=2).collect()
+    assert sorted(r["event_id"] for r in out2) == [99]
