@@ -110,6 +110,13 @@ def funnel_steps(events: DataFrame, steps: list[str], key: str = "user_id",
     conditional aggregates) evaluated in two passes (t1 then t2..tk
     from the per-key event list via min-over-filter on the grouped
     arrays).  Output: (key, max_step, t_first, t_last).
+
+    Skew note: the per-(key, step) time arrays are bounded by that
+    key's event count; a pathological hot key (bots, test accounts)
+    should be pre-filtered or capped upstream — the funnel semantics
+    only ever need each step's earliest few timestamps, so a per-key
+    ``slice(array_sort(...), 1, K)`` cap preserves results for any K
+    ≥ the funnel depth when events arrive loosely ordered.
     """
     from pyspark.sql import functions as F
 
