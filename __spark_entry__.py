@@ -655,6 +655,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.dup_groups(pairs).orderBy("doc_id")
     q["dedup_groups"] = dedup_groups
 
+    def dedup_cross(spark, sf):
+        """Incremental dedup: the 'incoming batch' (doc_id % 7 = 0)
+        near-dup-checked against the remaining corpus — candidate
+        volume scales with the batch, never corpus²."""
+        docs = _t(spark, sf, "documents")
+        incoming = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        return (DD.dedup_minhash_cross(incoming, corpus,
+                                       num_hashes=64, bands=16,
+                                       jaccard_threshold=0.5)
+                .orderBy("a", "b"))
+    q["dedup_cross"] = dedup_cross
+
     def dedup_embedding(spark, sf):
         return (DD.dedup_embedding(_t(spark, sf, "embeddings"), threshold=0.95)
                 .orderBy("a", "b"))
@@ -897,6 +910,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("user_id", "event_id", "c", "n")
                 .orderBy("event_id"))
     q["events_anomaly"] = events_anomaly
+
+    def events_rolling(spark, sf):
+        """Per-user rolling 1-hour window (RANGE frame over event-time
+        micros): count and integer-cents sum of the trailing hour at
+        every event — the sliding-aggregate shape (rate limiting,
+        velocity features) that RANGE BETWEEN expresses in one
+        shuffle+sort, no self-join."""
+        from pyspark.sql import Window
+        ev = _t(spark, sf, "events").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("tus"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        w = (Window.partitionBy("user_id").orderBy("tus")
+             .rangeBetween(-3_600_000_000, 0))
+        return (ev.select("user_id", "event_id",
+                          F.count("*").over(w).alias("n_1h"),
+                          F.sum("cents").over(w).alias("cents_1h"))
+                .orderBy("event_id"))
+    q["events_rolling"] = events_rolling
+
+    _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def events_pivot(spark, sf):
+        """Wide daily activity matrix via the pivot relational op —
+        fixed pivot values keep it a single-pass aggregation (no
+        value-discovery job)."""
+        ev = _t(spark, sf, "events")
+        return (ev.groupBy(F.to_date("ts").alias("day"))
+                .pivot("event_type", _PIVOT_TYPES)
+                .count()
+                .na.fill(0, _PIVOT_TYPES)
+                .orderBy("day"))
+    q["events_pivot"] = events_pivot
+
+    def events_rollup(spark, sf):
+        """Multi-level subtotals in ONE pass (ROLLUP): per (type, day),
+        per type, and grand total — partial aggregation absorbs the
+        hierarchy map-side instead of three separate jobs."""
+        ev = _t(spark, sf, "events").select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        return (ev.rollup("event_type", "day")
+                .agg(F.count("*").alias("n"),
+                     F.sum("cents").alias("cents"))
+                # sentinel the subtotal NULLs: pandas None/NaT compare
+                # differently per engine, '(all)' rows don't
+                .select(F.coalesce("event_type", F.lit("(all)"))
+                        .alias("event_type"),
+                        F.coalesce("day", F.lit("1900-01-01").cast("date"))
+                        .alias("day"),
+                        "n", "cents")
+                .orderBy("event_type", "day"))
+    q["events_rollup"] = events_rollup
 
     def streaming_stream_join(spark, sf):
         """Stream-stream attribution join under the oracle gate: view
@@ -1360,6 +1425,38 @@ SELECT user_id, event_id, c, n
 FROM g
 WHERE (c * n - s) * (c * n - s) > 4 * (n * ss - s * s)
 ORDER BY event_id"""
+
+    o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
+
+    o["events_rolling"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
+    o["events_pivot"] = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY day ORDER BY day"""
+
+    o["events_rollup"] = """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT COALESCE(event_type, '(all)') AS event_type,
+             COALESCE(day, DATE '1900-01-01') AS day,
+             COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM e GROUP BY ROLLUP (event_type, day))
+SELECT * FROM r ORDER BY event_type, day"""
 
     o["text_keywords"] = OR.tfidf_keywords_sql(k=3)
     o["text_fluency"] = OR.bigram_fluency_sql()

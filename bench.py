@@ -48,7 +48,8 @@ def main() -> None:
              "text_bm25", "embed_cluster", "text_keywords", "text_fluency",
              "corpus_split", "embed_quantize", "search_rrf",
              "streaming_stream_join", "events_funnel", "events_ohlc",
-             "events_anomaly"]
+             "events_anomaly", "events_rolling", "events_pivot",
+             "events_rollup", "dedup_cross"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

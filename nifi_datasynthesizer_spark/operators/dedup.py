@@ -117,6 +117,34 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     return sh.select("doc_id", sig.alias("signature"))
 
 
+def _minhash_bands(docs: DataFrame, num_hashes: int, bands: int,
+                   shingle_k: int, max_bucket: int | None) -> DataFrame:
+    """(doc_id, band_id, band_hash) — the LSH bucket frame.
+
+    The band frame carries doc_id ONLY: shipping the 64-long signature
+    through a 16-way band explode would amplify shuffle bytes ~16×512 B
+    per doc.  Signatures for the verification stage are RECOMPUTED,
+    but only over the candidate docs (semi-join on the collided ids —
+    a tiny fraction of the corpus), so total signature-hashing work
+    stays ~one full pass like the naive plan while the wide arrays
+    never ride the band shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_k)
+    bands_df = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("signature")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)]))
+            for b in range(bands)])).alias("band_id", "band_hash"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        bands_df = (bands_df.withColumn("__bsz", F.count("*").over(w))
+                    .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
+    return bands_df
+
+
 def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                   shingle_k: int = 5, jaccard_threshold: float = 0.5,
                   max_bucket: int | None = None) -> DataFrame:
@@ -135,26 +163,7 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     duplicates better handled by dedup_exact first.  Default None
     keeps exact parity with the oracle.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, shingle_k)
-    # The band join carries doc_id ONLY: shipping the 64-long signature
-    # through a 16-way band explode would amplify shuffle bytes ~16×512 B
-    # per doc.  Signatures for the verification stage are RECOMPUTED,
-    # but only over the candidate docs (semi-join on the collided ids —
-    # a tiny fraction of the corpus), so total signature-hashing work
-    # stays ~one full pass like the naive plan while the wide arrays
-    # never ride the band shuffle.
-    bands_df = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("signature")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)]))
-            for b in range(bands)])).alias("band_id", "band_hash"))
-    if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_hash")
-        bands_df = (bands_df.withColumn("__bsz", F.count("*").over(w))
-                    .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
+    bands_df = _minhash_bands(docs, num_hashes, bands, shingle_k, max_bucket)
     left = bands_df.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
     right = bands_df.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
     # cand_ids is referenced THREE times downstream (pair list, and the
@@ -175,6 +184,51 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                                   F.col("signature").alias("sig_a")), "a")
             .join(sig_cand.select(F.col("doc_id").alias("b"),
                                   F.col("signature").alias("sig_b")), "b"))
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v)) / F.lit(float(num_hashes)))
+    return (est.filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("a", "b", "est_jaccard"))
+
+
+def dedup_minhash_cross(incoming: DataFrame, corpus: DataFrame,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 5, jaccard_threshold: float = 0.5,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Incremental dedup: near-dups of INCOMING documents against an
+    EXISTING corpus — the shape every production crawl pipeline runs
+    (dedupe each new batch against everything already ingested)
+    without re-pairing the corpus against itself.
+
+    Same banding as :func:`dedup_minhash`, but the band join is
+    incoming×corpus instead of a corpus self-join: candidate volume
+    scales with the BATCH size, not the corpus size, and the corpus
+    side's band frame is exactly what a production system would keep
+    materialized (bucketed by (band_id, band_hash)) between batches.
+    Returns (a=incoming doc_id, b=corpus doc_id, est_jaccard).
+    """
+    in_bands = _minhash_bands(incoming, num_hashes, bands, shingle_k,
+                              max_bucket)
+    co_bands = _minhash_bands(corpus, num_hashes, bands, shingle_k,
+                              max_bucket)
+    cand_ids = (in_bands.select(F.col("doc_id").alias("a"),
+                                "band_id", "band_hash")
+                .join(co_bands.select(F.col("doc_id").alias("b"),
+                                      "band_id", "band_hash"),
+                      ["band_id", "band_hash"])
+                .select("a", "b").distinct()).persist()
+    sig_a = minhash_signatures(
+        incoming.join(cand_ids.select(F.col("a").alias("doc_id")).distinct(),
+                      "doc_id", "leftsemi"), num_hashes, shingle_k)
+    sig_b = minhash_signatures(
+        corpus.join(cand_ids.select(F.col("b").alias("doc_id")).distinct(),
+                    "doc_id", "leftsemi"), num_hashes, shingle_k)
+    cand = (cand_ids
+            .join(sig_a.select(F.col("doc_id").alias("a"),
+                               F.col("signature").alias("sig_a")), "a")
+            .join(sig_b.select(F.col("doc_id").alias("b"),
+                               F.col("signature").alias("sig_b")), "b"))
     est = cand.withColumn(
         "est_jaccard",
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),

@@ -805,3 +805,35 @@ SELECT query_id,
                           ORDER BY rrf_q9 DESC, doc_id) AS rank,
        doc_id, rrf_q9
 FROM fu QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
+def minhash_cross_sql(incoming_pred: str, num_hashes: int = 64,
+                      bands: int = 16, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.5,
+                      table: str = "documents") -> str:
+    """Mirror of dedup.dedup_minhash_cross with the incoming batch
+    selected by ``incoming_pred`` and the corpus being its complement."""
+    p = (1 << 31) - 1
+    rpb = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {2 * j + 1} + {j * 2654435761 % p}) % {p}))"
+        for j in range(num_hashes))
+    return f"""
+WITH {_shingles_cte(shingle_k, table)},
+base AS (SELECT doc_id, list_transform(sh, s -> {h60_sql('s')} % {p}) AS hs FROM sh),
+sig AS (SELECT doc_id, [{sig_exprs}] AS signature FROM base),
+bands AS (SELECT doc_id, signature, band_id,
+                 list_slice(signature, band_id * {rpb} + 1, band_id * {rpb} + {rpb}) AS sl
+          FROM sig, (SELECT unnest(range(0, {bands})) AS band_id)),
+bi AS (SELECT * FROM bands WHERE {incoming_pred}),
+bc AS (SELECT * FROM bands WHERE NOT ({incoming_pred})),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                l.signature AS sa, r.signature AS sb
+         FROM bi l JOIN bc r
+           ON l.band_id = r.band_id AND l.sl = r.sl),
+est AS (SELECT a, b,
+               len(list_filter(list_zip(sa, sb), q -> q[1] = q[2])) / {float(num_hashes)}
+                 AS est_jaccard
+        FROM cand)
+SELECT a, b, est_jaccard FROM est
+WHERE est_jaccard >= {jaccard_threshold} ORDER BY a, b"""

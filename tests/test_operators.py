@@ -556,3 +556,18 @@ def test_anomalies_zscore_planted(spark):
     # exact under repartitioning (integer algebra, no float drift)
     out2 = anomalies_zscore(ev.repartition(7), z=2).collect()
     assert sorted(r["event_id"] for r in out2) == [99]
+
+
+def test_dedup_minhash_cross_planted(planted_docs):
+    # incoming = docs {1, 2} checked against corpus {0, 3, 4}:
+    # 1 is an exact dup of 0, 2 a near-dup of 0; 3/4 unrelated
+    incoming = planted_docs.filter(F.col("doc_id").isin(1, 2))
+    corpus = planted_docs.filter(~F.col("doc_id").isin(1, 2))
+    pairs = {(r.a, r.b) for r in
+             DD.dedup_minhash_cross(incoming, corpus, bands=32,
+                                    jaccard_threshold=0.3).collect()}
+    assert (1, 0) in pairs
+    assert (2, 0) in pairs
+    assert all(b not in (3, 4) for _, b in pairs)
+    # direction: a is ALWAYS from the incoming batch
+    assert all(a in (1, 2) for a, _ in pairs)
