@@ -227,3 +227,35 @@ def test_interval_join_state_watermarks(spark):
                              within="1 hour")
         analyzed = j._jdf.queryExecution().analyzed().toString()
         assert analyzed.count("EventTimeWatermark") == 2
+
+
+def test_rolling_single_shuffle_no_join(spark):
+    df = entrymod.queries()["events_rolling"](spark, SF)
+    p = _plan(df)
+    assert "Join" not in p
+    assert p.count("hashpartitioning(user_id") >= 1
+
+
+def test_pivot_single_pass(spark):
+    df = entrymod.queries()["events_pivot"](spark, SF)
+    p = _plan(df)
+    # fixed pivot values → one aggregate pass, no join, no second scan
+    assert "Join" not in p
+    assert _plan(df, "simple").count("Scan parquet") == 1
+
+
+def test_rollup_uses_expand(spark):
+    df = entrymod.queries()["events_rollup"](spark, SF)
+    p = _plan(df)
+    # ROLLUP compiles to Expand + ONE aggregate, not three jobs
+    assert "Expand" in p
+    assert "Join" not in p
+
+
+def test_cross_dedup_band_join(spark):
+    df = entrymod.queries()["dedup_cross"](spark, SF)
+    p = _plan(df)
+    # candidates come from the (band_id, band_hash) equi-join
+    assert "band_hash" in p
+    # incoming-batch filter is pushed into the parquet scan
+    assert "PushedFilters" in p
