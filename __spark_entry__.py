@@ -184,6 +184,22 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 
 # -------------------------------------------------------------- queries
 
+def _stream_tuned(fn, n: int = 8):
+    """Start streaming queries under a state-store partition count
+    sized to the replayed streams (streaming.state_partitions): state
+    partitioning is fixed at first checkpoint, and each partition
+    costs a provider instance + checkpoint files per micro-batch, so
+    a batch-shuffle-sized default never amortizes on these volumes.
+    The drain happens inside ``fn``; the final memory-table read the
+    wrapped function returns is batch and runs under the restored
+    setting."""
+    def wrapped(spark, sf):
+        from nifi_datasynthesizer_spark.streaming import state_partitions
+        with state_partitions(spark, n):
+            return fn(spark, sf)
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -369,7 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            (F.col("sum_cents") / F.lit(100.0))
                            .alias("total_value"))
                 .orderBy("day", "event_type"))
-    q["streaming_events_daily"] = streaming_events_daily
+    q["streaming_events_daily"] = _stream_tuned(streaming_events_daily)
 
     def streaming_sessionize(spark, sf):
         """Native session windows (F.session_window, gap-merged state)
@@ -399,7 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            (F.col("sum_cents") / F.lit(100.0))
                            .alias("total_value"))
                 .orderBy("user_id", "session_start_us"))
-    q["streaming_sessionize"] = streaming_sessionize
+    q["streaming_sessionize"] = _stream_tuned(streaming_sessionize)
 
     def streaming_enrich_nation(spark, sf):
         """Stream-static broadcast join: the replayed events stream is
@@ -427,7 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            (F.col("sum_cents") / F.lit(100.0))
                            .alias("total_value"))
                 .orderBy("c_nationkey"))
-    q["streaming_enrich_nation"] = streaming_enrich_nation
+    q["streaming_enrich_nation"] = _stream_tuned(streaming_enrich_nation)
 
     def streaming_dedup_docs(spark, sf):
         """Streaming exact dedup (dropDuplicatesWithinWatermark) over
@@ -453,7 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_.stop()
         return (spark.table("stream_dedup_docs").select("digest")
                 .distinct().orderBy("digest"))
-    q["streaming_dedup_docs"] = streaming_dedup_docs
+    q["streaming_dedup_docs"] = _stream_tuned(streaming_dedup_docs)
 
     def streaming_running_totals(spark, sf):
         """Custom stateful operator (applyInPandasWithState) under the
@@ -487,7 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              (F.col("s.total") / F.lit(100.0))
                              .alias("total_value"))
                 .orderBy("user_id"))
-    q["streaming_running_totals"] = streaming_running_totals
+    q["streaming_running_totals"] = _stream_tuned(streaming_running_totals)
 
     # ---- schema-driven synthesis (the reference's core capability)
     def synth_basic(spark, sf):
@@ -990,7 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.unix_micros("r_ts") - F.unix_micros("l_ts"))
             .alias("gap_us")), "stream_interval_join", output_mode="append")
         return out.orderBy("view_id", "purchase_id")
-    q["streaming_stream_join"] = streaming_stream_join
+    q["streaming_stream_join"] = _stream_tuned(streaming_stream_join)
 
     return q
 

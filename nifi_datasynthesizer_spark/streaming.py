@@ -16,6 +16,8 @@ by group, timeouts for eviction).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -205,3 +207,25 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
             & (F.col(f"r_{ts_col}")
                <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {within}")))
     return lw.join(rw, cond)
+
+
+@contextmanager
+def state_partitions(spark, n: int):
+    """Pin the state-store partition count for queries started inside
+    the block (state partitioning is fixed by
+    ``spark.sql.shuffle.partitions`` at FIRST checkpoint and can never
+    change for the life of the query — Spark's own docs call this
+    out).  Sizing it to the stream's key cardinality/throughput is
+    standard production practice: every state partition costs a
+    provider instance + checkpoint files per micro-batch, so a default
+    sized for batch shuffles (200, or this repo's 32) pays fixed
+    overhead per batch that small-to-medium streams never amortize.
+    Restores the previous value on exit so batch queries keep their
+    own sizing.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
