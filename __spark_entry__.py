@@ -684,6 +684,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a", "b"))
     q["dedup_cross"] = dedup_cross
 
+    def dedup_containment(spark, sf):
+        """Asymmetric containment pairs (quote/boilerplate subsets that
+        Jaccard misses): df-capped shingle postings join, integer-ppm
+        scores."""
+        return (DD.containment_pairs(_t(spark, sf, "documents"),
+                                     n=3, threshold=0.8, df_cap=64)
+                .orderBy("a", "b"))
+    q["dedup_containment"] = dedup_containment
+
     def dedup_embedding(spark, sf):
         return (DD.dedup_embedding(_t(spark, sf, "embeddings"), threshold=0.95)
                 .orderBy("a", "b"))
@@ -795,6 +804,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       k=8, iters=2)
                 .orderBy("vec_id"))
     q["embed_cluster"] = embed_cluster
+
+    def embed_pca(spark, sf):
+        """Distributed power-iteration PCA: per-vector projection onto
+        the top principal direction, two one-pass iterations with
+        integer-exact dots (no covariance matrix, no vector shuffle)."""
+        from nifi_datasynthesizer_spark.operators.clustering import pca_power
+        return (pca_power(_t(spark, sf, "embeddings"), iters=2)
+                .orderBy("vec_id"))
+    q["embed_pca"] = embed_pca
 
     def text_bm25(spark, sf):
         from nifi_datasynthesizer_spark.operators import search as SE
@@ -1443,6 +1461,9 @@ WHERE (c * n - s) * (c * n - s) > 4 * (n * ss - s * s)
 ORDER BY event_id"""
 
     o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
+    o["dedup_containment"] = OR.containment_pairs_sql(
+        n=3, threshold=0.8, df_cap=64)
+    o["embed_pca"] = OR.pca_power_sql(iters=2, dim=64)
 
     o["events_rolling"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,

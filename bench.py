@@ -49,7 +49,8 @@ def main() -> None:
              "corpus_split", "embed_quantize", "search_rrf",
              "streaming_stream_join", "events_funnel", "events_ohlc",
              "events_anomaly", "events_rolling", "events_pivot",
-             "events_rollup", "dedup_cross"]
+             "events_rollup", "dedup_cross", "dedup_containment",
+             "embed_pca"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -93,3 +93,59 @@ def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
 
     return (_assign(quant, centroids)
             .select("vec_id", "cluster", "dist_q"))
+
+
+def pca_power(emb: DataFrame, iters: int = 2, dim: int = 64,
+              vec_col: str = "embedding") -> DataFrame:
+    """Top principal direction by distributed power iteration, and the
+    per-vector projection onto it — the whitening / spectral-dedup /
+    outlier-direction primitive of an embedding pipeline.
+
+    Each iteration is ONE narrow pass + ONE aggregation to a single
+    row: with the current direction v bound as an integer plan literal,
+    every row computes its (rescaled) dot ``ds = floor((x·v)/1e6)``
+    and the update ``s_d = Σ x_d·ds`` reduces 64 integer sums
+    map-side; only 64 numbers reach the driver per iteration (the same
+    collect-k-literals pattern as cluster_embeddings).  No covariance
+    matrix is ever materialized (dim² never appears), no shuffle
+    carries vectors.
+
+    Exactness across engines: embeddings quantize to integer
+    micro-units; dots and update sums are exact int64 (|x_d| ≤ 1e6,
+    |ds| ≤ 6.4e7 ⇒ per-row terms ≤ 6.4e13, corpus sums ≪ 2⁶³ up to
+    ~1e5 rows — beyond that rescale ds by another 1e3); the ONLY
+    float steps are the normalization ``floor(1e6·s/√Σs²)`` (identical
+    IEEE op sequence in Python and the SQL oracle — the int→double
+    casts round half-even in both) and the final floor-division
+    rescale.  v₀ = (0.125, …): exactly unit-norm at dim 64 and exactly
+    representable in micro-units.
+    """
+    import math
+
+    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+    v = [SCALE // 8] * dim                       # 0.125 · 1e6, unit norm
+
+    for _ in range(iters):
+        vlit = F.expr("array(" + ",".join(f"{c}L" for c in v) + ")")
+        d = F.aggregate(F.zip_with(F.col("xi"), vlit, lambda a, b: a * b),
+                        F.lit(0).cast("long"), lambda acc, t: acc + t)
+        ds = F.floor(d / F.lit(1e6)).cast("long")
+        rows = (quant.withColumn("ds", ds)
+                .agg(*[F.sum(F.element_at("xi", j + 1) * F.col("ds"))
+                       .alias(f"s{j}") for j in range(dim)])
+                .collect()[0])
+        s = [int(rows[f"s{j}"] or 0) for j in range(dim)]
+        # normalization mirrors the SQL oracle op-for-op: sequential
+        # double fold of s², sqrt, then per-dim floor(1e6·s/norm)
+        acc = 0.0
+        for sd in s:
+            acc = acc + float(sd) * float(sd)
+        norm = math.sqrt(acc)
+        if norm == 0.0:
+            break                                 # degenerate corpus
+        v = [math.floor(1e6 * float(sd) / norm) for sd in s]
+
+    vlit = F.expr("array(" + ",".join(f"{c}L" for c in v) + ")")
+    proj = F.aggregate(F.zip_with(F.col("xi"), vlit, lambda a, b: a * b),
+                       F.lit(0).cast("long"), lambda acc, t: acc + t)
+    return quant.select("vec_id", proj.alias("proj_q"))

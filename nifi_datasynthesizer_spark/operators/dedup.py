@@ -405,3 +405,46 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
         F.round(F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                             F.lit(0.0), lambda acc, v: acc + v), 6))
     return cos.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = 0.8, df_cap: int = 64,
+                      text_col: str = "text") -> DataFrame:
+    """Asymmetric containment: ordered pairs (a, b) where a's shingle
+    set is ≥ ``threshold`` contained in b's (``|A∩B| / |A|``) — the
+    quote/boilerplate/subset detector Jaccard dedup misses by
+    construction (a short doc fully quoted inside a long one has low
+    Jaccard but containment 1.0).
+
+    Plan shape for 100 TB: distinct shingles explode to a posting
+    frame keyed by shingle digest; shingles with document frequency >
+    ``df_cap`` are dropped BEFORE the pair join (stop-shingles —
+    boilerplate n-grams would otherwise fan out df² pairs each; the
+    cap bounds per-shingle join fanout by a constant, making the
+    candidate volume linear in corpus size).  The pair aggregation
+    shuffles on (a, b) id pairs only.  Scores are integer ppm
+    (``floor(1e6·inter/|A|)``), exact in any engine.
+    """
+    from ..phash import h60
+
+    docs = ensure_parallelism(docs)
+    grams = (docs.select(F.col("doc_id"),
+                         F.explode(F.array_distinct(
+                             _shingles(F.col(text_col), n))).alias("sh"))
+             .select("doc_id", h60(F.col("sh")).alias("g")))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    rare = grams.join(dfreq.filter(F.col("df") <= df_cap), "g")
+    inter = (rare.select(F.col("doc_id").alias("a"), "g")
+             .join(rare.select(F.col("doc_id").alias("b"), "g"), "g")
+             .filter(F.col("a") != F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    thr = int(round(threshold * 1_000_000))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("sz").alias("sz_a")), "a")
+            .withColumn("cont_ppm",
+                        F.floor(F.col("inter") * 1_000_000 / F.col("sz_a"))
+                        .cast("long"))
+            .filter(F.col("cont_ppm") >= thr)
+            .select("a", "b", "cont_ppm"))

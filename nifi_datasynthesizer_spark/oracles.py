@@ -837,3 +837,66 @@ est AS (SELECT a, b,
         FROM cand)
 SELECT a, b, est_jaccard FROM est
 WHERE est_jaccard >= {jaccard_threshold} ORDER BY a, b"""
+
+
+def containment_pairs_sql(n: int = 3, threshold: float = 0.8,
+                          df_cap: int = 64,
+                          table: str = "documents") -> str:
+    """Mirror of dedup.containment_pairs (distinct shingles, df-capped
+    postings, integer-ppm containment)."""
+    thr = int(round(threshold * 1_000_000))
+    return f"""
+WITH {_shingles_cte(n, table)},
+g AS (SELECT doc_id, {h60_sql('s.sh')} AS g
+      FROM (SELECT doc_id, unnest(list_distinct(sh)) AS sh FROM sh) s),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+dfreq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+rare AS (SELECT g.doc_id, g.g FROM g JOIN dfreq USING (g)
+         WHERE dfreq.df <= {df_cap}),
+inter AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+          FROM rare l JOIN rare r ON l.g = r.g AND l.doc_id <> r.doc_id
+          GROUP BY l.doc_id, r.doc_id)
+SELECT a, b,
+       CAST(FLOOR(inter * 1000000 / sz) AS BIGINT) AS cont_ppm
+FROM inter JOIN sizes ON sizes.doc_id = inter.a
+WHERE CAST(FLOOR(inter * 1000000 / sz) AS BIGINT) >= {thr}
+ORDER BY a, b"""
+
+
+def pca_power_sql(iters: int = 2, dim: int = 64,
+                  table: str = "embeddings") -> str:
+    """Mirror of clustering.pca_power: the power iterations unroll into
+    CTE chains (dot_i → sums_i → v_i).  Integer micro-unit dots and
+    update sums replay exactly; the normalization is the identical
+    IEEE op sequence (sequential double fold of s², sqrt, per-dim
+    floor(1e6·s/norm)) the Spark driver performs in Python."""
+    v0 = ", ".join(["125000"] * dim)             # 0.125 · 1e6 per dim
+    parts = [f"""x AS (SELECT vec_id,
+  list_transform(embedding,
+                 v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+  FROM {table}),
+v0 AS (SELECT [{v0}] AS v)"""]
+    prev = "v0"
+    for i in range(1, iters + 1):
+        sums = ", ".join(
+            f"CAST(SUM(xi[{j + 1}] * ds) AS BIGINT) AS s{j}"
+            for j in range(dim))
+        slist = ", ".join(f"s{j}" for j in range(dim))
+        parts.append(f"""d{i} AS (SELECT vec_id, xi,
+  CAST(FLOOR(list_sum(list_transform(range(1, {dim + 1}),
+                                     j -> xi[j] * v[j])) / 1e6) AS BIGINT)
+    AS ds
+  FROM x CROSS JOIN {prev}),
+s{i} AS (SELECT {sums} FROM d{i}),
+v{i} AS (SELECT list_transform([{slist}],
+           s -> CAST(FLOOR(1e6 * CAST(s AS DOUBLE) /
+                SQRT(list_reduce(list_transform([{slist}],
+                       t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+                     (a, b) -> a + b))) AS BIGINT)) AS v
+         FROM s{i})""")
+        prev = f"v{i}"
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT vec_id,
+       CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                    j -> xi[j] * v[j])) AS BIGINT) AS proj_q
+FROM x CROSS JOIN {prev} ORDER BY vec_id""")

@@ -571,3 +571,37 @@ def test_dedup_minhash_cross_planted(planted_docs):
     assert all(b not in (3, 4) for _, b in pairs)
     # direction: a is ALWAYS from the incoming batch
     assert all(a in (1, 2) for a, _ in pairs)
+
+
+def test_containment_pairs_planted(spark):
+    big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    quote = "delta epsilon zeta eta theta"       # 5-word span of big
+    rows = [(0, big), (1, quote),
+            (2, "totally unrelated words about spark and duckdb engines")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.a, r.b): r.cont_ppm for r in
+           DD.containment_pairs(docs, n=3, threshold=0.8).collect()}
+    # the quote is fully contained in big → (1, 0) at 1.0
+    assert out.get((1, 0)) == 1_000_000
+    # big is NOT contained in the quote (asymmetry is the point)
+    assert (0, 1) not in out
+    assert all(2 not in p for p in out)
+
+
+def test_pca_power_planted(spark):
+    from nifi_datasynthesizer_spark.operators.clustering import pca_power
+    # variance concentrated on dim 0: projection must track x0
+    rows = [(i, [float(i - 25)] + [0.001 * ((i * 7) % 5)] * 63)
+            for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = {r.vec_id: r.proj_q for r in pca_power(emb, iters=2).collect()}
+    # projections are monotone in x0 (up to global sign)
+    xs = [out[i] for i in range(50)]
+    diffs = [xs[i + 1] - xs[i] for i in range(49)]
+    assert all(d > 0 for d in diffs) or all(d < 0 for d in diffs)
+    # determinism across partitionings (integer dots, literal v)
+    out2 = {r.vec_id: r.proj_q
+            for r in pca_power(emb.repartition(7), iters=2).collect()}
+    assert out == out2
