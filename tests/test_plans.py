@@ -259,3 +259,24 @@ def test_cross_dedup_band_join(spark):
     assert "band_hash" in p
     # incoming-batch filter is pushed into the parquet scan
     assert "PushedFilters" in p
+
+
+def test_containment_df_cap_before_pair_join(spark):
+    df = entrymod.queries()["dedup_containment"](spark, SF)
+    p = _plan(df)
+    # the df<=cap stop-shingle filter must sit under the pair self-join
+    # (it is what bounds per-shingle fanout); the pair agg keys on (a,b)
+    assert "df#" in p or "(df" in p
+    assert "hashpartitioning(a" in p or "hashpartitioning(a, b" in p.replace("#", "") or "a#" in p
+
+
+def test_pca_iteration_is_narrow_plus_scalar_agg(spark):
+    from nifi_datasynthesizer_spark.operators.clustering import pca_power
+    from nifi_datasynthesizer_spark.io import read_table
+    emb = read_table(spark, SF, "embeddings")
+    df = pca_power(emb, iters=1)
+    p = _plan(df)
+    # the projection pass itself: no join, no shuffle — the direction
+    # rides as an array literal over a single narrow scan
+    assert "Join" not in p
+    assert "Exchange" not in p
