@@ -997,6 +997,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type", "day"))
     q["events_rollup"] = events_rollup
 
+    def events_scd2(spark, sf):
+        """SCD type-2 dimension built from the event stream: one
+        validity interval per (user, daily change point), closed by
+        the next version — the other side of the as-of join."""
+        from nifi_datasynthesizer_spark.operators.temporal import scd2_from_events
+        ev = _t(spark, sf, "events")
+        return (scd2_from_events(ev)
+                .orderBy("user_id", "vfrom"))
+    q["events_scd2"] = events_scd2
+
+    def events_gap_fill(spark, sf):
+        """Daily series per user with missing days materialized and
+        forward-filled (resampling) — no joins, one key shuffle."""
+        from nifi_datasynthesizer_spark.operators.temporal import gap_fill_daily
+        ev = _t(spark, sf, "events")
+        return (gap_fill_daily(ev)
+                .orderBy("user_id", "day"))
+    q["events_gap_fill"] = events_gap_fill
+
     def streaming_stream_join(spark, sf):
         """Stream-stream attribution join under the oracle gate: view
         events matched to same-user purchase events within 12 h, both
@@ -1464,6 +1483,40 @@ ORDER BY event_id"""
     o["dedup_containment"] = OR.containment_pairs_sql(
         n=3, threshold=0.8, df_cap=64)
     o["embed_pca"] = OR.pca_power_sql(iters=2, dim=64)
+
+    o["events_scd2"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS vfrom,
+                  epoch_us(ts) AS tus,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+latest AS (SELECT user_id, vfrom, cents FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, vfrom
+                                          ORDER BY tus DESC, cents DESC) AS rn
+             FROM e) WHERE rn = 1)
+SELECT user_id, vfrom,
+       COALESCE(LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY vfrom),
+                4611686018427387904) AS vto,
+       cents AS value_cents
+FROM latest ORDER BY user_id, vfrom"""
+
+    o["events_gap_fill"] = """
+WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                        AS cents
+               FROM events GROUP BY user_id, day),
+wp AS (SELECT *, LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+       FROM daily),
+tagged AS (SELECT user_id, day AS obs_day, cents,
+                  unnest(range(COALESCE(prev + 1, day), day + 1)) AS day
+           FROM wp)
+SELECT user_id, day,
+       CASE WHEN day = obs_day THEN cents
+            ELSE LAST_VALUE(CASE WHEN day = obs_day THEN cents END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       END AS cents,
+       CAST(day = obs_day AS INT) AS observed
+FROM tagged ORDER BY user_id, day"""
 
     o["events_rolling"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,

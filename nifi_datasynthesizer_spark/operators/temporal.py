@@ -212,3 +212,80 @@ def anomalies_zscore(events: DataFrame, key: str = "user_id",
     var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
     return (e.filter(dev * dev > F.lit(z * z) * var_n2)
             .select(key, id_col, "c", "n"))
+
+
+def scd2_from_events(events: DataFrame, key: str = "user_id", ts: str = "ts",
+                     value: str = "value",
+                     bucket_s: int = 86400) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from an event
+    stream: one validity interval per (key, change point), closed by
+    the next change — the warehouse pattern for point-in-time joins
+    (the other side of :func:`asof_join`).
+
+    Per (key, bucket) the LAST event's value wins (max_by on (ts, id)
+    semantics via window); ``valid_to`` is the next version's
+    ``valid_from`` (open interval = NULL → sentinel 2**62 so the
+    column stays join-friendly without nullable range logic).  ONE
+    shuffle on ``key`` covers both the in-bucket latest and the lead.
+    Values in integer cents — exact across engines.
+    """
+    from pyspark.sql import functions as F
+
+    tus = F.unix_micros(F.col(ts))
+    e = events.select(F.col(key),
+                      F.expr(f"unix_micros({ts}) div {bucket_s * 1_000_000}")
+                      .alias("vfrom"),
+                      tus.alias("tus"),
+                      F.floor(F.col(value) * 100).cast("long").alias("cents"))
+    w_latest = (Window.partitionBy(key, "vfrom")
+                .orderBy(F.desc("tus"), F.desc("cents")))
+    latest = (e.withColumn("__rn", F.row_number().over(w_latest))
+              .filter(F.col("__rn") == 1).drop("__rn", "tus"))
+    w_lead = Window.partitionBy(key).orderBy("vfrom")
+    return (latest.select(
+        F.col(key), F.col("vfrom"),
+        F.coalesce(F.lead("vfrom").over(w_lead), F.lit(2 ** 62))
+        .alias("vto"),
+        F.col("cents").alias("value_cents")))
+
+
+def gap_fill_daily(events: DataFrame, key: str = "user_id", ts: str = "ts",
+                   value: str = "value") -> DataFrame:
+    """Time-series gap filling: the (key, day) activity series with
+    missing days materialized and forward-filled from the last
+    observed value — the resampling step every downstream
+    window/forecast consumer assumes has already happened.
+
+    Plan shape: daily integer-cents sums (one shuffle on (key, day)),
+    then everything else reuses ONE (key)-partitioned window pass: a
+    lag gives each observed day its predecessor, sequence→explode
+    materializes exactly the gap days in between (narrow — expansion
+    bounded by the span, each missing day generated exactly once),
+    and a last-ignorenulls window carries the previous observed value
+    into the gap rows.  No joins, no second shuffle key.
+    """
+    from pyspark.sql import functions as F
+
+    day = F.expr(f"unix_micros({ts}) div 86400000000")
+    daily = (events.select(F.col(key), day.alias("day"),
+                           F.floor(F.col(value) * 100).cast("long")
+                           .alias("cents"))
+             .groupBy(key, "day").agg(F.sum("cents").alias("cents")))
+    wlag = Window.partitionBy(key).orderBy("day")
+    with_prev = daily.withColumn("__prev", F.lag("day").over(wlag))
+    # each observed day emits itself plus the gap days since the
+    # previous observation; gap rows carry cents=NULL until the fill
+    tagged = with_prev.select(
+        F.col(key), F.col("day").alias("obs_day"), "cents",
+        F.explode(F.sequence(
+            F.coalesce(F.col("__prev") + 1, F.col("day")),
+            F.col("day"))).alias("day"))
+    wfill = (Window.partitionBy(key).orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    observed = F.col("day") == F.col("obs_day")
+    return tagged.select(
+        F.col(key), "day",
+        F.when(observed, F.col("cents"))
+        .otherwise(F.last(F.when(observed, F.col("cents")),
+                          ignorenulls=True).over(wfill)).alias("cents"),
+        observed.cast("int").alias("observed"))

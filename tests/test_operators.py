@@ -605,3 +605,41 @@ def test_pca_power_planted(spark):
     out2 = {r.vec_id: r.proj_q
             for r in pca_power(emb.repartition(7), iters=2).collect()}
     assert out == out2
+
+
+def test_scd2_from_events_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import scd2_from_events
+    import datetime
+    d = lambda day, h: datetime.datetime(2024, 1, day, h)
+    rows = [
+        (1, 10, d(1, 9), 1.00), (1, 11, d(1, 17), 2.00),  # day 1 → 2.00 wins
+        (1, 12, d(3, 9), 3.00),                            # day 3
+        (2, 20, d(2, 9), 9.00),                            # single version
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = sorted([(r.user_id, r.vfrom, r.vto, r.value_cents)
+                  for r in scd2_from_events(ev).collect()])
+    base = datetime.date(2024, 1, 1).toordinal() - datetime.date(1970, 1, 1).toordinal()
+    assert out == [
+        (1, base, base + 2, 200),          # closed by the day-3 version
+        (1, base + 2, 2 ** 62, 300),       # open interval sentinel
+        (2, base + 1, 2 ** 62, 900),
+    ]
+
+
+def test_gap_fill_daily_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import gap_fill_daily
+    import datetime
+    d = lambda day: datetime.datetime(2024, 1, day, 12)
+    rows = [(1, d(1), 1.00), (1, d(4), 4.00),   # gap: days 2, 3
+            (2, d(2), 9.00)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {(r.user_id, r.day): (r.cents, r.observed)
+           for r in gap_fill_daily(ev).collect()}
+    base = datetime.date(2024, 1, 1).toordinal() - datetime.date(1970, 1, 1).toordinal()
+    assert out[(1, base)] == (100, 1)
+    assert out[(1, base + 1)] == (100, 0)     # filled from day 1
+    assert out[(1, base + 2)] == (100, 0)
+    assert out[(1, base + 3)] == (400, 1)
+    assert out[(2, base + 1)] == (900, 1)
+    assert len(out) == 5                       # no spurious rows
