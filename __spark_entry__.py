@@ -997,6 +997,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type", "day"))
     q["events_rollup"] = events_rollup
 
+    def io_roundtrip(spark, sf):
+        """Record-writer path under the oracle gate: generated records
+        written as zstd parquet PARTITIONED BY segment (the
+        low-cardinality layout that keeps file counts sane at 100 TB),
+        read back, and aggregated — the result must equal the oracle
+        aggregating the generation SQL directly, proving the sink
+        loses nothing (values, types, partition column round-trip)."""
+        import tempfile
+
+        base = compile_schema(SYNTH_BASIC_SCHEMA, seed=21) \
+            .dataframe(spark, 5000)
+        path = tempfile.mkdtemp(prefix="spark_graft_rt_") + "/t"
+        IO.write(base, path, fmt="parquet", partition_by=["segment"])
+        back = IO.read(spark, path, fmt="parquet")
+        return (back.groupBy("segment")
+                .agg(F.count("*").alias("n"),
+                     F.sum("qty").alias("sum_qty"),
+                     F.sum(F.floor(F.col("price") * 100).cast("long"))
+                     .alias("price_cents"),
+                     F.countDistinct("state").alias("n_states"))
+                .orderBy("segment"))
+    q["io_roundtrip"] = io_roundtrip
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -1483,6 +1506,14 @@ ORDER BY event_id"""
     o["dedup_containment"] = OR.containment_pairs_sql(
         n=3, threshold=0.8, df_cap=64)
     o["embed_pca"] = OR.pca_power_sql(iters=2, dim=64)
+
+    o["io_roundtrip"] = f"""
+WITH g AS ({compile_schema(SYNTH_BASIC_SCHEMA, seed=21).duckdb_sql(5000)})
+SELECT segment, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(price * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       COUNT(DISTINCT state) AS n_states
+FROM g GROUP BY segment ORDER BY segment"""
 
     o["events_scd2"] = """
 WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS vfrom,

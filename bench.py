@@ -50,7 +50,8 @@ def main() -> None:
              "streaming_stream_join", "events_funnel", "events_ohlc",
              "events_anomaly", "events_rolling", "events_pivot",
              "events_rollup", "dedup_cross", "dedup_containment",
-             "embed_pca", "events_scd2", "events_gap_fill"]
+             "embed_pca", "events_scd2", "events_gap_fill",
+             "io_roundtrip"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation
