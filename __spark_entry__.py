@@ -184,6 +184,46 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 
 # -------------------------------------------------------------- queries
 
+# The driver's correctness harness oracles exactly the FIRST 50 entries
+# of queries() in dict-insertion order.  Each round the least-recently
+# driver-verified queries rotate to the front so every operator earns a
+# fresh CORRECTNESS row at most two rounds old.  Round-4 window: the 28
+# queries that never had a driver row (everything round 3 appended past
+# position 49), the 5 that rotated out after r1/r2 (media_features has
+# NEVER been proven green — its r1 run predates the canonicalizer fix),
+# the repaired sessionize oracle, the newly-oracled commuter sim, this
+# round's new queries, then refactor-touched r3 greens as backfill.
+_WINDOW_R4 = [
+    # never driver-checked (r3 additions, positions 50-82 last round)
+    "corpus_sample", "corpus_decontaminate", "text_chunks",
+    "text_repetition", "corpus_shuffle", "embed_cluster", "embed_pca",
+    "text_bm25", "corpus_ngrams", "corpus_pack", "corpus_mix",
+    "dedup_spans", "text_pii_scrub", "text_keywords", "text_fluency",
+    "corpus_split", "embed_quantize", "search_rrf", "events_funnel",
+    "events_ohlc", "events_anomaly", "events_rolling", "events_pivot",
+    "events_rollup", "io_roundtrip", "events_scd2", "events_gap_fill",
+    "streaming_stream_join",
+    # rotated out after r1/r2 — re-prove
+    "media_features", "media_frames", "text_embed", "corpus_stats",
+    "corpus_clean",
+    # oracle changed this round — must re-verify
+    "events_sessionize", "synth_commuter",
+    # new this round
+    "synth_weblog",
+    # backfill: r3 greens whose implementation this round touched
+    # (minhash-family refactor) or that anchor the core surface
+    "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
+    "synth_basic", "synth_identifiers", "q1_pricing_summary",
+    "events_daily", "synth_vehicle_commuter", "synth_net", "remove_path",
+    "synth_exotic_nested", "ann_ivf", "streaming_events_daily",
+]
+
+
+def _rotate(q: dict) -> dict:
+    head = [n for n in _WINDOW_R4 if n in q]
+    return {n: q[n] for n in head + [n for n in q if n not in head]}
+
+
 def _stream_tuned(fn, n: int = 8):
     """Start streaming queries under a state-store partition count
     sized to the replayed streams (streaming.state_partitions): state
@@ -1068,7 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("view_id", "purchase_id")
     q["streaming_stream_join"] = _stream_tuned(streaming_stream_join)
 
-    return q
+    return _rotate(q)
 
 
 # ------------------------------------------------------------- oracles
@@ -1127,8 +1167,10 @@ m AS (SELECT *, CASE WHEN LAG(tus) OVER w IS NULL
                        OR tus - LAG(tus) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS is_new
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY tus, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_idx
       FROM m)
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
