@@ -60,11 +60,16 @@ def main() -> None:
            .groupBy("l_returnflag").agg(F.sum("l_quantity")))
     _force(spark.range(1_000_000).select(F.md5(F.col("id").cast("string"))))
 
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         _force(q[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # free signature/label frames the dedup operators pinned so one
+        # query's caches never occupy memory while later ones run
+        release_caches()
 
     # synthesis throughput at bench scale (reference generates ~1e4-1e5
     # rec/s single-node; we time BENCH_SYNTH_N rows end-to-end)

@@ -117,20 +117,39 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64,
     return sh.select("doc_id", sig.alias("signature"))
 
 
-def _minhash_bands(docs: DataFrame, num_hashes: int, bands: int,
-                   shingle_k: int, max_bucket: int | None) -> DataFrame:
-    """(doc_id, band_id, band_hash) — the LSH bucket frame.
+# Signature frames persisted by the minhash operators, released by
+# release_caches().  A lazy-returning operator cannot unpersist its own
+# intermediates (the caller hasn't materialized yet); pinning them here
+# bounds the leak to the operators run since the last release instead
+# of the whole session.
+_PINNED: list[DataFrame] = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    _PINNED.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every signature/label frame pinned by the dedup
+    operators since the last call.  Safe while results are still held:
+    an unpersisted frame recomputes, it never corrupts."""
+    while _PINNED:
+        _PINNED.pop().unpersist()
+
+
+def _minhash_bands(sig: DataFrame, num_hashes: int, bands: int,
+                   max_bucket: int | None) -> DataFrame:
+    """(doc_id, band_id, band_hash) — the LSH bucket frame, derived
+    from a signature frame.
 
     The band frame carries doc_id ONLY: shipping the 64-long signature
     through a 16-way band explode would amplify shuffle bytes ~16×512 B
-    per doc.  Signatures for the verification stage are RECOMPUTED,
-    but only over the candidate docs (semi-join on the collided ids —
-    a tiny fraction of the corpus), so total signature-hashing work
-    stays ~one full pass like the naive plan while the wide arrays
-    never ride the band shuffle.
+    per doc.  Signatures for the verification stage re-attach from the
+    same (persisted) signature frame by doc_id — the materialized
+    signature store a production pipeline keeps between batches.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, shingle_k)
     bands_df = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -163,27 +182,23 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     duplicates better handled by dedup_exact first.  Default None
     keeps exact parity with the oracle.
     """
-    bands_df = _minhash_bands(docs, num_hashes, bands, shingle_k, max_bucket)
+    # ONE signature pass, persisted: the band derivation and the
+    # verification stage both read it (previously the verify stage
+    # re-ran the whole shingle+hash pipeline over the candidate docs —
+    # the round-3 bench regression).  512 B/doc is the materialized
+    # signature store a production system keeps anyway.
+    sig = _pin(minhash_signatures(docs, num_hashes, shingle_k))
+    bands_df = _minhash_bands(sig, num_hashes, bands, max_bucket)
     left = bands_df.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
     right = bands_df.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
-    # cand_ids is referenced THREE times downstream (pair list, and the
-    # two id sides of the verify attach) — without a persist the whole
-    # signature+band pipeline re-evaluates per reference when joins
-    # broadcast (no exchange for Catalyst to reuse).  The frame is tiny
-    # (candidate id pairs), so caching it pins the expensive pass to
-    # exactly one evaluation per action.
     cand_ids = (left.join(right, ["band_id", "band_hash"])
                 .filter(F.col("a") < F.col("b"))
-                .select("a", "b").distinct()).persist()
-    hit_ids = (cand_ids.select(F.col("a").alias("doc_id"))
-               .union(cand_ids.select(F.col("b").alias("doc_id"))).distinct())
-    sig_cand = minhash_signatures(docs.join(hit_ids, "doc_id", "leftsemi"),
-                                  num_hashes, shingle_k)
+                .select("a", "b").distinct())
     cand = (cand_ids
-            .join(sig_cand.select(F.col("doc_id").alias("a"),
-                                  F.col("signature").alias("sig_a")), "a")
-            .join(sig_cand.select(F.col("doc_id").alias("b"),
-                                  F.col("signature").alias("sig_b")), "b"))
+            .join(sig.select(F.col("doc_id").alias("a"),
+                             F.col("signature").alias("sig_a")), "a")
+            .join(sig.select(F.col("doc_id").alias("b"),
+                             F.col("signature").alias("sig_b")), "b"))
     est = cand.withColumn(
         "est_jaccard",
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -208,27 +223,21 @@ def dedup_minhash_cross(incoming: DataFrame, corpus: DataFrame,
     materialized (bucketed by (band_id, band_hash)) between batches.
     Returns (a=incoming doc_id, b=corpus doc_id, est_jaccard).
     """
-    in_bands = _minhash_bands(incoming, num_hashes, bands, shingle_k,
-                              max_bucket)
-    co_bands = _minhash_bands(corpus, num_hashes, bands, shingle_k,
-                              max_bucket)
+    sig_in = _pin(minhash_signatures(incoming, num_hashes, shingle_k))
+    sig_co = _pin(minhash_signatures(corpus, num_hashes, shingle_k))
+    in_bands = _minhash_bands(sig_in, num_hashes, bands, max_bucket)
+    co_bands = _minhash_bands(sig_co, num_hashes, bands, max_bucket)
     cand_ids = (in_bands.select(F.col("doc_id").alias("a"),
                                 "band_id", "band_hash")
                 .join(co_bands.select(F.col("doc_id").alias("b"),
                                       "band_id", "band_hash"),
                       ["band_id", "band_hash"])
-                .select("a", "b").distinct()).persist()
-    sig_a = minhash_signatures(
-        incoming.join(cand_ids.select(F.col("a").alias("doc_id")).distinct(),
-                      "doc_id", "leftsemi"), num_hashes, shingle_k)
-    sig_b = minhash_signatures(
-        corpus.join(cand_ids.select(F.col("b").alias("doc_id")).distinct(),
-                    "doc_id", "leftsemi"), num_hashes, shingle_k)
+                .select("a", "b").distinct())
     cand = (cand_ids
-            .join(sig_a.select(F.col("doc_id").alias("a"),
-                               F.col("signature").alias("sig_a")), "a")
-            .join(sig_b.select(F.col("doc_id").alias("b"),
-                               F.col("signature").alias("sig_b")), "b"))
+            .join(sig_in.select(F.col("doc_id").alias("a"),
+                                F.col("signature").alias("sig_a")), "a")
+            .join(sig_co.select(F.col("doc_id").alias("b"),
+                                F.col("signature").alias("sig_b")), "b"))
     est = cand.withColumn(
         "est_jaccard",
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -352,7 +361,7 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
            .union(pairs.select(b.alias("src"), a.alias("dst"))))
     loops = sym.select(F.col("src").alias("src")).distinct() \
         .select(F.col("src"), F.col("src").alias("dst"))
-    edges = sym.union(loops).distinct().persist()
+    edges = _pin(sym.union(loops).distinct())
     # initialize with round 1 for free: label = min(self, neighbors)
     # straight from the edge aggregation (self-loops make min(src)
     # over dst-groups exactly that)
@@ -375,7 +384,10 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         prev_sig = sig
     # the final labels (and edges beneath them) stay persisted: the
     # returned frame is lazy, and dropping the cache here would replay
-    # every iteration's lineage when the caller finally materializes
+    # every iteration's lineage when the caller finally materializes.
+    # Both are pinned for release_caches() so a long-lived session can
+    # reclaim them once the result is consumed.
+    _PINNED.append(labels)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("group_id"))
 
