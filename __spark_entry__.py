@@ -1495,9 +1495,9 @@ WITH e AS (SELECT user_id, event_type AS st, epoch_us(ts) AS tus
            FROM events
            WHERE event_type IN ('signup', 'view', 'purchase')),
 g AS (SELECT user_id,
-             list_sort(list(tus) FILTER (WHERE st = 'signup')) AS ts0,
-             list_sort(list(tus) FILTER (WHERE st = 'view')) AS ts1,
-             list_sort(list(tus) FILTER (WHERE st = 'purchase')) AS ts2
+             list_sort(list(tus) FILTER (WHERE st = 'signup'))[1:64] AS ts0,
+             list_sort(list(tus) FILTER (WHERE st = 'view'))[1:64] AS ts1,
+             list_sort(list(tus) FILTER (WHERE st = 'purchase'))[1:64] AS ts2
       FROM e GROUP BY user_id),
 f0 AS (SELECT user_id, ts1, ts2, ts0[1] AS t0 FROM g),
 f1 AS (SELECT *, list_min(list_filter(ts1, x -> x > t0)) AS t1 FROM f0),
@@ -1558,12 +1558,13 @@ SELECT segment, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS sum_qty,
 FROM g GROUP BY segment ORDER BY segment"""
 
     o["events_scd2"] = """
-WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS vfrom,
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 86400000000 AS vfrom,
                   epoch_us(ts) AS tus,
                   CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
 latest AS (SELECT user_id, vfrom, cents FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, vfrom
-                                          ORDER BY tus DESC, cents DESC) AS rn
+                                          ORDER BY tus DESC, event_id DESC)
+                       AS rn
              FROM e) WHERE rn = 1)
 SELECT user_id, vfrom,
        COALESCE(LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY vfrom),

@@ -95,7 +95,8 @@ def range_join(left: DataFrame, right: DataFrame, ts: str,
 
 def funnel_steps(events: DataFrame, steps: list[str], key: str = "user_id",
                  ts: str = "ts", type_col: str = "event_type",
-                 within_s: int | None = None) -> DataFrame:
+                 within_s: int | None = None,
+                 per_step_cap: int = 64) -> DataFrame:
     """Ordered funnel analysis: for each key, how far through the
     ``steps`` sequence it progressed (each step must occur strictly
     after the previous one; optionally within ``within_s`` seconds of
@@ -111,12 +112,14 @@ def funnel_steps(events: DataFrame, steps: list[str], key: str = "user_id",
     from the per-key event list via min-over-filter on the grouped
     arrays).  Output: (key, max_step, t_first, t_last).
 
-    Skew note: the per-(key, step) time arrays are bounded by that
-    key's event count; a pathological hot key (bots, test accounts)
-    should be pre-filtered or capped upstream — the funnel semantics
-    only ever need each step's earliest few timestamps, so a per-key
-    ``slice(array_sort(...), 1, K)`` cap preserves results for any K
-    ≥ the funnel depth when events arrive loosely ordered.
+    Skew note: each step's time array is capped to its
+    ``per_step_cap`` EARLIEST timestamps (slice of the sorted list) —
+    a pathological hot key (bot, test account) with millions of events
+    cannot blow up the downstream min-over-filter fold.  The funnel
+    answer is unchanged whenever each step's matching timestamp sits
+    among that step's ``per_step_cap`` earliest, which holds for any
+    cap ≥ funnel depth when events arrive loosely ordered; the cap is
+    part of the operator's contract and the oracle mirrors it.
     """
     from pyspark.sql import functions as F
 
@@ -124,8 +127,11 @@ def funnel_steps(events: DataFrame, steps: list[str], key: str = "user_id",
     ev = (events.filter(F.col(type_col).isin(steps))
           .select(F.col(key), F.col(type_col).alias("st"), tss.alias("tus")))
     # per key: collect each step's sorted event times once (array_sort
-    # over collect_list — one shuffle, map-side combined lists)
-    aggs = [F.array_sort(F.collect_list(F.when(F.col("st") == s, F.col("tus"))))
+    # over collect_list — one shuffle, map-side combined lists), capped
+    # to the earliest per_step_cap entries per step
+    aggs = [F.slice(F.array_sort(
+                F.collect_list(F.when(F.col("st") == s, F.col("tus")))),
+                1, per_step_cap)
             .alias(f"ts_{i}") for i, s in enumerate(steps)]
     g = ev.groupBy(key).agg(*aggs)
     # fold: t_i = min element of ts_i strictly greater than t_{i-1}
@@ -215,19 +221,21 @@ def anomalies_zscore(events: DataFrame, key: str = "user_id",
 
 
 def scd2_from_events(events: DataFrame, key: str = "user_id", ts: str = "ts",
-                     value: str = "value",
+                     value: str = "value", id_col: str = "event_id",
                      bucket_s: int = 86400) -> DataFrame:
     """Build a slowly-changing-dimension type-2 table from an event
     stream: one validity interval per (key, change point), closed by
     the next change — the warehouse pattern for point-in-time joins
     (the other side of :func:`asof_join`).
 
-    Per (key, bucket) the LAST event's value wins (max_by on (ts, id)
-    semantics via window); ``valid_to`` is the next version's
-    ``valid_from`` (open interval = NULL → sentinel 2**62 so the
-    column stays join-friendly without nullable range logic).  ONE
-    shuffle on ``key`` covers both the in-bucket latest and the lead.
-    Values in integer cents — exact across engines.
+    Per (key, bucket) the LAST event's value wins — max_by on
+    (ts, ``id_col``), the same tie-break rule as :func:`ohlc`, so a
+    same-timestamp tie picks the latest event id, not the highest
+    value; ``valid_to`` is the next version's ``valid_from`` (open
+    interval = NULL → sentinel 2**62 so the column stays join-friendly
+    without nullable range logic).  ONE shuffle on ``key`` covers both
+    the in-bucket latest and the lead.  Values in integer cents —
+    exact across engines.
     """
     from pyspark.sql import functions as F
 
@@ -236,11 +244,12 @@ def scd2_from_events(events: DataFrame, key: str = "user_id", ts: str = "ts",
                       F.expr(f"unix_micros({ts}) div {bucket_s * 1_000_000}")
                       .alias("vfrom"),
                       tus.alias("tus"),
+                      F.col(id_col).alias("__id"),
                       F.floor(F.col(value) * 100).cast("long").alias("cents"))
     w_latest = (Window.partitionBy(key, "vfrom")
-                .orderBy(F.desc("tus"), F.desc("cents")))
+                .orderBy(F.desc("tus"), F.desc("__id")))
     latest = (e.withColumn("__rn", F.row_number().over(w_latest))
-              .filter(F.col("__rn") == 1).drop("__rn", "tus"))
+              .filter(F.col("__rn") == 1).drop("__rn", "tus", "__id"))
     w_lead = Window.partitionBy(key).orderBy("vfrom")
     return (latest.select(
         F.col(key), F.col("vfrom"),

@@ -524,6 +524,41 @@ def test_funnel_steps_planted(spark):
     assert tight[1]["max_step"] == 2
 
 
+def test_funnel_hot_key_cap(spark):
+    """A bot-grade hot key (hundreds of events in one step) must not
+    change the funnel answer: the per-step cap keeps each step's
+    EARLIEST timestamps, which is all the min-over-filter fold reads."""
+    from nifi_datasynthesizer_spark.operators.temporal import funnel_steps
+    import datetime
+    b = datetime.datetime(2024, 1, 1)
+    mins = lambda m: b + datetime.timedelta(minutes=m)
+    rows = [(9, mins(0), "signup")]
+    # 500 view events — far beyond the cap — then one purchase
+    rows += [(9, mins(1 + i), "view") for i in range(500)]
+    rows += [(9, mins(600), "purchase")]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = funnel_steps(ev, ["signup", "view", "purchase"],
+                       per_step_cap=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["max_step"] == 3
+    # t1 is the EARLIEST view after signup (+1 min), unaffected by cap
+    assert r["t_final_us"] - r["t_first_us"] == 600 * 60 * 1_000_000
+
+
+def test_scd2_same_timestamp_tie_breaks_on_event_id(spark):
+    """Two events at the identical timestamp: the larger event_id wins
+    (same (ts, id) rule as ohlc), not the larger value."""
+    from nifi_datasynthesizer_spark.operators.temporal import scd2_from_events
+    import datetime
+    t = datetime.datetime(2024, 1, 1, 12)
+    rows = [(1, 100, t, 9.00),   # higher value, lower id
+            (1, 101, t, 2.00)]   # later id wins
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = scd2_from_events(ev).collect()
+    assert len(out) == 1 and out[0]["value_cents"] == 200
+
+
 def test_ohlc_planted(spark):
     from nifi_datasynthesizer_spark.operators.temporal import ohlc
     import datetime
