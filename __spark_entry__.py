@@ -655,6 +655,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SZ.cpoc_events(spark, n_users=1000, max_tx=16, seed=12)
     q["synth_cpoc"] = synth_cpoc
 
+    def synth_weblog(spark, sf):
+        """LogGenerator.java family: correlated web/query logs — per
+        user sticky cookie/IP/geo, Poisson-ish sessions, Pitman–Yor
+        long-tail query terms, slow-word response times."""
+        return SZ.weblog(n_users=500, events_per_user=20, seed=19).df(spark)
+    q["synth_weblog"] = synth_weblog
+
     def synth_correlate(spark, sf):
         cust = _t(spark, sf, "customer")
         schema = [{"name": "risk_score", "class": "int", "min": 300, "max": 850},
@@ -1307,6 +1314,8 @@ FROM ({_ex_nested})"""
          "dist": {"open": 2, "shipped": 5, "returned": 1}}],
         seed=17).duckdb_sql(SYNTH_N)
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
+    o["synth_weblog"] = SZ.weblog(n_users=500, events_per_user=20,
+                                  seed=19).sql()
     _vc = compile_schema(
         [{"name": "rec_id", "class": "id"},
          {"class": "vehicle", "years": "1995-2010"},

@@ -20,14 +20,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import math
+
 from . import dual as X
 from . import vocab as V
 from .dual import D
-from .rng import u01, uint
+from .rng import quantize_weights, u01, uint
 from .samplers import (
     EPOCH_2013_08_01_S,
     Ctx,
+    _d_exponential,
     _fmt_epoch_s,
+    _hex4,
     _normal01,
     s_imei,
     s_ipv4,
@@ -674,6 +678,164 @@ SELECT user_id, j, ts, {datestr.s} AS date, merchant, compromise, compromised,
             THEN (CASE WHEN roll < {cfr} THEN 1 ELSE 0 END)
             ELSE (CASE WHEN roll < {ufr} THEN 1 ELSE 0 END) END AS fraud
 FROM u ORDER BY user_id, j"""
+
+
+# --------------------------------------------------------------- weblog
+
+_GEO_CODES = ["us", "gb", "de", "fr", "jp", "cn", "in", "br", "ca", "au",
+              "ru", "it", "es", "mx", "kr", "nl", "se", "ch", "pl", "tr",
+              "id", "ar", "za", "ng", "eg", "sa", "th", "vn", "my", "ph",
+              "cl", "co", "pe", "pt", "gr", "cz", "ro", "hu", "dk", "fi"]
+
+_WL_TERM_UNIVERSE = 1024
+_WL_IP_UNIVERSE = 1024
+_WL_MAX_TERMS = 5
+# ranks in the term distribution that act as the reference's slowWords
+# set (LogLine.java:31-33 marks 8 specific vocabulary words as slow)
+_WL_SLOW_RANKS = frozenset({3, 11, 19, 27, 35, 43, 51, 59})
+
+
+def _q_table(size: int, fn) -> list[float]:
+    """Literal quantile table of ``fn`` over the standard normal —
+    transcendental-free at query time, bit-identical in both engines."""
+    from statistics import NormalDist
+    nd = NormalDist()
+    return [round(fn(nd.inv_cdf((k + 0.5) / size)), 9) for k in range(size)]
+
+
+def weblog(n_users: int = 500, events_per_user: int = 20,
+           seed: int = 0) -> Generated:
+    """LogGenerator.java web/query-log family: correlated log lines
+    with per-user sticky identity and long-tail query terms.
+
+    Reference parity (nifi-datasynthesizer-generators/src/main/java/
+    com/mapr/synth/):
+    - LogGenerator.java:46-67 — every user draws a sticky IP from a
+      SHARED LongTail(alpha=1, discount=0.5) pool (hot NAT/proxy IPs
+      serve many users), a geo code from TermGenerator(geo, 10, 0),
+      and query terms from TermGenerator(words, 1, 0.8).
+    - User.java:44-108 — cookie is a %08x hex id; sessions arrive at
+      ~1/day (sessionTimeDistribution), hold Exponential(1/4)+1
+      queries (mean 4, re-expressed as a p=1/4 geometric session
+      boundary), spaced Exponential(1/120) seconds apart
+      (queryTimeDistribution); query length is Exponential(0.4)+1
+      terms (mean 2.5, capped at 5).
+    - LogLine.java:31-66 — queries containing a slow word take
+      ~50ms±10 vs ~10ms±2, then a lognormal factor exp(N(0,1)/3).
+
+    Spark-first shape: one row per (user, line) over ``spark.range``;
+    the only non-narrow operations are two per-user window cumsums
+    (event time, session index) partitioned by user — embarrassingly
+    parallel at any user count, no priority-queue driver loop (the
+    reference's LogGenerator.sample() merge is a single-threaded
+    event-heap; global time order is a downstream ORDER BY instead).
+    All draws are counter-RNG quantile-table lookups, so the DuckDB
+    oracle replays every line bit-exactly.
+    """
+    n = n_users * events_per_user
+    i = _i()
+    user = X.cast_long(X.idiv(i, events_per_user))
+    j = X.cast_long(i % events_per_user)
+    uctx = Ctx(user, seed, "$.weblog.user")
+    lctx = Ctx(i, seed, "$.weblog.line")
+
+    # sticky per-user identity -----------------------------------------
+    cookie = X.concat(_hex4(uint(user, uctx.salt("ck0"), 0, 65536)),
+                      _hex4(uint(user, uctx.salt("ck1"), 0, 65536)))
+    # shared long-tail IP pool: user → pool rank (Zipf head ≈ the
+    # Pitman–Yor pool), rank → dotted quad (same rank ⇒ same IP)
+    ip_table = quantize_weights(
+        list(range(_WL_IP_UNIVERSE)),
+        [(k + 1.0) ** -1.0 for k in range(_WL_IP_UNIVERSE)],
+        table_size=2048)
+    ip_rank = X.cast_long(X.element(
+        uint(user, uctx.salt("iprank"), 0, 2048), ip_table))
+    ip = s_ipv4({}, Ctx(ip_rank, seed, "$.weblog.ip"))
+    geo_table = quantize_weights(
+        _GEO_CODES, [(k + 1.0) ** -0.5 for k in range(len(_GEO_CODES))],
+        table_size=1024)
+    geo = X.element(uint(user, uctx.salt("geo"), 0, 1024), geo_table)
+
+    # session/time structure -------------------------------------------
+    new_draw = u01(i, lctx.salt("sess"))
+    is_new = X.when_chain([(j.eq(0), X.lit(1)),
+                           (new_draw < 0.25, X.lit(1))], X.lit(0))
+    gap_sess = _d_exponential(i, lctx.salt("sgap"), 86400.0)
+    gap_query = _d_exponential(i, lctx.salt("qgap"), 120.0)
+    gap_us = X.cast_long(X.floor(
+        X.when_chain([(is_new.eq(1), gap_sess)], gap_query) * 1000000.0))
+
+    part_d = f"(i // {events_per_user})"
+    part_s = f"(i div {events_per_user})"
+    ordk = f"(i % {events_per_user})"
+
+    def wsum(val: D) -> D:
+        # integer window cumsum per user; DuckDB SUM(BIGINT) → HUGEINT,
+        # so the caller casts back to BIGINT
+        ds = (f"SUM({val.s}) OVER (PARTITION BY {part_d} ORDER BY {ordk} "
+              f"ROWS UNBOUNDED PRECEDING)")
+        ss = (f"SUM({val.ss}) OVER (PARTITION BY {part_s} ORDER BY {ordk} "
+              f"ROWS UNBOUNDED PRECEDING)")
+        return D(None, ds, ss)
+
+    t_us = X.cast_long(wsum(gap_us)) + EPOCH_2013_08_01_S * 1_000_000
+    session_idx = X.cast_long(wsum(X.cast_long(is_new)))
+
+    # query terms -------------------------------------------------------
+    # Exponential(0.4)+1 query length, capped: exact per-length masses
+    # quantized into a 256-slot table (floor(Exp(mean 2.5)) is geometric)
+    p_stop = 1.0 - math.exp(-1.0 / 2.5)
+    len_masses = [p_stop * (1 - p_stop) ** k for k in range(_WL_MAX_TERMS - 1)]
+    len_masses.append(1.0 - sum(len_masses))  # cap absorbs the tail
+    n_terms = X.cast_long(X.element(
+        uint(i, lctx.salt("qlen"), 0, 256),
+        quantize_weights(list(range(1, _WL_MAX_TERMS + 1)), len_masses,
+                         table_size=256)))
+    term_table = quantize_weights(
+        list(range(_WL_TERM_UNIVERSE)),
+        [(k + 1.0) ** -1.25 for k in range(_WL_TERM_UNIVERSE)],
+        table_size=2048)
+    words = list(V.WORDS[:_WL_TERM_UNIVERSE])
+    slow_flags = [1 if k in _WL_SLOW_RANKS else 0
+                  for k in range(_WL_TERM_UNIVERSE)]
+    ranks = [X.cast_long(X.element(uint(i, lctx.salt("term", k), 0, 2048),
+                                   term_table))
+             for k in range(_WL_MAX_TERMS)]
+    parts = [X.element(ranks[0], words)]
+    slow_n = X.element(ranks[0], slow_flags)
+    for k in range(1, _WL_MAX_TERMS):
+        parts.append(X.when_chain(
+            [(n_terms > k, X.concat(X.lit(" "), X.element(ranks[k], words)))],
+            X.lit("")))
+        slow_n = slow_n + X.when_chain(
+            [(n_terms > k, X.element(ranks[k], slow_flags))], X.lit(0))
+    query = X.concat(*parts)
+
+    # response time -----------------------------------------------------
+    jit_slow = X.element(uint(i, lctx.salt("rts"), 0, 1024),
+                         _q_table(1024, lambda g: g))
+    jit_fast = X.element(uint(i, lctx.salt("rtf"), 0, 1024),
+                         _q_table(1024, lambda g: g))
+    factor = X.element(uint(i, lctx.salt("rtln"), 0, 1024),
+                       _q_table(1024, lambda g: math.exp(g / 3)))
+    mean_s = X.when_chain(
+        [(slow_n > 0, X.lit(0.05) + jit_slow * 0.01)],
+        X.lit(0.01) + jit_fast * 0.002)
+    response_us = X.cast_long(X.floor(mean_s * factor * 1000000.0))
+
+    cols = [
+        ("line_id", i),
+        ("user_seq", user),
+        ("cookie", cookie),
+        ("ip", ip),
+        ("geo", geo),
+        ("session_idx", session_idx),
+        ("t_us", t_us),
+        ("n_terms", n_terms),
+        ("query", query),
+        ("response_us", response_us),
+    ]
+    return Generated(cols, n)
 
 
 def remove_record_path(df: DataFrame, path: str) -> DataFrame:

@@ -524,6 +524,39 @@ def test_funnel_steps_planted(spark):
     assert tight[1]["max_step"] == 2
 
 
+def test_weblog_structure(spark):
+    """LogGenerator family invariants: identity is sticky per user,
+    event time and session index are monotone within a user, the IP
+    pool is long-tail shared (fewer distinct IPs than users), and
+    query terms are head-heavy."""
+    from nifi_datasynthesizer_spark import synthesizers as SZ
+    df = SZ.weblog(n_users=200, events_per_user=10, seed=19).df(spark)
+    rows = df.orderBy("line_id").collect()
+    assert len(rows) == 2000
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_seq"], []).append(r)
+    ips, cookies = set(), set()
+    for u, rs in by_user.items():
+        assert len({r["cookie"] for r in rs}) == 1      # sticky cookie
+        assert len({r["ip"] for r in rs}) == 1          # sticky IP
+        assert len({r["geo"] for r in rs}) == 1
+        ts = [r["t_us"] for r in rs]
+        assert ts == sorted(ts)                          # monotone time
+        sess = [r["session_idx"] for r in rs]
+        assert sess == sorted(sess) and sess[0] == 1
+        ips.add(rs[0]["ip"])
+        cookies.add(rs[0]["cookie"])
+    assert len(cookies) == 200
+    assert len(ips) < 150                                # shared pool
+    # head-heavy terms: the most common word covers >5% of occurrences
+    from collections import Counter
+    terms = Counter(w for r in rows for w in r["query"].split())
+    assert terms.most_common(1)[0][1] / sum(terms.values()) > 0.05
+    assert all(1 <= r["n_terms"] <= 5 for r in rows)
+    assert all(r["response_us"] > 0 for r in rows)
+
+
 def test_funnel_hot_key_cap(spark):
     """A bot-grade hot key (hundreds of events in one step) must not
     change the funnel answer: the per-step cap keeps each step's
