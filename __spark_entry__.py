@@ -599,9 +599,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["synth_iot"] = synth_iot
 
     def synth_commuter(spark, sf):
+        """Commuter simulation under the oracle gate via its
+        deterministic invariants: the applyInPandas sim must produce
+        exactly the (driver, trip) grid with 30 points spaced 30 s
+        apart per 12 h trip, ONE sticky home zip per driver, and every
+        speed inside the model's [0, 90] clip — all independent of the
+        per-driver RNG stream, so DuckDB can compute the expected
+        table from pure ranges.  The full RNG-valued trace stays
+        exposed as synth_commuter_trace (rows-only) and is covered by
+        the vectorization-bit-exactness unit tests."""
+        sim = SZ.commuter_data(spark, n_drivers=20, trips=4,
+                               points_per_trip=30, seed=7)
+        return (sim.groupBy("driver_id", "trip")
+                .agg(F.count("*").alias("n_points"),
+                     F.min("t_offset_s").alias("min_off"),
+                     F.max("t_offset_s").alias("max_off"),
+                     F.sum(F.when(F.col("mph").between(0.0, 90.0), 1)
+                           .otherwise(0)).alias("n_mph_ok"),
+                     F.countDistinct("home_zip").alias("n_zip"))
+                .orderBy("driver_id", "trip"))
+    q["synth_commuter"] = synth_commuter
+
+    def synth_commuter_trace(spark, sf):
         return SZ.commuter_data(spark, n_drivers=20, trips=4,
                                 points_per_trip=30, seed=7)
-    q["synth_commuter"] = synth_commuter
+    q["synth_commuter_trace"] = synth_commuter_trace
 
     def synth_exotic_scalar(spark, sf):
         return compile_schema(SYNTH_EXOTIC_SCALAR_SCHEMA,
@@ -1646,6 +1668,16 @@ FROM events v JOIN events p
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
 ORDER BY view_id, purchase_id"""
 
-    # (synth_commuter is applyInPandas — non-SQL-expressible; it stays
-    # rows-only.)
+    # synth_commuter: the sim's RNG-free invariants, computed from
+    # pure ranges (the RNG-valued trace is synth_commuter_trace,
+    # rows-only — numpy's PCG64 stream is not SQL-expressible)
+    o["synth_commuter"] = """
+SELECT d.range AS driver_id, t.range AS trip,
+       CAST(30 AS BIGINT) AS n_points,
+       t.range * 43200 AS min_off,
+       t.range * 43200 + 29 * 30 AS max_off,
+       CAST(30 AS BIGINT) AS n_mph_ok,
+       CAST(1 AS BIGINT) AS n_zip
+FROM range(0, 20) d CROSS JOIN range(0, 4) t
+ORDER BY driver_id, trip"""
     return o

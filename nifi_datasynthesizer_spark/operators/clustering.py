@@ -122,7 +122,12 @@ def pca_power(emb: DataFrame, iters: int = 2, dim: int = 64,
     """
     import math
 
-    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+    from .dedup import _pin
+
+    # persisted across iterations: every per-iteration collect() and
+    # the final projection re-read the quantized frame, so without the
+    # pin the scan+quantize pass re-executes iters+1 times
+    quant = _pin(emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi")))
     v = [SCALE // 8] * dim                       # 0.125 · 1e6, unit norm
 
     for _ in range(iters):
