@@ -209,7 +209,7 @@ _WINDOW_R4 = [
     # oracle changed this round — must re-verify
     "events_sessionize", "synth_commuter",
     # new this round
-    "synth_weblog",
+    "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -1089,6 +1089,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("segment"))
     q["io_roundtrip"] = io_roundtrip
 
+    def sketch_distinct(spark, sf):
+        """FM/PCSA distinct-count sketch per event_type: bounded
+        per-group register state vs countDistinct's full id shuffle;
+        registers and the integer estimate replay exactly in DuckDB."""
+        from nifi_datasynthesizer_spark.operators.sketches import fm_distinct
+        ev = _t(spark, sf, "events")
+        return fm_distinct(ev, "event_type", "user_id").orderBy("event_type")
+    q["sketch_distinct"] = sketch_distinct
+
+    def sketch_heavy_hitters(spark, sf):
+        """Count-min sketch frequency estimates for the corpus top-10
+        words: constant depth×width counter grid, estimates ≥ exact."""
+        from nifi_datasynthesizer_spark.operators.sketches import cm_heavy_hitters
+        docs = _t(spark, sf, "documents")
+        return cm_heavy_hitters(docs, k=10).orderBy("rank")
+    q["sketch_heavy_hitters"] = sketch_heavy_hitters
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -1576,6 +1593,8 @@ WHERE (c * n - s) * (c * n - s) > 4 * (n * ss - s * s)
 ORDER BY event_id"""
 
     o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
+    o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
+    o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)
     o["dedup_containment"] = OR.containment_pairs_sql(
         n=3, threshold=0.8, df_cap=64)
     o["embed_pca"] = OR.pca_power_sql(iters=2, dim=64)

@@ -1,0 +1,114 @@
+"""Sketch operators: fixed-size approximate aggregates for 100 TB.
+
+Exact distinct counts and full-vocabulary frequency tables are the two
+aggregations that stop scaling first: ``countDistinct`` shuffles every
+distinct id to its group's reducer, and a word-frequency table holds
+the whole vocabulary in the shuffle.  The classic fixes are sketches
+with *bounded* state that combines map-side:
+
+- Flajolet–Martin / PCSA registers (``fm_distinct``): per group,
+  ``buckets`` small integers, merged with MAX — constant bytes per
+  group no matter how many distinct ids flow through.
+- count-min (``cm_heavy_hitters``): a depth×width grid of counters,
+  merged with SUM — frequency estimates (one-sided: never under) for
+  any term without keeping per-term state.
+
+Both hash with the portable ``h60`` (phash.py), so every register and
+cell is replayable bit-exactly in the DuckDB oracle — the sketches are
+deterministic under any partitioning, retry, or engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..phash import h60
+from .dedup import normalize_text
+
+PHI = 0.77351  # Flajolet–Martin bias correction constant
+
+# trailing-zero cap: the post-bucket hash remainder has < 55 bits, so
+# a remainder of exactly 0 gets the "all zeros" register value
+_RHO_CAP = 55
+
+
+def fm_distinct(df: DataFrame, group_col: str = "event_type",
+                id_col: str = "user_id", buckets: int = 64) -> DataFrame:
+    """Per-group distinct-count sketch (Flajolet–Martin / PCSA).
+
+    Each id hashes once; the low bits pick one of ``buckets``
+    registers and the register keeps the MAX of
+    ``trailing_zeros(remaining bits) + 1`` — computed with the
+    portable ``bit_count((r & -r) - 1)`` trick (no log2, whose libm
+    rounding differs across engines).  Registers merge map-side with
+    MAX, so per-group state is ``buckets`` small ints regardless of
+    cardinality — the whole point at 100 TB.  The estimate
+    ``floor(buckets/φ) << (Σreg div buckets)`` is integer-only
+    (coarser than the float 2^mean form but engine-exact); the exact
+    distinct rides along for calibration.
+    """
+    e = (df.select(F.col(group_col).alias("grp"),
+                   h60(F.col(id_col).cast("string")).alias("h"))
+         .select("grp",
+                 F.expr(f"pmod(h, {buckets})").alias("b"),
+                 F.expr(f"h div {buckets}").alias("r")))
+    rho = F.expr(f"CASE WHEN r = 0 THEN {_RHO_CAP} "
+                 f"ELSE bit_count((r & -r) - 1) + 1 END")
+    regs = (e.select("grp", "b", rho.alias("rho"))
+            .groupBy("grp", "b").agg(F.max("rho").alias("reg")))
+    summary = regs.groupBy("grp").agg(
+        F.count("*").alias("buckets_hit"),
+        F.sum("reg").alias("sum_reg"),
+        F.max("reg").alias("max_reg"))
+    scale = int(buckets / PHI)
+    est = F.expr(f"shiftleft(CAST({scale} AS BIGINT), "
+                 f"CAST(sum_reg div {buckets} AS INT))")
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(id_col).alias("exact_distinct"))
+    return (summary.join(F.broadcast(exact), "grp")
+            .select(F.col("grp").alias(group_col), "buckets_hit",
+                    "sum_reg", "max_reg", est.alias("est_distinct"),
+                    "exact_distinct"))
+
+
+def _cm_buckets(word, depth: int, width: int):
+    return F.posexplode(F.array(*[
+        F.pmod(h60(F.concat(word, F.lit(f"#cm{r}"))), F.lit(width))
+        for r in range(depth)]))
+
+
+def cm_heavy_hitters(docs: DataFrame, k: int = 10, depth: int = 4,
+                     width: int = 1024,
+                     text_col: str = "text") -> DataFrame:
+    """Count-min frequency estimates for the corpus's top-k words.
+
+    The sketch grid is depth×width counter cells (SUM-merged, map-side
+    combinable — constant state however large the vocabulary); a
+    term's estimate is the MIN over its ``depth`` cells, always ≥ the
+    true count.  Candidates here are the exact top-k (TakeOrdered —
+    k-bounded partial sort, never a global window over the vocab) so
+    the gated output exposes exact vs estimate side by side; at 100 TB
+    the same grid answers ad-hoc frequency probes without re-scanning.
+    """
+    words = (docs.select(F.explode(
+        F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != ""))
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    cells = (wc.select("w", "n",
+                       _cm_buckets(F.col("w"), depth, width)
+                       .alias("r", "bkt"))
+             .groupBy("r", "bkt").agg(F.sum("n").alias("cell")))
+    # exact top-k candidates: bounded orderBy+limit, deterministic
+    # (count desc, word) tie-break; ranking happens over k rows only
+    topk = wc.orderBy(F.desc("n"), "w").limit(k)
+    ranked = topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), "w")))
+    est = (ranked.select("w", "n", "rank",
+                         _cm_buckets(F.col("w"), depth, width)
+                         .alias("r", "bkt"))
+           .join(F.broadcast(cells), ["r", "bkt"])
+           .groupBy("w", "n", "rank")
+           .agg(F.min("cell").alias("cm_est")))
+    return est.select(F.col("w").alias("word"),
+                      F.col("n").alias("exact_n"), "cm_est", "rank")

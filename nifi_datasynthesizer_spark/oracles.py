@@ -900,3 +900,59 @@ SELECT vec_id,
        CAST(list_sum(list_transform(range(1, {dim + 1}),
                                     j -> xi[j] * v[j])) AS BIGINT) AS proj_q
 FROM x CROSS JOIN {prev} ORDER BY vec_id""")
+
+
+def fm_distinct_sql(group_col: str = "event_type",
+                    id_col: str = "user_id", buckets: int = 64,
+                    table: str = "events") -> str:
+    """Mirror of sketches.fm_distinct (registers + integer estimate)."""
+    from .operators.sketches import PHI, _RHO_CAP
+    scale = int(buckets / PHI)
+    return f"""
+WITH h AS (SELECT {group_col} AS grp,
+                  {h60_sql(f"CAST({id_col} AS VARCHAR)")} AS h
+           FROM {table}),
+e AS (SELECT grp, h % {buckets} AS b, h // {buckets} AS r FROM h),
+rr AS (SELECT grp, b,
+              CASE WHEN r = 0 THEN {_RHO_CAP}
+                   ELSE bit_count((r & -r) - 1) + 1 END AS rho
+       FROM e),
+regs AS (SELECT grp, b, MAX(rho) AS reg FROM rr GROUP BY grp, b),
+s AS (SELECT grp, COUNT(*) AS buckets_hit,
+             CAST(SUM(reg) AS BIGINT) AS sum_reg,
+             MAX(reg) AS max_reg
+      FROM regs GROUP BY grp),
+x AS (SELECT {group_col} AS grp,
+             COUNT(DISTINCT {id_col}) AS exact_distinct
+      FROM {table} GROUP BY grp)
+SELECT s.grp AS {group_col}, buckets_hit, sum_reg, max_reg,
+       (CAST({scale} AS BIGINT) << CAST(sum_reg // {buckets} AS INT))
+         AS est_distinct,
+       exact_distinct
+FROM s JOIN x USING (grp) ORDER BY {group_col}"""
+
+
+def cm_heavy_hitters_sql(k: int = 10, depth: int = 4, width: int = 1024,
+                         table: str = "documents") -> str:
+    """Mirror of sketches.cm_heavy_hitters."""
+    bkts = ", ".join(h60_sql(f"w || '#cm{r}'") + f" % {width}"
+                     for r in range(depth))
+    return f"""
+WITH wx AS (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM {table}),
+wc AS (SELECT w, COUNT(*) AS n FROM wx WHERE w <> '' GROUP BY w),
+cl AS (SELECT w, n, unnest([{bkts}]) AS bkt,
+              unnest(range({depth})) AS r
+       FROM wc),
+cells AS (SELECT r, bkt, CAST(SUM(n) AS BIGINT) AS cell
+          FROM cl GROUP BY r, bkt),
+topk AS (SELECT w, n,
+                ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+         FROM wc QUALIFY rank <= {k}),
+cand AS (SELECT w, n, rank, unnest([{bkts}]) AS bkt,
+                unnest(range({depth})) AS r
+         FROM topk)
+SELECT cand.w AS word, cand.n AS exact_n,
+       CAST(MIN(cells.cell) AS BIGINT) AS cm_est, rank
+FROM cand JOIN cells USING (r, bkt)
+GROUP BY cand.w, cand.n, rank
+ORDER BY rank"""

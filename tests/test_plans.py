@@ -280,3 +280,23 @@ def test_pca_iteration_is_narrow_plus_scalar_agg(spark):
     # rides as an array literal over a single narrow scan
     assert "Join" not in p
     assert "Exchange" not in p
+
+
+def test_fm_distinct_sketch_shape(spark):
+    """The FM sketch must aggregate registers (MAX-combinable,
+    map-side partials) and attach the exact side via broadcast — the
+    big frame is never joined on a shuffled key."""
+    df = entrymod.queries()["sketch_distinct"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "max(rho" in p or "max(" in p   # register merge is a MAX agg
+
+
+def test_cm_heavy_hitters_bounded_topk(spark):
+    """Candidate selection must be a k-bounded TakeOrdered, never a
+    global window sort over the whole vocabulary."""
+    df = entrymod.queries()["sketch_heavy_hitters"](spark, SF)
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p
+    # the cells side broadcasts (4096 rows)
+    assert "BroadcastHashJoin" in p
