@@ -210,6 +210,7 @@ _WINDOW_R4 = [
     "events_sessionize", "synth_commuter",
     # new this round
     "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
+    "events_ewma",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -1116,6 +1117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("user_id", "vfrom"))
     q["events_scd2"] = events_scd2
 
+    def events_ewma(spark, sf):
+        """Integer-exact EWMA (half-decay per observed day) of the
+        per-user daily series — truncated power-of-two halvings, no
+        float powers, no recursive state."""
+        from nifi_datasynthesizer_spark.operators.temporal import ewma_daily
+        ev = _t(spark, sf, "events")
+        return ewma_daily(ev).orderBy("user_id", "day")
+    q["events_ewma"] = events_ewma
+
     def events_gap_fill(spark, sf):
         """Daily series per user with missing days materialized and
         forward-filled (resampling) — no joins, one key shuffle."""
@@ -1621,6 +1631,19 @@ SELECT user_id, vfrom,
                 4611686018427387904) AS vto,
        cents AS value_cents
 FROM latest ORDER BY user_id, vfrom"""
+
+    _ewma_terms = " + ".join(
+        f"CAST(FLOOR(COALESCE(LAG(cents, {d}) OVER w, 0) / {2 ** d}) "
+        f"AS BIGINT)" for d in range(8))
+    o["events_ewma"] = f"""
+WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                        AS cents
+               FROM events GROUP BY user_id, day)
+SELECT user_id, day, cents, ({_ewma_terms}) AS ewma_q
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+ORDER BY user_id, day"""
 
     o["events_gap_fill"] = """
 WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,

@@ -258,6 +258,40 @@ def scd2_from_events(events: DataFrame, key: str = "user_id", ts: str = "ts",
         F.col("cents").alias("value_cents")))
 
 
+def ewma_daily(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               value: str = "value", terms: int = 8) -> DataFrame:
+    """Exponentially-weighted moving average of the per-(key, day)
+    value series — the smoothing/velocity feature every behavioral
+    model consumes.
+
+    Exactness: the decay factor is 1/2 per observation, so the EWMA
+    truncates to ``terms`` lags of integer floor-halvings
+    (``Σ_d floor(cents_{t-d} / 2^d)`` — beyond 8 terms the
+    contribution is < 1 cent anyway).  No float powers, no recursive
+    state: bit-identical on any engine/partitioning.  Decay steps on
+    OBSERVED days (pandas ``ewm`` row semantics); compose with
+    :func:`gap_fill_daily` first for calendar-day decay.
+
+    Plan: one shuffle to (key, day) daily sums, then ONE window sort
+    per key evaluates all ``terms`` lags — lag reuses the same sorted
+    frame, no self-joins.
+    """
+    from pyspark.sql import functions as F
+
+    day = F.expr(f"unix_micros({ts}) div 86400000000")
+    daily = (events.select(F.col(key), day.alias("day"),
+                           F.floor(F.col(value) * 100).cast("long")
+                           .alias("cents"))
+             .groupBy(key, "day").agg(F.sum("cents").alias("cents")))
+    w = Window.partitionBy(key).orderBy("day")
+    ewma = None
+    for d in range(terms):
+        term = F.floor(F.coalesce(F.lag("cents", d).over(w), F.lit(0))
+                       / F.lit(2 ** d)).cast("long")
+        ewma = term if ewma is None else ewma + term
+    return daily.select(key, "day", "cents", ewma.alias("ewma_q"))
+
+
 def gap_fill_daily(events: DataFrame, key: str = "user_id", ts: str = "ts",
                    value: str = "value") -> DataFrame:
     """Time-series gap filling: the (key, day) activity series with

@@ -675,6 +675,18 @@ def test_pca_power_planted(spark):
     assert out == out2
 
 
+def test_ewma_daily_planted(spark):
+    """EWMA = sum of floor-halved lags: 100, then 200+floor(100/2)."""
+    from nifi_datasynthesizer_spark.operators.temporal import ewma_daily
+    import datetime
+    d = lambda day: datetime.datetime(2024, 1, day, 12)
+    rows = [(1, d(1), 1.00), (1, d(2), 2.00), (1, d(3), 4.00)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["day"]: r["ewma_q"] for r in ewma_daily(ev).collect()}
+    days = sorted(out)
+    assert [out[k] for k in days] == [100, 200 + 50, 400 + 100 + 25]
+
+
 def test_scd2_from_events_planted(spark):
     from nifi_datasynthesizer_spark.operators.temporal import scd2_from_events
     import datetime
