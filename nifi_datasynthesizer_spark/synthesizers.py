@@ -687,12 +687,50 @@ _GEO_CODES = ["us", "gb", "de", "fr", "jp", "cn", "in", "br", "ca", "au",
               "id", "ar", "za", "ng", "eg", "sa", "th", "vn", "my", "ph",
               "cl", "co", "pe", "pt", "gr", "cz", "ro", "hu", "dk", "fi"]
 
-_WL_TERM_UNIVERSE = 1024
+_WL_TERM_UNIVERSE = 512
 _WL_IP_UNIVERSE = 1024
 _WL_MAX_TERMS = 5
-# ranks in the term distribution that act as the reference's slowWords
-# set (LogLine.java:31-33 marks 8 specific vocabulary words as slow)
-_WL_SLOW_RANKS = frozenset({3, 11, 19, 27, 35, 43, 51, 59})
+# slow "words" are term ranks ≡ 3 (mod 64) — 8 of the 512 terms, the
+# same role as LogLine.java:31-33's slowWords set, tested with flat
+# integer arithmetic (XOR-to-indicator), no CASE nesting: deep CASE
+# trees are what made the first formulation parse in seconds
+_WL_SLOW_MOD = 3
+
+# 256-level exponential quantile table (same construction as
+# samplers._d_exponential but sixteenth-size: weblog embeds it in two
+# window-summed gap expressions, and literal-table bytes are parse
+# time — 256 levels is statistically ample for synthesis)
+_WL_EXPQ = [round(-math.log((k + 0.5) / 256), 9) for k in range(256)]
+
+# weblog vocabulary: rank → syllable pair (64 × 8 = 512 words) — two
+# tiny literal tables instead of a 512-string lookup per term
+_WL_SYL1 = V.WORDS[:64]
+_WL_SYL2 = ["an", "el", "ir", "ost", "un", "ash", "om", "ey"]
+
+
+def _wl_word(rank: D) -> D:
+    return X.concat(X.element(rank % 64, list(_WL_SYL1)),
+                    X.element(X.cast_long(X.idiv(rank, 64)) % 8,
+                              list(_WL_SYL2)))
+
+
+def _wl_slow(rank: D) -> D:
+    """1 iff the rank is one of the 8 slow terms (rank ≡ 3 mod 64) —
+    flat arithmetic indicator: ``1 - min(1, (rank%64) XOR 3)`` is 1
+    exactly when the residue equals 3 (XOR of equal values is 0)."""
+    return X.lit(1) - X.least([X.lit(1),
+                               (rank % 64).xor(X.lit(_WL_SLOW_MOD))])
+
+
+def _arr_take_join(items: list[D], n: D, sep: str) -> D:
+    """First ``n`` of ``items`` joined by ``sep`` — each item's text
+    referenced ONCE (a per-item conditional would duplicate ``n``'s
+    expression text per position)."""
+    ds = ("array_to_string(list_slice([" + ", ".join(d.s for d in items)
+          + f"], 1, CAST({n.s} AS INT)), '{sep}')")
+    ss = ("array_join(slice(array(" + ", ".join(d.ss for d in items)
+          + f"), 1, CAST({n.ss} AS INT)), '{sep}')")
+    return D(None, ds, ss)
 
 
 def _q_table(size: int, fn) -> list[float]:
@@ -701,6 +739,23 @@ def _q_table(size: int, fn) -> list[float]:
     from statistics import NormalDist
     nd = NormalDist()
     return [round(fn(nd.inv_cdf((k + 0.5) / size)), 9) for k in range(size)]
+
+
+def _pareto_rank(u: D, tail_pow: int, universe: int) -> D:
+    """Long-tail rank in [0, universe) from one uniform draw, with NO
+    literal table: rank = floor(1/(1-u)^p) - 1 capped — a Pareto head
+    approximating Zipf/Pitman–Yor tails (P(rank=0) ≈ 1-2^(-1/p)).
+    Pure multiplications and one division: IEEE-identical in Spark and
+    DuckDB (fixed op order), ~30 chars of SQL vs ~10 KB of table."""
+    u2 = X.lit(1.0) - u                       # (0, 1]
+    inv = u2
+    for _ in range(tail_pow - 1):
+        inv = inv * u2
+    inv = X.lit(1.0) / inv
+    # clamp BEFORE floor: 1/u^p reaches ~2^(31·p), far past BIGINT,
+    # and dual.floor casts (Spark FLOOR returns BIGINT)
+    capped = X.least([inv, X.lit(float(universe))])
+    return X.floor(capped) - 1
 
 
 def weblog(n_users: int = 500, events_per_user: int = 20,
@@ -742,26 +797,24 @@ def weblog(n_users: int = 500, events_per_user: int = 20,
     # sticky per-user identity -----------------------------------------
     cookie = X.concat(_hex4(uint(user, uctx.salt("ck0"), 0, 65536)),
                       _hex4(uint(user, uctx.salt("ck1"), 0, 65536)))
-    # shared long-tail IP pool: user → pool rank (Zipf head ≈ the
+    # shared long-tail IP pool: user → pool rank (Pareto head ≈ the
     # Pitman–Yor pool), rank → dotted quad (same rank ⇒ same IP)
-    ip_table = quantize_weights(
-        list(range(_WL_IP_UNIVERSE)),
-        [(k + 1.0) ** -1.0 for k in range(_WL_IP_UNIVERSE)],
-        table_size=2048)
-    ip_rank = X.cast_long(X.element(
-        uint(user, uctx.salt("iprank"), 0, 2048), ip_table))
+    ip_rank = _pareto_rank(u01(user, uctx.salt("iprank")), 2,
+                           _WL_IP_UNIVERSE)
     ip = s_ipv4({}, Ctx(ip_rank, seed, "$.weblog.ip"))
     geo_table = quantize_weights(
         _GEO_CODES, [(k + 1.0) ** -0.5 for k in range(len(_GEO_CODES))],
-        table_size=1024)
-    geo = X.element(uint(user, uctx.salt("geo"), 0, 1024), geo_table)
+        table_size=256)
+    geo = X.element(uint(user, uctx.salt("geo"), 0, 256), geo_table)
 
     # session/time structure -------------------------------------------
     new_draw = u01(i, lctx.salt("sess"))
     is_new = X.when_chain([(j.eq(0), X.lit(1)),
                            (new_draw < 0.25, X.lit(1))], X.lit(0))
-    gap_sess = _d_exponential(i, lctx.salt("sgap"), 86400.0)
-    gap_query = _d_exponential(i, lctx.salt("qgap"), 120.0)
+    gap_sess = X.element(uint(i, lctx.salt("sgap"), 0, 256),
+                         _WL_EXPQ) * 86400.0
+    gap_query = X.element(uint(i, lctx.salt("qgap"), 0, 256),
+                          _WL_EXPQ) * 120.0
     gap_us = X.cast_long(X.floor(
         X.when_chain([(is_new.eq(1), gap_sess)], gap_query) * 1000000.0))
 
@@ -783,41 +836,35 @@ def weblog(n_users: int = 500, events_per_user: int = 20,
 
     # query terms -------------------------------------------------------
     # Exponential(0.4)+1 query length, capped: exact per-length masses
-    # quantized into a 256-slot table (floor(Exp(mean 2.5)) is geometric)
+    # quantized into a 64-slot table (floor(Exp(mean 2.5)) is geometric)
     p_stop = 1.0 - math.exp(-1.0 / 2.5)
     len_masses = [p_stop * (1 - p_stop) ** k for k in range(_WL_MAX_TERMS - 1)]
     len_masses.append(1.0 - sum(len_masses))  # cap absorbs the tail
     n_terms = X.cast_long(X.element(
-        uint(i, lctx.salt("qlen"), 0, 256),
+        uint(i, lctx.salt("qlen"), 0, 64),
         quantize_weights(list(range(1, _WL_MAX_TERMS + 1)), len_masses,
-                         table_size=256)))
-    term_table = quantize_weights(
-        list(range(_WL_TERM_UNIVERSE)),
-        [(k + 1.0) ** -1.25 for k in range(_WL_TERM_UNIVERSE)],
-        table_size=2048)
-    words = list(V.WORDS[:_WL_TERM_UNIVERSE])
-    slow_flags = [1 if k in _WL_SLOW_RANKS else 0
-                  for k in range(_WL_TERM_UNIVERSE)]
-    ranks = [X.cast_long(X.element(uint(i, lctx.salt("term", k), 0, 2048),
-                                   term_table))
+                         table_size=64)))
+    # Pitman–Yor(1, 0.8) term tail ≈ Pareto with p=4 (analytic — no
+    # literal rank table; the draw is referenced from both the word
+    # and the slow-test lookup, so table bytes would double)
+    ranks = [_pareto_rank(u01(i, lctx.salt("term", k)), 4,
+                          _WL_TERM_UNIVERSE)
              for k in range(_WL_MAX_TERMS)]
-    parts = [X.element(ranks[0], words)]
-    slow_n = X.element(ranks[0], slow_flags)
+    query = _arr_take_join([_wl_word(r) for r in ranks], n_terms, " ")
+    # slow-term count over the FIRST n_terms draws — the position mask
+    # min(1, max(0, n_terms - k)) stays flat arithmetic too
+    slow_n = _wl_slow(ranks[0])
     for k in range(1, _WL_MAX_TERMS):
-        parts.append(X.when_chain(
-            [(n_terms > k, X.concat(X.lit(" "), X.element(ranks[k], words)))],
-            X.lit("")))
-        slow_n = slow_n + X.when_chain(
-            [(n_terms > k, X.element(ranks[k], slow_flags))], X.lit(0))
-    query = X.concat(*parts)
+        mask = X.least([X.lit(1), X.greatest([X.lit(0), n_terms - k])])
+        slow_n = slow_n + _wl_slow(ranks[k]) * mask
 
     # response time -----------------------------------------------------
-    jit_slow = X.element(uint(i, lctx.salt("rts"), 0, 1024),
-                         _q_table(1024, lambda g: g))
-    jit_fast = X.element(uint(i, lctx.salt("rtf"), 0, 1024),
-                         _q_table(1024, lambda g: g))
-    factor = X.element(uint(i, lctx.salt("rtln"), 0, 1024),
-                       _q_table(1024, lambda g: math.exp(g / 3)))
+    jit_slow = X.element(uint(i, lctx.salt("rts"), 0, 256),
+                         _q_table(256, lambda g: g))
+    jit_fast = X.element(uint(i, lctx.salt("rtf"), 0, 256),
+                         _q_table(256, lambda g: g))
+    factor = X.element(uint(i, lctx.salt("rtln"), 0, 256),
+                       _q_table(256, lambda g: math.exp(g / 3)))
     mean_s = X.when_chain(
         [(slow_n > 0, X.lit(0.05) + jit_slow * 0.01)],
         X.lit(0.01) + jit_fast * 0.002)
