@@ -210,7 +210,8 @@ _WINDOW_R4 = [
     "events_sessionize", "synth_commuter",
     # new this round
     "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
-    "events_ewma",
+    "events_ewma", "media_dedup", "graph_pagerank",
+    "streaming_dedup_cross",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -953,6 +954,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("media_id", "frame_idx"))
     q["media_frames"] = media_frames
 
+    def media_dedup(spark, sf):
+        """Exact blob dedup (md5 over payload bytes) on a synthetic
+        media corpus with a folded payload universe — the multimodal
+        twin of dedup_exact."""
+        media = MM.synth_media(spark, n=400, seed=23, payload_universe=120)
+        return MM.media_dedup(media).orderBy("digest")
+    q["media_dedup"] = media_dedup
+
+    def graph_pagerank(spark, sf):
+        """Integer-ppm PageRank over the minhash near-dup graph: the
+        canonical-representative picker for duplicate neighborhoods
+        (keep the hub everyone copied, not the min id)."""
+        from nifi_datasynthesizer_spark.operators.graph import pagerank
+        pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
+                                 num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        return pagerank(pairs, iters=2).orderBy("doc_id")
+    q["graph_pagerank"] = graph_pagerank
+
+    def streaming_dedup_cross(spark, sf):
+        """Incremental dedup as a STREAM: each arriving micro-batch of
+        documents (doc_id % 7 = 0) foreachBatch-dedupes against the
+        static corpus with the batch minhash-cross operator, appending
+        to an idempotent sink; the drained union equals the one-shot
+        batch dedup_cross, so the same SQL oracle applies."""
+        import tempfile
+
+        from nifi_datasynthesizer_spark import streaming as ST
+        raw = spark.read.parquet(f"{sf}/documents.parquet")
+        corpus = raw.filter(F.col("doc_id") % 7 != 0)
+        src = (ST.file_stream(spark, sf, raw.schema,
+                              glob_filter="documents.parquet")
+               .filter(F.col("doc_id") % 7 == 0))
+        outdir = tempfile.mkdtemp(prefix="spark_graft_sdc_") + "/pairs"
+
+        def handle(batch_df, batch_id):
+            out = DD.dedup_minhash_cross(batch_df, corpus,
+                                         num_hashes=64, bands=16,
+                                         jaccard_threshold=0.5)
+            out.write.mode("append").parquet(outdir)
+            DD.release_caches()
+
+        ST.run_foreach_batch(src, handle)
+        return spark.read.parquet(outdir).orderBy("a", "b")
+    q["streaming_dedup_cross"] = _stream_tuned(streaming_dedup_cross)
+
     # ---- round-3 operators: keyword extraction, LM fluency, splits,
     # int8 quantization, hybrid retrieval, stream-stream join
     def text_keywords(spark, sf):
@@ -1605,6 +1652,11 @@ ORDER BY event_id"""
     o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
     o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)
+    o["media_dedup"] = OR.media_dedup_sql(n=400, seed=23, universe=120)
+    o["graph_pagerank"] = OR.pagerank_sql(OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
+    # the streamed foreachBatch dedup drains to the batch answer
+    o["streaming_dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     o["dedup_containment"] = OR.containment_pairs_sql(
         n=3, threshold=0.8, df_cap=64)
     o["embed_pca"] = OR.pca_power_sql(iters=2, dim=64)

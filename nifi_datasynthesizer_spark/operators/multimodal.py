@@ -43,14 +43,20 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def synth_media(spark, n: int = 100, seed: int = 0) -> DataFrame:
+def synth_media(spark, n: int = 100, seed: int = 0,
+                payload_universe: int | None = None) -> DataFrame:
     """Deterministic fake media table: payload bytes derived from the
-    row index (so tests are stable), metadata shaped like real media."""
+    row index (so tests are stable), metadata shaped like real media.
+    ``payload_universe`` folds payloads onto ``id % universe`` keys so
+    a corpus with exact duplicate blobs can be synthesized (the
+    media-dedup input shape)."""
     kinds = F.element_at(F.lit(["image", "audio", "video"]),
                          (F.col("id") % 3 + 1).cast("int"))
     mimes = F.element_at(F.lit(["image/png", "audio/wav", "video/mp4"]),
                          (F.col("id") % 3 + 1).cast("int"))
-    payload = F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256) \
+    pkey = (F.col("id") if payload_universe is None
+            else F.col("id") % payload_universe)
+    payload = F.sha2(F.concat(F.lit(str(seed)), pkey.cast("string")), 256) \
         .cast("binary")
     return (spark.range(n)
             .select(F.col("id").alias("media_id"),
@@ -131,3 +137,20 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.sha2(F.concat(F.col("payload").cast("string"),
                                         F.col("frame_idx").cast("string")), 256)
                         .cast("binary")))  # STUB: real impl decodes the frame
+
+
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact duplicate groups over opaque media blobs: md5 of the
+    payload BYTES (no decode needed — identical files dedupe whatever
+    the codec), one shuffle on the uniform 128-bit digest with
+    map-side partial aggregation; the keeper is the min media_id.
+    The multimodal twin of dedup.dedup_exact: at 100 TB this is the
+    first pass of any crawl's image/video pipeline (exact re-crawls
+    and mirrors collapse before any expensive perceptual hashing)."""
+    return (media.select(F.md5(F.col("payload")).alias("digest"),
+                         F.col("media_id"), F.col("kind"))
+            .groupBy("digest")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("media_id").alias("keeper_media_id"),
+                 F.countDistinct("kind").alias("n_kinds"))
+            .filter(F.col("n_copies") > 1))

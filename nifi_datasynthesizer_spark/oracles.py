@@ -956,3 +956,48 @@ SELECT cand.w AS word, cand.n AS exact_n,
 FROM cand JOIN cells USING (r, bkt)
 GROUP BY cand.w, cand.n, rank
 ORDER BY rank"""
+
+
+def pagerank_sql(pairs_sql: str, iters: int = 2,
+                 damping_ppm: int = 850_000) -> str:
+    """Mirror of graph.pagerank — unrolled iteration CTEs, all-LONG
+    integer division (``//``) matching Spark's ``div``."""
+    base = 1_000_000 - damping_ppm
+    parts = [f"pairs AS ({pairs_sql})",
+             """sym AS (SELECT a AS src, b AS dst FROM pairs
+       UNION SELECT b AS src, a AS dst FROM pairs)""",
+             "deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)",
+             """r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r
+       FROM deg)"""]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (SELECT dst, CAST(r // deg AS BIGINT) AS c
+       FROM sym JOIN {prev} ON sym.src = {prev}.node
+                JOIN deg USING (src)),
+r{i} AS (SELECT dst AS node,
+                CAST({base} + (CAST(SUM(c) AS BIGINT) * {damping_ppm})
+                     // 1000000 AS BIGINT) AS r
+         FROM c{i} GROUP BY dst)""")
+        prev = f"r{i}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node AS doc_id, r AS pr_ppm FROM {prev} "
+              "ORDER BY doc_id")
+
+
+def media_dedup_sql(n: int = 400, seed: int = 23,
+                    universe: int = 120) -> str:
+    """Mirror of multimodal.media_dedup over synth_media(n, seed,
+    payload_universe=universe): the payload is the UTF-8 bytes of the
+    sha256 hex string, so md5 over those bytes equals md5 of the hex
+    VARCHAR."""
+    return f"""
+WITH m AS (SELECT CAST(range AS BIGINT) AS media_id,
+                  md5(sha256('{seed}' || CAST(range % {universe}
+                                              AS VARCHAR))) AS digest,
+                  CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS kind
+           FROM range({n}))
+SELECT digest, COUNT(*) AS n_copies,
+       MIN(media_id) AS keeper_media_id,
+       COUNT(DISTINCT kind) AS n_kinds
+FROM m GROUP BY digest HAVING COUNT(*) > 1 ORDER BY digest"""

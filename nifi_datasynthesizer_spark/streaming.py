@@ -229,3 +229,19 @@ def state_partitions(spark, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def run_foreach_batch(stream: DataFrame, handle) -> None:
+    """Drain a bounded stream through ``foreachBatch`` — the
+    production sink pattern for logic that composes BATCH operators
+    per micro-batch (e.g. incremental dedup of each arriving batch
+    against a static corpus).  ``handle(batch_df, batch_id)`` runs on
+    the driver with a regular batch DataFrame; make its writes
+    idempotent (append keyed by batch_id or overwrite-by-partition)
+    because a failed micro-batch re-runs."""
+    q = (stream.writeStream.foreachBatch(handle)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

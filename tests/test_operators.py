@@ -675,6 +675,32 @@ def test_pca_power_planted(spark):
     assert out == out2
 
 
+def test_pagerank_planted(spark):
+    """Star graph: the hub collects contributions from every spoke and
+    must out-rank them; ranks are exact integers, partition-stable."""
+    from nifi_datasynthesizer_spark.operators.graph import pagerank
+    pairs = spark.createDataFrame(
+        [(0, k) for k in range(1, 6)], ["a", "b"])
+    out = {r.doc_id: r.pr_ppm for r in pagerank(pairs, iters=2).collect()}
+    assert len(out) == 6
+    assert out[0] > max(out[k] for k in range(1, 6))
+    assert len({out[k] for k in range(1, 6)}) == 1   # spokes symmetric
+    out2 = {r.doc_id: r.pr_ppm
+            for r in pagerank(pairs.repartition(5), iters=2).collect()}
+    assert out == out2                                # integer-exact
+
+
+def test_media_dedup_planted(spark):
+    from nifi_datasynthesizer_spark.operators import multimodal as MM
+    media = MM.synth_media(spark, n=30, seed=5, payload_universe=10)
+    out = MM.media_dedup(media).collect()
+    assert len(out) == 10
+    assert all(r.n_copies == 3 for r in out)
+    assert all(r.keeper_media_id < 10 for r in out)
+    # unique payloads → no duplicate groups
+    assert MM.media_dedup(MM.synth_media(spark, n=30, seed=5)).count() == 0
+
+
 def test_ewma_daily_planted(spark):
     """EWMA = sum of floor-halved lags: 100, then 200+floor(100/2)."""
     from nifi_datasynthesizer_spark.operators.temporal import ewma_daily
