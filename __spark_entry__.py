@@ -211,7 +211,7 @@ _WINDOW_R4 = [
     # new this round
     "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
     "events_ewma", "media_dedup", "graph_pagerank",
-    "streaming_dedup_cross",
+    "streaming_dedup_cross", "sketch_quantiles",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -1154,6 +1154,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cm_heavy_hitters(docs, k=10).orderBy("rank")
     q["sketch_heavy_hitters"] = sketch_heavy_hitters
 
+    def sketch_quantiles(spark, sf):
+        """Histogram-sketch percentiles per event_type (the
+        t-digest/KLL role with a deterministic equi-width grid):
+        bounded per-group state, upper-edge estimates in exact cents."""
+        from nifi_datasynthesizer_spark.operators.sketches import hist_quantiles
+        ev = _t(spark, sf, "events")
+        return hist_quantiles(ev, "event_type", "value").orderBy("event_type")
+    q["sketch_quantiles"] = sketch_quantiles
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -1653,6 +1662,23 @@ ORDER BY event_id"""
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
     o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)
     o["media_dedup"] = OR.media_dedup_sql(n=400, seed=23, universe=120)
+    _hq = ", ".join(
+        f"(MIN(CASE WHEN cum * 100 >= total * {qt} THEN bucket END) + 1)"
+        f" * 500 AS p{qt}_edge_c" for qt in (50, 90, 99))
+    o["sketch_quantiles"] = f"""
+WITH h AS (SELECT event_type AS grp,
+                  CAST(FLOOR(CAST(FLOOR(value * 100) AS BIGINT) / 500)
+                       AS BIGINT) AS bucket
+           FROM events),
+hist AS (SELECT grp, bucket, COUNT(*) AS n FROM h GROUP BY grp, bucket),
+c AS (SELECT grp, bucket, n,
+             CAST(SUM(n) OVER (PARTITION BY grp ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS total
+      FROM hist)
+SELECT grp AS event_type, {_hq},
+       COUNT(*) AS n_buckets, MAX(total) AS n_total
+FROM c GROUP BY grp ORDER BY event_type"""
     o["graph_pagerank"] = OR.pagerank_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     # the streamed foreachBatch dedup drains to the batch answer

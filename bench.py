@@ -52,7 +52,8 @@ def main() -> None:
              "events_rollup", "dedup_cross", "dedup_containment",
              "embed_pca", "events_scd2", "events_gap_fill",
              "io_roundtrip", "synth_weblog", "sketch_distinct",
-             "sketch_heavy_hitters", "events_ewma"]
+             "sketch_heavy_hitters", "events_ewma", "media_dedup",
+             "graph_pagerank", "streaming_dedup_cross"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

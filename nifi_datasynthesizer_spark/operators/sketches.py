@@ -112,3 +112,41 @@ def cm_heavy_hitters(docs: DataFrame, k: int = 10, depth: int = 4,
            .agg(F.min("cell").alias("cm_est")))
     return est.select(F.col("w").alias("word"),
                       F.col("n").alias("exact_n"), "cm_est", "rank")
+
+
+def hist_quantiles(df: DataFrame, group_col: str = "event_type",
+                   value: str = "value", bucket_cents: int = 500,
+                   quantiles: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """Histogram-sketch quantiles per group — the t-digest/KLL role
+    with a fixed equi-width grid so the answer is deterministic and
+    engine-exact (percentile_approx and friends are neither).
+
+    State per group is one counter per occupied bucket (SUM-combinable
+    map-side); the estimate for quantile q is the UPPER EDGE of the
+    first bucket whose cumulative count reaches ceil(n·q/100) — a
+    one-sided error bounded by the bucket width, in integer cents.
+    One shuffle on the group key; the cumulative pass and the total
+    reuse the same partitioning.
+    """
+    cents = F.floor(F.col(value) * 100).cast("long")
+    # cents / width as double division then floor: cents ≪ 2^53 keeps
+    # the quotient exact, and DuckDB's BIGINT / INT divides identically
+    bucket = F.floor(cents / F.lit(bucket_cents)).cast("long")
+    hist = (df.select(F.col(group_col).alias("grp"),
+                      bucket.alias("bucket"))
+            .groupBy("grp", "bucket").agg(F.count("*").alias("n")))
+    wcum = (Window.partitionBy("grp").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("grp")
+    cum = (hist.withColumn("cum", F.sum("n").over(wcum))
+           .withColumn("total", F.sum("n").over(wall)))
+    aggs = [F.count("*").alias("n_buckets"),
+            F.max("total").alias("n_total")]
+    for qt in quantiles:
+        hit = F.when(F.col("cum") * 100 >= F.col("total") * qt,
+                     F.col("bucket"))
+        aggs.append(((F.min(hit) + 1) * bucket_cents)
+                    .alias(f"p{qt}_edge_c"))
+    return cum.groupBy("grp").agg(*aggs) \
+        .select(F.col("grp").alias(group_col), *[
+            f"p{qt}_edge_c" for qt in quantiles], "n_buckets", "n_total")

@@ -701,6 +701,23 @@ def test_media_dedup_planted(spark):
     assert MM.media_dedup(MM.synth_media(spark, n=30, seed=5)).count() == 0
 
 
+def test_hist_quantiles_planted(spark):
+    """100 values of 1.00..100.00: p50 edge covers 50.00, p99 covers
+    100.00, and the one-sided error is bounded by the bucket width."""
+    from nifi_datasynthesizer_spark.operators.sketches import hist_quantiles
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    out = hist_quantiles(df, "event_type", "value",
+                         bucket_cents=500).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_total"] == 100
+    # true p50 = 50.00 (5000c): upper edge of its bucket, ≤ one width over
+    assert 5000 <= r["p50_edge_c"] <= 5500
+    assert 9000 <= r["p90_edge_c"] <= 9500
+    assert 9900 <= r["p99_edge_c"] <= 10400
+
+
 def test_ewma_daily_planted(spark):
     """EWMA = sum of floor-halved lags: 100, then 200+floor(100/2)."""
     from nifi_datasynthesizer_spark.operators.temporal import ewma_daily
