@@ -211,7 +211,7 @@ _WINDOW_R4 = [
     # new this round
     "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
     "events_ewma", "media_dedup", "graph_pagerank",
-    "streaming_dedup_cross", "sketch_quantiles",
+    "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -763,6 +763,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      n=3, threshold=0.8, df_cap=64)
                 .orderBy("a", "b"))
     q["dedup_containment"] = dedup_containment
+
+    def dedup_fuzzy(spark, sf):
+        """Edit-distance near-dup pairs (typo/OCR-level corruption
+        shingle methods miss): blocked Levenshtein, integer-ppm
+        distance of the longer string."""
+        return (DD.fuzzy_pairs(_t(spark, sf, "documents"),
+                               max_dist_ppm=300_000)
+                .orderBy("a", "b"))
+    q["dedup_fuzzy"] = dedup_fuzzy
 
     def dedup_embedding(spark, sf):
         return (DD.dedup_embedding(_t(spark, sf, "embeddings"), threshold=0.95)
@@ -1523,6 +1532,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5)
     o["dedup_simhash"] = OR.simhash_pairs_sql(bits=60, hamming_max=3, shingle_k=2)
     o["dedup_ngram_jaccard"] = OR.ngram_jaccard_sql(n=3, threshold=0.4)
+    o["dedup_fuzzy"] = OR.fuzzy_pairs_sql(max_dist_ppm=300_000)
     o["dedup_groups"] = OR.dup_groups_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)

@@ -419,6 +419,49 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
     return cos.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
 
 
+# ------------------------------------------------------- edit distance
+
+def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
+                length_band: int = 16, token_bands: int = 16,
+                text_col: str = "text") -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs with two-key blocking
+    — the record-linkage classic.  Shingle/minhash methods miss
+    character-level corruption (typos, OCR noise, template fills) that
+    shifts word boundaries; normalized edit distance measures it
+    directly.
+
+    All-pairs Levenshtein is O(n²·len²) and never runs at 100 TB, so
+    candidates come from the same (length band × first-token h60 band)
+    blocking as :func:`ngram_jaccard_pairs`: a pair within
+    ``max_dist_ppm`` keeps nearly equal length and (typically) opening
+    token, so it collides; the join is an equi-join on the block keys,
+    never a cartesian product.  Verification is the JVM built-in
+    ``levenshtein`` (unit-cost edit distance, identical semantics to
+    DuckDB's) over normalized text; the kept metric is integer ppm of
+    the longer string — exact in any engine.
+    """
+    norm = normalize_text(F.col(text_col))
+    first_tok = F.element_at(F.split(norm, " "), 1)
+    base = ensure_parallelism(docs).select(
+        "doc_id", norm.alias("nt"),
+        (F.length(norm) / length_band).cast("int").alias("lb"),
+        F.pmod(h60(first_tok), F.lit(token_bands)).alias("tb"))
+    left = base.select(F.col("doc_id").alias("a"),
+                       F.col("nt").alias("na"), "lb", "tb")
+    right = base.select(F.col("doc_id").alias("b"),
+                        F.col("nt").alias("nb"), "lb", "tb")
+    pairs = left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b"))
+    d = pairs.select(
+        "a", "b",
+        F.levenshtein("na", "nb").cast("long").alias("lev"),
+        F.greatest(F.length("na"), F.length("nb")).alias("mx"))
+    out = d.withColumn(
+        "dist_ppm",
+        F.floor(F.col("lev") * 1_000_000 / F.col("mx")).cast("long"))
+    return (out.filter(F.col("dist_ppm") <= max_dist_ppm)
+            .select("a", "b", "lev", "dist_ppm"))
+
+
 def containment_pairs(docs: DataFrame, n: int = 3,
                       threshold: float = 0.8, df_cap: int = 64,
                       text_col: str = "text") -> DataFrame:

@@ -113,6 +113,30 @@ SELECT a, b, inter / CAST(tot - inter AS DOUBLE) AS jaccard
 FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= {threshold} ORDER BY a, b"""
 
 
+def fuzzy_pairs_sql(max_dist_ppm: int = 300_000, length_band: int = 16,
+                    token_bands: int = 16, table: str = "documents") -> str:
+    """Mirror of dedup.fuzzy_pairs (normalized Levenshtein over
+    (length band, first-token h60 band) blocks; DuckDB's levenshtein
+    is the same unit-cost edit distance as Spark's)."""
+    first_tok = f"string_split({_NORM}, ' ')[1]"
+    return f"""
+WITH g AS (SELECT doc_id, {_NORM} AS nt,
+                  CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
+                  {h60_sql(first_tok)} % {token_bands} AS tb
+           FROM {table}),
+pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, l.nt AS na, r.nt AS nb
+          FROM g l JOIN g r ON l.lb = r.lb AND l.tb = r.tb
+                           AND l.doc_id < r.doc_id),
+d AS (SELECT a, b, CAST(levenshtein(na, nb) AS BIGINT) AS lev,
+             GREATEST(LENGTH(na), LENGTH(nb)) AS mx
+      FROM pairs)
+SELECT a, b, lev,
+       CAST(FLOOR(lev * 1000000 / mx) AS BIGINT) AS dist_ppm
+FROM d
+WHERE CAST(FLOOR(lev * 1000000 / mx) AS BIGINT) <= {max_dist_ppm}
+ORDER BY a, b"""
+
+
 def hash_embed_sql(dim: int = 16, table: str = "documents") -> str:
     """Mirror of text.hash_embed (embedding stringified as the driver
     queries do — integer counts join exactly)."""

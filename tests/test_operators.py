@@ -57,6 +57,32 @@ def test_ngram_jaccard_planted(planted_docs):
     assert 0.5 < out.get((0, 2), 0) < 1.0
 
 
+def test_fuzzy_pairs_planted(planted_docs):
+    out = {(r.a, r.b): (r.lev, r.dist_ppm) for r in
+           DD.fuzzy_pairs(planted_docs, max_dist_ppm=300_000).collect()}
+    # exact dup after normalization: distance 0
+    assert out.get((0, 1)) == (0, 0)
+    # "great speed" -> "high speed": 5 char edits, well under 30%
+    lev, ppm = out.get((0, 2), (None, None))
+    assert lev == 5 and 0 < ppm < 100_000
+    # unrelated docs never pair (different block or over threshold)
+    assert all(3 not in p and 4 not in p for p in out)
+
+
+def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
+    """Spark's levenshtein and DuckDB's must agree cell-for-cell —
+    the oracle contract for dedup_fuzzy."""
+    import duckdb
+    cases = [("kitten", "sitting"), ("", "abc"), ("same", "same"),
+             ("ab cd ef", "ba dc fe"), ("aaaa", "aa")]
+    df = spark.createDataFrame(cases, ["x", "y"]) \
+        .select(F.levenshtein("x", "y").alias("d")).collect()
+    got = [r.d for r in df]
+    want = [duckdb.sql(f"select levenshtein('{x}', '{y}')").fetchone()[0]
+            for x, y in cases]
+    assert got == want
+
+
 def test_lang_id(planted_docs):
     out = {r.doc_id: r.pred_lang for r in TX.lang_id(planted_docs).collect()}
     assert out[0] == "en" and out[4] == "es"

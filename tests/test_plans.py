@@ -99,6 +99,20 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_fuzzy_pairs_blocks_on_two_keys(spark):
+    """dedup_fuzzy's candidate join must key on (length band,
+    first-token band) — Levenshtein verification is O(len²) per pair,
+    so an unblocked or single-key join is the difference between
+    linear and quadratic work at 100 TB."""
+    df = entrymod.queries()["dedup_fuzzy"](spark, SF)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    key_lines = [ln for ln in p.splitlines()
+                 if "keys" in ln.lower() and "lb#" in ln]
+    assert key_lines, "no join keyed on the length band found"
+    assert all("tb#" in ln for ln in key_lines), key_lines
+
+
 def test_ann_ivf_assignment_is_narrow(spark):
     """IVF cell assignment must be a per-row argmax over the broadcast
     centroid array — not a crossJoin row-blowup + groupBy argmax that
