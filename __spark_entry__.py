@@ -212,6 +212,7 @@ _WINDOW_R4 = [
     "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
     "events_ewma", "media_dedup", "graph_pagerank",
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
+    "graph_triangles",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -982,6 +983,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(pairs, iters=2).orderBy("doc_id")
     q["graph_pagerank"] = graph_pagerank
 
+    def graph_triangles(spark, sf):
+        """Triangle enumeration over the minhash near-dup graph
+        (degree-ordered orientation — one wedge per triangle, O(m^1.5)
+        bound): dense clusters are mirror spam, sparse ones are
+        chained false positives."""
+        from nifi_datasynthesizer_spark.operators.graph import triangles
+        pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
+                                 num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        return triangles(pairs).orderBy("a", "b", "c")
+    q["graph_triangles"] = graph_triangles
+
     def streaming_dedup_cross(spark, sf):
         """Incremental dedup as a STREAM: each arriving micro-batch of
         documents (doc_id % 7 = 0) foreachBatch-dedupes against the
@@ -1689,6 +1702,8 @@ c AS (SELECT grp, bucket, n,
 SELECT grp AS event_type, {_hq},
        COUNT(*) AS n_buckets, MAX(total) AS n_total
 FROM c GROUP BY grp ORDER BY event_type"""
+    o["graph_triangles"] = OR.triangles_sql(OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["graph_pagerank"] = OR.pagerank_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     # the streamed foreachBatch dedup drains to the batch answer

@@ -17,6 +17,50 @@ from .dedup import _pin
 PPM = 1_000_000
 
 
+def triangles(pairs: DataFrame) -> DataFrame:
+    """Triangle enumeration over the undirected pair graph — the
+    cluster-density primitive (a near-dup component that is also
+    triangle-dense is boilerplate/mirror spam; a sparse one is chained
+    false positives worth re-verifying).
+
+    Scale shape — degree-ordered orientation: every edge is oriented
+    from its lower (deg, id) endpoint to the higher, so each triangle
+    has exactly ONE wedge at its lowest-rank corner and is emitted
+    once, and per-node wedge fanout is bounded by the oriented
+    out-degree — Σ out-deg² = O(m^1.5) for ANY graph, where the naive
+    wedge join is Σ deg²: one hub page quoted everywhere turns that
+    quadratic.  Two shuffles (wedge join on the corner node, closing
+    semi-join on the (v, w) edge key), no cartesian anywhere.
+    Returns one row per triangle, corners sorted ascending.
+    """
+    a, b = F.col("a"), F.col("b")
+    sym = (pairs.select(a.alias("u"), b.alias("v"))
+           .union(pairs.select(b.alias("u"), a.alias("v"))).distinct())
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    ranked = (sym
+              .join(deg.select(F.col("u").alias("u"),
+                               F.col("deg").alias("du")), "u")
+              .join(deg.select(F.col("u").alias("v"),
+                               F.col("deg").alias("dv")), "v"))
+    oriented = _pin(ranked.filter(
+        (F.col("du") < F.col("dv")) |
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+        .select("u", "v", "dv"))
+    l = oriented.select("u", F.col("v").alias("w1"), F.col("dv").alias("d1"))
+    r = oriented.select("u", F.col("v").alias("w2"), F.col("dv").alias("d2"))
+    wedges = (l.join(r, "u")
+              .filter((F.col("d1") < F.col("d2")) |
+                      ((F.col("d1") == F.col("d2")) &
+                       (F.col("w1") < F.col("w2"))))
+              .select("u", "w1", "w2"))
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2")),
+        ["w1", "w2"])
+    corners = F.array_sort(F.array("u", "w1", "w2"))
+    return closed.select(corners[0].alias("a"), corners[1].alias("b"),
+                         corners[2].alias("c"))
+
+
 def pagerank(pairs: DataFrame, iters: int = 2,
              damping_ppm: int = 850_000) -> DataFrame:
     """PageRank over the undirected pair graph, quantized to integer

@@ -1008,6 +1008,28 @@ r{i} AS (SELECT dst AS node,
               "ORDER BY doc_id")
 
 
+def triangles_sql(pairs_sql: str) -> str:
+    """Mirror of graph.triangles — degree-ordered orientation, one
+    wedge per triangle at its lowest-(deg, id) corner."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+sym AS (SELECT a AS u, b AS v FROM pairs
+        UNION SELECT b AS u, a AS v FROM pairs),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+o AS (SELECT s.u, s.v, dv.deg AS dv
+      FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
+      WHERE (du.deg, s.u) < (dv.deg, s.v)),
+w AS (SELECT l.u, l.v AS w1, r.v AS w2
+      FROM o l JOIN o r ON l.u = r.u
+      WHERE (l.dv, l.v) < (r.dv, r.v)),
+t AS (SELECT w.u, w.w1, w.w2
+      FROM w JOIN o ON o.u = w.w1 AND o.v = w.w2)
+SELECT LEAST(u, w1, w2) AS a,
+       u + w1 + w2 - LEAST(u, w1, w2) - GREATEST(u, w1, w2) AS b,
+       GREATEST(u, w1, w2) AS c
+FROM t ORDER BY a, b, c"""
+
+
 def media_dedup_sql(n: int = 400, seed: int = 23,
                     universe: int = 120) -> str:
     """Mirror of multimodal.media_dedup over synth_media(n, seed,

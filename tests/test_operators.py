@@ -83,6 +83,19 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_triangles_planted(spark):
+    from nifi_datasynthesizer_spark.operators.graph import triangles
+    # K4 on {0,1,2,3} minus edge (2,3), plus a pendant (3,4):
+    # triangles are exactly {0,1,2} and {0,1,3}
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (3, 4)], ["a", "b"])
+    got = {(r.a, r.b, r.c) for r in triangles(pairs).collect()}
+    assert got == {(0, 1, 2), (0, 1, 3)}
+    # orientation must not double-count a clique: K3 -> exactly 1 row
+    k3 = spark.createDataFrame([(7, 8), (8, 9), (7, 9)], ["a", "b"])
+    assert triangles(k3).count() == 1
+
+
 def test_lang_id(planted_docs):
     out = {r.doc_id: r.pred_lang for r in TX.lang_id(planted_docs).collect()}
     assert out[0] == "en" and out[4] == "es"
