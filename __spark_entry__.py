@@ -212,7 +212,7 @@ _WINDOW_R4 = [
     "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
     "events_ewma", "media_dedup", "graph_pagerank",
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
-    "graph_triangles",
+    "graph_triangles", "sketch_bloom",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -1185,6 +1185,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist_quantiles(ev, "event_type", "value").orderBy("event_type")
     q["sketch_quantiles"] = sketch_quantiles
 
+    def sketch_bloom(spark, sf):
+        """Bloom-filter semi-join reduction: BUILDING-segment customer
+        keys packed into a broadcast bitmap that filters orders with a
+        NARROW scan-side predicate (no fact shuffle); exact member and
+        false-negative columns ride along as the self-check (blooms
+        never miss)."""
+        from nifi_datasynthesizer_spark.operators.sketches import \
+            bloom_semi_join_stats
+        cust = _t(spark, sf, "customer") \
+            .filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders")
+        return bloom_semi_join_stats(
+            orders, cust, "o_custkey", "c_custkey",
+            "o_orderpriority").orderBy("o_orderpriority")
+    q["sketch_bloom"] = sketch_bloom
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -1683,6 +1699,7 @@ ORDER BY event_id"""
 
     o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
+    o["sketch_bloom"] = OR.bloom_semi_join_sql("BUILDING")
     o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)
     o["media_dedup"] = OR.media_dedup_sql(n=400, seed=23, universe=120)
     _hq = ", ".join(

@@ -114,6 +114,85 @@ def cm_heavy_hitters(docs: DataFrame, k: int = 10, depth: int = 4,
                       F.col("n").alias("exact_n"), "cm_est", "rank")
 
 
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 8192,
+                k_hashes: int = 5) -> list[int]:
+    """Build a bloom-filter bitmap over a (small) key set:
+    ``m_bits/32`` packed words, materialized driver-side — the same
+    bounded literal-binding pattern as the k-means centroids
+    (similarity.py): the dim side is small by assumption and the
+    bitmap is exactly what would broadcast to every executor.
+
+    Bits are 32-per-word inside BIGINTs so every shift stays positive
+    and engine-exact (bit 63 of a packed 64-bit word flips the sign,
+    and signed-overflow semantics differ across engines).  Each key
+    sets ``k_hashes`` positions ``h60(key || '#bf{i}') % m_bits``;
+    words merge with bit_or — map-side combinable, constant size.
+    """
+    pos = F.explode(F.array(*[
+        F.pmod(h60(F.concat(F.col(key_col).cast("string"),
+                            F.lit(f"#bf{i}"))), F.lit(m_bits))
+        for i in range(k_hashes)])).alias("pos")
+    rows = (keys.select(pos)
+            .select(F.expr("pos div 32").alias("w"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pos % 32 AS INT))").alias("bit"))
+            .groupBy("w").agg(F.expr("bit_or(bit)").alias("word"))
+            .collect())
+    arr = [0] * (m_bits // 32)
+    for r in rows:
+        arr[r["w"]] = r["word"]
+    return arr
+
+
+def bloom_semi_join_stats(fact: DataFrame, keys: DataFrame,
+                          fact_key: str, dim_key: str, group_col: str,
+                          m_bits: int = 8192,
+                          k_hashes: int = 5) -> DataFrame:
+    """Bloom-filter semi-join reduction — the shuffle killer for
+    selective joins at 100 TB: instead of shuffling the whole fact
+    table into a join just to discard most of it, a ``m_bits`` bitmap
+    built from the dim keys is bound into a NARROW fact-side filter
+    (no shuffle, no broadcast-hash build per row batch); only
+    survivors (members + a bounded false-positive tail) reach the
+    exact join.  This is what Spark's runtime row-group/bloom pruning
+    does opaquely — here it is explicit, deterministic (h60), and
+    oracle-replayable.
+
+    Returns per-``group_col``: total rows, bloom-pass rows, exact
+    member rows, and false negatives (always 0 — blooms never miss;
+    the column is the self-check).
+    """
+    bitmap = bloom_build(keys, dim_key, m_bits, k_hashes)
+    probed = fact.withColumn("__bf", F.lit(bitmap))
+    hit = None
+    for i in range(k_hashes):
+        pos = f"pmod({h60_sparksql(fact_key, i)}, {m_bits})"
+        c = F.expr(f"(shiftright(element_at(__bf, "
+                   f"CAST({pos} div 32 AS INT) + 1), "
+                   f"CAST({pos} % 32 AS INT)) & 1) = 1")
+        hit = c if hit is None else (hit & c)
+    dim = keys.select(F.col(dim_key).alias("__k"),
+                      F.lit(1).alias("__m")).distinct()
+    joined = (probed.withColumn("__bloom", hit).drop("__bf")
+              .join(F.broadcast(dim),
+                    F.col(fact_key) == F.col("__k"), "left"))
+    return (joined.groupBy(group_col)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(F.col("__bloom"), 1).otherwise(0))
+                 .alias("n_bloom_pass"),
+                 F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0))
+                 .alias("n_exact"),
+                 F.sum(F.when(F.col("__m").isNotNull() & ~F.col("__bloom"),
+                              1).otherwise(0)).alias("n_false_neg")))
+
+
+def h60_sparksql(col: str, i: int) -> str:
+    """Spark-SQL h60 of ``col || '#bf{i}'`` (string form for use
+    inside F.expr where shift amounts must be expressions)."""
+    return (f"CAST(conv(substring(md5(concat(CAST({col} AS STRING), "
+            f"'#bf{i}')), 1, 15), 16, 10) AS BIGINT)")
+
+
 def hist_quantiles(df: DataFrame, group_col: str = "event_type",
                    value: str = "value", bucket_cents: int = 500,
                    quantiles: tuple[int, ...] = (50, 90, 99)) -> DataFrame:

@@ -1008,6 +1008,48 @@ r{i} AS (SELECT dst AS node,
               "ORDER BY doc_id")
 
 
+def bloom_semi_join_sql(segment: str = "BUILDING", m_bits: int = 8192,
+                        k_hashes: int = 5) -> str:
+    """Mirror of sketches.bloom_semi_join_stats over
+    (orders ⋉ customer[segment]) grouped by o_orderpriority."""
+    def pos(i: int) -> str:
+        h = h60_sql("o_custkey::VARCHAR || '#bf%d'" % i)
+        return f"({h} % {m_bits})"
+
+    def kpos(i: int) -> str:
+        h = h60_sql("c_custkey::VARCHAR || '#bf%d'" % i)
+        return f"SELECT ({h} % {m_bits}) AS pos FROM keys"
+
+    key_pos = " UNION ALL ".join(kpos(i) for i in range(k_hashes))
+    joins = " ".join(
+        f"LEFT JOIN words w{i} ON w{i}.w = f.p{i} // 32"
+        for i in range(k_hashes))
+    bloom = " AND ".join(
+        f"((COALESCE(w{i}.word, 0) >> CAST(f.p{i} % 32 AS INT)) & 1) = 1"
+        for i in range(k_hashes))
+    p_cols = ", ".join(f"{pos(i)} AS p{i}" for i in range(k_hashes))
+    return f"""
+WITH keys AS (SELECT DISTINCT c_custkey FROM customer
+              WHERE c_mktsegment = '{segment}'),
+kpos AS ({key_pos}),
+words AS (SELECT pos // 32 AS w,
+                 bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+          FROM kpos GROUP BY 1),
+f AS (SELECT o_orderpriority, o_custkey, {p_cols} FROM orders),
+m AS (SELECT f.o_orderpriority,
+             ({bloom}) AS bloom,
+             f.o_custkey IN (SELECT c_custkey FROM keys) AS exact
+      FROM f {joins})
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN bloom THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN exact AND NOT bloom THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg
+FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
 def triangles_sql(pairs_sql: str) -> str:
     """Mirror of graph.triangles — degree-ordered orientation, one
     wedge per triangle at its lowest-(deg, id) corner."""

@@ -83,6 +83,22 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_bloom_semi_join_planted(spark):
+    from nifi_datasynthesizer_spark.operators.sketches import (
+        bloom_build, bloom_semi_join_stats)
+    keys = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    fact = spark.createDataFrame(
+        [(i, "g") for i in range(200)], ["fk", "grp"])
+    out = bloom_semi_join_stats(fact, keys, "fk", "k", "grp").collect()[0]
+    assert out.n_rows == 200 and out.n_exact == 50
+    # no false negatives ever; pass count sits between exact and total
+    assert out.n_false_neg == 0
+    assert 50 <= out.n_bloom_pass <= 200
+    # bitmap is bounded and 32-bit packed (every word non-negative)
+    bm = bloom_build(keys, "k", m_bits=1024, k_hashes=3)
+    assert len(bm) == 32 and all(0 <= w < (1 << 32) for w in bm)
+
+
 def test_triangles_planted(spark):
     from nifi_datasynthesizer_spark.operators.graph import triangles
     # K4 on {0,1,2,3} minus edge (2,3), plus a pendant (3,4):

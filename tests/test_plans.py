@@ -99,6 +99,19 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_bloom_probe_is_narrow(spark):
+    """The bloom membership test must be a scan-side expression over
+    the literal bitmap — the fact table reaches its first exchange
+    only for the final group-by, and the exact-member join is a
+    broadcast (never a fact-side sort-merge shuffle)."""
+    df = entrymod.queries()["sketch_bloom"](spark, SF)
+    p = _plan(df)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    shuffles = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all("o_orderpriority" in ln for ln in shuffles), shuffles
+
+
 def test_fuzzy_pairs_blocks_on_two_keys(spark):
     """dedup_fuzzy's candidate join must key on (length band,
     first-token band) — Levenshtein verification is O(len²) per pair,
