@@ -212,7 +212,7 @@ _WINDOW_R4 = [
     "synth_weblog", "sketch_distinct", "sketch_heavy_hitters",
     "events_ewma", "media_dedup", "graph_pagerank",
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
-    "graph_triangles", "sketch_bloom",
+    "graph_triangles", "sketch_bloom", "dedup_semantic",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -885,6 +885,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       k=8, iters=2)
                 .orderBy("vec_id"))
     q["embed_cluster"] = embed_cluster
+
+    def dedup_semantic(spark, sf):
+        """SemDeDup: k-means buckets confine the quadratic cosine
+        search to within-cluster pairs (corpus² → Σ cluster²) — the
+        semantic twin of LSH blocking."""
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        return (CL.semantic_dedup(_t(spark, sf, "embeddings"),
+                                  k=8, iters=2, threshold=0.4)
+                .orderBy("a", "b"))
+    q["dedup_semantic"] = dedup_semantic
 
     def embed_pca(spark, sf):
         """Distributed power-iteration PCA: per-vector projection onto
@@ -1583,6 +1593,8 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
     o["corpus_shuffle"] = OR.corpus_shuffle_sql(shards=8, salt=1)
     o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64)
+    o["dedup_semantic"] = OR.semantic_dedup_sql(k=8, iters=2,
+                                                threshold=0.4, dim=64)
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)

@@ -95,6 +95,43 @@ def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
             .select("vec_id", "cluster", "dist_q"))
 
 
+def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
+                   threshold: float = 0.8,
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding space with
+    k-means, then search for semantic duplicates ONLY within each
+    cluster — documents saying the same thing in different words land
+    in the same centroid cell, so the quadratic cosine search shrinks
+    from corpus² to Σ (cluster size)².
+
+    Scale shape: the assignment pass is the narrow centroid-literal
+    argmin of :func:`cluster_embeddings` (no shuffle); the pair search
+    shuffles once on the cluster id.  At 100 TB run k ≈ √n so expected
+    cluster size stays √n and total pair work stays ~n^1.5; a skewed
+    cluster (degenerate embeddings) is the max_bucket situation —
+    pre-filter exact dups first.  Cosine is over L2-normalized
+    vectors, rounded to 6 dp (the proven engine-exact form of
+    dedup_embedding); returned as pairs (a < b) with the cluster id.
+    """
+    from .similarity import l2_normalize
+
+    asg = cluster_embeddings(emb, k=k, iters=iters, vec_col=vec_col) \
+        .select("vec_id", "cluster")
+    normed = emb.select("vec_id", l2_normalize(F.col(vec_col)).alias("v"))
+    both = asg.join(normed, "vec_id")
+    left = both.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                       "cluster")
+    right = both.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                        "cluster")
+    pairs = left.join(right, "cluster").filter(F.col("a") < F.col("b"))
+    cos = pairs.withColumn(
+        "cosine",
+        F.round(F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, v: acc + v), 6))
+    return (cos.filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cluster", "cosine"))
+
+
 def pca_power(emb: DataFrame, iters: int = 2, dim: int = 64,
               vec_col: str = "embedding") -> DataFrame:
     """Top principal direction by distributed power iteration, and the

@@ -606,6 +606,27 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
 WHERE rn = 1 ORDER BY vec_id"""
 
 
+def semantic_dedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.8,
+                       dim: int = 64, table: str = "embeddings") -> str:
+    """Mirror of clustering.semantic_dedup: the full k-means
+    assignment (cluster_embeddings_sql as a subquery) + within-cluster
+    cosine pairs over L2-normalized vectors."""
+    asg = cluster_embeddings_sql(k=k, iters=iters, dim=dim, table=table)
+    return f"""
+WITH asg AS ({asg}),
+{_NORMED},
+b AS (SELECT asg.vec_id, asg.cluster, normed.v
+      FROM asg JOIN normed ON asg.vec_id = normed.vec_id),
+pairs AS (SELECT l.vec_id AS a, r.vec_id AS b, l.cluster, l.v AS va, r.v AS vb
+          FROM b l JOIN b r ON l.cluster = r.cluster AND l.vec_id < r.vec_id),
+cos AS (SELECT a, b, cluster,
+               ROUND(list_sum(list_transform(list_zip(va, vb),
+                                             q -> q[1] * q[2])), 6) AS cosine
+        FROM pairs)
+SELECT a, b, cluster, cosine FROM cos
+WHERE cosine >= {threshold} ORDER BY a, b"""
+
+
 def corpus_shuffle_sql(shards: int = 8, salt: int = 0,
                        table: str = "documents",
                        id_col: str = "doc_id") -> str:

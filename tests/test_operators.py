@@ -83,6 +83,21 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_semantic_dedup_planted(spark):
+    from nifi_datasynthesizer_spark.operators.clustering import semantic_dedup
+    # two tight clusters far apart; 0/1 near-identical, 4/5 identical
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.02, 0.0, 0.0]),
+            (2, [0.7, 0.7, 0.1, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]), (5, [0.0, 0.0, 1.0, 0.0]),
+            (6, [0.0, 0.1, 0.7, 0.7])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.a, r.b) for r in
+           semantic_dedup(emb, k=2, iters=2, threshold=0.95).collect()}
+    assert (0, 1) in got and (4, 5) in got
+    # cross-cluster pairs are never compared, let alone returned
+    assert all({a, b} <= {0, 1, 2} or {a, b} <= {4, 5, 6} for a, b in got)
+
+
 def test_bloom_semi_join_planted(spark):
     from nifi_datasynthesizer_spark.operators.sketches import (
         bloom_build, bloom_semi_join_stats)

@@ -99,6 +99,22 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_semantic_dedup_pairs_only_within_cluster(spark):
+    """SemDeDup's pair join must key on the cluster id (the blocking
+    that turns corpus² into Σ cluster²) and the assignment must stay
+    the narrow centroid-literal argmin — no cartesian anywhere."""
+    df = entrymod.queries()["dedup_semantic"](spark, SF)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "cluster#" in p
+    pair_join = [ln for ln in p.splitlines()
+                 if "Left keys" in ln and "cluster#" in ln]
+    assert pair_join, "pair join is not keyed on the cluster id"
+    shuffles = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    assert shuffles and all("cluster#" in ln or "vec_id#" in ln
+                            for ln in shuffles), shuffles
+
+
 def test_bloom_probe_is_narrow(spark):
     """The bloom membership test must be a scan-side expression over
     the literal bitmap — the fact table reaches its first exchange
@@ -108,8 +124,12 @@ def test_bloom_probe_is_narrow(spark):
     p = _plan(df)
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
-    shuffles = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
-    assert all("o_orderpriority" in ln for ln in shuffles), shuffles
+    shuffles = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    # allowed: the final group-by and the (small) dim-side distinct —
+    # never a shuffle keyed on the fact join key
+    assert shuffles and all("o_orderpriority" in ln or "__k#" in ln
+                            for ln in shuffles), shuffles
+    assert not any("o_custkey" in ln for ln in shuffles), shuffles
 
 
 def test_fuzzy_pairs_blocks_on_two_keys(spark):
