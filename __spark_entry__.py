@@ -213,6 +213,7 @@ _WINDOW_R4 = [
     "events_ewma", "media_dedup", "graph_pagerank",
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
     "graph_triangles", "sketch_bloom", "dedup_semantic",
+    "corpus_sample_k", "sketch_merge",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -852,6 +853,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["corpus_sample"] = corpus_sample
 
+    def corpus_sample_k(spark, sf):
+        """Exact-k-per-source sample (fixed eval/debug budget where
+        rate sampling gives binomial counts): deterministic h60 rank
+        inside each stratum, one group-key shuffle."""
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.sample_k_per_group(_t(spark, sf, "documents"),
+                                      k=5, salt=3)
+                .select("doc_id", "source", "samp_rank")
+                .orderBy("source", "samp_rank"))
+    q["corpus_sample_k"] = corpus_sample_k
+
     def corpus_decontaminate(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         docs = _t(spark, sf, "documents")
@@ -1185,6 +1197,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return cm_heavy_hitters(docs, k=10).orderBy("rank")
     q["sketch_heavy_hitters"] = sketch_heavy_hitters
+
+    def sketch_merge(spark, sf):
+        """FM registers MAX-merged upward (day → group → all): the
+        reaggregation that answers coarser distinct-count questions
+        from stored daily sketches without re-touching ids."""
+        from nifi_datasynthesizer_spark.operators.sketches import \
+            fm_distinct_rollup
+        ev = _t(spark, sf, "events")
+        return (fm_distinct_rollup(ev, "event_type", "user_id")
+                .orderBy("scope", "event_type", "day"))
+    q["sketch_merge"] = sketch_merge
 
     def sketch_quantiles(spark, sf):
         """Histogram-sketch percentiles per event_type (the
@@ -1587,6 +1610,14 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         "SELECT doc_id, source, lang, n_chars FROM ("
         + OR.sample_stratified_sql(SAMPLE_RATES, default_rate=0.0)
         + ") ORDER BY doc_id")
+    _h = ("(('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 15))::BIGINT)")
+    o["corpus_sample_k"] = f"""
+SELECT doc_id, source, samp_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_h}, doc_id) AS samp_rank
+  FROM documents)
+WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_decontaminate"] = OR.decontaminate_sql(
         ngram=8, eval_pred="doc_id % 101 = 0")
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
@@ -1712,6 +1743,7 @@ ORDER BY event_id"""
     o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
     o["sketch_bloom"] = OR.bloom_semi_join_sql("BUILDING")
+    o["sketch_merge"] = OR.fm_rollup_sql("event_type", "user_id")
     o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)
     o["media_dedup"] = OR.media_dedup_sql(n=400, seed=23, universe=120)
     _hq = ", ".join(

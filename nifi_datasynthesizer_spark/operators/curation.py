@@ -53,6 +53,26 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
     return df.filter(draw < rate)
 
 
+def sample_k_per_group(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                       group_col: str = "source",
+                       salt: int = 0) -> DataFrame:
+    """Exact-k-per-stratum sample: rank rows inside each group by
+    ``(h60(id || ':' || salt), id)`` and keep the first ``k``.
+
+    Rate-based sampling (:func:`sample_stratified`) gives binomial
+    counts — fine for training mixes, wrong for fixed-budget eval/
+    debug sets ("exactly 500 docs per source").  The h60 order makes
+    the pick uniform over each stratum yet deterministic under reruns,
+    partitioning and task retries; ties break on the id.  One shuffle
+    on the group key; the rank never materializes more than k rows per
+    group downstream.
+    """
+    draw = h60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    w = Window.partitionBy(group_col).orderBy(draw, F.col(id_col))
+    return (df.withColumn("samp_rank", F.row_number().over(w))
+            .filter(F.col("samp_rank") <= k))
+
+
 def decontaminate(train: DataFrame, eval_docs: DataFrame,
                   ngram: int = 8) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any

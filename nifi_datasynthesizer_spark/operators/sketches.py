@@ -114,6 +114,78 @@ def cm_heavy_hitters(docs: DataFrame, k: int = 10, depth: int = 4,
                       F.col("n").alias("exact_n"), "cm_est", "rank")
 
 
+def fm_distinct_rollup(df: DataFrame, group_col: str = "event_type",
+                       id_col: str = "user_id", ts_col: str = "ts",
+                       buckets: int = 64) -> DataFrame:
+    """Sketch MERGEABILITY in action — the property that justifies
+    sketches at 100 TB: per-(group, day) FM registers roll up to
+    per-group and corpus-wide distinct estimates WITHOUT touching the
+    ids again.  A production pipeline stores the daily register frames
+    (``buckets`` small ints per scope) next to each daily partition;
+    monthly/all-time answers MAX-merge those frames instead of
+    re-scanning the data — this operator is that merge, with the exact
+    distinct riding along per scope as the self-check.
+
+    Ids are hashed ONCE at the finest grain; the two coarser levels
+    are register-only MAX aggregations (bytes, not data).  Output: one
+    row per scope — ``scope`` ∈ ('day', 'group', 'all'), sentinel
+    values fill the collapsed keys.
+    """
+    e = (df.select(F.col(group_col).alias("grp"),
+                   F.to_date(ts_col).alias("day"),
+                   h60(F.col(id_col).cast("string")).alias("h"))
+         .select("grp", "day",
+                 F.expr(f"pmod(h, {buckets})").alias("b"),
+                 F.expr(f"h div {buckets}").alias("r")))
+    rho = F.expr(f"CASE WHEN r = 0 THEN {_RHO_CAP} "
+                 f"ELSE bit_count((r & -r) - 1) + 1 END")
+    daily = (e.select("grp", "day", "b", rho.alias("rho"))
+             .groupBy("grp", "day", "b").agg(F.max("rho").alias("reg")))
+    per_group = daily.groupBy("grp", "b").agg(F.max("reg").alias("reg"))
+    overall = daily.groupBy("b").agg(F.max("reg").alias("reg"))
+
+    scale = int(buckets / PHI)
+    est = F.expr(f"shiftleft(CAST({scale} AS BIGINT), "
+                 f"CAST(sum_reg div {buckets} AS INT))")
+
+    def level(regs, keys, scope):
+        s = (regs.groupBy(*keys)
+             .agg(F.sum("reg").alias("sum_reg"))
+             .select(*keys, est.alias("est_distinct")))
+        return s.select(
+            F.lit(scope).alias("scope"),
+            (F.col("grp") if "grp" in keys
+             else F.lit("(all)")).alias(group_col),
+            (F.col("day") if "day" in keys
+             else F.lit("1900-01-01").cast("date")).alias("day"),
+            "est_distinct")
+
+    sk = (level(daily, ["grp", "day"], "day")
+          .unionByName(level(per_group, ["grp"], "group"))
+          .unionByName(level(overall, [], "all")))
+
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.to_date(ts_col).alias("day"), F.col(id_col))
+    ex_day = (base.groupBy("grp", "day")
+              .agg(F.countDistinct(id_col).alias("exact_distinct"))
+              .select(F.lit("day").alias("scope"),
+                      F.col("grp").alias(group_col), "day",
+                      "exact_distinct"))
+    ex_grp = (base.groupBy("grp")
+              .agg(F.countDistinct(id_col).alias("exact_distinct"))
+              .select(F.lit("group").alias("scope"),
+                      F.col("grp").alias(group_col),
+                      F.lit("1900-01-01").cast("date").alias("day"),
+                      "exact_distinct"))
+    ex_all = (base.agg(F.countDistinct(id_col).alias("exact_distinct"))
+              .select(F.lit("all").alias("scope"),
+                      F.lit("(all)").alias(group_col),
+                      F.lit("1900-01-01").cast("date").alias("day"),
+                      "exact_distinct"))
+    exact = ex_day.unionByName(ex_grp).unionByName(ex_all)
+    return sk.join(exact, ["scope", group_col, "day"])
+
+
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 8192,
                 k_hashes: int = 5) -> list[int]:
     """Build a bloom-filter bitmap over a (small) key set:

@@ -977,6 +977,55 @@ SELECT s.grp AS {group_col}, buckets_hit, sum_reg, max_reg,
 FROM s JOIN x USING (grp) ORDER BY {group_col}"""
 
 
+def fm_rollup_sql(group_col: str = "event_type", id_col: str = "user_id",
+                  buckets: int = 64, table: str = "events") -> str:
+    """Mirror of sketches.fm_distinct_rollup: daily registers MAX-merge
+    upward; estimates and exact distincts per scope."""
+    from .operators.sketches import PHI, _RHO_CAP
+    scale = int(buckets / PHI)
+    est = (f"(CAST({scale} AS BIGINT) << CAST(sum_reg // {buckets} AS INT))"
+           " AS est_distinct")
+    return f"""
+WITH h AS (SELECT {group_col} AS grp, CAST(ts AS DATE) AS day,
+                  {h60_sql(f"CAST({id_col} AS VARCHAR)")} AS h
+           FROM {table}),
+e AS (SELECT grp, day, h % {buckets} AS b, h // {buckets} AS r FROM h),
+rr AS (SELECT grp, day, b,
+              CASE WHEN r = 0 THEN {_RHO_CAP}
+                   ELSE bit_count((r & -r) - 1) + 1 END AS rho
+       FROM e),
+daily AS (SELECT grp, day, b, MAX(rho) AS reg FROM rr GROUP BY grp, day, b),
+pg AS (SELECT grp, b, MAX(reg) AS reg FROM daily GROUP BY grp, b),
+al AS (SELECT b, MAX(reg) AS reg FROM daily GROUP BY b),
+s_day AS (SELECT 'day' AS scope, grp, day,
+                 CAST(SUM(reg) AS BIGINT) AS sum_reg
+          FROM daily GROUP BY grp, day),
+s_grp AS (SELECT 'group' AS scope, grp, DATE '1900-01-01' AS day,
+                 CAST(SUM(reg) AS BIGINT) AS sum_reg
+          FROM pg GROUP BY grp),
+s_all AS (SELECT 'all' AS scope, '(all)' AS grp, DATE '1900-01-01' AS day,
+                 CAST(SUM(reg) AS BIGINT) AS sum_reg
+          FROM al),
+sk AS (SELECT scope, grp, day, {est} FROM s_day
+       UNION ALL SELECT scope, grp, day, {est} FROM s_grp
+       UNION ALL SELECT scope, grp, day, {est} FROM s_all),
+x_day AS (SELECT 'day' AS scope, {group_col} AS grp, CAST(ts AS DATE) AS day,
+                 COUNT(DISTINCT {id_col}) AS exact_distinct
+          FROM {table} GROUP BY grp, day),
+x_grp AS (SELECT 'group' AS scope, {group_col} AS grp,
+                 DATE '1900-01-01' AS day,
+                 COUNT(DISTINCT {id_col}) AS exact_distinct
+          FROM {table} GROUP BY grp),
+x_all AS (SELECT 'all' AS scope, '(all)' AS grp, DATE '1900-01-01' AS day,
+                 COUNT(DISTINCT {id_col}) AS exact_distinct
+          FROM {table}),
+x AS (SELECT * FROM x_day UNION ALL SELECT * FROM x_grp
+      UNION ALL SELECT * FROM x_all)
+SELECT sk.scope, sk.grp AS {group_col}, sk.day, est_distinct, exact_distinct
+FROM sk JOIN x ON sk.scope = x.scope AND sk.grp = x.grp AND sk.day = x.day
+ORDER BY sk.scope, sk.grp, sk.day"""
+
+
 def cm_heavy_hitters_sql(k: int = 10, depth: int = 4, width: int = 1024,
                          table: str = "documents") -> str:
     """Mirror of sketches.cm_heavy_hitters."""

@@ -83,6 +83,44 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_fm_rollup_merge_equals_direct(spark):
+    """MAX-merging daily registers must give the SAME estimate as
+    sketching the whole group directly — the mergeability contract."""
+    from nifi_datasynthesizer_spark.operators.sketches import (
+        fm_distinct, fm_distinct_rollup)
+    import datetime as dt
+    rows = [(f"t{i % 3}", i % 40,
+             dt.datetime(2024, 1, 1 + (i % 5), 12, 0, 0))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id", "ts"])
+    direct = {r.event_type: r.est_distinct
+              for r in fm_distinct(df, "event_type", "user_id").collect()}
+    rolled = fm_distinct_rollup(df, "event_type", "user_id").collect()
+    merged = {r.event_type: r.est_distinct
+              for r in rolled if r.scope == "group"}
+    assert merged == direct
+    exact = {r.event_type: r.exact_distinct
+             for r in rolled if r.scope == "group"}
+    assert all(v == 40 for v in exact.values())
+
+
+def test_sample_k_per_group(spark):
+    from nifi_datasynthesizer_spark.operators.curation import \
+        sample_k_per_group
+    rows = [(i, f"s{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sample_k_per_group(df, k=3, group_col="source").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.samp_rank)
+    assert set(per) == {"s0", "s1", "s2", "s3"}
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+    # deterministic under re-run
+    again = sample_k_per_group(df, k=3, group_col="source").collect()
+    assert {(r.doc_id, r.samp_rank) for r in again} == \
+        {(r.doc_id, r.samp_rank) for r in out}
+
+
 def test_semantic_dedup_planted(spark):
     from nifi_datasynthesizer_spark.operators.clustering import semantic_dedup
     # two tight clusters far apart; 0/1 near-identical, 4/5 identical
