@@ -53,7 +53,9 @@ def main() -> None:
              "embed_pca", "events_scd2", "events_gap_fill",
              "io_roundtrip", "synth_weblog", "sketch_distinct",
              "sketch_heavy_hitters", "events_ewma", "media_dedup",
-             "graph_pagerank", "streaming_dedup_cross"]
+             "graph_pagerank", "streaming_dedup_cross", "dedup_fuzzy",
+             "graph_triangles", "sketch_bloom", "dedup_semantic",
+             "corpus_sample_k", "sketch_merge"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

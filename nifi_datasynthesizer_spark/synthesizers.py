@@ -54,25 +54,50 @@ def _base(spark: SparkSession, n: int, partitions: int | None = None):
 
 
 class Generated:
-    """A generated table plus its DuckDB replay SQL (oracle mirror)."""
+    """A generated table plus its DuckDB replay SQL (oracle mirror).
+
+    ``lets`` is an optional list of named intermediate bindings
+    evaluated in a FIRST projection; the output columns then reference
+    them by name (``_ref``).  This is the expression-level "let" the
+    string-composed dual layer otherwise lacks: a draw referenced k
+    times would inline its (md5-heavy) text k times, and generators
+    like weblog blow up to tens of KB of SQL — pure parse/analyze/
+    codegen overhead.  Catalyst keeps the two projections separate
+    when merging would duplicate non-cheap expressions (CollapseProject
+    cost check), so the let evaluates once per row at execution too.
+    """
 
     def __init__(self, columns: list[tuple[str, D]], n: int,
-                 post_sql: str | None = None):
+                 post_sql: str | None = None,
+                 lets: list[tuple[str, D]] | None = None):
         self.columns = columns
         self.n = n
         self.post_sql = post_sql  # e.g. trailing WHERE for filtered gens
+        self.lets = lets or []
 
     def df(self, spark: SparkSession, partitions: int | None = None) -> DataFrame:
-        out = _base(spark, self.n, partitions).select(
-            *[d.c.alias(name) for name, d in self.columns])
-        return out
+        base = _base(spark, self.n, partitions)
+        if self.lets:
+            base = base.select(
+                F.col("i"), *[d.c.alias(name) for name, d in self.lets])
+        return base.select(*[d.c.alias(name) for name, d in self.columns])
 
     def sql(self, n: int | None = None) -> str:
+        src = f"range(0, {n or self.n}) AS t(i)"
+        if self.lets:
+            lcols = ", ".join(f'{d.s} AS "{name}"' for name, d in self.lets)
+            src = (f"(SELECT i, {lcols} FROM range(0, {n or self.n}) "
+                   f"AS t(i)) AS t")
         cols = ", ".join(f'{d.s} AS "{name}"' for name, d in self.columns)
-        q = f"SELECT {cols} FROM range(0, {n or self.n}) AS t(i)"
+        q = f"SELECT {cols} FROM {src}"
         if self.post_sql:
             q += " " + self.post_sql
         return q
+
+
+def _ref(name: str) -> D:
+    """Reference a ``lets`` binding (or the row index) by column name."""
+    return D(None, name, name)
 
 
 # ------------------------------------------------------------------ iot
@@ -794,20 +819,12 @@ def weblog(n_users: int = 500, events_per_user: int = 20,
     uctx = Ctx(user, seed, "$.weblog.user")
     lctx = Ctx(i, seed, "$.weblog.line")
 
-    # sticky per-user identity -----------------------------------------
-    cookie = X.concat(_hex4(uint(user, uctx.salt("ck0"), 0, 65536)),
-                      _hex4(uint(user, uctx.salt("ck1"), 0, 65536)))
-    # shared long-tail IP pool: user → pool rank (Pareto head ≈ the
-    # Pitman–Yor pool), rank → dotted quad (same rank ⇒ same IP)
-    ip_rank = _pareto_rank(u01(user, uctx.salt("iprank")), 2,
-                           _WL_IP_UNIVERSE)
-    ip = s_ipv4({}, Ctx(ip_rank, seed, "$.weblog.ip"))
-    geo_table = quantize_weights(
-        _GEO_CODES, [(k + 1.0) ** -0.5 for k in range(len(_GEO_CODES))],
-        table_size=256)
-    geo = X.element(uint(user, uctx.salt("geo"), 0, 256), geo_table)
-
-    # session/time structure -------------------------------------------
+    # ---- let layer: every draw referenced more than once binds to a
+    # named intermediate (Generated.lets).  Before this, ip_rank's
+    # text appeared 8× inside the dotted quad and each term rank 3×
+    # (word syllables + slow test) — ~50 KB of SQL whose parse/analyze/
+    # codegen dominated the query (~6 s plan + first-run compile for
+    # 10k rows).  The let layer holds the md5 algebra once.
     new_draw = u01(i, lctx.salt("sess"))
     is_new = X.when_chain([(j.eq(0), X.lit(1)),
                            (new_draw < 0.25, X.lit(1))], X.lit(0))
@@ -818,6 +835,45 @@ def weblog(n_users: int = 500, events_per_user: int = 20,
     gap_us = X.cast_long(X.floor(
         X.when_chain([(is_new.eq(1), gap_sess)], gap_query) * 1000000.0))
 
+    # Exponential(0.4)+1 query length, capped: exact per-length masses
+    # quantized into a 64-slot table (floor(Exp(mean 2.5)) is geometric)
+    p_stop = 1.0 - math.exp(-1.0 / 2.5)
+    len_masses = [p_stop * (1 - p_stop) ** k for k in range(_WL_MAX_TERMS - 1)]
+    len_masses.append(1.0 - sum(len_masses))  # cap absorbs the tail
+    n_terms = X.cast_long(X.element(
+        uint(i, lctx.salt("qlen"), 0, 64),
+        quantize_weights(list(range(1, _WL_MAX_TERMS + 1)), len_masses,
+                         table_size=64)))
+    # shared long-tail IP pool: user → pool rank (Pareto head ≈ the
+    # Pitman–Yor pool), rank → dotted quad (same rank ⇒ same IP);
+    # Pitman–Yor(1, 0.8) term tail ≈ Pareto with p=4 (analytic — no
+    # literal rank table)
+    lets = [
+        ("u", user),
+        ("isn", is_new),
+        ("gus", gap_us),
+        ("ipr", _pareto_rank(u01(user, uctx.salt("iprank")), 2,
+                             _WL_IP_UNIVERSE)),
+        ("nt", n_terms),
+    ] + [(f"r{k}", _pareto_rank(u01(i, lctx.salt("term", k)), 4,
+                                _WL_TERM_UNIVERSE))
+         for k in range(_WL_MAX_TERMS)]
+
+    user_r, is_new_r, gap_us_r = _ref("u"), _ref("isn"), _ref("gus")
+    n_terms_r = _ref("nt")
+    ranks = [_ref(f"r{k}") for k in range(_WL_MAX_TERMS)]
+    uctx = Ctx(user_r, seed, "$.weblog.user")
+
+    # sticky per-user identity -----------------------------------------
+    cookie = X.concat(_hex4(uint(user_r, uctx.salt("ck0"), 0, 65536)),
+                      _hex4(uint(user_r, uctx.salt("ck1"), 0, 65536)))
+    ip = s_ipv4({}, Ctx(_ref("ipr"), seed, "$.weblog.ip"))
+    geo_table = quantize_weights(
+        _GEO_CODES, [(k + 1.0) ** -0.5 for k in range(len(_GEO_CODES))],
+        table_size=256)
+    geo = X.element(uint(user_r, uctx.salt("geo"), 0, 256), geo_table)
+
+    # session/time structure -------------------------------------------
     part_d = f"(i // {events_per_user})"
     part_s = f"(i div {events_per_user})"
     ordk = f"(i % {events_per_user})"
@@ -831,31 +887,16 @@ def weblog(n_users: int = 500, events_per_user: int = 20,
               f"ROWS UNBOUNDED PRECEDING)")
         return D(None, ds, ss)
 
-    t_us = X.cast_long(wsum(gap_us)) + EPOCH_2013_08_01_S * 1_000_000
-    session_idx = X.cast_long(wsum(X.cast_long(is_new)))
+    t_us = X.cast_long(wsum(gap_us_r)) + EPOCH_2013_08_01_S * 1_000_000
+    session_idx = X.cast_long(wsum(X.cast_long(is_new_r)))
 
     # query terms -------------------------------------------------------
-    # Exponential(0.4)+1 query length, capped: exact per-length masses
-    # quantized into a 64-slot table (floor(Exp(mean 2.5)) is geometric)
-    p_stop = 1.0 - math.exp(-1.0 / 2.5)
-    len_masses = [p_stop * (1 - p_stop) ** k for k in range(_WL_MAX_TERMS - 1)]
-    len_masses.append(1.0 - sum(len_masses))  # cap absorbs the tail
-    n_terms = X.cast_long(X.element(
-        uint(i, lctx.salt("qlen"), 0, 64),
-        quantize_weights(list(range(1, _WL_MAX_TERMS + 1)), len_masses,
-                         table_size=64)))
-    # Pitman–Yor(1, 0.8) term tail ≈ Pareto with p=4 (analytic — no
-    # literal rank table; the draw is referenced from both the word
-    # and the slow-test lookup, so table bytes would double)
-    ranks = [_pareto_rank(u01(i, lctx.salt("term", k)), 4,
-                          _WL_TERM_UNIVERSE)
-             for k in range(_WL_MAX_TERMS)]
-    query = _arr_take_join([_wl_word(r) for r in ranks], n_terms, " ")
+    query = _arr_take_join([_wl_word(r) for r in ranks], n_terms_r, " ")
     # slow-term count over the FIRST n_terms draws — the position mask
     # min(1, max(0, n_terms - k)) stays flat arithmetic too
     slow_n = _wl_slow(ranks[0])
     for k in range(1, _WL_MAX_TERMS):
-        mask = X.least([X.lit(1), X.greatest([X.lit(0), n_terms - k])])
+        mask = X.least([X.lit(1), X.greatest([X.lit(0), n_terms_r - k])])
         slow_n = slow_n + _wl_slow(ranks[k]) * mask
 
     # response time -----------------------------------------------------
@@ -872,17 +913,17 @@ def weblog(n_users: int = 500, events_per_user: int = 20,
 
     cols = [
         ("line_id", i),
-        ("user_seq", user),
+        ("user_seq", user_r),
         ("cookie", cookie),
         ("ip", ip),
         ("geo", geo),
         ("session_idx", session_idx),
         ("t_us", t_us),
-        ("n_terms", n_terms),
+        ("n_terms", n_terms_r),
         ("query", query),
         ("response_us", response_us),
     ]
-    return Generated(cols, n)
+    return Generated(cols, n, lets=lets)
 
 
 def remove_record_path(df: DataFrame, path: str) -> DataFrame:
