@@ -101,4 +101,33 @@ def quantize_weights(values: list, weights: list[float], table_size: int = 2048)
 def pick_weighted(i: D, salt: int, values: list, weights: list[float],
                   table_size: int = 2048) -> D:
     table = quantize_weights(values, weights, table_size)
-    return X.element(uint(i, salt, 0, len(table)), table)
+    return table_lookup(uint(i, salt, 0, len(table)), table)
+
+
+def table_lookup(slot: D, table: list) -> D:
+    """``table[slot]`` with a text-size-aware encoding.
+
+    A quantized weight table is ``table_size`` entries but only a few
+    DISTINCT values in contiguous runs (quantize_weights fills values
+    sequentially), so inlining it as an array literal costs
+    ``table_size × len(value)`` characters of SQL — for a handful of
+    OS/browser strings that was ~21 KB per column of pure parse/
+    analyze/codegen overhead.  When the run count is small, the exact
+    same selection renders as a threshold sum: ``distinct[Σ (slot >=
+    run_start)]`` — a few hundred characters.  Falls back to the flat
+    array when there are many runs (foreign-key/zipf tables), where
+    thresholds would be O(runs) comparisons per row.
+    """
+    runs: list[tuple[int, object]] = []       # (first slot, value)
+    for k, v in enumerate(table):
+        if not runs or runs[-1][1] != v:
+            runs.append((k, v))
+    if 1 < len(runs) <= 32:
+        total = None
+        for start, _ in runs[1:]:
+            ind = X.when_chain([(slot >= start, X.lit(1))], X.lit(0))
+            total = ind if total is None else total + ind
+        return X.element(X.cast_long(total), [v for _, v in runs])
+    if len(runs) == 1:
+        return X.element(X.lit(0), [runs[0][1]])
+    return X.element(slot, table)
