@@ -213,7 +213,7 @@ _WINDOW_R4 = [
     "events_ewma", "media_dedup", "graph_pagerank",
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
     "graph_triangles", "sketch_bloom", "dedup_semantic",
-    "corpus_sample_k", "sketch_merge",
+    "corpus_sample_k", "sketch_merge", "events_cube", "embed_pq",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -908,6 +908,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a", "b"))
     q["dedup_semantic"] = dedup_semantic
 
+    def embed_pq(spark, sf):
+        """Product quantization: 64 floats → 8 centroid codes per
+        vector (the RAM-fit step of IVF-PQ); codes + exact integer
+        distortion, codebooks trained deterministically."""
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        return (CL.pq_encode(_t(spark, sf, "embeddings"),
+                             m=8, k=16, iters=1)
+                .orderBy("vec_id"))
+    q["embed_pq"] = embed_pq
+
     def embed_pca(spark, sf):
         """Distributed power-iteration PCA: per-vector projection onto
         the top principal direction, two one-pass iterations with
@@ -1157,6 +1167,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n", "cents")
                 .orderBy("event_type", "day"))
     q["events_rollup"] = events_rollup
+
+    def events_cube(spark, sf):
+        """CUBE: every subtotal combination — adds the per-day margin
+        ROLLUP's hierarchy skips — still ONE pass via Expand + map-side
+        partials (4 grouping sets, not 4 jobs)."""
+        ev = _t(spark, sf, "events").select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        return (ev.cube("event_type", "day")
+                .agg(F.count("*").alias("n"),
+                     F.sum("cents").alias("cents"))
+                .select(F.coalesce("event_type", F.lit("(all)"))
+                        .alias("event_type"),
+                        F.coalesce("day", F.lit("1900-01-01").cast("date"))
+                        .alias("day"),
+                        "n", "cents")
+                .orderBy("event_type", "day"))
+    q["events_cube"] = events_cube
 
     def io_roundtrip(spark, sf):
         """Record-writer path under the oracle gate: generated records
@@ -1626,6 +1654,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64)
     o["dedup_semantic"] = OR.semantic_dedup_sql(k=8, iters=2,
                                                 threshold=0.4, dim=64)
+    o["embed_pq"] = OR.pq_encode_sql(m=8, k=16, iters=1, dim=64)
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)
@@ -1857,6 +1886,15 @@ r AS (SELECT COALESCE(event_type, '(all)') AS event_type,
              COALESCE(day, DATE '1900-01-01') AS day,
              COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
       FROM e GROUP BY ROLLUP (event_type, day))
+SELECT * FROM r ORDER BY event_type, day"""
+
+    o["events_cube"] = """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT COALESCE(event_type, '(all)') AS event_type,
+             COALESCE(day, DATE '1900-01-01') AS day,
+             COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM e GROUP BY CUBE (event_type, day))
 SELECT * FROM r ORDER BY event_type, day"""
 
     o["text_keywords"] = OR.tfidf_keywords_sql(k=3)

@@ -95,6 +95,65 @@ def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
             .select("vec_id", "cluster", "dist_q"))
 
 
+def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
+              vec_col: str = "embedding") -> DataFrame:
+    """Product quantization: split each vector into ``m`` sub-vectors,
+    k-means each subspace independently, store the per-subspace
+    centroid index — ``dim`` floats become ``m`` small codes per
+    vector (the 32× memory step that lets billion-vector ANN indexes
+    fit in RAM; IVF-PQ = ann_ivf's cells + these codes for in-cell
+    asymmetric distances).
+
+    Plan shape: codebook training is ``m × iters`` narrow
+    aggregations, each reducing to k rows of ``sub``-dim integer sums
+    (the collect-k-literals pattern of cluster_embeddings; at 100 TB
+    train on a sample like similarity.kmeans_centroids — the encode
+    pass is the full-corpus work and it is a single narrow projection
+    with all m codebooks bound as plan literals).  Exactness: integer
+    micro-unit arithmetic end-to-end, first-k init, floor(sum/cnt)
+    refresh — DuckDB replays codes and distortions bit-exactly.
+    Returns (vec_id, pq_code 'c0,...,cm-1', dist_q = Σ subspace
+    distortion in micro-unit²).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // m
+    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        sq = quant.select("vec_id",
+                          F.slice("xi", s * sub + 1, sub).alias("xs"))
+        cents = [list(r.xs) for r in sq.orderBy("vec_id").limit(k).collect()]
+        for _ in range(iters):
+            x = F.col("xs")
+            dists = F.array(*[_dist_expr(x, c) for c in cents])
+            assigned = sq.select(
+                "xs",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int").alias("cluster"))
+            sums = (assigned.groupBy("cluster")
+                    .agg(F.count("*").alias("cnt"),
+                         *[F.sum(F.element_at("xs", d + 1)).alias(f"s{d}")
+                           for d in range(sub)]).collect())
+            by_j = {r.cluster: r for r in sums}
+            cents = [
+                [math.floor(float(by_j[j][f"s{d}"]) / by_j[j].cnt)
+                 for d in range(sub)] if j in by_j else cents[j]
+                for j in range(k)]
+        books.append(cents)
+    codes = []
+    dist_total = None
+    for s in range(m):
+        sl = F.slice("xi", s * sub + 1, sub)
+        dists = F.array(*[_dist_expr(sl, c) for c in books[s]])
+        codes.append(((F.array_position(dists, F.array_min(dists)) - 1)
+                      .cast("int")).cast("string"))
+        dmin = F.array_min(dists)
+        dist_total = dmin if dist_total is None else dist_total + dmin
+    return quant.select("vec_id",
+                        F.concat_ws(",", *codes).alias("pq_code"),
+                        dist_total.alias("dist_q"))
+
+
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
                    threshold: float = 0.8,
                    vec_col: str = "embedding") -> DataFrame:

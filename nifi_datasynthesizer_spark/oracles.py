@@ -627,6 +627,64 @@ SELECT a, b, cluster, cosine FROM cos
 WHERE cosine >= {threshold} ORDER BY a, b"""
 
 
+def pq_encode_sql(m: int = 8, k: int = 16, iters: int = 1, dim: int = 64,
+                  table: str = "embeddings") -> str:
+    """Mirror of clustering.pq_encode: per-subspace Lloyd chains over
+    list_slice sub-vectors, then the joined code/distortion output."""
+    sub = dim // m
+
+    def dist(xi: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, {sub + 1}), "
+                f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))")
+
+    parts = [f"""x AS (SELECT vec_id,
+  list_transform(embedding,
+                 v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+  FROM {table})"""]
+    finals = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""xs{s} AS (SELECT vec_id, list_slice(xi, {lo}, {hi}) AS xs FROM x),
+cb{s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+                   xs AS c
+            FROM (SELECT vec_id, xs FROM xs{s} ORDER BY vec_id LIMIT {k}))""")
+        prev = f"cb{s}_0"
+        for it in range(1, iters + 1):
+            parts.append(f"""d{s}_{it} AS (SELECT xs{s}.vec_id, xs{s}.xs, {prev}.j,
+        {dist(f'xs{s}.xs', f'{prev}.c')} AS dist
+        FROM xs{s} CROSS JOIN {prev}),
+a{s}_{it} AS (SELECT vec_id, xs, j AS cluster FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, j) AS rn FROM d{s}_{it})
+        WHERE rn = 1),
+s{s}_{it} AS (SELECT cluster, r.d, SUM(xs[r.d]) AS sv, COUNT(*) AS cnt
+        FROM a{s}_{it} CROSS JOIN range(1, {sub + 1}) r(d)
+        GROUP BY cluster, r.d),
+n{s}_{it} AS (SELECT cluster AS j,
+               list(CAST(FLOOR(CAST(sv AS DOUBLE) / cnt) AS BIGINT)
+                    ORDER BY d) AS c
+        FROM s{s}_{it} GROUP BY cluster),
+cb{s}_{it} AS (SELECT {prev}.j, COALESCE(n{s}_{it}.c, {prev}.c) AS c
+        FROM {prev} LEFT JOIN n{s}_{it} ON n{s}_{it}.j = {prev}.j)""")
+            prev = f"cb{s}_{it}"
+        parts.append(f"""f{s} AS (SELECT vec_id, j AS code, dist FROM (
+          SELECT xs{s}.vec_id, {prev}.j,
+                 {dist(f'xs{s}.xs', f'{prev}.c')} AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY xs{s}.vec_id
+                                    ORDER BY {dist(f'xs{s}.xs', f'{prev}.c')},
+                                             {prev}.j) AS rn
+          FROM xs{s} CROSS JOIN {prev}) WHERE rn = 1)""")
+        finals.append(f"f{s}")
+    code_cat = " || ',' || ".join(
+        f"CAST(f{s}.code AS VARCHAR)" for s in range(m))
+    dist_sum = " + ".join(f"f{s}.dist" for s in range(m))
+    joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+    return f"""
+WITH {', '.join(parts)}
+SELECT vec_id, {code_cat} AS pq_code, CAST({dist_sum} AS BIGINT) AS dist_q
+FROM f0 {joins} ORDER BY vec_id"""
+
+
 def corpus_shuffle_sql(shards: int = 8, salt: int = 0,
                        table: str = "documents",
                        id_col: str = "doc_id") -> str:

@@ -83,6 +83,21 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_pq_encode_planted(spark):
+    from nifi_datasynthesizer_spark.operators.clustering import pq_encode
+    # 4 vectors, 2 subspaces of 2 dims; k=2, init = first 2 vectors.
+    # Vectors 2/3 repeat vectors 0/1 exactly -> same codes, dist 0.
+    rows = [(0, [1.0, 0.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 1.0]), (3, [0.0, 1.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: (r.pq_code, r.dist_q)
+           for r in pq_encode(emb, m=2, k=2, iters=1).collect()}
+    assert out[0] == out[2] and out[1] == out[3]
+    assert out[0][1] == 0 and out[1][1] == 0
+    assert out[0][0] != out[1][0]
+    assert len(out[0][0].split(",")) == 2
+
+
 def test_fm_rollup_merge_equals_direct(spark):
     """MAX-merging daily registers must give the SAME estimate as
     sketching the whole group directly — the mergeability contract."""

@@ -99,6 +99,16 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_pq_encode_pass_is_narrow(spark):
+    """The PQ encode pass (the full-corpus work) must be a single
+    narrow projection with all m codebooks bound as literals — no
+    join, no shuffle except the presentation sort."""
+    df = entrymod.queries()["embed_pq"](spark, SF)
+    p = _plan(df)
+    assert "Join" not in p and "hashpartitioning" not in p
+    assert "rangepartitioning" in p  # the orderBy only
+
+
 def test_semantic_dedup_pairs_only_within_cluster(spark):
     """SemDeDup's pair join must key on the cluster id (the blocking
     that turns corpus² into Σ cluster²) and the assignment must stay
