@@ -650,30 +650,32 @@ def s_imei(spec, ctx):
     digit); the Luhn sum is pure integer algebra over the same draws,
     and the digit string is two zero-padded 7-digit numbers — no
     per-digit string work, no hashing, fully codegen'd."""
-    def build(a: D, b: D) -> D:
-        total = None
-        for j in range(14):
-            h = a if j < 7 else b
-            d = X.idiv(h, 10 ** (j % 7)) % 10
-            if j % 2 == 1:  # Luhn: double every 2nd digit, then digit-sum
-                dd = d * 2
-                term = X.idiv(dd, 10) + dd % 10
-            else:
-                term = d
-            total = term if total is None else total + term
-        check = (X.lit(10) - (total % 10)) % 10
-        # digit j of the IMEI is digit j%7 (LEAST-significant first) of
-        # h; printing must match: reverse each 7-digit block string-wise
-        return X.concat(X.reverse(X.lpad(a % 10_000_000, 7, "0")),
-                        X.reverse(X.lpad(b % 10_000_000, 7, "0")),
-                        X.cast_string(check))
-
-    # each draw is referenced ~24 times across the Luhn sum and digit
-    # blocks — X.bind holds it in a lambda local (text once, analyzer
-    # sees one subtree, engines evaluate once)
-    return X.bind(mix(ctx.i, ctx.salt("imei_a")),
-                  lambda a: X.bind(mix(ctx.i, ctx.salt("imei_b")),
-                                   lambda b: build(a, b)))
+    # NOTE: the two draws are referenced ~24 times across the Luhn sum
+    # and digit blocks, which costs ~3 s of analyzer time on the
+    # duplicated subtrees — but binding them with X.bind was WORSE:
+    # a lambda body is interpreted per row (HOFs sit outside
+    # whole-stage codegen), and moving 64 integer ops per row out of
+    # codegen measured 0.3 s -> 4.3 s on 2M rows.  Keep X.bind for
+    # expensive VALUES with cheap bodies (uuid/ip/mac md5 slicing);
+    # keep hot arithmetic inline where codegen CSE handles the reuse.
+    h1 = mix(ctx.i, ctx.salt("imei_a"))
+    h2 = mix(ctx.i, ctx.salt("imei_b"))
+    total = None
+    for j in range(14):
+        h = h1 if j < 7 else h2
+        d = X.idiv(h, 10 ** (j % 7)) % 10
+        if j % 2 == 1:  # Luhn: double every 2nd digit, then digit-sum
+            dd = d * 2
+            term = X.idiv(dd, 10) + dd % 10
+        else:
+            term = d
+        total = term if total is None else total + term
+    check = (X.lit(10) - (total % 10)) % 10
+    # digit j of the IMEI is digit j%7 (LEAST-significant first) of h;
+    # printing must match: reverse each 7-digit block string-wise
+    return X.concat(X.reverse(X.lpad(h1 % 10_000_000, 7, "0")),
+                    X.reverse(X.lpad(h2 % 10_000_000, 7, "0")),
+                    X.cast_string(check))
 
 
 def s_phone(spec, ctx):
