@@ -52,16 +52,66 @@ def _dist_expr(x, cent: list[int]):
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _dists_sql(x_sql: str, cents: list[list[int]]) -> str:
+    """SQL text for the array of exact squared L2 distances from an
+    array expression to each centroid literal.  ONE string for the
+    whole k-wide array: composing it from k ``_dist_expr`` Columns is
+    k × several py4j round-trips PER REFERENCE — the PQ encoder's
+    8 × 16 distances cost ~4.7 s of pure driver time that way, vs
+    milliseconds as text (the same lesson as the round-3
+    dual-expression rewrite)."""
+    def one(c: list[int]) -> str:
+        lit = "array(" + ",".join(f"{v}L" for v in c) + ")"
+        return (f"aggregate(zip_with({x_sql}, {lit}, "
+                f"(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+    return "array(" + ", ".join(one(c) for c in cents) + ")"
+
+
+def _argmin_sql(d_sql: str, k: int) -> str:
+    """Fold the k-wide distance array to struct(dist, j) of its first
+    minimum in ONE pass.  ``array_position(d, array_min(d))`` computes
+    the (HOF-interpreted) distance array twice per row; the fold
+    references it once — and callers put the struct in its own
+    projection so extracting .j and .dist doesn't re-evaluate it."""
+    return (f"aggregate(zip_with({d_sql}, sequence(0, {k - 1}), "
+            f"(x, j) -> struct(x AS dist, j AS j)), "
+            f"struct({1 << 62}L AS dist, -1 AS j), "
+            f"(acc, e) -> IF(e.dist < acc.dist, e, acc))")
+
+
 def _assign(quant: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """(vec_id, xi) + centroid literals -> (vec_id, xi, cluster, dist_q).
-    Narrow: argmin over an array of k distance expressions."""
-    x = F.col("xi")
-    dists = F.array(*[_dist_expr(x, c) for c in centroids])
-    return quant.select(
-        "vec_id", "xi",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int").alias("cluster"),
-        F.array_min(dists).alias("dist_q"))
+    Narrow: single-pass fold argmin over the k distance expressions."""
+    am = _argmin_sql(_dists_sql("xi", centroids), len(centroids))
+    return (quant.select("vec_id", "xi", F.expr(am).alias("__m"))
+            .select("vec_id", "xi",
+                    F.expr("CAST(__m.j AS INT)").alias("cluster"),
+                    F.col("__m.dist").alias("dist_q")))
+
+
+def _update(assigned: DataFrame, vec_col: str,
+            centroids: list[list[int]], dim: int) -> list[list[int]]:
+    """Centroid refresh: ONE aggregation to k×dim rows via posexplode
+    + map-side partial sums.  (The previous form — ``dim`` separate
+    ``F.sum(element_at(...))`` aggregate columns — computed the same
+    thing but cost 1-2 s of analysis/codegen per iteration, pure
+    driver overhead repeated every Lloyd pass; per-task work is
+    identical either way, and the shuffle is k×dim partial rows.)
+    Empty clusters keep their previous centroid."""
+    rows = (assigned.select("cluster",
+                            F.posexplode(vec_col).alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
+            .collect())
+    sums: dict[int, list] = {}
+    cnts: dict[int, int] = {}
+    for r in rows:
+        sums.setdefault(r.cluster, [0] * dim)[r.d] = int(r.sv)
+        cnts[r.cluster] = int(r.cnt)
+    return [
+        [math.floor(float(sums[j][d]) / cnts[j]) for d in range(dim)]
+        if j in sums else centroids[j]
+        for j in range(len(centroids))]
 
 
 def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -80,16 +130,7 @@ def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
 
     for _ in range(iters):
         assigned = _assign(quant, centroids)
-        sums = (assigned.groupBy("cluster")
-                .agg(F.count("*").alias("cnt"),
-                     *[F.sum(F.element_at("xi", d + 1)).alias(f"s{d}")
-                       for d in range(dim)])
-                .collect())
-        by_j = {r.cluster: r for r in sums}
-        centroids = [
-            [math.floor(float(by_j[j][f"s{d}"]) / by_j[j].cnt)
-             for d in range(dim)] if j in by_j else centroids[j]
-            for j in range(k)]
+        centroids = _update(assigned, "xi", centroids, dim)
 
     return (_assign(quant, centroids)
             .select("vec_id", "cluster", "dist_q"))
@@ -118,40 +159,54 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
     dim = len(emb.select(vec_col).first()[0])
     sub = dim // m
     quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
-    books: list[list[list[int]]] = []
-    for s in range(m):
-        sq = quant.select("vec_id",
-                          F.slice("xi", s * sub + 1, sub).alias("xs"))
-        cents = [list(r.xs) for r in sq.orderBy("vec_id").limit(k).collect()]
-        for _ in range(iters):
-            x = F.col("xs")
-            dists = F.array(*[_dist_expr(x, c) for c in cents])
-            assigned = sq.select(
-                "xs",
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int").alias("cluster"))
-            sums = (assigned.groupBy("cluster")
-                    .agg(F.count("*").alias("cnt"),
-                         *[F.sum(F.element_at("xs", d + 1)).alias(f"s{d}")
-                           for d in range(sub)]).collect())
-            by_j = {r.cluster: r for r in sums}
-            cents = [
-                [math.floor(float(by_j[j][f"s{d}"]) / by_j[j].cnt)
-                 for d in range(sub)] if j in by_j else cents[j]
-                for j in range(k)]
-        books.append(cents)
-    codes = []
-    dist_total = None
-    for s in range(m):
-        sl = F.slice("xi", s * sub + 1, sub)
-        dists = F.array(*[_dist_expr(sl, c) for c in books[s]])
-        codes.append(((F.array_position(dists, F.array_min(dists)) - 1)
-                      .cast("int")).cast("string"))
-        dmin = F.array_min(dists)
-        dist_total = dmin if dist_total is None else dist_total + dmin
-    return quant.select("vec_id",
-                        F.concat_ws(",", *codes).alias("pq_code"),
-                        dist_total.alias("dist_q"))
+    # ONE init collect serves all m codebooks (slices of the same
+    # first-k rows), and each Lloyd pass trains ALL subspaces in ONE
+    # job: the per-subspace assignments are independent narrow
+    # expressions, so they stack into an exploded (s, cluster, d, v)
+    # frame whose partial sums shuffle m·k·sub rows total.  Per-
+    # subspace loops cost ~3 driver jobs each (24 for m=8) — pure
+    # scheduling/codegen overhead repeated per subspace.
+    first = quant.orderBy("vec_id").limit(k).collect()
+    books: list[list[list[int]]] = [
+        [list(r.xi)[s * sub:(s + 1) * sub] for r in first]
+        for s in range(m)]
+    for _ in range(iters):
+        branches = []
+        for s in range(m):
+            sl = f"slice(xi, {s * sub + 1}, {sub})"
+            am = _argmin_sql(_dists_sql(sl, books[s]), k)
+            branches.append(f"struct({s} AS s, "
+                            f"CAST({am}.j AS INT) AS cluster, {sl} AS xs)")
+        rows = (quant.select(F.expr(
+                    "explode(array(" + ", ".join(branches) + "))").alias("b"))
+                .select("b.s", "b.cluster",
+                        F.posexplode("b.xs").alias("d", "v"))
+                .groupBy("s", "cluster", "d")
+                .agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
+                .collect())
+        sums: dict[tuple[int, int], list] = {}
+        cnts: dict[tuple[int, int], int] = {}
+        for r in rows:
+            sums.setdefault((r.s, r.cluster), [0] * sub)[r.d] = int(r.sv)
+            cnts[(r.s, r.cluster)] = int(r.cnt)
+        books = [
+            [[math.floor(float(sums[(s, j)][d]) / cnts[(s, j)])
+              for d in range(sub)]
+             if (s, j) in sums else books[s][j]
+             for j in range(k)]
+            for s in range(m)]
+    structs = [
+        F.expr(_argmin_sql(
+            _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
+        .alias(f"__m{s}")
+        for s in range(m)]
+    step = quant.select("vec_id", *structs)
+    code_cat = ", ".join(f"CAST(CAST(__m{s}.j AS INT) AS STRING)"
+                         for s in range(m))
+    dist_sum = " + ".join(f"__m{s}.dist" for s in range(m))
+    return step.select("vec_id",
+                       F.expr(f"concat_ws(',', {code_cat})").alias("pq_code"),
+                       F.expr(dist_sum).alias("dist_q"))
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
