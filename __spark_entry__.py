@@ -214,6 +214,7 @@ _WINDOW_R4 = [
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
     "graph_triangles", "sketch_bloom", "dedup_semantic",
     "corpus_sample_k", "sketch_merge", "events_cube", "embed_pq",
+    "text_classify",
     # backfill: r3 greens whose implementation this round touched
     # (minhash-family refactor) or that anchor the core surface
     "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
@@ -1066,6 +1067,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_fluency"] = text_fluency
 
+    def text_classify(spark, sf):
+        """Linear classifier head over hashed token features (the
+        fasttext-quality-filter shape): literal weight vector, narrow
+        per-row sparse dot, table-quantized logistic — no shuffle."""
+        return (TX.classify_score(_t(spark, sf, "documents"),
+                                  dim=64, seed=11)
+                .orderBy("doc_id"))
+    q["text_classify"] = text_classify
+
     def corpus_split(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         return (CU.split_train_val_test(_t(spark, sf, "documents"),
@@ -1899,6 +1909,7 @@ SELECT * FROM r ORDER BY event_type, day"""
 
     o["text_keywords"] = OR.tfidf_keywords_sql(k=3)
     o["text_fluency"] = OR.bigram_fluency_sql()
+    o["text_classify"] = OR.classify_score_sql(dim=64, seed=11)
     o["corpus_split"] = OR.split_sql(val_frac=0.1, test_frac=0.1, salt=3)
     o["embed_quantize"] = OR.quantize_int8_sql(dim=64)
     o["search_rrf"] = OR.rrf_fuse_sql(BM25_QUERIES, k=10, pool=20)

@@ -139,6 +139,52 @@ def hash_embed(docs: DataFrame, dim: int = 16,
     return docs.select("*", counts.alias("embedding"))
 
 
+def _logistic_table(size: int = 256, gain: float = 6.0) -> list[float]:
+    import math
+    return [round(1.0 / (1.0 + math.exp(-gain * (2.0 * (q + 0.5) / size
+                                                 - 1.0))), 9)
+            for q in range(size)]
+
+
+def classify_score(docs: DataFrame, dim: int = 64, seed: int = 11,
+                   text_col: str = "text") -> DataFrame:
+    """Linear text-classifier scoring — the fasttext-style quality
+    filter's Spark shape: a per-row sparse dot of hashed token
+    features with a weight vector bound as a plan literal.  No
+    shuffle, no broadcast, no model server: at 100 TB this is exactly
+    how a trained quality/toxicity/language classifier head runs over
+    a corpus (hash token → weight lookup → sum → squash → threshold).
+
+    Weights here are deterministic pseudo-weights
+    ``w_b = h60('w{seed}:{b}') % 2001 - 1000`` standing in for a
+    trained model file; production swaps the literal array.  The dot
+    is exact integer (Σ per-token weights); the logistic squash is a
+    256-slot literal quantile table over the MEAN per-token weight
+    (no transcendentals at query time), floored to ppm — bit-identical
+    in DuckDB.  Returns (doc_id, n_tokens, dot_q, score_ppm).
+    """
+    from ..phash import h60, h60_py
+    from .dedup import normalize_text
+
+    weights = [(h60_py(f"w{seed}:{b}") % 2001) - 1000 for b in range(dim)]
+    wlit = F.expr("array(" + ",".join(f"{w}L" for w in weights) + ")")
+    ltab = _logistic_table()
+    llit = F.expr("array(" + ",".join(f"{v}D" for v in ltab) + ")")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    dot = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(
+            wlit, (h60(t) % dim + 1).cast("int"))),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    step = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"),
+                       dot.alias("dot_q"))
+    idx = F.expr("CAST(((dot_q + 1000 * n_tokens) * 255) "
+                 "div (2000 * n_tokens) AS INT)")
+    return step.select(
+        "doc_id", "n_tokens", "dot_q",
+        F.floor(F.element_at(llit, idx + 1) * 1_000_000).cast("long")
+        .alias("score_ppm"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 ngram: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min and max h60 over word

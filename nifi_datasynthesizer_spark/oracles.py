@@ -151,6 +151,37 @@ SELECT doc_id,
 FROM hb ORDER BY doc_id"""
 
 
+def classify_score_sql(dim: int = 64, seed: int = 11,
+                       table: str = "documents") -> str:
+    """Mirror of text.classify_score."""
+    from .operators.text import _logistic_table
+    from .phash import h60_py
+    weights = [(h60_py(f"w{seed}:{b}") % 2001) - 1000 for b in range(dim)]
+    warr = "[" + ",".join(str(w) for w in weights) + "]"
+    larr = "[" + ",".join(_fmt_d(v) for v in _logistic_table()) + "]"
+    tok_w = f"({warr})[({h60_sql('tok')} % {dim}) + 1]"
+    return f"""
+WITH t AS (SELECT doc_id,
+                  list_transform(string_split({_NORM}, ' '),
+                                 tok -> {tok_w}) AS ws
+           FROM {table}),
+d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(list_sum(ws) AS BIGINT) AS dot_q
+      FROM t)
+SELECT doc_id, n_tokens, dot_q,
+       CAST(FLOOR(({larr})[CAST(((dot_q + 1000 * n_tokens) * 255)
+                                // (2000 * n_tokens) AS INT) + 1]
+                  * 1000000) AS BIGINT) AS score_ppm
+FROM d ORDER BY doc_id"""
+
+
+def _fmt_d(v: float) -> str:
+    r = repr(v)
+    if "e" not in r and "E" not in r:
+        r += "e0"
+    return r
+
+
 def corpus_stats_sql(table: str = "documents") -> str:
     """Mirror of the corpus_stats query: per-language exact stats —
     Spark's exact `percentile` and DuckDB's quantile_cont share the

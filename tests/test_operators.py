@@ -83,6 +83,16 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_classify_score_shape(planted_docs):
+    out = {r.doc_id: r for r in TX.classify_score(planted_docs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for r in out.values():
+        assert 0 <= r.score_ppm <= 1_000_000
+        assert abs(r.dot_q) <= 1000 * r.n_tokens
+    # same normalized text -> identical features and score
+    assert out[0].score_ppm == out[1].score_ppm
+
+
 def test_pq_encode_planted(spark):
     from nifi_datasynthesizer_spark.operators.clustering import pq_encode
     # 4 vectors, 2 subspaces of 2 dims; k=2, init = first 2 vectors.
