@@ -203,9 +203,10 @@ _WINDOW_R4 = [
     "events_ohlc", "events_anomaly", "events_rolling", "events_pivot",
     "events_rollup", "io_roundtrip", "events_scd2", "events_gap_fill",
     "streaming_stream_join",
-    # rotated out after r1/r2 — re-prove
-    "media_features", "media_frames", "text_embed", "corpus_stats",
-    "corpus_clean",
+    # rotated out after r1/r2 — re-prove (media_features has never
+    # been proven green; text_embed/corpus_stats were r2-green and
+    # yield their slots to this round's new operators — re-prove in r5)
+    "media_features", "media_frames", "corpus_clean",
     # oracle changed this round — must re-verify
     "events_sessionize", "synth_commuter",
     # new this round
@@ -215,9 +216,10 @@ _WINDOW_R4 = [
     "graph_triangles", "sketch_bloom", "dedup_semantic",
     "corpus_sample_k", "sketch_merge", "events_cube", "embed_pq",
     "text_classify",
-    # backfill: r3 greens whose implementation this round touched
-    # (minhash-family refactor) or that anchor the core surface
-    "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
+    # backfill: r2-greens demoted from the re-prove set, then r3
+    # greens whose implementation this round touched (minhash-family
+    # refactor) or that anchor the core surface
+    "text_embed", "corpus_stats", "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
     "synth_basic", "synth_identifiers", "q1_pricing_summary",
     "events_daily", "synth_vehicle_commuter", "synth_net", "remove_path",
     "synth_exotic_nested", "ann_ivf", "streaming_events_daily",

@@ -55,7 +55,8 @@ def main() -> None:
              "sketch_heavy_hitters", "events_ewma", "media_dedup",
              "graph_pagerank", "streaming_dedup_cross", "dedup_fuzzy",
              "graph_triangles", "sketch_bloom", "dedup_semantic",
-             "corpus_sample_k", "sketch_merge"]
+             "corpus_sample_k", "sketch_merge",
+             "embed_pq", "text_classify", "events_cube"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation
