@@ -131,6 +131,8 @@ def fm_distinct_rollup(df: DataFrame, group_col: str = "event_type",
     row per scope — ``scope`` ∈ ('day', 'group', 'all'), sentinel
     values fill the collapsed keys.
     """
+    from .dedup import _pin
+
     e = (df.select(F.col(group_col).alias("grp"),
                    F.to_date(ts_col).alias("day"),
                    h60(F.col(id_col).cast("string")).alias("h"))
@@ -139,8 +141,11 @@ def fm_distinct_rollup(df: DataFrame, group_col: str = "event_type",
                  F.expr(f"h div {buckets}").alias("r")))
     rho = F.expr(f"CASE WHEN r = 0 THEN {_RHO_CAP} "
                  f"ELSE bit_count((r & -r) - 1) + 1 END")
-    daily = (e.select("grp", "day", "b", rho.alias("rho"))
-             .groupBy("grp", "day", "b").agg(F.max("rho").alias("reg")))
+    # the daily register frame IS the stored artifact — pinned so the
+    # three scope levels merge registers instead of re-hashing the
+    # corpus (release with dedup.release_caches)
+    daily = _pin(e.select("grp", "day", "b", rho.alias("rho"))
+                 .groupBy("grp", "day", "b").agg(F.max("rho").alias("reg")))
     per_group = daily.groupBy("grp", "b").agg(F.max("reg").alias("reg"))
     overall = daily.groupBy("b").agg(F.max("reg").alias("reg"))
 
@@ -164,20 +169,24 @@ def fm_distinct_rollup(df: DataFrame, group_col: str = "event_type",
           .unionByName(level(per_group, ["grp"], "group"))
           .unionByName(level(overall, [], "all")))
 
-    base = df.select(F.col(group_col).alias("grp"),
-                     F.to_date(ts_col).alias("day"), F.col(id_col))
-    ex_day = (base.groupBy("grp", "day")
-              .agg(F.countDistinct(id_col).alias("exact_distinct"))
+    # exact self-check: ONE distinct pass over (grp, day, id) tuples,
+    # pinned; coarser exact counts reduce that frame, not the corpus
+    tup = _pin(df.select(F.col(group_col).alias("grp"),
+                         F.to_date(ts_col).alias("day"), F.col(id_col))
+               .distinct())
+    ex_day = (tup.groupBy("grp", "day")
+              .agg(F.count("*").alias("exact_distinct"))
               .select(F.lit("day").alias("scope"),
                       F.col("grp").alias(group_col), "day",
                       "exact_distinct"))
-    ex_grp = (base.groupBy("grp")
-              .agg(F.countDistinct(id_col).alias("exact_distinct"))
+    ex_grp = (tup.select("grp", id_col).distinct().groupBy("grp")
+              .agg(F.count("*").alias("exact_distinct"))
               .select(F.lit("group").alias("scope"),
                       F.col("grp").alias(group_col),
                       F.lit("1900-01-01").cast("date").alias("day"),
                       "exact_distinct"))
-    ex_all = (base.agg(F.countDistinct(id_col).alias("exact_distinct"))
+    ex_all = (tup.select(id_col).distinct()
+              .agg(F.count("*").alias("exact_distinct"))
               .select(F.lit("all").alias("scope"),
                       F.lit("(all)").alias(group_col),
                       F.lit("1900-01-01").cast("date").alias("day"),
