@@ -75,7 +75,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def write(df: DataFrame, path: str, fmt: str = "parquet",
           mode: str = "overwrite", partition_by: list[str] | None = None,
-          compression: str = "zstd") -> None:
+          compression: str = "zstd", files_per_value: int = 8) -> None:
     """Record-writer equivalent: parquet/json/csv/orc sinks.
 
     Defaults tuned for scale: zstd parquet, caller-controlled
@@ -88,6 +88,18 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
             "avro sink needs the spark-avro module on the classpath "
             "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
             "available here: parquet, orc, json, csv")
+    if partition_by:
+        # co-locate each output partition's rows before the write:
+        # without this every task writes a file per partition value
+        # (tasks × values tiny files — at 1000 executors that is the
+        # classic small-files explosion).  Repartitioning on the
+        # partition columns ALONE would be the opposite failure (one
+        # writer task per value — 3 tasks for a 100 TB write when the
+        # column has 3 values), so a bounded content-hash salt keeps
+        # ``files_per_value`` parallel writers per value.
+        salt = F.pmod(F.xxhash64(F.struct(*[df[c] for c in df.columns])),
+                      F.lit(files_per_value))
+        df = df.repartition(*([df[c] for c in partition_by] + [salt]))
     w = df.write.mode(mode).format(fmt)
     if fmt in ("parquet", "orc"):
         w = w.option("compression", compression)

@@ -45,6 +45,13 @@ def test_write_partitioned(spark, small_df, tmp_path):
     pruned = back.filter("qty = 3")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+    # small-files guard: each partition dir holds at most
+    # files_per_value data files (not one per upstream task), and the
+    # salt keeps more than one writer eligible per value
+    import glob
+    for d in glob.glob(path + "/qty=*"):
+        n = len(glob.glob(d + "/*.parquet"))
+        assert 1 <= n <= 8, (d, n)
 
 
 def test_bucketed_join_is_shuffle_free(spark):
