@@ -168,6 +168,17 @@ BM25_QUERIES = ["hash join table", "window sort merge", "scan filter fast"]
 # email/ip/ssn/phone bearing records for the PII-scrub query — the
 # generated fields are concatenated into one sentence, scrubbed, and
 # the oracle replays generation + regex scrub in DuckDB
+# continental-US points for the spatial near-join (zip-universe
+# lat/lon through the flatten sampler — same machinery as synth_iot)
+GEO_SCHEMA = [
+    {"name": "pid", "class": "id"},
+    {"class": "flatten", "prefix": "",
+     "value": {"name": "z", "class": "zip", "onlyContinental": True,
+               "fields": "latitude,longitude"}},
+]
+GEO_N = 4000
+GEO_RADIUS_UDEG = 50_000
+
 SYNTH_PII_SCHEMA = [
     {"name": "rec_id", "class": "id"},
     {"name": "em", "class": "email"},
@@ -204,9 +215,10 @@ _WINDOW_R4 = [
     "events_rollup", "io_roundtrip", "events_scd2", "events_gap_fill",
     "streaming_stream_join",
     # rotated out after r1/r2 — re-prove (media_features has never
-    # been proven green; text_embed/corpus_stats were r2-green and
-    # yield their slots to this round's new operators — re-prove in r5)
-    "media_features", "media_frames", "corpus_clean",
+    # been proven green; text_embed/corpus_stats/corpus_clean were
+    # r1/r2-green and yield their slots to this round's new operators
+    # — first in line for r5)
+    "media_features", "media_frames",
     # oracle changed this round — must re-verify
     "events_sessionize", "synth_commuter",
     # new this round
@@ -215,11 +227,12 @@ _WINDOW_R4 = [
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
     "graph_triangles", "sketch_bloom", "dedup_semantic",
     "corpus_sample_k", "sketch_merge", "events_cube", "embed_pq",
-    "text_classify",
+    "text_classify", "geo_near",
     # backfill: r2-greens demoted from the re-prove set, then r3
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
-    "text_embed", "corpus_stats", "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
+    "text_embed", "corpus_stats", "corpus_clean", "dedup_minhash",
+    "dedup_groups", "dedup_cross", "dedup_containment",
     "synth_basic", "synth_identifiers", "q1_pricing_summary",
     "events_daily", "synth_vehicle_commuter", "synth_net", "remove_path",
     "synth_exotic_nested", "ann_ivf", "streaming_events_daily",
@@ -1018,6 +1031,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(pairs, iters=2).orderBy("doc_id")
     q["graph_pagerank"] = graph_pagerank
 
+    def geo_near(spark, sf):
+        """Grid-blocked spatial self-join: generated continental-US
+        points paired within ~5.5 km via cell blocking + 3×3 neighbor
+        equi-join, integer equirectangular distance (engine-exact —
+        no runtime trig)."""
+        from nifi_datasynthesizer_spark.operators import geo as GEO
+        pts = compile_schema(GEO_SCHEMA, seed=31).dataframe(spark, GEO_N)
+        return (GEO.near_pairs(pts, radius_udeg=GEO_RADIUS_UDEG,
+                               id_col="pid", lat_col="latitude",
+                               lon_col="longitude")
+                .orderBy("a", "b"))
+    q["geo_near"] = geo_near
+
     def graph_triangles(spark, sf):
         """Triangle enumeration over the minhash near-dup graph
         (degree-ordered orientation — one wedge per triangle, O(m^1.5)
@@ -1804,6 +1830,9 @@ c AS (SELECT grp, bucket, n,
 SELECT grp AS event_type, {_hq},
        COUNT(*) AS n_buckets, MAX(total) AS n_total
 FROM c GROUP BY grp ORDER BY event_type"""
+    o["geo_near"] = OR.geo_near_sql(
+        compile_schema(GEO_SCHEMA, seed=31).duckdb_sql(GEO_N),
+        radius_udeg=GEO_RADIUS_UDEG)
     o["graph_triangles"] = OR.triangles_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["graph_pagerank"] = OR.pagerank_sql(OR.minhash_pairs_sql(

@@ -1209,6 +1209,42 @@ SELECT o_orderpriority,
 FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
 
+def geo_near_sql(points_sql: str, radius_udeg: int = 50_000,
+                 lat_col: str = "latitude",
+                 lon_col: str = "longitude") -> str:
+    """Mirror of geo.near_pairs over a generated point set."""
+    from .operators.geo import _COSLAT_Q, UDEG
+    ctab = "[" + ",".join(str(v) for v in _COSLAT_Q) + "]"
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1))
+    adj = (f"((abs(lon_a - lon_b) * ({ctab})[CAST(LEAST("
+           f"FLOOR(abs(lat_a + lat_b) / {2 * UDEG}), 89) AS INT) + 1])"
+           f" // 1024)")
+    return f"""
+WITH pts AS ({points_sql}),
+q AS (SELECT pid, CAST(FLOOR({lat_col} * {UDEG}) AS BIGINT) AS lat_u,
+             CAST(FLOOR({lon_col} * {UDEG}) AS BIGINT) AS lon_u
+      FROM pts),
+cells AS (SELECT pid, lat_u, lon_u,
+                 CAST(FLOOR(lon_u / {radius_udeg}) AS BIGINT) AS cx,
+                 CAST(FLOOR(lat_u / {radius_udeg}) AS BIGINT) AS cy
+          FROM q),
+l AS (SELECT pid AS a, lat_u AS lat_a, lon_u AS lon_a,
+             cx + o.dx AS cx, cy + o.dy AS cy
+      FROM cells, (VALUES {offs}) o(dx, dy)),
+cand AS (SELECT l.a, r.pid AS b, l.lat_a, l.lon_a,
+                r.lat_u AS lat_b, r.lon_u AS lon_b
+         FROM l JOIN cells r ON l.cx = r.cx AND l.cy = r.cy
+         WHERE l.a < r.pid),
+d AS (SELECT a, b,
+             (lat_a - lat_b) * (lat_a - lat_b) + {adj} * {adj}
+               AS dist2_udeg
+      FROM cand)
+SELECT a, b, dist2_udeg FROM d
+WHERE dist2_udeg <= {radius_udeg * radius_udeg}
+ORDER BY a, b"""
+
+
 def triangles_sql(pairs_sql: str) -> str:
     """Mirror of graph.triangles — degree-ordered orientation, one
     wedge per triangle at its lowest-(deg, id) corner."""

@@ -83,6 +83,22 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_geo_near_pairs_planted(spark):
+    from nifi_datasynthesizer_spark.operators.geo import near_pairs
+    # ~0.01 deg apart (same cell or neighbors) vs a far point; pair
+    # (0,1) straddles a cell boundary at radius 50000 udeg
+    rows = [(0, 40.0000, -100.0000), (1, 40.0400, -100.0000),
+            (2, 40.0001, -100.0001), (3, 45.0, -80.0)]
+    pts = spark.createDataFrame(rows, ["pid", "lat", "lon"])
+    got = {(r.a, r.b): r.dist2_udeg
+           for r in near_pairs(pts, radius_udeg=50_000).collect()}
+    assert (0, 2) in got and got[(0, 2)] < 50_000 ** 2
+    assert (0, 1) in got          # cross-cell neighbor found
+    assert all(3 not in p for p in got)
+    # longitude compression: 1 udeg of lon at 40N counts ~cos(40)
+    assert got[(0, 1)] == (40_000) ** 2 + 0  # pure-latitude pair
+
+
 def test_classify_score_shape(planted_docs):
     out = {r.doc_id: r for r in TX.classify_score(planted_docs).collect()}
     assert set(out) == {0, 1, 2, 3, 4}

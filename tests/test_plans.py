@@ -99,6 +99,18 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_geo_near_blocks_on_cell(spark):
+    """The spatial self-join must equi-join on the grid cell (cx, cy)
+    — never a cartesian/theta join; the 3×3 explode is constant
+    amplification on one side only."""
+    df = entrymod.queries()["geo_near"](spark, SF)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    key_lines = [ln for ln in p.splitlines()
+                 if "Left keys" in ln and "cx#" in ln]
+    assert key_lines, "join not keyed on the grid cell"
+
+
 def test_pq_encode_pass_is_narrow(spark):
     """The PQ encode pass (the full-corpus work) must be a single
     narrow projection with all m codebooks bound as literals — no
