@@ -26,7 +26,20 @@ def get_spark(app: str = "nifi-datasynthesizer-spark",
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          # Arrow for every pandas-UDF boundary
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # in local mode the "driver" heap IS the executor heap for
+         # every worker thread — size it for the thread count, not for
+         # a thin cluster driver (8g across 32 threads = 256 MB each,
+         # pure GC pressure on a 128 GiB box)
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                 os.environ.get("SPARK_DRIVER_MEMORY",
+                                "24g" if master.startswith("local")
+                                else "8g"))
+         # every codegen'd stage is a generated class; a long session
+         # running ~100 distinct queries fills the JVM's default 240 MB
+         # code cache, after which the JIT disables itself and late
+         # queries run interpreted (measured: the same 2M-row generator
+         # 5 s early in a bench run, 28 s at position 77)
+         .config("spark.driver.extraJavaOptions",
+                 "-XX:ReservedCodeCacheSize=1g")
          .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)))
     return b.getOrCreate()
