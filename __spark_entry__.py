@@ -218,7 +218,7 @@ _WINDOW_R4 = [
     # been proven green; text_embed/corpus_stats/corpus_clean were
     # r1/r2-green and yield their slots to this round's new operators
     # — first in line for r5)
-    "media_features", "media_frames",
+    "media_features",
     # oracle changed this round — must re-verify
     "events_sessionize", "synth_commuter",
     # new this round
@@ -227,11 +227,12 @@ _WINDOW_R4 = [
     "streaming_dedup_cross", "sketch_quantiles", "dedup_fuzzy",
     "graph_triangles", "sketch_bloom", "dedup_semantic",
     "corpus_sample_k", "sketch_merge", "events_cube", "embed_pq",
-    "text_classify", "geo_near",
+    "text_classify", "geo_near", "io_signature_store",
     # backfill: r2-greens demoted from the re-prove set, then r3
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
-    "text_embed", "corpus_stats", "corpus_clean", "dedup_minhash",
+    "media_frames", "text_embed", "corpus_stats", "corpus_clean",
+    "dedup_minhash",
     "dedup_groups", "dedup_cross", "dedup_containment",
     "synth_basic", "synth_identifiers", "q1_pricing_summary",
     "events_daily", "synth_vehicle_commuter", "synth_net", "remove_path",
@@ -913,6 +914,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       k=8, iters=2)
                 .orderBy("vec_id"))
     q["embed_cluster"] = embed_cluster
+
+    def io_signature_store(spark, sf):
+        """The incremental-dedup storage path end-to-end: corpus
+        minhash signatures materialized to parquet (the between-batch
+        artifact), read back, and band-joined against the incoming
+        batch — equals dedup_cross computed from raw text, proving
+        the store round-trips losslessly (array<bigint> through the
+        sink and back)."""
+        import tempfile
+
+        docs = _t(spark, sf, "documents")
+        incoming = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        path = tempfile.mkdtemp(prefix="spark_graft_sig_") + "/sigs"
+        IO.write(DD.minhash_signatures(corpus, 64, 5), path)
+        stored = IO.read(spark, path)
+        return (DD.dedup_minhash_cross(incoming, corpus,
+                                       num_hashes=64, bands=16,
+                                       jaccard_threshold=0.5,
+                                       corpus_signatures=stored)
+                .orderBy("a", "b"))
+    q["io_signature_store"] = io_signature_store
 
     def dedup_semantic(spark, sf):
         """SemDeDup: k-means buckets confine the quadratic cosine
@@ -1839,6 +1862,9 @@ FROM c GROUP BY grp ORDER BY event_type"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     # the streamed foreachBatch dedup drains to the batch answer
     o["streaming_dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
+    # the signature store round-trips losslessly, so the stored-side
+    # run replays under the SAME cross-dedup oracle
+    o["io_signature_store"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     o["dedup_containment"] = OR.containment_pairs_sql(
         n=3, threshold=0.8, df_cap=64)
     o["embed_pca"] = OR.pca_power_sql(iters=2, dim=64)

@@ -56,7 +56,8 @@ def main() -> None:
              "graph_pagerank", "streaming_dedup_cross", "dedup_fuzzy",
              "graph_triangles", "sketch_bloom", "dedup_semantic",
              "corpus_sample_k", "sketch_merge",
-             "embed_pq", "text_classify", "events_cube", "geo_near"]
+             "embed_pq", "text_classify", "events_cube", "geo_near",
+             "io_signature_store"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

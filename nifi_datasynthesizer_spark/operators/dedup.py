@@ -210,7 +210,9 @@ def dedup_minhash(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 def dedup_minhash_cross(incoming: DataFrame, corpus: DataFrame,
                         num_hashes: int = 64, bands: int = 16,
                         shingle_k: int = 5, jaccard_threshold: float = 0.5,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        corpus_signatures: DataFrame | None = None
+                        ) -> DataFrame:
     """Incremental dedup: near-dups of INCOMING documents against an
     EXISTING corpus — the shape every production crawl pipeline runs
     (dedupe each new batch against everything already ingested)
@@ -224,7 +226,12 @@ def dedup_minhash_cross(incoming: DataFrame, corpus: DataFrame,
     Returns (a=incoming doc_id, b=corpus doc_id, est_jaccard).
     """
     sig_in = _pin(minhash_signatures(incoming, num_hashes, shingle_k))
-    sig_co = _pin(minhash_signatures(corpus, num_hashes, shingle_k))
+    # ``corpus_signatures`` is the materialized signature store a
+    # production pipeline keeps between batches (written once by
+    # minhash_signatures, e.g. as parquet) — passing it skips
+    # re-shingling the whole corpus per batch
+    sig_co = _pin(corpus_signatures if corpus_signatures is not None
+                  else minhash_signatures(corpus, num_hashes, shingle_k))
     in_bands = _minhash_bands(sig_in, num_hashes, bands, max_bucket)
     co_bands = _minhash_bands(sig_co, num_hashes, bands, max_bucket)
     cand_ids = (in_bands.select(F.col("doc_id").alias("a"),
