@@ -231,7 +231,8 @@ _WINDOW_R4 = [
     # backfill: r2-greens demoted from the re-prove set, then r3
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
-    "media_frames", "text_embed", "corpus_stats", "corpus_clean",
+    "synth_weblog_lines", "media_frames", "text_embed", "corpus_stats",
+    "corpus_clean",
     "dedup_minhash",
     "dedup_groups", "dedup_cross", "dedup_containment",
     "synth_basic", "synth_identifiers", "q1_pricing_summary",
@@ -704,6 +705,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         long-tail query terms, slow-word response times."""
         return SZ.weblog(n_users=500, events_per_user=20, seed=19).df(spark)
     q["synth_weblog"] = synth_weblog
+
+    def synth_weblog_lines(spark, sf):
+        """LogLineFormatter.java CSV-format parity: each weblog record
+        rendered as the reference's text line
+        ``t(3dp),cookie,ip,"query",resp_ms(1dp)`` — the role NiFi's
+        record writer plays, with the decimal formatting done in
+        integer arithmetic so both engines render identical strings."""
+        w = SZ.weblog(n_users=200, events_per_user=10, seed=19).df(spark)
+        t_str = F.expr(
+            "concat(CAST(t_us div 1000000 AS STRING), '.', "
+            "lpad(CAST((t_us % 1000000) div 1000 AS STRING), 3, '0'))")
+        resp_str = F.expr(
+            "concat(CAST(response_us div 1000 AS STRING), '.', "
+            "CAST((response_us % 1000) div 100 AS STRING))")
+        line = F.concat_ws(
+            ",", t_str, F.col("cookie"), F.col("ip"),
+            F.concat(F.lit('"'), F.col("query"), F.lit('"')), resp_str)
+        return (w.select("line_id", line.alias("log_line"))
+                .orderBy("line_id"))
+    q["synth_weblog_lines"] = synth_weblog_lines
 
     def synth_correlate(spark, sf):
         cust = _t(spark, sf, "customer")
@@ -1581,6 +1602,17 @@ FROM ({_ex_nested})"""
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
     o["synth_weblog"] = SZ.weblog(n_users=500, events_per_user=20,
                                   seed=19).sql()
+    o["synth_weblog_lines"] = f"""
+WITH w AS ({SZ.weblog(n_users=200, events_per_user=10, seed=19).sql()})
+SELECT line_id,
+       concat_ws(',',
+         CAST(t_us // 1000000 AS VARCHAR) || '.' ||
+           lpad(CAST((t_us % 1000000) // 1000 AS VARCHAR), 3, '0'),
+         cookie, ip,
+         '"' || query || '"',
+         CAST(response_us // 1000 AS VARCHAR) || '.' ||
+           CAST((response_us % 1000) // 100 AS VARCHAR)) AS log_line
+FROM w ORDER BY line_id"""
     _vc = compile_schema(
         [{"name": "rec_id", "class": "id"},
          {"class": "vehicle", "years": "1995-2010"},

@@ -2,6 +2,23 @@
 
 from __future__ import annotations
 
+def test_table_lookup_threshold_equals_flat():
+    """The run-length threshold encoding must select exactly the same
+    value as the flat table for every slot (both engines)."""
+    import duckdb
+    from nifi_datasynthesizer_spark.rng import table_lookup
+    from nifi_datasynthesizer_spark.dual import D
+    table = ["a"] * 5 + ["b"] * 1 + ["c"] * 10  # uneven runs
+    slot = D(None, "i", "i")
+    d = table_lookup(slot, table)
+    got = [r[0] for r in duckdb.sql(
+        f"SELECT {d.s} FROM range(0, {len(table)}) t(i)").fetchall()]
+    assert got == table
+    # single-run degenerate table collapses to a constant
+    dc = table_lookup(slot, ["x"] * 8)
+    assert duckdb.sql(f"SELECT DISTINCT {dc.s} FROM range(0, 8) t(i)"
+                      ).fetchall() == [("x",)]
+
 import duckdb
 
 from nifi_datasynthesizer_spark import compile_schema
