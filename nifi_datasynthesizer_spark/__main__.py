@@ -1,0 +1,81 @@
+"""CLI parity with log-synth's Synth.java / Main.java.
+
+Reference usage (Synth.java:73):
+    [ -count <number>G|M|K ] -schema schema-file
+    [-format JSON|TSV|CSV|XML ] [-threads n] [-output dir]
+
+Ours::
+
+    python -m nifi_datasynthesizer_spark \
+        --schema schema.json --count 1M --format json --output out/
+
+- ``--count`` accepts the reference's G/M/K suffixes.
+- ``--format``: json | csv | tsv | parquet | orc  (XML has no Spark
+  writer; the reference's TSV is csv with a tab separator).
+- ``--threads`` maps to local[] parallelism (on a cluster, submit with
+  spark-submit and the flag is ignored in favor of the cluster's
+  executors — generation parallelism follows partitions either way).
+- with no ``--output``, prints ``--show`` rows to stdout (the
+  quick-look mode Synth.java lacks but NiFi's provenance view plays).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_count(s: str) -> int:
+    s = s.strip().upper()
+    mult = 1
+    if s and s[-1] in "KMG":
+        mult = {"K": 1_000, "M": 1_000_000, "G": 1_000_000_000}[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m nifi_datasynthesizer_spark",
+        description="Generate synthetic records from a log-synth schema "
+                    "(Synth.java CLI parity, Spark execution)")
+    ap.add_argument("--schema", required=True,
+                    help="log-synth schema JSON file")
+    ap.add_argument("--count", default="1K",
+                    help="row count, K/M/G suffixes accepted (default 1K)")
+    ap.add_argument("--format", default="json",
+                    choices=["json", "csv", "tsv", "parquet", "orc"])
+    ap.add_argument("--output", default=None,
+                    help="output directory (omit to print --show rows)")
+    ap.add_argument("--threads", type=int, default=None,
+                    help="local[] parallelism (default: all cores)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--show", type=int, default=20,
+                    help="rows to print when no --output is given")
+    args = ap.parse_args(argv)
+
+    with open(args.schema) as fh:
+        schema = json.load(fh)
+    n = _parse_count(args.count)
+
+    from . import get_spark, io as nio, synthesize
+    master = f"local[{args.threads}]" if args.threads else None
+    spark = get_spark(app="synth-cli", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = synthesize(spark, schema, n, seed=args.seed)
+    if args.output is None:
+        df.show(args.show, truncate=False)
+    elif args.format == "tsv":
+        # reference TSV = csv with a tab separator
+        d = df
+        d.write.mode("overwrite").option("sep", "\t") \
+            .option("header", "true").csv(args.output)
+    else:
+        nio.write(df, args.output, fmt=args.format)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

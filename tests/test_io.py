@@ -54,6 +54,14 @@ def test_write_partitioned(spark, small_df, tmp_path):
         assert 1 <= n <= 8, (d, n)
 
 
+def test_cli_count_parsing():
+    from nifi_datasynthesizer_spark.__main__ import _parse_count
+    assert _parse_count("2K") == 2_000
+    assert _parse_count("3M") == 3_000_000
+    assert _parse_count("1G") == 1_000_000_000
+    assert _parse_count("750") == 750
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     """Both sides bucketed on the join key with equal bucket counts →
     the sort-merge join runs with NO exchange on either side (the
