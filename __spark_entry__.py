@@ -231,7 +231,7 @@ _WINDOW_R4 = [
     # backfill: r2-greens demoted from the re-prove set, then r3
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
-    "synth_weblog_lines", "media_frames", "text_embed", "corpus_stats",
+    "synth_weblog_lines", "events_transitions", "media_frames", "text_embed", "corpus_stats",
     "corpus_clean",
     "dedup_minhash",
     "dedup_groups", "dedup_cross", "dedup_containment",
@@ -1344,6 +1344,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderpriority").orderBy("o_orderpriority")
     q["sketch_bloom"] = sketch_bloom
 
+    def events_transitions(spark, sf):
+        """Markov transition matrix over per-user event sequences
+        (path analysis): one user-key shuffle for the lag window, a
+        |states|² count, integer-ppm row probabilities."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            transition_matrix
+        ev = _t(spark, sf, "events")
+        return transition_matrix(ev).orderBy("src", "dst")
+    q["events_transitions"] = events_transitions
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -1908,6 +1918,18 @@ SELECT segment, COUNT(*) AS n, CAST(SUM(qty) AS BIGINT) AS sum_qty,
          AS price_cents,
        COUNT(DISTINCT state) AS n_states
 FROM g GROUP BY segment ORDER BY segment"""
+
+    o["events_transitions"] = """
+WITH s AS (SELECT event_type AS src,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                    AS dst
+           FROM events),
+p AS (SELECT src, dst, COUNT(*) AS n FROM s
+      WHERE dst IS NOT NULL GROUP BY src, dst),
+t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_n FROM p GROUP BY src)
+SELECT src, dst, n, CAST(FLOOR(n * 1000000 / row_n) AS BIGINT) AS p_ppm
+FROM p JOIN t USING (src) ORDER BY src, dst"""
 
     o["events_scd2"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 86400000000 AS vfrom,

@@ -159,6 +159,32 @@ def funnel_steps(events: DataFrame, steps: list[str], key: str = "user_id",
             .filter(F.col("max_step") > 0))
 
 
+def transition_matrix(events: DataFrame, key: str = "user_id",
+                      ts: str = "ts", state: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """Event path analysis: the Markov transition matrix over
+    consecutive per-user event types — 'what do users do AFTER a
+    view?' — plus row-normalized probabilities in integer ppm.
+
+    Plan shape: ONE shuffle on the user key for the lag window (the
+    same partitioning sessionization uses), then a map-side-combined
+    count to the |states|² matrix and a tiny broadcast-back of row
+    totals.  Ties in ``ts`` break on the event id, so the sequence —
+    and the matrix — is deterministic under any partitioning.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(id_col))
+    seq = events.select(
+        F.col(state).alias("src"),
+        F.lag(state, -1).over(w).alias("dst"))
+    pairs = (seq.filter(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count("*").alias("n")))
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("row_n"))
+    return (pairs.join(F.broadcast(totals), "src")
+            .select("src", "dst", "n",
+                    F.floor(F.col("n") * 1_000_000 / F.col("row_n"))
+                    .cast("long").alias("p_ppm")))
+
+
 def ohlc(events: DataFrame, key: str = "user_id", ts: str = "ts",
          value: str = "value", id_col: str = "event_id",
          bucket_s: int = 86400) -> DataFrame:

@@ -83,6 +83,26 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_transition_matrix_planted(spark):
+    from nifi_datasynthesizer_spark.operators.temporal import \
+        transition_matrix
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, u, t0 + dt.timedelta(minutes=i), s)
+            for i, (u, s) in enumerate([
+                (1, "view"), (1, "view"), (1, "buy"),
+                (2, "view"), (2, "buy"), (2, "view")])]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "event_type"])
+    got = {(r.src, r.dst): (r.n, r.p_ppm)
+           for r in transition_matrix(ev).collect()}
+    # user1: view->view, view->buy; user2: view->buy, buy->view
+    assert got[("view", "view")] == (1, 333333)
+    assert got[("view", "buy")] == (2, 666666)
+    assert got[("buy", "view")] == (1, 1_000_000)
+    assert ("buy", "buy") not in got
+
+
 def test_geo_near_pairs_planted(spark):
     from nifi_datasynthesizer_spark.operators.geo import near_pairs
     # ~0.01 deg apart (same cell or neighbors) vs a far point; pair
