@@ -231,7 +231,7 @@ _WINDOW_R4 = [
     # backfill: r2-greens demoted from the re-prove set, then r3
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
-    "synth_weblog_lines", "events_transitions", "media_frames", "text_embed", "corpus_stats",
+    "synth_weblog_lines", "events_transitions", "ann_pq", "media_frames", "text_embed", "corpus_stats",
     "corpus_clean",
     "dedup_minhash",
     "dedup_groups", "dedup_cross", "dedup_containment",
@@ -977,6 +977,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              m=8, k=16, iters=1)
                 .orderBy("vec_id"))
     q["embed_pq"] = embed_pq
+
+    def ann_pq(spark, sf):
+        """ADC top-k over PQ codes: per-query m×k LUT literal +
+        m lookups/adds per corpus row — corpus never shuffled,
+        exact-integer ranks."""
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return (CL.pq_search(emb, queries_df, k_top=10, m=8, k=16,
+                             iters=1)
+                .orderBy("query_id", "rank"))
+    q["ann_pq"] = ann_pq
 
     def embed_pca(spark, sf):
         """Distributed power-iteration PCA: per-vector projection onto
@@ -1758,6 +1770,8 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["dedup_semantic"] = OR.semantic_dedup_sql(k=8, iters=2,
                                                 threshold=0.4, dim=64)
     o["embed_pq"] = OR.pq_encode_sql(m=8, k=16, iters=1, dim=64)
+    o["ann_pq"] = OR.pq_search_sql("vec_id < 5", k_top=10, m=8, k=16,
+                                   iters=1, dim=64)
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)

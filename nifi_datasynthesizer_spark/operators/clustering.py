@@ -136,36 +136,15 @@ def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
             .select("vec_id", "cluster", "dist_q"))
 
 
-def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
-              vec_col: str = "embedding") -> DataFrame:
-    """Product quantization: split each vector into ``m`` sub-vectors,
-    k-means each subspace independently, store the per-subspace
-    centroid index — ``dim`` floats become ``m`` small codes per
-    vector (the 32× memory step that lets billion-vector ANN indexes
-    fit in RAM; IVF-PQ = ann_ivf's cells + these codes for in-cell
-    asymmetric distances).
-
-    Plan shape: codebook training is ``m × iters`` narrow
-    aggregations, each reducing to k rows of ``sub``-dim integer sums
-    (the collect-k-literals pattern of cluster_embeddings; at 100 TB
-    train on a sample like similarity.kmeans_centroids — the encode
-    pass is the full-corpus work and it is a single narrow projection
-    with all m codebooks bound as plan literals).  Exactness: integer
-    micro-unit arithmetic end-to-end, first-k init, floor(sum/cnt)
-    refresh — DuckDB replays codes and distortions bit-exactly.
-    Returns (vec_id, pq_code 'c0,...,cm-1', dist_q = Σ subspace
-    distortion in micro-unit²).
-    """
-    dim = len(emb.select(vec_col).first()[0])
-    sub = dim // m
-    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
-    # ONE init collect serves all m codebooks (slices of the same
-    # first-k rows), and each Lloyd pass trains ALL subspaces in ONE
-    # job: the per-subspace assignments are independent narrow
-    # expressions, so they stack into an exploded (s, cluster, d, v)
-    # frame whose partial sums shuffle m·k·sub rows total.  Per-
-    # subspace loops cost ~3 driver jobs each (24 for m=8) — pure
-    # scheduling/codegen overhead repeated per subspace.
+def _pq_train(quant, m: int, k: int, iters: int,
+              sub: int) -> list[list[list[int]]]:
+    """Train the m per-subspace codebooks.  ONE init collect serves
+    all m codebooks (slices of the same first-k rows), and each Lloyd
+    pass trains ALL subspaces in ONE job: the per-subspace assignments
+    are independent narrow expressions, so they stack into an exploded
+    (s, cluster, d, v) frame whose partial sums shuffle m·k·sub rows
+    total.  (Per-subspace loops cost ~3 driver jobs each — 24 for m=8
+    — pure scheduling/codegen overhead repeated per subspace.)"""
     first = quant.orderBy("vec_id").limit(k).collect()
     books: list[list[list[int]]] = [
         [list(r.xi)[s * sub:(s + 1) * sub] for r in first]
@@ -195,6 +174,33 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
              if (s, j) in sums else books[s][j]
              for j in range(k)]
             for s in range(m)]
+    return books
+
+
+def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
+              vec_col: str = "embedding") -> DataFrame:
+    """Product quantization: split each vector into ``m`` sub-vectors,
+    k-means each subspace independently, store the per-subspace
+    centroid index — ``dim`` floats become ``m`` small codes per
+    vector (the 32× memory step that lets billion-vector ANN indexes
+    fit in RAM; IVF-PQ = ann_ivf's cells + these codes for in-cell
+    asymmetric distances).
+
+    Plan shape: codebook training is ``m × iters`` narrow
+    aggregations, each reducing to k rows of ``sub``-dim integer sums
+    (the collect-k-literals pattern of cluster_embeddings; at 100 TB
+    train on a sample like similarity.kmeans_centroids — the encode
+    pass is the full-corpus work and it is a single narrow projection
+    with all m codebooks bound as plan literals).  Exactness: integer
+    micro-unit arithmetic end-to-end, first-k init, floor(sum/cnt)
+    refresh — DuckDB replays codes and distortions bit-exactly.
+    Returns (vec_id, pq_code 'c0,...,cm-1', dist_q = Σ subspace
+    distortion in micro-unit²).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // m
+    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+    books = _pq_train(quant, m, k, iters, sub)
     structs = [
         F.expr(_argmin_sql(
             _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
@@ -207,6 +213,67 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
     return step.select("vec_id",
                        F.expr(f"concat_ws(',', {code_cat})").alias("pq_code"),
                        F.expr(dist_sum).alias("dist_q"))
+
+
+def pq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
+              m: int = 8, k: int = 16, iters: int = 1,
+              vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the
+    billion-scale ANN scoring shape: the corpus exists only as ``m``
+    codes per vector; each query precomputes an m×k lookup table of
+    exact sub-distances to every centroid ONCE (tiny: books and the
+    query are both driver-sized), and scoring the whole corpus is
+    then ``m`` array lookups + adds per row — no per-row vector
+    arithmetic at all, which is PQ's point (memory bandwidth, not
+    FLOPs).
+
+    Plan shape: encode = one narrow projection (codebook literals);
+    scoring = broadcast the (query_id, LUT) frame across the coded
+    corpus; top-k = window rank shuffled on query_id only — the
+    corpus is never shuffled (same skeleton as ann_bruteforce).  All
+    arithmetic is exact int64 micro-units, so DuckDB replays ranks
+    bit-exactly.  Returns (query_id, cand_id, adc_q, rank).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // m
+    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+    books = _pq_train(quant, m, k, iters, sub)
+
+    structs = [
+        F.expr(_argmin_sql(
+            _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
+        .alias(f"__m{s}")
+        for s in range(m)]
+    coded = (quant.select("vec_id", *structs)
+             .select(F.col("vec_id").alias("cand_id"),
+                     *[F.expr(f"CAST(__m{s}.j AS INT)").alias(f"c{s}")
+                       for s in range(m)]))
+
+    spark = emb.sparkSession
+    qrows = (queries.select("vec_id",
+                            _quantize(F.col(vec_col)).alias("xi"))
+             .orderBy("vec_id").collect())
+    luts = []
+    for r in qrows:
+        xi = list(r.xi)
+        flat = []
+        for s in range(m):
+            qs = xi[s * sub:(s + 1) * sub]
+            for c in books[s]:
+                flat.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
+        luts.append((int(r.vec_id), flat))
+    qdf = spark.createDataFrame(luts, ["query_id", "lut"])
+    score = " + ".join(f"element_at(lut, {s * k} + c{s} + 1)"
+                       for s in range(m))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
+                                               F.asc("cand_id"))
+    return (coded.crossJoin(F.broadcast(qdf))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn("adc_q", F.expr(score))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_top)
+            .select("query_id", "cand_id", "adc_q", "rank"))
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,

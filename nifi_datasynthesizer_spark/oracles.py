@@ -658,10 +658,11 @@ SELECT a, b, cluster, cosine FROM cos
 WHERE cosine >= {threshold} ORDER BY a, b"""
 
 
-def pq_encode_sql(m: int = 8, k: int = 16, iters: int = 1, dim: int = 64,
-                  table: str = "embeddings") -> str:
-    """Mirror of clustering.pq_encode: per-subspace Lloyd chains over
-    list_slice sub-vectors, then the joined code/distortion output."""
+def _pq_parts(m: int, k: int, iters: int, dim: int,
+              table: str) -> tuple[list, int]:
+    """Shared CTE chain for the PQ oracles: codebook training + the
+    per-subspace code/dist frames f{s}; final codebooks are
+    cb{s}_{iters}."""
     sub = dim // m
 
     def dist(xi: str, c: str) -> str:
@@ -706,6 +707,14 @@ cb{s}_{it} AS (SELECT {prev}.j, COALESCE(n{s}_{it}.c, {prev}.c) AS c
                                              {prev}.j) AS rn
           FROM xs{s} CROSS JOIN {prev}) WHERE rn = 1)""")
         finals.append(f"f{s}")
+    return parts, sub
+
+
+def pq_encode_sql(m: int = 8, k: int = 16, iters: int = 1, dim: int = 64,
+                  table: str = "embeddings") -> str:
+    """Mirror of clustering.pq_encode: per-subspace Lloyd chains over
+    list_slice sub-vectors, then the joined code/distortion output."""
+    parts, _ = _pq_parts(m, k, iters, dim, table)
     code_cat = " || ',' || ".join(
         f"CAST(f{s}.code AS VARCHAR)" for s in range(m))
     dist_sum = " + ".join(f"f{s}.dist" for s in range(m))
@@ -714,6 +723,40 @@ cb{s}_{it} AS (SELECT {prev}.j, COALESCE(n{s}_{it}.c, {prev}.c) AS c
 WITH {', '.join(parts)}
 SELECT vec_id, {code_cat} AS pq_code, CAST({dist_sum} AS BIGINT) AS dist_q
 FROM f0 {joins} ORDER BY vec_id"""
+
+
+def pq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
+                  m: int = 8, k: int = 16, iters: int = 1, dim: int = 64,
+                  table: str = "embeddings") -> str:
+    """Mirror of clustering.pq_search (ADC): the SAME codebook chain,
+    per-(query, cand) distance summed from the query's sub-vector to
+    the centroid each code points at."""
+    parts, sub = _pq_parts(m, k, iters, dim, table)
+
+    def dist(xi: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, {sub + 1}), "
+                f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))")
+
+    code_cols = ", ".join(f"f{s}.code AS c{s}" for s in range(m))
+    joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+    bjoins = " ".join(f"JOIN cb{s}_{iters} b{s} ON b{s}.j = codes.c{s}"
+                      for s in range(m))
+    adc = " + ".join(
+        dist(f"list_slice(q.xi, {s * sub + 1}, {(s + 1) * sub})", f"b{s}.c")
+        for s in range(m))
+    return f"""
+WITH {', '.join(parts)},
+codes AS (SELECT f0.vec_id AS cand_id, {code_cols} FROM f0 {joins}),
+q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
+scored AS (SELECT q.query_id, codes.cand_id,
+                  CAST({adc} AS BIGINT) AS adc_q
+           FROM q CROSS JOIN codes {bjoins}
+           WHERE codes.cand_id <> q.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_q, cand_id) AS rank
+      FROM scored)
+SELECT query_id, cand_id, adc_q, rank FROM r
+WHERE rank <= {k_top} ORDER BY query_id, rank"""
 
 
 def corpus_shuffle_sql(shards: int = 8, salt: int = 0,

@@ -83,6 +83,22 @@ def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     assert got == want
 
 
+def test_pq_search_planted(spark):
+    from nifi_datasynthesizer_spark.operators.clustering import pq_search
+    # 2 tight clusters in 4-d; query 0's nearest by ADC must be its
+    # cluster-mates, and exact-duplicate vectors get adc_q == 0's
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]), (4, [0.0, 0.0, 0.9, 0.1])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.rank: (r.cand_id, r.adc_q) for r in
+           pq_search(emb, emb.filter("vec_id = 0"), k_top=4,
+                     m=2, k=2, iters=1).collect()}
+    assert got[1][0] == 1 and got[1][1] == 0   # identical vector first
+    assert got[2][0] == 2                       # then the near one
+    assert set(got[r][0] for r in (3, 4)) == {3, 4}
+
+
 def test_transition_matrix_planted(spark):
     from nifi_datasynthesizer_spark.operators.temporal import \
         transition_matrix

@@ -99,6 +99,16 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_ann_pq_corpus_never_shuffled(spark):
+    """ADC scoring must broadcast the query-LUT side; the only
+    hash shuffle is the query_id top-k window."""
+    df = entrymod.queries()["ann_pq"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" in p        # tiny LUT frame
+    shuffles = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    assert shuffles and all("query_id#" in ln for ln in shuffles), shuffles
+
+
 def test_geo_near_blocks_on_cell(spark):
     """The spatial self-join must equi-join on the grid cell (cx, cy)
     — never a cartesian/theta join; the 3×3 explode is constant
