@@ -41,11 +41,16 @@ def near_pairs(points: DataFrame, radius_udeg: int = 50_000,
     """Unordered pairs (a < b) of points within ``radius_udeg``
     micro-degrees (equirectangular), via cell blocking.
 
-    Cell edge = radius, so a qualifying pair is never more than one
-    cell apart in either axis: the left side explodes to its 3×3
-    neighborhood (9 rows — constant amplification), the right side
-    stays put, and the equi-join on (cx, cy) finds each candidate
-    exactly once.  One shuffle on the cell id.
+    Cell edge = radius.  Latitude delta of a qualifying pair is ≤
+    radius → ±1 cell in y; the longitude DELTA however passes the
+    compressed-distance filter up to ``radius / cos(lat)`` raw
+    micro-degrees — 1.56·radius at 50°N — so x needs ±2 cells (a
+    0.9/2.4-cell pair differs by 2 indexes).  The left side explodes
+    to its 5×3 neighborhood (15 rows — constant amplification), the
+    right side stays put, and the equi-join on (cx, cy) finds each
+    candidate exactly once.  One shuffle on the cell id.  The ±2
+    bound holds for |lat| ≤ 60° (1/cos ≤ 2); widen ``xr`` for polar
+    data.
     """
     lat_u = F.floor(F.col(lat_col) * UDEG).cast("long")
     lon_u = F.floor(F.col(lon_col) * UDEG).cast("long")
@@ -57,7 +62,7 @@ def near_pairs(points: DataFrame, radius_udeg: int = 50_000,
                      cx.alias("cx"), cy.alias("cy"))
     off = F.explode(F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+        for dx in (-2, -1, 0, 1, 2) for dy in (-1, 0, 1)])).alias("o")
     left = (cells.select("pid", "lat_u", "lon_u", "cx", "cy", off)
             .select(F.col("pid").alias("a"),
                     F.col("lat_u").alias("lat_a"),

@@ -1258,7 +1258,7 @@ def geo_near_sql(points_sql: str, radius_udeg: int = 50_000,
     """Mirror of geo.near_pairs over a generated point set."""
     from .operators.geo import _COSLAT_Q, UDEG
     ctab = "[" + ",".join(str(v) for v in _COSLAT_Q) + "]"
-    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-2, -1, 0, 1, 2)
                      for dy in (-1, 0, 1))
     adj = (f"((abs(lon_a - lon_b) * ({ctab})[CAST(LEAST("
            f"FLOOR(abs(lat_a + lat_b) / {2 * UDEG}), 89) AS INT) + 1])"
