@@ -231,7 +231,8 @@ _WINDOW_R4 = [
     # backfill: r2-greens demoted from the re-prove set, then r3
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
-    "synth_weblog_lines", "events_transitions", "ann_pq", "media_frames", "text_embed", "corpus_stats",
+    "synth_weblog_lines", "events_transitions", "ann_pq", "ann_ivfpq",
+    "media_frames", "text_embed", "corpus_stats",
     "corpus_clean",
     "dedup_minhash",
     "dedup_groups", "dedup_cross", "dedup_containment",
@@ -989,6 +990,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              iters=1)
                 .orderBy("query_id", "rank"))
     q["ann_pq"] = ann_pq
+
+    def ann_ivfpq(spark, sf):
+        """IVF-PQ: coarse cells gate which PQ codes each query
+        ADC-scores (|corpus|·n_probe/n_cells work, m bytes/vector
+        read) — the production billion-scale composition."""
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return (CL.ivfpq_search(emb, queries_df, k_top=10, n_cells=16,
+                                n_probe=4, m=8, k=16, iters=1)
+                .orderBy("query_id", "rank"))
+    q["ann_ivfpq"] = ann_ivfpq
 
     def embed_pca(spark, sf):
         """Distributed power-iteration PCA: per-vector projection onto
@@ -1772,6 +1785,9 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["embed_pq"] = OR.pq_encode_sql(m=8, k=16, iters=1, dim=64)
     o["ann_pq"] = OR.pq_search_sql("vec_id < 5", k_top=10, m=8, k=16,
                                    iters=1, dim=64)
+    o["ann_ivfpq"] = OR.ivfpq_search_sql("vec_id < 5", k_top=10,
+                                         n_cells=16, n_probe=4, m=8,
+                                         k=16, iters=1, dim=64)
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)

@@ -276,6 +276,83 @@ def pq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
             .select("query_id", "cand_id", "adc_q", "rank"))
 
 
+def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
+                 n_cells: int = 16, n_probe: int = 4, m: int = 8,
+                 k: int = 16, iters: int = 1,
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the production billion-scale ANN composition — a
+    coarse k-means partitions the corpus into ``n_cells`` inverted
+    lists; a query probes only its ``n_probe`` nearest cells and
+    ADC-scores the PQ codes inside them.  Work per query drops from
+    |corpus| to ~|corpus|·n_probe/n_cells, and the scored side reads
+    codes (m bytes/vector), not vectors.
+
+    Plan shape: ONE narrow projection emits (cell, codes) for the
+    whole corpus (coarse argmin + m PQ argmins, all centroid
+    literals); the probe gating is an equi-JOIN on the cell id with
+    the broadcast (query, probed-cell, LUT) frame — no query-dependent
+    filter expressions, no corpus shuffle; top-k is the query_id
+    window.  This variant encodes raw vectors (residual encoding
+    refines recall at the cost of per-cell LUTs — same plumbing, m×k
+    LUT per probed cell).  All-integer micro-units: DuckDB replays
+    ranks bit-exactly.  Returns (query_id, cand_id, adc_q, rank).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // m
+    quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+
+    # coarse quantizer: same deterministic Lloyd loop as
+    # cluster_embeddings (first-k init, posexplode update)
+    coarse = [list(r.xi) for r in
+              quant.orderBy("vec_id").limit(n_cells).collect()]
+    for _ in range(iters):
+        coarse = _update(_assign(quant, coarse), "xi", coarse, dim)
+    books = _pq_train(quant, m, k, iters, sub)
+
+    cell_am = _argmin_sql(_dists_sql("xi", coarse), n_cells)
+    structs = [
+        F.expr(_argmin_sql(
+            _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
+        .alias(f"__m{s}")
+        for s in range(m)]
+    coded = (quant.select("vec_id", F.expr(cell_am).alias("__cell"),
+                          *structs)
+             .select(F.col("vec_id").alias("cand_id"),
+                     F.expr("CAST(__cell.j AS INT)").alias("cell"),
+                     *[F.expr(f"CAST(__m{s}.j AS INT)").alias(f"c{s}")
+                       for s in range(m)]))
+
+    qrows = (queries.select("vec_id",
+                            _quantize(F.col(vec_col)).alias("xi"))
+             .orderBy("vec_id").collect())
+    probe_rows = []
+    for r in qrows:
+        xi = list(r.xi)
+        flat = []
+        for s in range(m):
+            qs = xi[s * sub:(s + 1) * sub]
+            for c in books[s]:
+                flat.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
+        cell_d = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(xi, c)), j)
+            for j, c in enumerate(coarse))
+        for _, cell in cell_d[:n_probe]:
+            probe_rows.append((int(r.vec_id), int(cell), flat))
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(probe_rows, ["query_id", "cell", "lut"])
+    score = " + ".join(f"element_at(lut, {s * k} + c{s} + 1)"
+                       for s in range(m))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
+                                               F.asc("cand_id"))
+    return (coded.join(F.broadcast(qdf), "cell")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn("adc_q", F.expr(score))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_top)
+            .select("query_id", "cand_id", "adc_q", "rank"))
+
+
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
                    threshold: float = 0.8,
                    vec_col: str = "embedding") -> DataFrame:

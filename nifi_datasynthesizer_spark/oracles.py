@@ -590,22 +590,15 @@ FROM sc WHERE score_q4 > 0
 QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
-def cluster_embeddings_sql(k: int = 8, iters: int = 2, dim: int = 64,
-                           table: str = "embeddings") -> str:
-    """Mirror of clustering.cluster_embeddings: the Lloyd iterations
-    unroll into CTE chains (assign_i -> update_i).  All-integer
-    micro-unit arithmetic, so every step replays exactly; the
-    centroid refresh floor(sum/count) is the same single IEEE double
-    division both engines perform."""
+def _km_parts(k: int, iters: int, dim: int) -> list:
+    """Shared CTE chain for the k-means oracles: x (quantized
+    vectors, shared with _pq_parts), c{i} codebooks, fin (final
+    assignment distances).  Callers select assignment from fin."""
     def dist(xi: str, c: str) -> str:
         return (f"list_sum(list_transform(range(1, {dim + 1}), "
                 f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))")
 
-    parts = [f"""x AS (SELECT vec_id,
-  list_transform(embedding,
-                 v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xi
-  FROM {table}),
-c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, xi AS c
+    parts = [f"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, xi AS c
        FROM (SELECT vec_id, xi FROM x ORDER BY vec_id LIMIT {k}))"""]
     prev = "c0"
     for i in range(1, iters + 1):
@@ -629,6 +622,24 @@ c{i} AS (SELECT {prev}.j, COALESCE(n{i}.c, {prev}.c) AS c
     parts.append(f"""fin AS (SELECT x.vec_id, {prev}.j,
         {dist('x.xi', f'{prev}.c')} AS dist
         FROM x CROSS JOIN {prev})""")
+    return parts
+
+
+def _x_part(table: str) -> str:
+    return f"""x AS (SELECT vec_id,
+  list_transform(embedding,
+                 v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+  FROM {table})"""
+
+
+def cluster_embeddings_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                           table: str = "embeddings") -> str:
+    """Mirror of clustering.cluster_embeddings: the Lloyd iterations
+    unroll into CTE chains (assign_i -> update_i).  All-integer
+    micro-unit arithmetic, so every step replays exactly; the
+    centroid refresh floor(sum/count) is the same single IEEE double
+    division both engines perform."""
+    parts = [_x_part(table)] + _km_parts(k, iters, dim)
     return f"""
 WITH {', '.join(parts)}
 SELECT vec_id, CAST(j AS INT) AS cluster, CAST(dist AS BIGINT) AS dist_q
@@ -751,6 +762,59 @@ q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
 scored AS (SELECT q.query_id, codes.cand_id,
                   CAST({adc} AS BIGINT) AS adc_q
            FROM q CROSS JOIN codes {bjoins}
+           WHERE codes.cand_id <> q.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_q, cand_id) AS rank
+      FROM scored)
+SELECT query_id, cand_id, adc_q, rank FROM r
+WHERE rank <= {k_top} ORDER BY query_id, rank"""
+
+
+def ivfpq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
+                     n_cells: int = 16, n_probe: int = 4, m: int = 8,
+                     k: int = 16, iters: int = 1, dim: int = 64,
+                     table: str = "embeddings") -> str:
+    """Mirror of clustering.ivfpq_search: shared x + coarse k-means
+    chain (_km_parts) + PQ chain (_pq_parts, minus its duplicate x);
+    probe gating is the per-query top-n_probe cells, scoring joins
+    codes to PQ centroids."""
+    km = _km_parts(n_cells, iters, dim)
+    pq, sub = _pq_parts(m, k, iters, dim, table)
+
+    def dist(xi: str, c: str, n: int) -> str:
+        return (f"list_sum(list_transform(range(1, {n + 1}), "
+                f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))")
+
+    code_cols = ", ".join(f"f{s}.code AS c{s}" for s in range(m))
+    joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+    bjoins = " ".join(f"JOIN cb{s}_{iters} b{s} ON b{s}.j = codes.c{s}"
+                      for s in range(m))
+    adc = " + ".join(
+        dist(f"list_slice(q.xi, {s * sub + 1}, {(s + 1) * sub})",
+             f"b{s}.c", sub)
+        for s in range(m))
+    parts = [_x_part(table)] + km + pq[1:]
+    return f"""
+WITH {', '.join(parts)},
+asg AS (SELECT vec_id, j AS cell FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, j) AS rn FROM fin)
+        WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
+probes AS (SELECT query_id, j AS cell FROM (
+             SELECT q.query_id, cc.j,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY q.query_id
+                      ORDER BY {dist('q.xi', 'cc.c', dim)}, cc.j) AS rn
+             FROM q CROSS JOIN c{iters} cc)
+           WHERE rn <= {n_probe}),
+codes AS (SELECT f0.vec_id AS cand_id, {code_cols} FROM f0 {joins}),
+scored AS (SELECT q.query_id, codes.cand_id,
+                  CAST({adc} AS BIGINT) AS adc_q
+           FROM q JOIN probes USING (query_id)
+                JOIN asg ON asg.cell = probes.cell
+                JOIN codes ON codes.cand_id = asg.vec_id
+                {bjoins}
            WHERE codes.cand_id <> q.query_id),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc_q, cand_id) AS rank

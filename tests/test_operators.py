@@ -99,6 +99,24 @@ def test_pq_search_planted(spark):
     assert set(got[r][0] for r in (3, 4)) == {3, 4}
 
 
+def test_ivfpq_search_planted(spark):
+    from nifi_datasynthesizer_spark.operators.clustering import ivfpq_search
+    # two far clusters; probing 1 of 2 cells must return only the
+    # query's own cluster-mates, nearest (identical vector) first
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]), (4, [0.0, 0.0, 0.9, 0.1])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [(r.rank, r.cand_id, r.adc_q) for r in
+           ivfpq_search(emb, emb.filter("vec_id = 0"), k_top=4,
+                        n_cells=2, n_probe=1, m=2, k=2,
+                        iters=1).collect()]
+    cands = {c for _, c, _ in got}
+    assert got[0][1] == 1 and got[0][2] == 0
+    assert cands <= {1, 2}          # far cell never scored
+    assert 3 not in cands and 4 not in cands
+
+
 def test_transition_matrix_planted(spark):
     from nifi_datasynthesizer_spark.operators.temporal import \
         transition_matrix

@@ -99,6 +99,20 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_ann_ivfpq_gates_on_cell(spark):
+    """IVF-PQ's probe gating must be a broadcast equi-join on the
+    cell id (no query-dependent corpus filter, no corpus shuffle);
+    only the query_id top-k window shuffles."""
+    df = entrymod.queries()["ann_ivfpq"](spark, SF)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p
+    join_keys = [ln for ln in p.splitlines()
+                 if "Left keys" in ln or "Right keys" in ln]
+    assert any("cell#" in ln for ln in join_keys), join_keys
+    shuffles = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    assert shuffles and all("query_id#" in ln for ln in shuffles), shuffles
+
+
 def test_ann_pq_corpus_never_shuffled(spark):
     """ADC scoring must broadcast the query-LUT side; the only
     hash shuffle is the query_id top-k window."""
