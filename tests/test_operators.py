@@ -99,6 +99,43 @@ def test_pq_search_planted(spark):
     assert set(got[r][0] for r in (3, 4)) == {3, 4}
 
 
+def test_triangles_matches_bruteforce_random(spark):
+    """Degree-ordered enumeration equals brute force on a seeded
+    random graph (the orientation math is easy to get subtly wrong)."""
+    import itertools
+    import random
+    from nifi_datasynthesizer_spark.operators.graph import triangles
+    rnd = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted({tuple(sorted(rnd.sample(nodes, 2)))
+                    for _ in range(120)})
+    eset = set(edges)
+    want = {(a, b, c) for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset}
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = {(r.a, r.b, r.c) for r in triangles(pairs).collect()}
+    assert got == want
+
+
+def test_bloom_never_misses_random(spark):
+    """Property: every true member passes the bloom for several
+    (m_bits, k_hashes) shapes and key sets."""
+    from nifi_datasynthesizer_spark.operators.sketches import \
+        bloom_semi_join_stats
+    import random
+    rnd = random.Random(3)
+    for m_bits, kh in ((512, 3), (1024, 5), (4096, 7)):
+        keys = sorted(rnd.sample(range(100_000), 40))
+        kdf = spark.createDataFrame([(k,) for k in keys], ["k"])
+        fact = spark.createDataFrame(
+            [(k, "g") for k in keys + list(range(200, 260))],
+            ["fk", "grp"])
+        out = bloom_semi_join_stats(fact, kdf, "fk", "k", "grp",
+                                    m_bits=m_bits, k_hashes=kh).collect()[0]
+        assert out.n_false_neg == 0, (m_bits, kh)
+        assert out.n_exact == 40
+
+
 def test_ivfpq_search_planted(spark):
     from nifi_datasynthesizer_spark.operators.clustering import ivfpq_search
     # two far clusters; probing 1 of 2 cells must return only the

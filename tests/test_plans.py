@@ -99,6 +99,16 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
     assert all("tb#" in ln for ln in key_lines), key_lines
 
 
+def test_sketch_merge_reads_cached_registers(spark):
+    """The group/all scopes must MAX-merge the pinned daily register
+    frame (InMemory scans), not re-hash the corpus per scope."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    df = entrymod.queries()["sketch_merge"](spark, SF)
+    p = _plan(df)
+    release_caches()
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
 def test_ann_ivfpq_gates_on_cell(spark):
     """IVF-PQ's probe gating must be a broadcast equi-join on the
     cell id (no query-dependent corpus filter, no corpus shuffle);
