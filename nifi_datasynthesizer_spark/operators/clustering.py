@@ -287,14 +287,16 @@ def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     |corpus| to ~|corpus|·n_probe/n_cells, and the scored side reads
     codes (m bytes/vector), not vectors.
 
-    Plan shape: ONE narrow projection emits (cell, codes) for the
-    whole corpus (coarse argmin + m PQ argmins, all centroid
-    literals); the probe gating is an equi-JOIN on the cell id with
-    the broadcast (query, probed-cell, LUT) frame — no query-dependent
-    filter expressions, no corpus shuffle; top-k is the query_id
-    window.  This variant encodes raw vectors (residual encoding
-    refines recall at the cost of per-cell LUTs — same plumbing, m×k
-    LUT per probed cell).  All-integer micro-units: DuckDB replays
+    Plan shape: the corpus makes ONE narrow pass to (cell, residual)
+    — coarse argmin + integer subtraction against the coarse-centroid
+    literal the cell indexes — and a second narrow pass to m residual
+    PQ codes; the probe gating is an equi-JOIN on the cell id with
+    the broadcast (query, probed-cell, LUT) frame, where each probed
+    cell gets its own LUT from the query's residual in THAT cell (the
+    Jégou et al. residual construction — codes quantize x − c(cell),
+    so distances concentrate and recall rises vs raw-vector PQ).  No
+    query-dependent filter expressions, no corpus shuffle; top-k is
+    the query_id window.  All-integer micro-units: DuckDB replays
     ranks bit-exactly.  Returns (query_id, cand_id, adc_q, rank).
     """
     dim = len(emb.select(vec_col).first()[0])
@@ -307,18 +309,26 @@ def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
               quant.orderBy("vec_id").limit(n_cells).collect()]
     for _ in range(iters):
         coarse = _update(_assign(quant, coarse), "xi", coarse, dim)
-    books = _pq_train(quant, m, k, iters, sub)
 
+    coarse_arr = ("array(" + ",".join(
+        "array(" + ",".join(f"{v}L" for v in c) + ")" for c in coarse)
+        + ")")
     cell_am = _argmin_sql(_dists_sql("xi", coarse), n_cells)
+    resid = (quant
+             .select("vec_id", "xi",
+                     F.expr(f"CAST({cell_am}.j AS INT)").alias("cell"))
+             .select("vec_id", "cell",
+                     F.expr(f"zip_with(xi, element_at({coarse_arr}, "
+                            f"cell + 1), (a, b) -> a - b)").alias("xi")))
+    books = _pq_train(resid.select("vec_id", "xi"), m, k, iters, sub)
+
     structs = [
         F.expr(_argmin_sql(
             _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
         .alias(f"__m{s}")
         for s in range(m)]
-    coded = (quant.select("vec_id", F.expr(cell_am).alias("__cell"),
-                          *structs)
-             .select(F.col("vec_id").alias("cand_id"),
-                     F.expr("CAST(__cell.j AS INT)").alias("cell"),
+    coded = (resid.select("vec_id", "cell", *structs)
+             .select(F.col("vec_id").alias("cand_id"), "cell",
                      *[F.expr(f"CAST(__m{s}.j AS INT)").alias(f"c{s}")
                        for s in range(m)]))
 
@@ -328,15 +338,17 @@ def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     probe_rows = []
     for r in qrows:
         xi = list(r.xi)
-        flat = []
-        for s in range(m):
-            qs = xi[s * sub:(s + 1) * sub]
-            for c in books[s]:
-                flat.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
         cell_d = sorted(
             (sum((a - b) * (a - b) for a, b in zip(xi, c)), j)
             for j, c in enumerate(coarse))
         for _, cell in cell_d[:n_probe]:
+            qres = [a - b for a, b in zip(xi, coarse[cell])]
+            flat = []
+            for s in range(m):
+                qs = qres[s * sub:(s + 1) * sub]
+                for c in books[s]:
+                    flat.append(sum((a - b) * (a - b)
+                                    for a, b in zip(qs, c)))
             probe_rows.append((int(r.vec_id), int(cell), flat))
     spark = emb.sparkSession
     qdf = spark.createDataFrame(probe_rows, ["query_id", "cell", "lut"])

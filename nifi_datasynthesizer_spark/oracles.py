@@ -670,10 +670,11 @@ WHERE cosine >= {threshold} ORDER BY a, b"""
 
 
 def _pq_parts(m: int, k: int, iters: int, dim: int,
-              table: str) -> tuple[list, int]:
+              table: str, src: str = "x") -> tuple[list, int]:
     """Shared CTE chain for the PQ oracles: codebook training + the
     per-subspace code/dist frames f{s}; final codebooks are
-    cb{s}_{iters}."""
+    cb{s}_{iters}.  ``src`` names the (vec_id, xi) CTE the subspace
+    slices read — ``x`` for raw vectors, a residual CTE for IVF-PQ."""
     sub = dim // m
 
     def dist(xi: str, c: str) -> str:
@@ -687,7 +688,7 @@ def _pq_parts(m: int, k: int, iters: int, dim: int,
     finals = []
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
-        parts.append(f"""xs{s} AS (SELECT vec_id, list_slice(xi, {lo}, {hi}) AS xs FROM x),
+        parts.append(f"""xs{s} AS (SELECT vec_id, list_slice(xi, {lo}, {hi}) AS xs FROM {src}),
 cb{s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
                    xs AS c
             FROM (SELECT vec_id, xs FROM xs{s} ORDER BY vec_id LIMIT {k}))""")
@@ -774,12 +775,13 @@ def ivfpq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
                      n_cells: int = 16, n_probe: int = 4, m: int = 8,
                      k: int = 16, iters: int = 1, dim: int = 64,
                      table: str = "embeddings") -> str:
-    """Mirror of clustering.ivfpq_search: shared x + coarse k-means
-    chain (_km_parts) + PQ chain (_pq_parts, minus its duplicate x);
-    probe gating is the per-query top-n_probe cells, scoring joins
-    codes to PQ centroids."""
+    """Mirror of clustering.ivfpq_search (residual IVF-PQ): shared x +
+    coarse k-means chain (_km_parts) + residual CTE + PQ chain sourced
+    from the residuals; probe gating is the per-query top-n_probe
+    cells, and ADC distances use the query's residual in the PROBED
+    cell against the residual codebooks."""
     km = _km_parts(n_cells, iters, dim)
-    pq, sub = _pq_parts(m, k, iters, dim, table)
+    pq, sub = _pq_parts(m, k, iters, dim, table, src="xres")
 
     def dist(xi: str, c: str, n: int) -> str:
         return (f"list_sum(list_transform(range(1, {n + 1}), "
@@ -789,17 +791,24 @@ def ivfpq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
     joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
     bjoins = " ".join(f"JOIN cb{s}_{iters} b{s} ON b{s}.j = codes.c{s}"
                       for s in range(m))
+    # query residual w.r.t. the probed cell, sub-sliced per subspace
     adc = " + ".join(
-        dist(f"list_slice(q.xi, {s * sub + 1}, {(s + 1) * sub})",
-             f"b{s}.c", sub)
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"d -> (q.xi[{s * sub} + d] - qc.c[{s * sub} + d] - b{s}.c[d]) * "
+        f"(q.xi[{s * sub} + d] - qc.c[{s * sub} + d] - b{s}.c[d])))"
         for s in range(m))
-    parts = [_x_part(table)] + km + pq[1:]
-    return f"""
-WITH {', '.join(parts)},
-asg AS (SELECT vec_id, j AS cell FROM (
+    xres = f"""asg AS (SELECT vec_id, j AS cell FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY dist, j) AS rn FROM fin)
         WHERE rn = 1),
+xres AS (SELECT x.vec_id,
+                list_transform(range(1, {dim + 1}),
+                               d -> x.xi[d] - cc.c[d]) AS xi
+         FROM x JOIN asg ON asg.vec_id = x.vec_id
+                JOIN c{iters} cc ON cc.j = asg.cell)"""
+    parts = [_x_part(table)] + km + [xres] + pq[1:]
+    return f"""
+WITH {', '.join(parts)},
 q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
 probes AS (SELECT query_id, j AS cell FROM (
              SELECT q.query_id, cc.j,
@@ -812,6 +821,7 @@ codes AS (SELECT f0.vec_id AS cand_id, {code_cols} FROM f0 {joins}),
 scored AS (SELECT q.query_id, codes.cand_id,
                   CAST({adc} AS BIGINT) AS adc_q
            FROM q JOIN probes USING (query_id)
+                JOIN c{iters} qc ON qc.j = probes.cell
                 JOIN asg ON asg.cell = probes.cell
                 JOIN codes ON codes.cand_id = asg.vec_id
                 {bjoins}
