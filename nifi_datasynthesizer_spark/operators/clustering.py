@@ -42,16 +42,6 @@ def _quantize(col):
                        .cast("long"))
 
 
-def _dist_expr(x, cent: list[int]):
-    """Exact squared L2 distance between the bound int array column
-    and a centroid literal (built as one SQL string — F.lit per
-    element costs a py4j round-trip each)."""
-    c = F.expr("array(" + ",".join(f"{v}L" for v in cent) + ")")
-    return F.aggregate(
-        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-
 def _dists_sql(x_sql: str, cents: list[list[int]]) -> str:
     """SQL text for the array of exact squared L2 distances from an
     array expression to each centroid literal.  ONE string for the
