@@ -232,6 +232,7 @@ _WINDOW_R4 = [
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
     "synth_weblog_lines", "events_transitions", "ann_pq", "ann_ivfpq",
+    "corpus_bpe",
     "media_frames", "text_embed", "corpus_stats",
     "corpus_clean",
     "dedup_minhash",
@@ -902,6 +903,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "source", "samp_rank")
                 .orderBy("source", "samp_rank"))
     q["corpus_sample_k"] = corpus_sample_k
+
+    def corpus_bpe(spark, sf):
+        """Tokenizer training: the first 4 BPE merges learned from the
+        corpus word-frequency table (greedy-leftmost resegmentation,
+        deterministic tie-break) — merge table + symbol totals."""
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        return (CU.bpe_merges(_t(spark, sf, "documents"), rounds=4)
+                .orderBy("merge_round"))
+    q["corpus_bpe"] = corpus_bpe
 
     def corpus_decontaminate(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
@@ -1774,6 +1784,7 @@ SELECT doc_id, source, samp_rank FROM (
                             ORDER BY {_h}, doc_id) AS samp_rank
   FROM documents)
 WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
+    o["corpus_bpe"] = OR.bpe_merges_sql(rounds=4)
     o["corpus_decontaminate"] = OR.decontaminate_sql(
         ngram=8, eval_pred="doc_id % 101 = 0")
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)

@@ -57,7 +57,8 @@ def main() -> None:
              "graph_triangles", "sketch_bloom", "dedup_semantic",
              "corpus_sample_k", "sketch_merge",
              "embed_pq", "text_classify", "events_cube", "geo_near",
-             "io_signature_store", "events_transitions", "ann_pq", "ann_ivfpq"]
+             "io_signature_store", "events_transitions", "ann_pq", "ann_ivfpq",
+             "corpus_bpe"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

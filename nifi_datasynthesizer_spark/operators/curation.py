@@ -73,6 +73,79 @@ def sample_k_per_group(df: DataFrame, k: int = 5, id_col: str = "doc_id",
             .filter(F.col("samp_rank") <= k))
 
 
+def bpe_merges(docs: DataFrame, rounds: int = 4, text_col: str = "text",
+               max_word_len: int = 16) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges over the corpus — the
+    tokenizer-training primitive of an LLM data pipeline (Sennrich et
+    al., 2016): repeatedly count adjacent symbol pairs and merge the
+    most frequent one, starting from characters.
+
+    Scale shape: BPE runs on the DISTINCT word-frequency table, not
+    the corpus (the classic trick — pair counts weight by word count,
+    and the vocab is tiny relative to 100 TB of text), so each round
+    is one explode+groupBy shuffle over the vocab plus a 1-row argmax
+    collect; re-segmentation is a narrow per-word left-to-right fold
+    with the chosen pair bound as literals.  Everything is string
+    algebra both engines share, so the DuckDB oracle replays the
+    merge table exactly (greedy-leftmost fold, (n DESC, left, right)
+    tie-break).  Returns one row per round: (merge_round, left,
+    right, pair_n, corpus_symbols after applying the merge).
+    """
+    from .dedup import _pin, normalize_text
+
+    spark = docs.sparkSession
+    words = _pin(
+        docs.select(F.explode(F.split(normalize_text(F.col(text_col)),
+                                      " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= max_word_len))
+        .groupBy("w").agg(F.count("*").alias("cnt")))
+    seg = words.select(
+        "w", "cnt",
+        F.expr("transform(sequence(1, length(w)), "
+               "i -> substring(w, i, 1))").alias("sym"))
+    out_rows = []
+    for r in range(1, rounds + 1):
+        top = (seg.select(
+                   "cnt",
+                   # CASE guard: Spark's sequence(1, 0) DESCENDS
+                   # ([1, 0]) rather than returning empty, so 1-symbol
+                   # words would index past the array under ANSI mode
+                   F.expr("explode(CASE WHEN size(sym) < 2 THEN "
+                          "array() ELSE "
+                          "transform(sequence(1, size(sym) - 1), "
+                          "i -> struct(element_at(sym, i) AS l, "
+                          "element_at(sym, i + 1) AS r)) END)").alias("p"))
+               .groupBy("p.l", "p.r").agg(F.sum("cnt").alias("n"))
+               .orderBy(F.desc("n"), "l", "r").limit(1).collect())
+        if not top:
+            break
+        a, b, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        # greedy-leftmost merge of (a, b): fold symbols into a
+        # '|'-joined string + the trailing symbol, then re-split.
+        # acc.o is computed BEFORE acc.l in the struct (both engines
+        # evaluate result-struct fields in declared order, and o
+        # reads the pre-update acc.l).
+        fold = (
+            "CASE WHEN size(sym) <= 1 THEN sym ELSE "
+            "split(aggregate(slice(sym, 2, size(sym) - 1), "
+            "struct(element_at(sym, 1) AS o, element_at(sym, 1) AS l), "
+            "(acc, e) -> struct("
+            f"CASE WHEN acc.l = '{a}' AND e = '{b}' "
+            f"THEN concat(substring(acc.o, 1, "
+            f"length(acc.o) - length('{a}')), '{a}', '{b}') "
+            "ELSE concat(acc.o, '|', e) END AS o, "
+            f"CASE WHEN acc.l = '{a}' AND e = '{b}' "
+            f"THEN concat('{a}', '{b}') ELSE e END AS l)).o, "
+            "'\\\\|') END")
+        seg = seg.select("w", "cnt", F.expr(fold).alias("sym"))
+        total = int(seg.agg(
+            F.sum(F.col("cnt") * F.size("sym"))).collect()[0][0])
+        out_rows.append((r, a, b, n, total))
+    return spark.createDataFrame(
+        out_rows, "merge_round INT, left STRING, right STRING, "
+                  "pair_n BIGINT, corpus_symbols BIGINT")
+
+
 def decontaminate(train: DataFrame, eval_docs: DataFrame,
                   ngram: int = 8) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any

@@ -498,6 +498,47 @@ def pii_scrub_exprs() -> tuple[list[str], str]:
     return counts, scrubbed
 
 
+def bpe_merges_sql(rounds: int = 4, max_word_len: int = 16,
+                   table: str = "documents") -> str:
+    """Mirror of curation.bpe_merges: unrolled rounds, each a top-1
+    pair CTE + a CROSS JOINed greedy-leftmost re-segmentation fold."""
+    parts = [f"""w0 AS (SELECT w, COUNT(*) AS cnt,
+           list_transform(range(1, length(w) + 1),
+                          i -> substr(w, i, 1)) AS sym
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM {table})
+    WHERE w <> '' AND length(w) <= {max_word_len}
+    GROUP BY w)"""]
+    prev = "w0"
+    selects = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS (SELECT q.l, q.r, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+      SELECT cnt, unnest(list_transform(range(1, len(sym)),
+                    i -> {{'l': sym[i], 'r': sym[i + 1]}})) AS q
+      FROM {prev}) GROUP BY q.l, q.r),
+t{r} AS (SELECT l, r, n FROM p{r} ORDER BY n DESC, l, r LIMIT 1),
+w{r} AS (SELECT w, cnt,
+                CASE WHEN len(sym) <= 1 THEN sym ELSE
+                string_split((list_reduce(
+                  list_transform(sym, s -> {{'o': s, 'l': s}}),
+                  (acc, e) -> {{'o': CASE WHEN acc.l = t.l AND e.l = t.r
+                                 THEN substr(acc.o, 1,
+                                      length(acc.o) - length(t.l))
+                                      || t.l || t.r
+                                 ELSE acc.o || '|' || e.l END,
+                               'l': CASE WHEN acc.l = t.l AND e.l = t.r
+                                 THEN t.l || t.r ELSE e.l END}})).o, '|')
+                END AS sym
+         FROM {prev} CROSS JOIN t{r} t),
+s{r} AS (SELECT CAST(SUM(cnt * len(sym)) AS BIGINT) AS total FROM w{r})""")
+        selects.append(
+            f"SELECT {r} AS merge_round, t{r}.l AS \"left\", "
+            f"t{r}.r AS \"right\", t{r}.n AS pair_n, "
+            f"s{r}.total AS corpus_symbols FROM t{r}, s{r}")
+        prev = f"w{r}"
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + " UNION ALL ".join(selects) + " ORDER BY merge_round")
+
+
 def corpus_ngrams_sql(n: int = 2, k: int = 20,
                       table: str = "documents") -> str:
     """Mirror of curation.corpus_ngrams: top-k normalized word

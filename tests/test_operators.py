@@ -99,6 +99,34 @@ def test_pq_search_planted(spark):
     assert set(got[r][0] for r in (3, 4)) == {3, 4}
 
 
+def test_bpe_merges_planted(spark):
+    from nifi_datasynthesizer_spark.operators.curation import bpe_merges
+    docs = spark.createDataFrame(
+        [(0, "aab aab aab ab cd"), (1, "aab ab xy")],
+        ["doc_id", "text"])
+    rows = bpe_merges(docs, rounds=2).collect()
+    # 'ab' appears in every aab (greedy-leftmost: a|ab after merging
+    # at position 2? no — leftmost pair scan: (a,a) x4, (a,b) x6
+    r1 = rows[0]
+    assert (r1["left"], r1["right"]) == ("a", "b") and r1.pair_n == 6
+    # round 2 operates on re-segmented words: aab -> [a, ab]
+    r2 = rows[1]
+    assert (r2["left"], r2["right"]) == ("a", "ab") and r2.pair_n == 4
+    # symbol totals strictly decrease as merges apply
+    assert r1.corpus_symbols > r2.corpus_symbols
+
+
+def test_bpe_greedy_leftmost_overlap(spark):
+    from nifi_datasynthesizer_spark.operators.curation import bpe_merges
+    # 'aaa': pairs (a,a) x2 counted, but greedy-leftmost merge yields
+    # [aa, a] (3 symbols -> 2), never [a, aa] or a double-merge
+    docs = spark.createDataFrame([(0, "aaa aaa")], ["doc_id", "text"])
+    rows = bpe_merges(docs, rounds=1).collect()
+    assert (rows[0]["left"], rows[0]["right"]) == ("a", "a")
+    assert rows[0].pair_n == 4          # 2 per word x 2 words
+    assert rows[0].corpus_symbols == 4  # [aa, a] x 2 words
+
+
 def test_triangles_matches_bruteforce_random(spark):
     """Degree-ordered enumeration equals brute force on a seeded
     random graph (the orientation math is easy to get subtly wrong)."""
