@@ -232,7 +232,7 @@ _WINDOW_R4 = [
     # greens whose implementation this round touched (minhash-family
     # refactor) or that anchor the core surface
     "synth_weblog_lines", "events_transitions", "ann_pq", "ann_ivfpq",
-    "corpus_bpe",
+    "corpus_bpe", "text_oov",
     "media_frames", "text_embed", "corpus_stats",
     "corpus_clean",
     "dedup_minhash",
@@ -1174,6 +1174,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_fluency"] = text_fluency
 
+    def text_oov(spark, sf):
+        """Per-doc out-of-vocabulary rate vs the corpus top-100 words
+        (tokenizer-fit / domain-shift probe): one deterministic vocab
+        TakeOrdered bound as a literal, narrow membership scoring."""
+        return (TX.oov_rate(_t(spark, sf, "documents"), vocab_size=100)
+                .orderBy("doc_id"))
+    q["text_oov"] = text_oov
+
     def text_classify(spark, sf):
         """Linear classifier head over hashed token features (the
         fasttext-quality-filter shape): literal weight vector, narrow
@@ -2062,6 +2070,20 @@ SELECT * FROM r ORDER BY event_type, day"""
     o["text_keywords"] = OR.tfidf_keywords_sql(k=3)
     o["text_fluency"] = OR.bigram_fluency_sql()
     o["text_classify"] = OR.classify_score_sql(dim=64, seed=11)
+    o["text_oov"] = f"""
+WITH wc AS (SELECT w, COUNT(*) AS n
+            FROM (SELECT unnest(string_split({OR._NORM}, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY w),
+v AS (SELECT list(w ORDER BY n DESC, w) AS vl
+      FROM (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 100)),
+d AS (SELECT doc_id, string_split({OR._NORM}, ' ') AS tk FROM documents)
+SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, t -> NOT list_contains(v.vl, t)))
+            AS BIGINT) AS n_oov,
+       CAST(FLOOR(len(list_filter(tk, t -> NOT list_contains(v.vl, t)))
+                  * 1000000 / len(tk)) AS BIGINT) AS oov_ppm
+FROM d CROSS JOIN v ORDER BY doc_id"""
     o["corpus_split"] = OR.split_sql(val_frac=0.1, test_frac=0.1, salt=3)
     o["embed_quantize"] = OR.quantize_int8_sql(dim=64)
     o["search_rrf"] = OR.rrf_fuse_sql(BM25_QUERIES, k=10, pool=20)

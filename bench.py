@@ -58,7 +58,7 @@ def main() -> None:
              "corpus_sample_k", "sketch_merge",
              "embed_pq", "text_classify", "events_cube", "geo_near",
              "io_signature_store", "events_transitions", "ann_pq", "ann_ivfpq",
-             "corpus_bpe"]
+             "corpus_bpe", "text_oov"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

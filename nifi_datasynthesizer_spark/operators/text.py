@@ -185,6 +185,38 @@ def classify_score(docs: DataFrame, dim: int = 64, seed: int = 11,
         .alias("score_ppm"))
 
 
+def oov_rate(docs: DataFrame, vocab_size: int = 100,
+             text_col: str = "text") -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` words — the cheap tokenizer-fit / domain-shift
+    probe ("how much of this document does my vocabulary not cover"),
+    used to spot corrupted or off-domain documents before training.
+
+    The vocabulary is one (n DESC, word)-deterministic TakeOrdered
+    collected to ``vocab_size`` strings and bound as a plan literal —
+    the scoring pass is then a narrow per-row membership count, no
+    join, no second shuffle.  Returns (doc_id, n_tokens, n_oov,
+    oov_ppm).
+    """
+    from .dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    wc = (docs.select(F.explode(toks).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count("*").alias("n"))
+          .orderBy(F.desc("n"), "w").limit(vocab_size).collect())
+    varr = ("array(" + ",".join("'" + r.w.replace("'", "\\'") + "'"
+                                for r in wc) + ")")
+    step = docs.select("doc_id", toks.alias("tk"))
+    n_oov = F.expr(f"size(filter(tk, t -> NOT array_contains({varr}, t)))")
+    return (step.select("doc_id",
+                        F.size("tk").cast("long").alias("n_tokens"),
+                        n_oov.cast("long").alias("n_oov"))
+            .withColumn("oov_ppm",
+                        F.floor(F.col("n_oov") * 1_000_000
+                                / F.col("n_tokens")).cast("long")))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 ngram: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min and max h60 over word

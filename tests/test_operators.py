@@ -218,6 +218,17 @@ def test_geo_near_pairs_planted(spark):
     assert got[(0, 1)] == (40_000) ** 2 + 0  # pure-latitude pair
 
 
+def test_oov_rate_planted(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat sat"), (2, "the cat sat"),
+         (3, "zyx wvu the")],
+        ["doc_id", "text"])
+    # vocab_size=3 -> {the, cat, sat}; doc 3 has 2 OOV of 3 tokens
+    out = {r.doc_id: r for r in TX.oov_rate(docs, vocab_size=3).collect()}
+    assert out[0].n_oov == 0 and out[0].oov_ppm == 0
+    assert out[3].n_oov == 2 and out[3].oov_ppm == 666666
+
+
 def test_classify_score_shape(planted_docs):
     out = {r.doc_id: r for r in TX.classify_score(planted_docs).collect()}
     assert set(out) == {0, 1, 2, 3, 4}
