@@ -559,9 +559,9 @@ WITH t AS (SELECT doc_id,
                   CAST(len({_RAW_WORDS}) AS BIGINT) AS n_tokens,
                   {h60_sql("CAST(doc_id AS VARCHAR)")} % {shards} AS shard
            FROM {table}),
-s AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS start_tok
+s AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                     AS BIGINT) AS start_tok
       FROM t)
 SELECT doc_id, shard, n_tokens, start_tok,
        CAST(FLOOR(start_tok / {float(seq_tokens)}) AS BIGINT) AS first_pack,
@@ -575,8 +575,10 @@ def corpus_mix_report_sql(table: str = "documents") -> str:
     totals with integer-floor ppm token share."""
     return f"""
 WITH per AS (SELECT source, lang, COUNT(*) AS n_docs,
-                    SUM(CAST(len({_RAW_WORDS}) AS BIGINT)) AS n_tokens,
-                    SUM(CAST(LENGTH(text) AS BIGINT)) AS n_chars
+                    CAST(SUM(CAST(len({_RAW_WORDS}) AS BIGINT)) AS BIGINT)
+                        AS n_tokens,
+                    CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT)
+                        AS n_chars
              FROM {table} GROUP BY source, lang)
 SELECT source, lang, n_docs, n_tokens, n_chars,
        CAST(FLOOR(n_tokens * 1000000 / CAST(SUM(n_tokens) OVER () AS DOUBLE))

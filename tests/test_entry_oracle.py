@@ -46,6 +46,29 @@ def test_canonicalizer_safe_schema(spark, name):
     assert not bad, f"{name}: non-atomic driver-visible columns {bad}"
 
 
+def test_oracle_no_hugeint():
+    """DuckDB renders un-CAST SUM(BIGINT) as HUGEINT, which pandas turns
+    into float64 — the driver then hash-mismatches `0.0` vs Spark's `0`
+    even when every value agrees.  This bug class produced the ONLY
+    driver failures in rounds 1, 3 and 4 (events_sessionize, corpus_pack,
+    corpus_mix).  DESCRIBE every oracle and refuse HUGEINT/UHUGEINT (and
+    the equally pandas-hostile UBIGINT) output columns at the source."""
+    import duckdb
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    bad: dict[str, list[str]] = {}
+    for name, sql in sorted(_oracles.items()):
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        hits = [f"{col}:{typ}" for col, typ, *_ in desc
+                if typ.upper() in ("HUGEINT", "UHUGEINT", "UBIGINT")]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracles with pandas-hostile integer types: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(_queries) - set(_oracles)))
 def test_rows_only(spark, name):
     df = _queries[name](spark, SF_DIR)
