@@ -430,6 +430,7 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
 
 def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
                 length_band: int = 16, token_bands: int = 16,
+                max_block: int | None = 256,
                 text_col: str = "text") -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs with two-key blocking
     — the record-linkage classic.  Shingle/minhash methods miss
@@ -438,14 +439,36 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     directly.
 
     All-pairs Levenshtein is O(n²·len²) and never runs at 100 TB, so
-    candidates come from the same (length band × first-token h60 band)
-    blocking as :func:`ngram_jaccard_pairs`: a pair within
-    ``max_dist_ppm`` keeps nearly equal length and (typically) opening
-    token, so it collides; the join is an equi-join on the block keys,
-    never a cartesian product.  Verification is the JVM built-in
-    ``levenshtein`` (unit-cost edit distance, identical semantics to
-    DuckDB's) over normalized text; the kept metric is integer ppm of
-    the longer string — exact in any engine.
+    candidates come from (length band × first-token h60 band) blocking
+    with two scale/recall guards:
+
+    * **Neighbor-band widening**: a pair within ``max_dist_ppm`` keeps
+      nearly equal length, but equal length does NOT mean equal band —
+      lengths 15 and 17 straddle a 16-wide boundary.  The left side
+      therefore explodes to bands {lb-1, lb, lb+1} (the geo.near_pairs
+      neighbor-cell construction), so any pair whose normalized lengths
+      differ by < ``length_band`` collides regardless of boundary
+      placement.  Each unordered pair still joins exactly once: the
+      right side keeps its single home band and ``a < b`` fixes the
+      orientation.  Known recall limit (documented, not fixed here):
+      an edit inside the *first token* changes ``tb`` and the pair is
+      missed — the standard single-pass blocking tradeoff; run a
+      second pass blocked on the last token if that matters.
+    * **Per-block cap**: band cardinality is fixed (16 token bands ×
+      ~len/16 length bands), so block population grows linearly with
+      corpus size and the within-block join quadratically — a corpus
+      of same-length template docs is a blow-up at 100×.  Docs whose
+      home block exceeds ``max_block`` members are excluded from
+      pairing (the :func:`dedup_minhash` ``max_bucket`` guard applied
+      here), bounding candidates per doc at ``3·max_block`` and total
+      candidate volume linear in corpus size.  Deterministic — whole
+      blocks drop, never a sample — so the oracle mirrors it exactly.
+
+    The join is an equi-join on the block keys, never a cartesian
+    product.  Verification is the JVM built-in ``levenshtein``
+    (unit-cost edit distance, identical semantics to DuckDB's) over
+    normalized text; the kept metric is integer ppm of the longer
+    string — exact in any engine.
     """
     norm = normalize_text(F.col(text_col))
     first_tok = F.element_at(F.split(norm, " "), 1)
@@ -453,8 +476,15 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
         "doc_id", norm.alias("nt"),
         (F.length(norm) / length_band).cast("int").alias("lb"),
         F.pmod(h60(first_tok), F.lit(token_bands)).alias("tb"))
-    left = base.select(F.col("doc_id").alias("a"),
-                       F.col("nt").alias("na"), "lb", "tb")
+    if max_block is not None:
+        w = Window.partitionBy("lb", "tb")
+        base = (base.withColumn("__bsz", F.count("*").over(w))
+                .filter(F.col("__bsz") <= max_block).drop("__bsz"))
+    left = base.select(
+        F.col("doc_id").alias("a"), F.col("nt").alias("na"),
+        F.explode(F.array(F.col("lb") - 1, F.col("lb"),
+                          F.col("lb") + 1)).alias("lb"),
+        "tb")
     right = base.select(F.col("doc_id").alias("b"),
                         F.col("nt").alias("nb"), "lb", "tb")
     pairs = left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b"))

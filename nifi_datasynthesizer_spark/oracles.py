@@ -114,19 +114,24 @@ FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= {threshold} ORDER BY a, b"""
 
 
 def fuzzy_pairs_sql(max_dist_ppm: int = 300_000, length_band: int = 16,
-                    token_bands: int = 16, table: str = "documents") -> str:
+                    token_bands: int = 16, max_block: int = 256,
+                    table: str = "documents") -> str:
     """Mirror of dedup.fuzzy_pairs (normalized Levenshtein over
-    (length band, first-token h60 band) blocks; DuckDB's levenshtein
+    (length band, first-token h60 band) blocks with the same
+    neighbor-band widening and per-block cap; DuckDB's levenshtein
     is the same unit-cost edit distance as Spark's)."""
     first_tok = f"string_split({_NORM}, ' ')[1]"
     return f"""
-WITH g AS (SELECT doc_id, {_NORM} AS nt,
-                  CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
-                  {h60_sql(first_tok)} % {token_bands} AS tb
-           FROM {table}),
+WITH g0 AS (SELECT doc_id, {_NORM} AS nt,
+                   CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
+                   {h60_sql(first_tok)} % {token_bands} AS tb
+            FROM {table}),
+sz AS (SELECT lb, tb, COUNT(*) AS n FROM g0 GROUP BY lb, tb),
+g AS (SELECT g0.* FROM g0 JOIN sz USING (lb, tb) WHERE sz.n <= {max_block}),
+l AS (SELECT doc_id, nt, unnest([lb - 1, lb, lb + 1]) AS lb, tb FROM g),
 pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, l.nt AS na, r.nt AS nb
-          FROM g l JOIN g r ON l.lb = r.lb AND l.tb = r.tb
-                           AND l.doc_id < r.doc_id),
+          FROM l JOIN g r ON l.lb = r.lb AND l.tb = r.tb
+                         AND l.doc_id < r.doc_id),
 d AS (SELECT a, b, CAST(levenshtein(na, nb) AS BIGINT) AS lev,
              GREATEST(LENGTH(na), LENGTH(nb)) AS mx
       FROM pairs)

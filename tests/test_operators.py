@@ -69,6 +69,38 @@ def test_fuzzy_pairs_planted(planted_docs):
     assert all(3 not in p and 4 not in p for p in out)
 
 
+def test_fuzzy_pairs_band_boundary(spark):
+    """Lengths straddling a length-band boundary (15 vs 17 with
+    band=16 → bands 0 and 1) must still pair via the neighbor-band
+    explode — the boundary-recall hole the exact-band join had."""
+    rows = [(0, "alpha beta gam"),        # normalized length 14 → band 0
+            (1, "alpha beta gamma x")]    # normalized length 18 → band 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.a, r.b) for r in
+           DD.fuzzy_pairs(docs, max_dist_ppm=500_000).collect()}
+    assert (0, 1) in out
+
+
+def test_fuzzy_pairs_hot_block_capped(spark):
+    """A block whose membership exceeds max_block is dropped whole —
+    the linear-candidate guarantee at scale.  Docs in small blocks
+    still pair; docs in the hot block produce zero pairs."""
+    hot = [(i, f"template doc number {i:04d}") for i in range(10)]
+    cool = [(100, "rare unique sentence here"),
+            (101, "rare unique sentence here")]
+    docs = spark.createDataFrame(hot + cool, ["doc_id", "text"])
+    out = {(r.a, r.b) for r in
+           DD.fuzzy_pairs(docs, max_dist_ppm=500_000,
+                          max_block=4).collect()}
+    assert (100, 101) in out
+    assert all(a >= 100 and b >= 100 for a, b in out), out
+    # and with the cap off, the hot block pairs again
+    uncapped = {(r.a, r.b) for r in
+                DD.fuzzy_pairs(docs, max_dist_ppm=500_000,
+                               max_block=None).collect()}
+    assert any(a < 100 for a, _ in uncapped)
+
+
 def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     """Spark's levenshtein and DuckDB's must agree cell-for-cell —
     the oracle contract for dedup_fuzzy."""
