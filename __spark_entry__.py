@@ -705,6 +705,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SZ.weblog(n_users=500, events_per_user=20, seed=19).df(spark)
     q["synth_weblog"] = synth_weblog
 
+    def synth_purchases(spark, sf):
+        """PurchaseLog.java: web purchase logs — sticky user profiles,
+        exponential session lengths (grid + mask, no explode), window
+        cumsum hit times, campaign/keyword-boosted purchase events."""
+        return SZ.purchase_log(n_users=300, max_hits=128, seed=23).df(spark)
+    q["synth_purchases"] = synth_purchases
+
     def synth_weblog_lines(spark, sf):
         """LogLineFormatter.java CSV-format parity: each weblog record
         rendered as the reference's text line
@@ -1652,6 +1659,8 @@ FROM ({_ex_nested})"""
     o["synth_cpoc"] = SZ.cpoc_events_sql(n_users=1000, max_tx=16, seed=12)
     o["synth_weblog"] = SZ.weblog(n_users=500, events_per_user=20,
                                   seed=19).sql()
+    o["synth_purchases"] = SZ.purchase_log(n_users=300, max_hits=128,
+                                           seed=23).sql()
     o["synth_weblog_lines"] = f"""
 WITH w AS ({SZ.weblog(n_users=200, events_per_user=10, seed=19).sql()})
 SELECT line_id,

@@ -25,7 +25,7 @@ import math
 from . import dual as X
 from . import vocab as V
 from .dual import D
-from .rng import quantize_weights, u01, uint
+from .rng import pick, pick_weighted, quantize_weights, u01, uint
 from .samplers import (
     EPOCH_2013_08_01_S,
     Ctx,
@@ -33,9 +33,14 @@ from .samplers import (
     _fmt_epoch_s,
     _hex4,
     _normal01,
+    s_browser,
+    s_country,
     s_imei,
     s_ipv4,
+    s_language,
+    s_os,
     s_phone,
+    s_state,
     s_text,
     s_uuid,
     s_zip,
@@ -69,17 +74,25 @@ class Generated:
 
     def __init__(self, columns: list[tuple[str, D]], n: int,
                  post_sql: str | None = None,
-                 lets: list[tuple[str, D]] | None = None):
+                 lets: list[tuple[str, D]] | None = None,
+                 where: D | None = None):
         self.columns = columns
         self.n = n
-        self.post_sql = post_sql  # e.g. trailing WHERE for filtered gens
+        self.post_sql = post_sql  # e.g. trailing ORDER BY
         self.lets = lets or []
+        # row predicate evaluated AFTER the lets projection (may
+        # reference let names) — variable-length generators emit a
+        # fixed grid and mask the tail, keeping generation a narrow
+        # map with no per-row explode
+        self.where = where
 
     def df(self, spark: SparkSession, partitions: int | None = None) -> DataFrame:
         base = _base(spark, self.n, partitions)
         if self.lets:
             base = base.select(
                 F.col("i"), *[d.c.alias(name) for name, d in self.lets])
+        if self.where is not None:
+            base = base.filter(self.where.c)
         return base.select(*[d.c.alias(name) for name, d in self.columns])
 
     def sql(self, n: int | None = None) -> str:
@@ -90,6 +103,8 @@ class Generated:
                    f"AS t(i)) AS t")
         cols = ", ".join(f'{d.s} AS "{name}"' for name, d in self.columns)
         q = f"SELECT {cols} FROM {src}"
+        if self.where is not None:
+            q += f" WHERE {self.where.s}"
         if self.post_sql:
             q += " " + self.post_sql
         return q
@@ -924,6 +939,124 @@ def weblog(n_users: int = 500, events_per_user: int = 20,
         ("response_us", response_us),
     ]
     return Generated(cols, n, lets=lets)
+
+
+# --------------------------------------------------------- purchase log
+
+# stand-ins for the reference's 'homer'/'simpson' hot keywords (this
+# engine's word vocabulary is synthetic, so two fixed words take the
+# boosted-purchase role)
+_PL_HOT_TERMS = (V.WORDS[303], V.WORDS[777])
+
+
+def purchase_log(n_users: int = 300, max_hits: int = 128,
+                 seed: int = 0) -> Generated:
+    """PurchaseLog.java web purchase logs (reference
+    nifi-datasynthesizer-generators/src/main/java/com/mapr/
+    PurchaseLog.java:52-131 with resources user-schema.txt and
+    hit_step.txt).
+
+    Per user: a sticky profile — user_category (consumer/business/
+    graphic arts at 45/35/20), state, browser, country, language, os,
+    user_id — and one session of Exponential(mean 30) hits starting
+    uniformly inside a 30-day window, hits spaced Exponential(mean
+    20 s) apart (PurchaseLog.java:97,103).  Per hit: a product
+    category (printer/server/laptop, equal weight), a 3-int campaign
+    list (ints < 20), one search keyword, and a purchase event drawn
+    at p=0.5 when the (country, campaign) pair is targeted — the
+    reference boosts country 'us' with campaign 5 and 'jp' with
+    campaign 7 (PurchaseLog.java:112-117; this vocabulary's country
+    names are 'United States'/'Japan') — or the keyword is one of two
+    hot terms (the reference's 'homer'/'simpson'), else p=0.01.
+
+    Spark-first shape: a fixed ``n_users × max_hits`` grid over
+    ``spark.range`` masked by the per-user exponential session length
+    (``WHERE j < n_hits`` — a narrow filter, no explode, no driver
+    loop, unlike the reference's per-user file-append loop); the
+    reference's ``t += dt`` accumulation is a per-user window cumsum.
+    The reference emits hits time-unsorted and documents "should be
+    sorted" — ordering stays the caller's ORDER BY.
+    """
+    n = n_users * max_hits
+    i = _i()
+    user = X.cast_long(X.idiv(i, max_hits))
+    j = X.cast_long(i % max_hits)
+    uctx = Ctx(user, seed, "$.purchase.user")
+    hctx = Ctx(i, seed, "$.purchase.hit")
+
+    # session length floor(Exp(mean 30)), capped at the grid width
+    n_hits = X.cast_long(X.least([
+        X.floor(X.element(uint(user, uctx.salt("nhits"), 0, 256),
+                          _WL_EXPQ) * 30.0),
+        X.lit(max_hits)]))
+    dt_ms = X.cast_long(X.floor(
+        X.element(uint(i, hctx.salt("dwell"), 0, 256), _WL_EXPQ)
+        * 20000.0))
+    start_ms = X.cast_long(X.floor(
+        u01(user, uctx.salt("start")) * 2_592_000_000.0))
+
+    lets = [
+        ("u", user), ("j", j), ("nh", n_hits), ("dt", dt_ms),
+        ("st", start_ms),
+        ("ctry", s_country({}, uctx)),
+        ("kw", pick(i, hctx.salt("kw"), V.WORDS)),
+        ("c0", X.cast_long(uint(i, hctx.salt("camp", 0), 0, 20))),
+        ("c1", X.cast_long(uint(i, hctx.salt("camp", 1), 0, 20))),
+        ("c2", X.cast_long(uint(i, hctx.salt("camp", 2), 0, 20))),
+    ]
+    user_r, j_r, nh_r = _ref("u"), _ref("j"), _ref("nh")
+    ctry, kw = _ref("ctry"), _ref("kw")
+    c0, c1, c2 = _ref("c0"), _ref("c1"), _ref("c2")
+    uctx = Ctx(user_r, seed, "$.purchase.user")
+
+    # per-user cumulative hit time — window cumsum partitioned by
+    # user, parallel at any user count; DuckDB SUM(BIGINT)→HUGEINT,
+    # cast straight back
+    cum = ("CAST((st + SUM(dt) OVER (PARTITION BY u ORDER BY j "
+           "ROWS UNBOUNDED PRECEDING)) AS BIGINT)")
+    hit_time = D(None, cum, cum)
+
+    # indicator algebra: c XOR k is 0 iff c = k, so 1 - min(1, c XOR k)
+    # is the equality indicator (same trick as the weblog slow words)
+    def eq_int(c: D, k: int) -> D:
+        return X.lit(1) - X.least([X.lit(1), c.xor(X.lit(k))])
+
+    any5 = X.least([X.lit(1),
+                    eq_int(c0, 5) + eq_int(c1, 5) + eq_int(c2, 5)])
+    any7 = X.least([X.lit(1),
+                    eq_int(c0, 7) + eq_int(c1, 7) + eq_int(c2, 7)])
+    us_i = X.when_chain([(ctry.eq(X.lit("United States")), X.lit(1))],
+                        X.lit(0))
+    jp_i = X.when_chain([(ctry.eq(X.lit("Japan")), X.lit(1))], X.lit(0))
+    kw_i = X.when_chain([(kw.eq(X.lit(_PL_HOT_TERMS[0])), X.lit(1)),
+                         (kw.eq(X.lit(_PL_HOT_TERMS[1])), X.lit(1))],
+                        X.lit(0))
+    hot = X.least([X.lit(1), us_i * any5 + jp_i * any7 + kw_i])
+    p = X.when_chain([(hot.eq(1), X.lit(0.5))], X.lit(0.01))
+    events = X.when_chain([(u01(i, hctx.salt("buy")) < p, X.lit("1"))],
+                          X.lit("-"))
+
+    cols = [
+        ("hit_time", hit_time),
+        ("hit_id", i),
+        ("user_id", user_r),
+        ("user_category", pick_weighted(
+            user_r, uctx.salt("ucat"),
+            ["consumer", "business", "graphic arts"], [45.0, 35.0, 20.0])),
+        ("state", s_state({}, uctx)),
+        ("browser", s_browser({}, uctx)),
+        ("country", ctry),
+        ("language", s_language({}, uctx)),
+        ("os", s_os({}, uctx)),
+        ("product_category", pick(i, hctx.salt("pcat"),
+                                  ["printer", "server", "laptop"])),
+        ("campaign_list", X.concat(X.cast_string(c0), ",",
+                                   X.cast_string(c1), ",",
+                                   X.cast_string(c2))),
+        ("search_keywords", kw),
+        ("event_list", events),
+    ]
+    return Generated(cols, n, lets=lets, where=(j_r < nh_r))
 
 
 def remove_record_path(df: DataFrame, path: str) -> DataFrame:

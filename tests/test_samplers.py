@@ -435,3 +435,33 @@ def test_markov_char_budget(spark):
     assert any(len(m) < len(free_rows[k]) for k, m in lim_rows.items())
     for k, m in lim_rows.items():
         assert free_rows[k].startswith(m)
+
+
+def test_purchase_log_boost_semantics():
+    """PurchaseLog.java parity: targeted (country, campaign) pairs and
+    hot keywords buy at p=0.5 vs the p=0.01 base — the split must be
+    visible in the generated purchase rates (DuckDB replay, no Spark)."""
+    import duckdb
+    from nifi_datasynthesizer_spark import synthesizers as SZ
+    g = SZ.purchase_log(n_users=600, max_hits=64, seed=5)
+    h0, h1 = SZ._PL_HOT_TERMS
+    rates = duckdb.sql(f"""
+        WITH t AS ({g.sql()}),
+        f AS (SELECT event_list = '1' AS buy,
+                     (country = 'United States'
+                        AND list_contains(string_split(campaign_list, ','), '5'))
+                     OR (country = 'Japan'
+                        AND list_contains(string_split(campaign_list, ','), '7'))
+                     OR search_keywords IN ('{h0}', '{h1}') AS hot
+              FROM t)
+        SELECT hot, AVG(CAST(buy AS DOUBLE)) AS rate, COUNT(*) AS n
+        FROM f GROUP BY hot ORDER BY hot""").fetchall()
+    by_hot = {r[0]: r[1] for r in rates}
+    assert 0.35 < by_hot[True] < 0.65      # boosted ≈ 0.5
+    assert by_hot[False] < 0.03            # base ≈ 0.01
+    # session lengths vary per user (exponential mask, not a flat grid)
+    nper = duckdb.sql(f"WITH t AS ({g.sql()}) "
+                      "SELECT COUNT(DISTINCT cnt) FROM ("
+                      "SELECT user_id, COUNT(*) AS cnt FROM t GROUP BY user_id)"
+                      ).fetchone()[0]
+    assert nper > 5
