@@ -717,14 +717,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rendered as the reference's text line
         ``t(3dp),cookie,ip,"query",resp_ms(1dp)`` — the role NiFi's
         record writer plays, with the decimal formatting done in
-        integer arithmetic so both engines render identical strings."""
+        integer arithmetic so both engines render identical strings.
+        A half-unit bias before each integer div reproduces printf's
+        %.3f/%.1f HALF_UP rounding (plain truncation renders boundary
+        values like 0.05-ms units differently from the reference),
+        and the carry into the integer digit falls out of the same
+        div/mod pair."""
         w = SZ.weblog(n_users=200, events_per_user=10, seed=19).df(spark)
         t_str = F.expr(
-            "concat(CAST(t_us div 1000000 AS STRING), '.', "
-            "lpad(CAST((t_us % 1000000) div 1000 AS STRING), 3, '0'))")
+            "concat(CAST((t_us + 500) div 1000000 AS STRING), '.', "
+            "lpad(CAST(((t_us + 500) div 1000) % 1000 AS STRING), 3, '0'))")
         resp_str = F.expr(
-            "concat(CAST(response_us div 1000 AS STRING), '.', "
-            "CAST((response_us % 1000) div 100 AS STRING))")
+            "concat(CAST((response_us + 50) div 1000 AS STRING), '.', "
+            "CAST(((response_us + 50) div 100) % 10 AS STRING))")
         line = F.concat_ws(
             ",", t_str, F.col("cookie"), F.col("ip"),
             F.concat(F.lit('"'), F.col("query"), F.lit('"')), resp_str)
@@ -1665,12 +1670,12 @@ FROM ({_ex_nested})"""
 WITH w AS ({SZ.weblog(n_users=200, events_per_user=10, seed=19).sql()})
 SELECT line_id,
        concat_ws(',',
-         CAST(t_us // 1000000 AS VARCHAR) || '.' ||
-           lpad(CAST((t_us % 1000000) // 1000 AS VARCHAR), 3, '0'),
+         CAST((t_us + 500) // 1000000 AS VARCHAR) || '.' ||
+           lpad(CAST(((t_us + 500) // 1000) % 1000 AS VARCHAR), 3, '0'),
          cookie, ip,
          '"' || query || '"',
-         CAST(response_us // 1000 AS VARCHAR) || '.' ||
-           CAST((response_us % 1000) // 100 AS VARCHAR)) AS log_line
+         CAST((response_us + 50) // 1000 AS VARCHAR) || '.' ||
+           CAST(((response_us + 50) // 100) % 10 AS VARCHAR)) AS log_line
 FROM w ORDER BY line_id"""
     _vc = compile_schema(
         [{"name": "rec_id", "class": "id"},

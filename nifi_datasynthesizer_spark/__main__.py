@@ -32,7 +32,17 @@ def _parse_count(s: str) -> int:
     if s and s[-1] in "KMG":
         mult = {"K": 1_000, "M": 1_000_000, "G": 1_000_000_000}[s[-1]]
         s = s[:-1]
-    return int(s) * mult
+    n = int(s) * mult
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"count must be >= 1, got {n}")
+    return n
+
+
+def _parse_threads(s: str) -> int:
+    n = int(s)
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"threads must be >= 1, got {n}")
+    return n
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -42,13 +52,13 @@ def main(argv: list[str] | None = None) -> int:
                     "(Synth.java CLI parity, Spark execution)")
     ap.add_argument("--schema", required=True,
                     help="log-synth schema JSON file")
-    ap.add_argument("--count", default="1K",
+    ap.add_argument("--count", type=_parse_count, default=1000,
                     help="row count, K/M/G suffixes accepted (default 1K)")
     ap.add_argument("--format", default="json",
                     choices=["json", "csv", "tsv", "parquet", "orc"])
     ap.add_argument("--output", default=None,
                     help="output directory (omit to print --show rows)")
-    ap.add_argument("--threads", type=int, default=None,
+    ap.add_argument("--threads", type=_parse_threads, default=None,
                     help="local[] parallelism (default: all cores)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--show", type=int, default=20,
@@ -57,10 +67,11 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.schema) as fh:
         schema = json.load(fh)
-    n = _parse_count(args.count)
+    n = args.count
 
     from . import get_spark, io as nio, synthesize
-    master = f"local[{args.threads}]" if args.threads else None
+    master = (f"local[{args.threads}]"
+              if args.threads is not None else None)
     spark = get_spark(app="synth-cli", master=master)
     spark.sparkContext.setLogLevel("ERROR")
     df = synthesize(spark, schema, n, seed=args.seed)

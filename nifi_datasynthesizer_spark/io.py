@@ -96,8 +96,22 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
         # partition columns ALONE would be the opposite failure (one
         # writer task per value — 3 tasks for a 100 TB write when the
         # column has 3 values), so a bounded content-hash salt keeps
-        # ``files_per_value`` parallel writers per value.
-        salt = F.pmod(F.xxhash64(F.struct(*[df[c] for c in df.columns])),
+        # ``files_per_value`` parallel writers per value.  Hash only
+        # hashable column types: xxhash64 rejects MapType (and
+        # VariantType), so a frame with a map column would otherwise
+        # fail to write at all; partition keys alone suffice as a
+        # fallback spread when nothing else is hashable.
+        from pyspark.sql.types import MapType
+        try:
+            from pyspark.sql.types import VariantType
+            bad: tuple = (MapType, VariantType)
+        except ImportError:  # pre-4.0 pyspark
+            bad = (MapType,)
+        hashable = [df[f.name] for f in df.schema.fields
+                    if not _has_unhashable(f.dataType, bad)]
+        if not hashable:
+            hashable = [df[c] for c in partition_by]
+        salt = F.pmod(F.xxhash64(F.struct(*hashable)),
                       F.lit(files_per_value))
         df = df.repartition(*([df[c] for c in partition_by] + [salt]))
     w = df.write.mode(mode).format(fmt)
@@ -108,6 +122,19 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def _has_unhashable(dt, bad: tuple) -> bool:
+    """True iff the type contains a type Spark's hash functions
+    reject (maps, variants) at any nesting depth."""
+    from pyspark.sql.types import ArrayType, StructType
+    if isinstance(dt, bad):
+        return True
+    if isinstance(dt, ArrayType):
+        return _has_unhashable(dt.elementType, bad)
+    if isinstance(dt, StructType):
+        return any(_has_unhashable(f.dataType, bad) for f in dt.fields)
+    return False
 
 
 def _has_avro(spark: SparkSession) -> bool:

@@ -42,4 +42,17 @@ def get_spark(app: str = "nifi-datasynthesizer-spark",
          .config("spark.driver.extraJavaOptions",
                  "-XX:ReservedCodeCacheSize=1g")
          .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)))
+    # avro sink: the spark-avro module is external and needs a network
+    # fetch at session start.  Opt-in (env var) rather than default:
+    # in an offline environment ivy resolution would stall EVERY
+    # session for a timeout before failing, so attempting it
+    # unconditionally is strictly worse than the documented io.write
+    # gate.  Set SPARK_GRAFT_AVRO=1 where Maven Central is reachable
+    # and io.write(..., fmt="avro") lights up.
+    if os.environ.get("SPARK_GRAFT_AVRO"):
+        import pyspark
+        scala = "2.13"
+        b = b.config("spark.jars.packages",
+                     f"org.apache.spark:spark-avro_{scala}:"
+                     f"{pyspark.__version__}")
     return b.getOrCreate()

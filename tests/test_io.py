@@ -54,6 +54,20 @@ def test_write_partitioned(spark, small_df, tmp_path):
         assert 1 <= n <= 8, (d, n)
 
 
+def test_write_partitioned_with_map_column(spark, tmp_path):
+    """The write salt hashes row content, but Spark's hash functions
+    reject MapType — a frame with a map column must still write
+    partitioned (the salt skips unhashable columns)."""
+    df = spark.createDataFrame(
+        [(i, i % 3, {"k": str(i)}) for i in range(60)],
+        ["id", "grp", "attrs"])
+    path = str(tmp_path / "mappart")
+    nio.write(df, path, fmt="parquet", partition_by=["grp"])
+    back = nio.read(spark, path, fmt="parquet")
+    assert back.count() == 60
+    assert back.filter("attrs['k'] = '7'").count() == 1
+
+
 def test_cli_count_parsing():
     from nifi_datasynthesizer_spark.__main__ import _parse_count
     assert _parse_count("2K") == 2_000
@@ -95,3 +109,16 @@ def test_avro_gate(spark, small_df, tmp_path):
             nio.write(small_df, path, fmt="avro")
         # the gate must tell the user exactly how to enable the sink
         assert "--packages org.apache.spark:spark-avro" in str(exc.value)
+
+
+def test_cli_rejects_bad_counts_and_threads():
+    import pytest as _pt
+    from nifi_datasynthesizer_spark.__main__ import _parse_count, _parse_threads
+    import argparse
+    for bad in ("0", "-5K", "-1"):
+        with _pt.raises(argparse.ArgumentTypeError):
+            _parse_count(bad)
+    for bad in ("0", "-2"):
+        with _pt.raises(argparse.ArgumentTypeError):
+            _parse_threads(bad)
+    assert _parse_threads("4") == 4
