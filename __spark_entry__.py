@@ -214,7 +214,7 @@ _WINDOW_R5 = [
     "synth_weblog_lines", "events_transitions", "ann_pq", "ann_ivfpq",
     "corpus_bpe", "text_oov",
     # new this round
-    "synth_purchases",
+    "synth_purchases", "sketch_hll", "text_train_classifier",
     # stale r1/r2 greens
     "media_frames", "corpus_clean", "text_embed", "corpus_stats",
     # r3 greens touched by the r4 minhash-family refactor — missed
@@ -232,8 +232,8 @@ _WINDOW_R5 = [
     "synth_phone_numbers", "synth_text_messages", "synth_text_blocks",
     "synth_markov_text", "synth_markov_sms", "synth_transactions",
     "synth_iot", "synth_exotic_scalar", "synth_registry", "synth_cpoc",
+    # ---- position 50 cutoff: r6 leads with the 13 below ----
     "synth_correlate", "synth_correlate_pair",
-    # ---- position 50 cutoff: r6 leads with the 11 below ----
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
@@ -1200,6 +1200,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_classify"] = text_classify
 
+    def text_train_classifier(spark, sf):
+        """Logistic-regression TRAINING of a quality head distilled
+        from the heuristic quality labeler (text_classify's missing
+        fit step): full-batch preconditioned GD, one distributed pass
+        per round, weights literal-bound between rounds,
+        integer-exact trajectory replayed by unrolled CTEs.  Training
+        accuracy climbs from the 68% base rate to ~81-82%."""
+        from nifi_datasynthesizer_spark.operators.text import train_classifier
+        docs = _t(spark, sf, "documents")
+        return (train_classifier(docs, dim=16, rounds=12, lr_num=800,
+                                 warmup=7)
+                .orderBy("round", "j"))
+    q["text_train_classifier"] = text_train_classifier
+
     def corpus_split(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         return (CU.split_train_val_test(_t(spark, sf, "documents"),
@@ -1351,6 +1365,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return fm_distinct(ev, "event_type", "user_id").orderBy("event_type")
     q["sketch_distinct"] = sketch_distinct
+
+    def sketch_hll(spark, sf):
+        """HyperLogLog distinct count per event_type: harmonic-mean
+        estimate (σ ≈ 1.04/√m) over the same MAX-combinable registers
+        as sketch_distinct, in pure scaled-integer arithmetic with a
+        literal linear-counting table — engine-exact."""
+        from nifi_datasynthesizer_spark.operators.sketches import hll_distinct
+        ev = _t(spark, sf, "events")
+        return hll_distinct(ev, "event_type", "user_id").orderBy("event_type")
+    q["sketch_hll"] = sketch_hll
 
     def sketch_heavy_hitters(spark, sf):
         """Count-min sketch frequency estimates for the corpus top-10
@@ -1934,6 +1958,7 @@ ORDER BY event_id"""
 
     o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
+    o["sketch_hll"] = OR.hll_distinct_sql("event_type", "user_id")
     o["sketch_bloom"] = OR.bloom_semi_join_sql("BUILDING")
     o["sketch_merge"] = OR.fm_rollup_sql("event_type", "user_id")
     o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)
@@ -2081,6 +2106,8 @@ SELECT * FROM r ORDER BY event_type, day"""
     o["text_keywords"] = OR.tfidf_keywords_sql(k=3)
     o["text_fluency"] = OR.bigram_fluency_sql()
     o["text_classify"] = OR.classify_score_sql(dim=64, seed=11)
+    o["text_train_classifier"] = OR.train_classifier_sql(
+        dim=16, rounds=12, lr_num=800, warmup=7)
     o["text_oov"] = f"""
 WITH wc AS (SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split({OR._NORM}, ' ')) AS w

@@ -59,7 +59,8 @@ def main() -> None:
              "embed_pq", "text_classify", "events_cube", "geo_near",
              "io_signature_store", "events_transitions", "ann_pq", "ann_ivfpq",
              "corpus_bpe", "text_oov", "sketch_quantiles",
-             "synth_weblog_lines", "synth_purchases"]
+             "synth_weblog_lines", "synth_purchases", "sketch_hll",
+             "text_train_classifier"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -72,6 +72,80 @@ def fm_distinct(df: DataFrame, group_col: str = "event_type",
                     "exact_distinct"))
 
 
+# HLL register cap / harmonic-sum scale: registers are clipped to
+# _HLL_S so 2^(_HLL_S - reg) stays a non-negative BIGINT shift and the
+# scaled harmonic sum is pure integer arithmetic (no float 2^-reg
+# accumulation whose rounding order could differ across engines)
+_HLL_S = 40
+
+
+def _hll_lc_table(m: int) -> list[int]:
+    """Linear-counting estimates ``round(m * ln(m / V))`` for every
+    possible empty-register count V — precomputed in Python so neither
+    engine evaluates ln() at query time (libm ulp drift)."""
+    import math
+    return [0] + [int(round(m * math.log(m / v))) for v in range(1, m)]
+
+
+def hll_distinct(df: DataFrame, group_col: str = "event_type",
+                 id_col: str = "user_id", m: int = 64) -> DataFrame:
+    """Per-group HyperLogLog distinct count (Flajolet et al. 2007) —
+    the industry-standard refinement of :func:`fm_distinct`'s PCSA:
+    same MAX-combinable register layout (constant bytes per group at
+    any cardinality), but the estimate uses the *harmonic* mean of
+    register values, cutting the standard error to ~1.04/√m.
+
+    Engine-exact arithmetic: the harmonic sum Σ 2^-reg is computed as
+    the scaled integer Σ 2^(S-reg) (registers clipped to S=40), the
+    raw estimate is α·m²·2^S/Z in integer floor ops (α applied as the
+    709/1000 ratio AFTER the division so every intermediate fits
+    BIGINT), and the small-range linear-counting correction
+    ``m·ln(m/V)`` comes from a 64-entry literal table — no
+    transcendentals, no floats, bit-identical in Spark and DuckDB.
+
+    Plan shape at 100 TB: one narrow hash pass, groupBy(grp, register)
+    MAX partial-aggregates map-side, then m rows per group reduce to
+    one — the same two-exchange shape as fm_distinct.  The exact
+    distinct rides along for calibration (drop it in production; it
+    is the expensive id shuffle the sketch replaces).
+    """
+    e = (df.select(F.col(group_col).alias("grp"),
+                   h60(F.col(id_col).cast("string")).alias("h"))
+         .select("grp",
+                 F.expr(f"pmod(h, {m})").alias("b"),
+                 F.expr(f"h div {m}").alias("r")))
+    rho = F.expr(f"LEAST(CASE WHEN r = 0 THEN {_RHO_CAP} "
+                 f"ELSE bit_count((r & -r) - 1) + 1 END, {_HLL_S})")
+    regs = (e.select("grp", "b", rho.alias("rho"))
+            .groupBy("grp", "b").agg(F.max("rho").alias("reg")))
+    summary = regs.groupBy("grp").agg(
+        F.count("*").alias("buckets_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - reg)"))
+        .alias("z_num"))
+    # empty registers contribute 2^0 = 1 each → + (m - hit) * 2^S
+    z = F.expr(f"z_num + (({m} - buckets_hit) * "
+               f"shiftleft(CAST(1 AS BIGINT), {_HLL_S}))")
+    raw = F.expr(f"(709 * (({m * m} * "
+                 f"shiftleft(CAST(1 AS BIGINT), {_HLL_S})) div z_scaled)) "
+                 f"div 1000")
+    lc_items = ",".join(str(v) for v in _hll_lc_table(m))
+    # small-range regime: any empty register and raw <= 2.5m → linear
+    # counting (array is 1-indexed; V = m - buckets_hit ∈ [1, m-1])
+    est = F.expr(
+        f"CASE WHEN buckets_hit < {m} AND est_raw <= {int(2.5 * m)} "
+        f"THEN element_at(array({lc_items}), "
+        f"CAST({m} - buckets_hit AS INT) + 1) "
+        f"ELSE est_raw END")
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(id_col).alias("exact_distinct"))
+    return (summary.withColumn("z_scaled", z)
+            .withColumn("est_raw", raw)
+            .join(F.broadcast(exact), "grp")
+            .select(F.col("grp").alias(group_col), "buckets_hit",
+                    "z_scaled", est.cast("long").alias("est_hll"),
+                    "exact_distinct"))
+
+
 def _cm_buckets(word, depth: int, width: int):
     return F.posexplode(F.array(*[
         F.pmod(h60(F.concat(word, F.lit(f"#cm{r}"))), F.lit(width))

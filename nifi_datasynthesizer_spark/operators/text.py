@@ -185,6 +185,147 @@ def classify_score(docs: DataFrame, dim: int = 64, seed: int = 11,
         .alias("score_ppm"))
 
 
+def _logistic_ppm_table(size: int = 256, gain: float = 6.0) -> list[int]:
+    """Integer-ppm logistic quantile table shared by the classifier
+    trainer and its oracle — ints, so every engine agrees exactly."""
+    import math
+    return [int(round(1_000_000 /
+                      (1.0 + math.exp(-gain * (2.0 * (q + 0.5) / size
+                                               - 1.0)))))
+            for q in range(size)]
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark's ``div`` and DuckDB's ``//`` use on signed operands
+    (Python's ``//`` floors, which differs on negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 10,
+                     lr_num: int = 800, lr_den: int = 1000,
+                     warmup: int = 5, label=None,
+                     quality_threshold: float = 0.6,
+                     text_col: str = "text") -> DataFrame:
+    """Full-batch logistic-regression TRAINING of a document
+    classifier head over hashed token-count features — the missing
+    half of :func:`classify_score` (which scores with fixed weights):
+    the fasttext-style quality filter is *fit on the corpus itself*
+    before it gates anything.
+
+    ``label`` is any boolean Column over ``docs``; the default
+    distills :func:`quality_score`'s heuristic blend into the cheap
+    linear head (``quality >= quality_threshold``) — the production
+    pattern where an expensive labeling function (heuristics, an LLM
+    judge) labels once and a fast learned head gates the 100 TB scan.
+
+    Each round is one distributed pass: per doc, bucket counts
+    ``x_j`` (h60 token hash mod ``dim``), the score ``Σ w_j x_j`` in
+    integer micro-units, a 256-slot integer-ppm logistic lookup (no
+    transcendentals), and the gradient contribution
+    ``(σ_ppm − y_ppm)·x_j``; one ``agg`` reduces the ``dim`` gradient
+    sums plus the round's train accuracy, and the weight update
+    happens driver-side in exact integer arithmetic and re-binds as
+    plan literals for the next round — the same literal-binding fit
+    loop as k-means/PQ/BPE (weights never shuffle; the corpus is
+    read ``rounds`` times and nothing else moves).
+
+    All arithmetic is integer with truncating division (Spark ``div``
+    and DuckDB ``//`` agree on signed operands; Python's floor ``//``
+    is corrected by ``_tdiv``), so the oracle replays every weight
+    bit-exactly with unrolled per-round CTEs.
+
+    Returns (round, j, w_micro, acc_ppm): the weight trajectory, with
+    each round's training accuracy measured on its PRE-update weights.
+    """
+    from ..phash import h60
+    from .dedup import ensure_parallelism, normalize_text
+
+    sig_tab = _logistic_ppm_table()
+    slit = "array(" + ",".join(f"{v}L" for v in sig_tab) + ")"
+    docs = ensure_parallelism(docs)
+    if label is None:
+        docs = quality_score(docs, text_col)
+        label = F.col("quality") >= quality_threshold
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hs = F.transform(toks, lambda t: (h60(t) % dim).cast("int"))
+    # two engineered features after the buckets: the intercept
+    # (x = nt, so under the mean-per-token score ``dot div nt`` it
+    # contributes exactly w_bias — without it the boundary is pinned
+    # through the origin) and a length feature (x = nt², contributing
+    # w_len·nt — mean normalization makes raw counts scale-free, so
+    # document LENGTH, often the strongest quality signal, would
+    # otherwise be invisible to the head)
+    xs = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda k: F.size(F.filter(hs, lambda h: h == k)).cast("long")),
+        F.array(F.size(toks).cast("long"),
+                (F.size(toks).cast("long") * F.size(toks).cast("long"))))
+    base = (docs.select(
+        xs.alias("xs"),
+        F.size(toks).cast("long").alias("nt"),
+        F.when(label, F.lit(1_000_000).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("y"))
+        .filter(F.col("nt") >= 1))
+
+    dim = dim + 2  # + intercept + length
+    # n and per-feature scales in ONE pass; scale_j estimates the
+    # score's mean SENSITIVITY to w_j (mean of x_j div nt — the
+    # feature's contribution to the normalized score per weight unit)
+    # and acts as a diagonal preconditioner: update_j divides by it,
+    # making the effective step in score units uniform across
+    # features.  Without it the length feature's step is ~nt̄ times a
+    # bucket's, GD saturates the score clamp and oscillates between
+    # the two constant predictions.
+    srow = base.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.expr(f"xs[{j}]")).alias(f"a{j}") for j in range(dim)],
+        *[F.sum(F.expr(f"(xs[{j}] * 1000000) div nt")).alias(f"b{j}")
+          for j in range(dim)]).collect()[0]
+    n = int(srow.n)
+    # s_j = E[x_j] · E[x_j/nt] (gradient magnitude × score
+    # sensitivity), in exact integer ppm arithmetic
+    scales = [max(1, (int(srow[f"a{j}"]) // n)
+                  * (int(srow[f"b{j}"]) // n) // 1_000_000)
+              for j in range(dim)]
+    w = [0] * dim
+    traj: list[tuple[int, int, int, int]] = []
+    for r in range(1, rounds + 1):
+        wlit = "array(" + ",".join(f"{v}L" for v in w) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({wlit}, xs, (a, b) -> a * b), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        m = F.expr("GREATEST(CAST(-1000000 AS BIGINT), "
+                   "LEAST(CAST(1000000 AS BIGINT), __dot div nt))")
+        sig = F.expr(f"element_at({slit}, "
+                     "CAST(((__m + 1000000) * 255) div 2000000 AS INT) + 1)")
+        scored = (base.withColumn("__dot", dot)
+                  .withColumn("__m", m)
+                  .withColumn("__sig", sig))
+        aggs = [F.sum(F.expr(f"(__sig - y) * xs[{j}]")).alias(f"g{j}")
+                for j in range(dim)]
+        aggs.append(F.sum(F.expr(
+            "CASE WHEN (__sig >= 500000) = (y = 1000000) "
+            "THEN 1 ELSE 0 END")).alias("ok"))
+        row = scored.agg(*aggs).collect()[0]
+        acc_ppm = (int(row.ok) * 1_000_000) // n
+        # constant lr while marching toward the separator, then 1/k
+        # decay once there — constant-lr full-batch GD ping-pongs
+        # around the valley (the gradient flips sign each round as the
+        # whole batch crosses the boundary together), and decaying
+        # from round 1 never covers the distance
+        lr_r = lr_num if r <= warmup else lr_num // (r - warmup)
+        w = [w[j] - _tdiv(int(row[f"g{j}"]) * lr_r,
+                          n * lr_den * scales[j])
+             for j in range(dim)]
+        traj.extend((r, j, w[j], acc_ppm) for j in range(dim))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        traj, "round INT, j INT, w_micro BIGINT, acc_ppm BIGINT")
+
+
 def oov_rate(docs: DataFrame, vocab_size: int = 100,
              text_col: str = "text") -> DataFrame:
     """Out-of-vocabulary rate per document against the corpus's own

@@ -187,6 +187,95 @@ def _fmt_d(v: float) -> str:
     return r
 
 
+def train_classifier_sql(dim: int = 16, rounds: int = 10,
+                         lr_num: int = 800, lr_den: int = 1000,
+                         warmup: int = 5,
+                         quality_threshold: float = 0.6,
+                         table: str = "documents") -> str:
+    """Mirror of text.train_classifier: full-batch logistic GD with
+    the weight updates computed IN SQL (one 1-row CTE per round, the
+    unrolled-iteration pattern of pagerank_sql), labels distilled
+    from the quality blend.  All integer arithmetic with truncating
+    division — DuckDB ``//`` and Spark ``div`` agree on signed
+    operands, so every weight matches the Spark trajectory
+    bit-exactly.  The per-doc sigmoid is evaluated once per round in
+    a dedicated CTE (not inlined per gradient term) to keep the SQL
+    linear in dim."""
+    from .operators.text import _logistic_ppm_table
+    tab = "[" + ",".join(str(v) for v in _logistic_ppm_table()) + "]"
+    hs = (f"list_transform(string_split({_NORM}, ' '), "
+          f"t -> {h60_sql('t')} % {dim})")
+    _, quality = _quality_exprs()
+    # trailing engineered features: intercept (x = nt) and length
+    # (x = nt²); see text.train_classifier
+    xs = ("[" + ", ".join(
+        f"CAST(len(list_filter(hs, h -> h = {j})) AS BIGINT)"
+        for j in range(dim))
+        + ", CAST(len(hs) AS BIGINT)"
+        + ", CAST(len(hs) AS BIGINT) * CAST(len(hs) AS BIGINT)]")
+    dim = dim + 2
+
+    def sig(dot: str) -> str:
+        m = (f"GREATEST(CAST(-1000000 AS BIGINT), "
+             f"LEAST(CAST(1000000 AS BIGINT), ({dot}) // nt))")
+        return f"{tab}[CAST((({m}) + 1000000) * 255 // 2000000 AS INT) + 1]"
+
+    parts = [f"""base AS (SELECT {hs} AS hs,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS nt,
+             CASE WHEN ({quality}) >= {quality_threshold}
+                  THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y
+      FROM {table}),
+f AS MATERIALIZED (SELECT {xs} AS xs, nt, y FROM base WHERE nt >= 1),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, """
+             + ", ".join(
+                 f"GREATEST(1, (CAST(SUM(xs[{j + 1}]) AS BIGINT) "
+                 f"// CAST(COUNT(*) AS BIGINT)) "
+                 f"* (CAST(SUM((xs[{j + 1}] * 1000000) // nt) AS BIGINT) "
+                 f"// CAST(COUNT(*) AS BIGINT)) // 1000000) AS s{j}"
+                 for j in range(dim))
+             + " FROM f)"]
+    prev_w = ["CAST(0 AS BIGINT)"] * dim
+    for r in range(1, rounds + 1):
+        dot = " + ".join(f"({prev_w[j]}) * xs[{j + 1}]"
+                         for j in range(dim))
+        parts.append(
+            f"d{r} AS (SELECT xs, nt, y, {sig(dot)} AS sg "
+            f"FROM f{', w' + str(r - 1) if r > 1 else ''})")
+        # w{r} is referenced by BOTH d{r+1} and w{r+1}; without
+        # MATERIALIZED DuckDB may inline it into each reference and
+        # the unrolled plan doubles per round (exponential analyze
+        # time by round ~10)
+        gsums = ", ".join(
+            f"CAST(SUM((sg - y) * xs[{j + 1}]) AS BIGINT) AS g{j}"
+            for j in range(dim))
+        parts.append(
+            f"r{r} AS (SELECT {gsums}, "
+            f"CAST(SUM(CASE WHEN (sg >= 500000) = "
+            f"(y = 1000000) THEN 1 ELSE 0 END) AS BIGINT) AS ok "
+            f"FROM d{r})")
+        lr_r = lr_num if r <= warmup else lr_num // (r - warmup)
+        wcols = ", ".join(
+            f"({prev_w[j]}) - ((g{j} * {lr_r}) // (n * {lr_den} * s{j})) "
+            f"AS w{j}" for j in range(dim))
+        parts.append(f"w{r} AS MATERIALIZED (SELECT {wcols}, "
+                     f"(ok * 1000000) // n "
+                     f"AS acc_ppm FROM r{r}, nn"
+                     f"{', w' + str(r - 1) if r > 1 else ''})")
+        prev_w = [f"w{r}.w{j}" for j in range(dim)]
+    selects = []
+    for r in range(1, rounds + 1):
+        warr = "[" + ", ".join(f"w{r}.w{j}" for j in range(dim)) + "]"
+        selects.append(
+            f"SELECT {r} AS round, CAST(jj.j AS INT) AS j, "
+            f"CAST({warr}[CAST(jj.j AS INT) + 1] AS BIGINT) AS w_micro, "
+            f"CAST(acc_ppm AS BIGINT) AS acc_ppm "
+            f"FROM (SELECT unnest(range(0, {dim})) AS j) jj, w{r}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects)
+            + "\nORDER BY round, j")
+
+
 def corpus_stats_sql(table: str = "documents") -> str:
     """Mirror of the corpus_stats query: per-language exact stats —
     Spark's exact `percentile` and DuckDB's quantile_cont share the
@@ -1229,6 +1318,47 @@ SELECT s.grp AS {group_col}, buckets_hit, sum_reg, max_reg,
          AS est_distinct,
        exact_distinct
 FROM s JOIN x USING (grp) ORDER BY {group_col}"""
+
+
+def hll_distinct_sql(group_col: str = "event_type",
+                     id_col: str = "user_id", m: int = 64,
+                     table: str = "events") -> str:
+    """Mirror of sketches.hll_distinct (scaled-integer harmonic sum,
+    literal linear-counting table — transcendental-free)."""
+    from .operators.sketches import _HLL_S, _RHO_CAP, _hll_lc_table
+    lc_items = ",".join(str(v) for v in _hll_lc_table(m))
+    return f"""
+WITH h AS (SELECT {group_col} AS grp,
+                  {h60_sql(f"CAST({id_col} AS VARCHAR)")} AS h
+           FROM {table}),
+e AS (SELECT grp, h % {m} AS b, h // {m} AS r FROM h),
+rr AS (SELECT grp, b,
+              LEAST(CASE WHEN r = 0 THEN {_RHO_CAP}
+                         ELSE bit_count((r & -r) - 1) + 1 END,
+                    {_HLL_S}) AS rho
+       FROM e),
+regs AS (SELECT grp, b, MAX(rho) AS reg FROM rr GROUP BY grp, b),
+s AS (SELECT grp, COUNT(*) AS buckets_hit,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_S} - reg)) AS BIGINT)
+               AS z_num
+      FROM regs GROUP BY grp),
+z AS (SELECT grp, buckets_hit,
+             z_num + (({m} - buckets_hit) *
+                      (CAST(1 AS BIGINT) << {_HLL_S})) AS z_scaled
+      FROM s),
+est AS (SELECT grp, buckets_hit, z_scaled,
+               (709 * (({m * m} * (CAST(1 AS BIGINT) << {_HLL_S}))
+                       // z_scaled)) // 1000 AS est_raw
+        FROM z),
+x AS (SELECT {group_col} AS grp,
+             COUNT(DISTINCT {id_col}) AS exact_distinct
+      FROM {table} GROUP BY grp)
+SELECT est.grp AS {group_col}, buckets_hit, z_scaled,
+       CAST(CASE WHEN buckets_hit < {m} AND est_raw <= {int(2.5 * m)}
+                 THEN [{lc_items}][CAST({m} - buckets_hit AS INT) + 1]
+                 ELSE est_raw END AS BIGINT) AS est_hll,
+       exact_distinct
+FROM est JOIN x USING (grp) ORDER BY {group_col}"""
 
 
 def fm_rollup_sql(group_col: str = "event_type", id_col: str = "user_id",

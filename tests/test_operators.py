@@ -1077,3 +1077,37 @@ def test_gap_fill_daily_planted(spark):
     assert out[(1, base + 3)] == (400, 1)
     assert out[(2, base + 1)] == (900, 1)
     assert len(out) == 5                       # no spurious rows
+
+
+def test_hll_distinct_accuracy(spark):
+    """HLL estimate lands within the expected error band at moderate
+    cardinality (sigma ~ 1.04/sqrt(64) ~ 13%) and the linear-counting
+    path handles tiny groups where the harmonic estimator is biased."""
+    from nifi_datasynthesizer_spark.operators.sketches import hll_distinct
+    rows = ([("big", f"u{i}") for i in range(5000)]
+            + [("small", f"s{i}") for i in range(12)])
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    out = {r.event_type: r for r in
+           hll_distinct(df, "event_type", "user_id").collect()}
+    big = out["big"]
+    assert big.exact_distinct == 5000
+    assert 0.6 * 5000 < big.est_hll < 1.4 * 5000
+    small = out["small"]
+    assert small.exact_distinct == 12
+    # linear-counting regime: empty registers exist, estimate close
+    assert abs(small.est_hll - 12) <= 4
+
+
+def test_train_classifier_learns(spark):
+    """The distilled quality head must beat the majority-class base
+    rate by a clear margin at the entry-query hyperparameters, and
+    the final round's accuracy must beat round 1's (the GD loop
+    actually descends rather than oscillating)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = TX.train_classifier(docs, dim=16, rounds=12, lr_num=800,
+                              warmup=7).collect()
+    acc = {r.round: r.acc_ppm for r in out}
+    base = acc[1]           # round 1 scores with w=0 → constant predictor
+    assert acc[12] >= base + 50_000, (base, acc)
+    # weights are non-trivial (not the all-zero start)
+    assert any(r.w_micro != 0 for r in out if r.round == 12)
