@@ -215,6 +215,7 @@ _WINDOW_R5 = [
     "corpus_bpe", "text_oov",
     # new this round
     "synth_purchases", "sketch_hll", "text_train_classifier",
+    "corpus_split_groups",
     # stale r1/r2 greens
     "media_frames", "corpus_clean", "text_embed", "corpus_stats",
     # r3 greens touched by the r4 minhash-family refactor — missed
@@ -1221,6 +1222,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "split").orderBy("doc_id"))
     q["corpus_split"] = corpus_split
 
+    def corpus_split_groups(spark, sf):
+        """Leakage-safe split: near-dup clusters (minhash pairs →
+        connected components) share one split, so eval never scores
+        memorized train twins; singletons hash on their own id."""
+        from nifi_datasynthesizer_spark.operators.curation import split_by_group
+        docs = _t(spark, sf, "documents")
+        return (split_by_group(docs, val_frac=0.1, test_frac=0.1, salt=3)
+                .orderBy("doc_id"))
+    q["corpus_split_groups"] = corpus_split_groups
+
     def embed_quantize(spark, sf):
         from nifi_datasynthesizer_spark.operators import similarity as SIM
         return (SIM.quantize_int8(_t(spark, sf, "embeddings"), dim=64)
@@ -2123,6 +2134,8 @@ SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
                   * 1000000 / len(tk)) AS BIGINT) AS oov_ppm
 FROM d CROSS JOIN v ORDER BY doc_id"""
     o["corpus_split"] = OR.split_sql(val_frac=0.1, test_frac=0.1, salt=3)
+    o["corpus_split_groups"] = OR.split_by_group_sql(
+        val_frac=0.1, test_frac=0.1, salt=3)
     o["embed_quantize"] = OR.quantize_int8_sql(dim=64)
     o["search_rrf"] = OR.rrf_fuse_sql(BM25_QUERIES, k=10, pool=20)
     # streaming interval join drains to exactly the batch join's rows

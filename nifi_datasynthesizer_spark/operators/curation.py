@@ -448,6 +448,44 @@ def dedup_spans(docs: DataFrame, span_words: int = 8,
                     .cast("long").alias("n_spans_removed")))
 
 
+def split_by_group(docs: DataFrame, val_frac: float = 0.1,
+                   test_frac: float = 0.1, salt: int = 0,
+                   jaccard_threshold: float = 0.5,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Leakage-safe train/val/test split: every near-duplicate CLUSTER
+    lands wholly in one split.  :func:`split_train_val_test` hashes
+    the doc id, so two near-identical documents can straddle the
+    train/test boundary — the eval set then scores memorization, not
+    generalization (the decontamination failure inside one corpus).
+    Here the split key is the duplicate group's keeper id (minhash
+    pairs → connected components), and singletons fall back to their
+    own id.
+
+    Plan shape at 100 TB: the pairs + components machinery is the
+    existing dedup path (bounded LSH buckets, O(diameter) min-label
+    rounds); the group-label frame holds ONLY docs in dup clusters —
+    a small fraction of the corpus — so attaching labels is a
+    broadcast-friendly left join, and the split itself stays a narrow
+    projection.  Same h60-ppm thresholds as the plain split, so the
+    expected fractions are unchanged.
+    """
+    from .dedup import dedup_minhash, dup_groups
+
+    pairs = dedup_minhash(docs, jaccard_threshold=jaccard_threshold)
+    groups = dup_groups(pairs)
+    joined = docs.select(id_col).join(
+        F.broadcast(groups), on=id_col, how="left")
+    gid = F.coalesce(F.col("group_id"), F.col(id_col))
+    draw = h60(F.concat(gid.cast("string"), F.lit(f":{salt}"))) % PPM
+    test_ppm = int(round(test_frac * PPM))
+    val_ppm = test_ppm + int(round(val_frac * PPM))
+    split = (F.when(draw < test_ppm, "test")
+             .when(draw < val_ppm, "val")
+             .otherwise("train"))
+    return joined.select(F.col(id_col), gid.alias("group_id"),
+                         split.alias("split"))
+
+
 def split_train_val_test(df: DataFrame, val_frac: float = 0.1,
                          test_frac: float = 0.1, id_col: str = "doc_id",
                          salt: int = 0) -> DataFrame:

@@ -1075,6 +1075,27 @@ SELECT doc_id,
 FROM {table} ORDER BY doc_id"""
 
 
+def split_by_group_sql(val_frac: float = 0.1, test_frac: float = 0.1,
+                       salt: int = 0, jaccard_threshold: float = 0.5,
+                       table: str = "documents") -> str:
+    """Mirror of curation.split_by_group (minhash pairs → connected
+    components → group-keyed h60 split, singletons keyed by own id)."""
+    test_ppm = int(round(test_frac * 1_000_000))
+    val_ppm = test_ppm + int(round(val_frac * 1_000_000))
+    groups = dup_groups_sql(minhash_pairs_sql(
+        jaccard_threshold=jaccard_threshold, table=table))
+    h = h60_sql(f"(CAST(COALESCE(g.group_id, d.doc_id) AS VARCHAR) "
+                f"|| ':{salt}')")
+    return f"""
+WITH g AS ({groups})
+SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id,
+       CASE WHEN {h} % 1000000 < {test_ppm} THEN 'test'
+            WHEN {h} % 1000000 < {val_ppm} THEN 'val'
+            ELSE 'train' END AS split
+FROM {table} d LEFT JOIN g ON d.doc_id = g.doc_id
+ORDER BY d.doc_id"""
+
+
 def quantize_int8_sql(dim: int = 64, table: str = "embeddings") -> str:
     """Mirror of similarity.quantize_int8: FLOAT arithmetic stays
     FLOAT until the same promotion points as the Spark expressions."""

@@ -1111,3 +1111,24 @@ def test_train_classifier_learns(spark):
     assert acc[12] >= base + 50_000, (base, acc)
     # weights are non-trivial (not the all-zero start)
     assert any(r.w_micro != 0 for r in out if r.round == 12)
+
+
+def test_split_by_group_no_leakage(spark):
+    """Near-dup docs must land in the SAME split (the leakage the
+    id-hash split permits), and the group key equals the cluster
+    keeper; singletons split by their own id."""
+    from nifi_datasynthesizer_spark.operators.curation import (
+        split_by_group, split_train_val_test)
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight with great speed")
+    rows = ([(i, base) for i in range(40)]          # one big dup cluster
+            + [(100 + i, f"unique document number {i} about topic "
+                + " ".join(f"w{i}{k}" for k in range(12)))
+               for i in range(30)])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_by_group(docs, val_frac=0.3, test_frac=0.3).collect()
+    by_doc = {r.doc_id: r for r in out}
+    cluster = [by_doc[i] for i in range(40)]
+    assert len({r.split for r in cluster}) == 1          # no straddle
+    assert all(r.group_id == 0 for r in cluster)         # keeper id
+    assert len({by_doc[100 + i].split for i in range(30)}) == 3
