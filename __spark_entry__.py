@@ -215,7 +215,7 @@ _WINDOW_R5 = [
     "corpus_bpe", "text_oov",
     # new this round
     "synth_purchases", "sketch_hll", "text_train_classifier",
-    "corpus_split_groups",
+    "corpus_split_groups", "corpus_tokenize",
     # stale r1/r2 greens
     "media_frames", "corpus_clean", "text_embed", "corpus_stats",
     # r3 greens touched by the r4 minhash-family refactor — missed
@@ -1232,6 +1232,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["corpus_split_groups"] = corpus_split_groups
 
+    def corpus_tokenize(spark, sf):
+        """BPE tokenizer APPLICATION: per-doc subword token counts
+        under the corpus-fit merges — segmentation happens once on
+        the distinct vocab, the corpus pass is a broadcast lookup."""
+        from nifi_datasynthesizer_spark.operators.curation import bpe_tokenize
+        docs = _t(spark, sf, "documents")
+        return bpe_tokenize(docs, rounds=4).orderBy("doc_id")
+    q["corpus_tokenize"] = corpus_tokenize
+
     def embed_quantize(spark, sf):
         from nifi_datasynthesizer_spark.operators import similarity as SIM
         return (SIM.quantize_int8(_t(spark, sf, "embeddings"), dim=64)
@@ -2136,6 +2145,7 @@ FROM d CROSS JOIN v ORDER BY doc_id"""
     o["corpus_split"] = OR.split_sql(val_frac=0.1, test_frac=0.1, salt=3)
     o["corpus_split_groups"] = OR.split_by_group_sql(
         val_frac=0.1, test_frac=0.1, salt=3)
+    o["corpus_tokenize"] = OR.bpe_tokenize_sql(rounds=4)
     o["embed_quantize"] = OR.quantize_int8_sql(dim=64)
     o["search_rrf"] = OR.rrf_fuse_sql(BM25_QUERIES, k=10, pool=20)
     # streaming interval join drains to exactly the batch join's rows

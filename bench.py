@@ -60,7 +60,8 @@ def main() -> None:
              "io_signature_store", "events_transitions", "ann_pq", "ann_ivfpq",
              "corpus_bpe", "text_oov", "sketch_quantiles",
              "synth_weblog_lines", "synth_purchases", "sketch_hll",
-             "text_train_classifier", "corpus_split_groups"]
+             "text_train_classifier", "corpus_split_groups",
+             "corpus_tokenize"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

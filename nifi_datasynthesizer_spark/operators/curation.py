@@ -91,9 +91,19 @@ def bpe_merges(docs: DataFrame, rounds: int = 4, text_col: str = "text",
     tie-break).  Returns one row per round: (merge_round, left,
     right, pair_n, corpus_symbols after applying the merge).
     """
+    _, out_rows = _bpe_fit(docs, rounds, text_col, max_word_len)
+    return docs.sparkSession.createDataFrame(
+        out_rows, "merge_round INT, left STRING, right STRING, "
+                  "pair_n BIGINT, corpus_symbols BIGINT")
+
+
+def _bpe_fit(docs: DataFrame, rounds: int, text_col: str,
+             max_word_len: int):
+    """Shared BPE fit loop: returns (final segmented vocab frame
+    (w, cnt, sym), per-round merge rows) — used by both the
+    merge-table query and corpus tokenization."""
     from .dedup import _pin, normalize_text
 
-    spark = docs.sparkSession
     words = _pin(
         docs.select(F.explode(F.split(normalize_text(F.col(text_col)),
                                       " ")).alias("w"))
@@ -141,9 +151,39 @@ def bpe_merges(docs: DataFrame, rounds: int = 4, text_col: str = "text",
         total = int(seg.agg(
             F.sum(F.col("cnt") * F.size("sym"))).collect()[0][0])
         out_rows.append((r, a, b, n, total))
-    return spark.createDataFrame(
-        out_rows, "merge_round INT, left STRING, right STRING, "
-                  "pair_n BIGINT, corpus_symbols BIGINT")
+    return seg, out_rows
+
+
+def bpe_tokenize(docs: DataFrame, rounds: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 max_word_len: int = 16) -> DataFrame:
+    """Apply the learned BPE merges to the WHOLE corpus — the
+    tokenizer-application half of :func:`bpe_merges` (training counts
+    tokens per document exactly as the packed sequences will see
+    them; whitespace counts under-estimate by the subword factor).
+
+    Scale shape: segmentation happened once on the distinct
+    word-frequency table during the fit, so application is a
+    vocabulary LOOKUP, not a per-token fold over 100 TB — explode
+    words, broadcast-join the (word → subword count) table, sum per
+    doc.  Words over ``max_word_len`` (outside the fitted vocab)
+    fall back to character tokens, the standard byte/char fallback.
+    Returns (doc_id, n_words, n_bpe_tokens).
+    """
+    from .dedup import _pin, normalize_text
+
+    seg, _ = _bpe_fit(docs, rounds, text_col, max_word_len)
+    vocab = _pin(seg.select("w", F.size("sym").alias("ntok")))
+    d = (docs.select(F.col(id_col),
+                     F.explode(F.split(normalize_text(F.col(text_col)),
+                                       " ")).alias("w"))
+         .filter(F.col("w") != ""))
+    return (d.join(F.broadcast(vocab), "w", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_words"),
+                 F.sum(F.coalesce(F.col("ntok"),
+                                  F.length("w").cast("int")))
+                 .cast("long").alias("n_bpe_tokens")))
 
 
 def decontaminate(train: DataFrame, eval_docs: DataFrame,

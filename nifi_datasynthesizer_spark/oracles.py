@@ -592,10 +592,11 @@ def pii_scrub_exprs() -> tuple[list[str], str]:
     return counts, scrubbed
 
 
-def bpe_merges_sql(rounds: int = 4, max_word_len: int = 16,
-                   table: str = "documents") -> str:
-    """Mirror of curation.bpe_merges: unrolled rounds, each a top-1
-    pair CTE + a CROSS JOINed greedy-leftmost re-segmentation fold."""
+def _bpe_cte_parts(rounds: int, max_word_len: int,
+                   table: str) -> tuple[list, list, str]:
+    """Shared unrolled-BPE CTE chain: (parts, per-round selects,
+    final vocab CTE name) — used by the merge-table oracle and the
+    corpus-tokenization oracle."""
     parts = [f"""w0 AS (SELECT w, COUNT(*) AS cnt,
            list_transform(range(1, length(w) + 1),
                           i -> substr(w, i, 1)) AS sym
@@ -629,8 +630,34 @@ s{r} AS (SELECT CAST(SUM(cnt * len(sym)) AS BIGINT) AS total FROM w{r})""")
             f"t{r}.r AS \"right\", t{r}.n AS pair_n, "
             f"s{r}.total AS corpus_symbols FROM t{r}, s{r}")
         prev = f"w{r}"
+    return parts, selects, prev
+
+
+def bpe_merges_sql(rounds: int = 4, max_word_len: int = 16,
+                   table: str = "documents") -> str:
+    """Mirror of curation.bpe_merges: unrolled rounds, each a top-1
+    pair CTE + a CROSS JOINed greedy-leftmost re-segmentation fold."""
+    parts, selects, _ = _bpe_cte_parts(rounds, max_word_len, table)
     return ("WITH " + ",\n".join(parts) + "\n"
             + " UNION ALL ".join(selects) + " ORDER BY merge_round")
+
+
+def bpe_tokenize_sql(rounds: int = 4, max_word_len: int = 16,
+                     table: str = "documents") -> str:
+    """Mirror of curation.bpe_tokenize: final segmented vocab from
+    the shared fit chain, corpus word explode LEFT JOINed to it,
+    character fallback for out-of-vocab words."""
+    parts, _, final = _bpe_cte_parts(rounds, max_word_len, table)
+    return ("WITH " + ",\n".join(parts) + f""",
+v AS (SELECT w, len(sym) AS ntok FROM {final}),
+d AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+      FROM {table})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(v.ntok, LENGTH(d.w))) AS BIGINT)
+         AS n_bpe_tokens
+FROM d LEFT JOIN v USING (w)
+WHERE d.w <> ''
+GROUP BY doc_id ORDER BY doc_id""")
 
 
 def corpus_ngrams_sql(n: int = 2, k: int = 20,

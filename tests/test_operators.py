@@ -1132,3 +1132,21 @@ def test_split_by_group_no_leakage(spark):
     assert len({r.split for r in cluster}) == 1          # no straddle
     assert all(r.group_id == 0 for r in cluster)         # keeper id
     assert len({by_doc[100 + i].split for i in range(30)}) == 3
+
+
+def test_bpe_tokenize_counts(spark):
+    """Subword counts: after learning on 'aab aab ab', merges (a,b)
+    then (a,ab) give aab→[a,ab]→? (round2 merges a+ab→aab=1 token);
+    unmerged words fall back sensibly and out-of-vocab-length words
+    count characters."""
+    from nifi_datasynthesizer_spark.operators.curation import bpe_tokenize
+    docs = spark.createDataFrame(
+        [(0, "aab aab aab ab cd"), (1, "aab ab xy"),
+         (2, "x" * 20)],                      # > max_word_len → chars
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in bpe_tokenize(docs, rounds=2).collect()}
+    # after (a,b) and (a,ab): aab = 1 token, ab = 1 token, cd/xy = 2
+    assert out[0].n_words == 5
+    assert out[0].n_bpe_tokens == 3 * 1 + 1 + 2
+    assert out[1].n_bpe_tokens == 1 + 1 + 2
+    assert out[2].n_words == 1 and out[2].n_bpe_tokens == 20
