@@ -428,6 +428,10 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
 
 # ------------------------------------------------------- edit distance
 
+# normalized text's full alphabet — the histogram bound's dimensions
+_FUZZY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
 def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
                 length_band: int = 16, token_bands: int = 16,
                 max_block: int | None = 256,
@@ -472,21 +476,58 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     """
     norm = normalize_text(F.col(text_col))
     first_tok = F.element_at(F.split(norm, " "), 1)
+    # 37-slot character histogram (normalized text is [a-z0-9 ]):
+    # occurrences via length-delta of plain replace() — no char-array
+    # explode, stays inside codegen.  Used for the O(alphabet)
+    # Levenshtein lower bound below.
+    hist = F.array(*[
+        (F.length(F.col("nt"))
+         - F.length(F.replace(F.col("nt"), F.lit(c), F.lit(""))))
+        .cast("long")
+        for c in _FUZZY_ALPHABET])
     base = ensure_parallelism(docs).select(
         "doc_id", norm.alias("nt"),
         (F.length(norm) / length_band).cast("int").alias("lb"),
         F.pmod(h60(first_tok), F.lit(token_bands)).alias("tb"))
+    base = base.withColumn("h", hist)
     if max_block is not None:
         w = Window.partitionBy("lb", "tb")
         base = (base.withColumn("__bsz", F.count("*").over(w))
                 .filter(F.col("__bsz") <= max_block).drop("__bsz"))
+    # four derivations read base (slim left/right key frames + both
+    # payload re-attachments); pin it once or the normalize + 37-slot
+    # histogram + block-cap window replay per derivation.  The pin is
+    # forced EAGERLY: when four consumers of a lazily-cached plan
+    # compile into one job, the first materialization runs inside the
+    # consumer stages and the whole fan-out degrades to recomputation
+    # (measured ~2× on this operator); one count() up front makes
+    # every consumer read the built cache.
+    base = _pin(base)
+    base.count()
+    # Salted block keys: blocks are Zipf-shaped (template/length
+    # skew), and the pinned join runs WITHOUT AQE skew-splitting
+    # (AQE is off inside cached subtrees), so one hot
+    # (length, token) block would serialize the whole candidate
+    # enumeration onto one task.  The right side spreads each block
+    # over `salt` chunks keyed by b's id; the left explodes the
+    # chunk dimension alongside the ±1 length bands — per join key
+    # at most ~max_block/salt right rows, bounded and balanced by
+    # construction at any corpus size.
+    salt = 8
+    # slim key frames: the candidate join ships ONLY ids and block
+    # keys — the ±1-band × salt explode would otherwise shuffle/sort
+    # 3·salt copies of every document's text and histogram; payloads
+    # re-attach by doc id after the pair set is known (121k pairs ≫
+    # smaller than 24× the corpus text)
     left = base.select(
-        F.col("doc_id").alias("a"), F.col("nt").alias("na"),
+        F.col("doc_id").alias("a"),
         F.explode(F.array(F.col("lb") - 1, F.col("lb"),
                           F.col("lb") + 1)).alias("lb"),
-        "tb")
-    right = base.select(F.col("doc_id").alias("b"),
-                        F.col("nt").alias("nb"), "lb", "tb")
+        "tb") \
+        .select("*", F.explode(F.array(*[F.lit(k) for k in range(salt)]))
+                .alias("ck"))
+    right = base.select(F.col("doc_id").alias("b"), "lb", "tb",
+                        F.pmod(F.col("doc_id"), F.lit(salt)).alias("ck"))
     # Pin the candidate frame before verification (the minhash
     # signature-store pattern): without the materialization barrier
     # Catalyst pushes the dist_ppm filter INTO the join condition, so
@@ -497,13 +538,52 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     # sf0.1).  ensure_parallelism re-spreads the cached candidates so
     # the expensive pass uses every core regardless of what AQE chose
     # for the cheap join.
-    pairs = _pin(left.join(right, ["lb", "tb"])
-                 .filter(F.col("a") < F.col("b"))
-                 .select("a", "b", "na", "nb"))
-    d = ensure_parallelism(pairs).select(
+    # Histogram lower bound, computed IN the join stage: every edit
+    # op moves the 37-slot char histogram by at most 2 L1 units (and
+    # length by at most 1), so lev >= max(|Δlen|, ceil(L1/2)).  With
+    # a 30% threshold ~99.8% of candidates prune on ~40 integer ops
+    # instead of ~90k DP cells — floor() monotonicity makes the
+    # prune exact, never dropping a true pair.  The L1 is an
+    # UNROLLED 37-term sum, not zip_with/aggregate (HOF lambdas run
+    # interpreted per row), and it collapses to a scalar BEFORE the
+    # pin so the cached candidate frame holds no array columns
+    # (columnar cache building of per-row arrays dominates the
+    # stage otherwise).
+    from functools import reduce
+    l1 = reduce(lambda acc, k: acc + F.abs(
+        F.element_at("ha", k) - F.element_at("hb", k)),
+        range(2, len(_FUZZY_ALPHABET) + 1),
+        F.abs(F.element_at("ha", 1) - F.element_at("hb", 1)))
+    # hint("merge"): statistics for the window+explode chains are
+    # guesses, and Catalyst has been observed to BROADCAST the
+    # exploded (3×salt-wider) left side — every task then
+    # deserializes the whole hashed relation and rebuilds its hash
+    # table (~2 CPU-minutes at sf0.1 for a 5 s join).  Neither side
+    # of a corpus-sized self-join should broadcast; the salted slim
+    # keys keep the shuffle-merge balanced.
+    cand = (left.hint("merge").join(right, ["lb", "tb", "ck"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b"))
+    payload_a = base.select(F.col("doc_id").alias("a"),
+                            F.col("nt").alias("na"),
+                            F.col("h").alias("ha"))
+    payload_b = base.select(F.col("doc_id").alias("b"),
+                            F.col("nt").alias("nb"),
+                            F.col("h").alias("hb"))
+    pairs = _pin(cand.join(payload_a, "a").join(payload_b, "b")
+                 .select("a", "b", "na", "nb", l1.alias("__l1")))
+    bound = F.greatest(
+        F.abs(F.length("na") - F.length("nb")).cast("long"),
+        F.expr("(__l1 + 1) div 2"))
+    mx = F.greatest(F.length("na"), F.length("nb"))
+    survivors = (ensure_parallelism(pairs)
+                 .withColumn("__mx", mx)
+                 .filter(F.floor(bound * 1_000_000 / F.col("__mx"))
+                         <= max_dist_ppm))
+    d = survivors.select(
         "a", "b",
         F.levenshtein("na", "nb").cast("long").alias("lev"),
-        F.greatest(F.length("na"), F.length("nb")).alias("mx"))
+        F.col("__mx").alias("mx"))
     out = d.withColumn(
         "dist_ppm",
         F.floor(F.col("lev") * 1_000_000 / F.col("mx")).cast("long"))

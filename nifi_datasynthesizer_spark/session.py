@@ -23,6 +23,13 @@ def get_spark(app: str = "nifi-datasynthesizer-spark",
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+         # stays at its default (false) deliberately: with it on, AQE
+         # coalesces the pinned candidate-join subtrees to ~1
+         # partition based on their small INPUT bytes, serializing
+         # joins whose cost is in the OUTPUT expansion (measured 6×
+         # slower on dedup_fuzzy).  Skew inside cached joins is
+         # handled structurally (salted block keys) instead.
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          # Arrow for every pandas-UDF boundary
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
