@@ -474,8 +474,6 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     normalized text; the kept metric is integer ppm of the longer
     string — exact in any engine.
     """
-    norm = normalize_text(F.col(text_col))
-    first_tok = F.element_at(F.split(norm, " "), 1)
     # 37-slot character histogram (normalized text is [a-z0-9 ]):
     # occurrences via length-delta of plain replace() — no char-array
     # explode, stays inside codegen.  Used for the O(alphabet)
@@ -485,11 +483,17 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
          - F.length(F.replace(F.col("nt"), F.lit(c), F.lit(""))))
         .cast("long")
         for c in _FUZZY_ALPHABET])
-    base = ensure_parallelism(docs).select(
-        "doc_id", norm.alias("nt"),
-        (F.length(norm) / length_band).cast("int").alias("lb"),
-        F.pmod(h60(first_tok), F.lit(token_bands)).alias("tb"))
-    base = base.withColumn("h", hist)
+    # normalize ONCE into nt, then derive bands/hist from the stored
+    # column — inlining the expression into lb/tb would re-run the
+    # two-regex normalization 3× per row
+    base = (ensure_parallelism(docs)
+            .select("doc_id",
+                    normalize_text(F.col(text_col)).alias("nt"))
+            .select("doc_id", "nt",
+                    (F.length("nt") / length_band).cast("int").alias("lb"),
+                    F.pmod(h60(F.element_at(F.split("nt", " "), 1)),
+                           F.lit(token_bands)).alias("tb"),
+                    hist.alias("h")))
     if max_block is not None:
         w = Window.partitionBy("lb", "tb")
         base = (base.withColumn("__bsz", F.count("*").over(w))
@@ -540,15 +544,17 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     # for the cheap join.
     # Histogram lower bound, computed IN the join stage: every edit
     # op moves the 37-slot char histogram by at most 2 L1 units (and
-    # length by at most 1), so lev >= max(|Δlen|, ceil(L1/2)).  With
-    # a 30% threshold ~99.8% of candidates prune on ~40 integer ops
-    # instead of ~90k DP cells — floor() monotonicity makes the
-    # prune exact, never dropping a true pair.  The L1 is an
-    # UNROLLED 37-term sum, not zip_with/aggregate (HOF lambdas run
-    # interpreted per row), and it collapses to a scalar BEFORE the
-    # pin so the cached candidate frame holds no array columns
-    # (columnar cache building of per-row arrays dominates the
-    # stage otherwise).
+    # length by at most 1), so lev >= max(|Δlen|, ceil(L1/2)) — an
+    # exact prune (floor() monotonicity; never drops a true pair)
+    # costing ~40 integer ops against ~90k DP cells.  Selectivity is
+    # data-dependent: near-total on heterogeneous corpora (different
+    # character content), weak on permuted-shared-vocabulary text
+    # (reordering is invisible to a bag of characters — the synthetic
+    # bench corpus prunes only ~1%, so its fuzzy cost is genuine DP
+    # over all block candidates).  The L1 is an UNROLLED 37-term sum,
+    # not zip_with/aggregate (HOF lambdas run interpreted per row),
+    # and it collapses to a scalar BEFORE the pin so the cached
+    # candidate frame holds no array columns.
     from functools import reduce
     l1 = reduce(lambda acc, k: acc + F.abs(
         F.element_at("ha", k) - F.element_at("hb", k)),
@@ -576,10 +582,17 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
         F.abs(F.length("na") - F.length("nb")).cast("long"),
         F.expr("(__l1 + 1) div 2"))
     mx = F.greatest(F.length("na"), F.length("nb"))
-    survivors = (ensure_parallelism(pairs)
-                 .withColumn("__mx", mx)
-                 .filter(F.floor(bound * 1_000_000 / F.col("__mx"))
-                         <= max_dist_ppm))
+    # the bound survivors are pinned SEPARATELY: without this barrier
+    # Catalyst pushes the final dist_ppm predicate (which contains
+    # levenshtein) into the candidate cache's scan filter, where the
+    # interpreted evaluator would run the DP per candidate regardless
+    # of the histogram prune; behind the pin the DP sees only bound
+    # survivors.
+    survivors = _pin(ensure_parallelism(pairs)
+                     .withColumn("__mx", mx)
+                     .filter(F.floor(bound * 1_000_000 / F.col("__mx"))
+                             <= max_dist_ppm)
+                     .select("a", "b", "na", "nb", "__mx"))
     d = survivors.select(
         "a", "b",
         F.levenshtein("na", "nb").cast("long").alias("lev"),
