@@ -192,14 +192,19 @@ def test_fuzzy_pairs_blocks_on_two_keys(spark):
     """dedup_fuzzy's candidate join must key on (length band,
     first-token band) — Levenshtein verification is O(len²) per pair,
     so an unblocked or single-key join is the difference between
-    linear and quadratic work at 100 TB."""
+    linear and quadratic work at 100 TB.  The join must also be the
+    salted SHUFFLE-merge shape: a chunk key spreads hot blocks, and
+    neither side of the corpus self-join is broadcast (Catalyst's
+    size guess once broadcast the exploded side — every task then
+    rebuilt the full hashed relation)."""
     df = entrymod.queries()["dedup_fuzzy"](spark, SF)
     p = _plan(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p, "candidate join is not a shuffle-merge"
     key_lines = [ln for ln in p.splitlines()
                  if "keys" in ln.lower() and "lb#" in ln]
     assert key_lines, "no join keyed on the length band found"
-    assert all("tb#" in ln for ln in key_lines), key_lines
+    assert all("tb#" in ln and "ck#" in ln for ln in key_lines), key_lines
 
 
 def test_ann_ivf_assignment_is_narrow(spark):
