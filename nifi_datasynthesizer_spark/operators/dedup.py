@@ -593,11 +593,27 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
                      .filter(F.floor(bound * 1_000_000 / F.col("__mx"))
                              <= max_dist_ppm)
                      .select("a", "b", "na", "nb", "__mx"))
-    d = survivors.select(
+    # Bounded verification: the 3-arg levenshtein runs Spark's banded
+    # DP — O(k·n) cells inside a ±k diagonal band, early exit the
+    # moment a whole band row exceeds k — and returns -1 past the
+    # bound.  __k is the loosest lev that can still pass the ppm
+    # filter (floor(lev·1e6/mx) <= P  ⟺  lev·1e6 < (P+1)·mx  ⟹
+    # lev <= (P+1)·mx div 1e6), so -1 rows are exactly the pairs the
+    # full DP would have rejected; survivors re-check the exact ppm
+    # predicate unchanged.  At max_dist_ppm=0.3 the band is ~60% of
+    # the matrix for true near-dups, but the dominant cost is the
+    # REJECTED majority, which now exits after ~k rows instead of
+    # filling len² cells (measured ~2× on the sf0.1 corpus).  -1
+    # must be filtered explicitly: it would otherwise pass the
+    # <=ppm comparison as a bogus negative distance.
+    d = survivors.withColumn(
+        "__kk",
+        F.expr(f"cast((({max_dist_ppm} + 1) * __mx) div 1000000 as int)"),
+    ).select(
         "a", "b",
-        F.levenshtein("na", "nb").cast("long").alias("lev"),
+        F.expr("levenshtein(na, nb, __kk)").cast("long").alias("lev"),
         F.col("__mx").alias("mx"))
-    out = d.withColumn(
+    out = d.filter(F.col("lev") >= 0).withColumn(
         "dist_ppm",
         F.floor(F.col("lev") * 1_000_000 / F.col("mx")).cast("long"))
     return (out.filter(F.col("dist_ppm") <= max_dist_ppm)
