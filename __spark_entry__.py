@@ -996,7 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         distortion, codebooks trained deterministically."""
         from nifi_datasynthesizer_spark.operators import clustering as CL
         return (CL.pq_encode(_t(spark, sf, "embeddings"),
-                             m=8, k=16, iters=1)
+                             m=16, k=16, iters=2)
                 .orderBy("vec_id"))
     q["embed_pq"] = embed_pq
 
@@ -1007,8 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from nifi_datasynthesizer_spark.operators import clustering as CL
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
-        return (CL.pq_search(emb, queries_df, k_top=10, m=8, k=16,
-                             iters=1)
+        return (CL.pq_search(emb, queries_df, k_top=10, m=16, k=16,
+                             iters=2)
                 .orderBy("query_id", "rank"))
     q["ann_pq"] = ann_pq
 
@@ -1020,7 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
         return (CL.ivfpq_search(emb, queries_df, k_top=10, n_cells=16,
-                                n_probe=4, m=8, k=16, iters=1)
+                                n_probe=4, m=16, k=16, iters=2)
                 .orderBy("query_id", "rank"))
     q["ann_ivfpq"] = ann_ivfpq
 
@@ -1858,12 +1858,12 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64)
     o["dedup_semantic"] = OR.semantic_dedup_sql(k=8, iters=2,
                                                 threshold=0.4, dim=64)
-    o["embed_pq"] = OR.pq_encode_sql(m=8, k=16, iters=1, dim=64)
-    o["ann_pq"] = OR.pq_search_sql("vec_id < 5", k_top=10, m=8, k=16,
-                                   iters=1, dim=64)
+    o["embed_pq"] = OR.pq_encode_sql(m=16, k=16, iters=2, dim=64)
+    o["ann_pq"] = OR.pq_search_sql("vec_id < 5", k_top=10, m=16, k=16,
+                                   iters=2, dim=64)
     o["ann_ivfpq"] = OR.ivfpq_search_sql("vec_id < 5", k_top=10,
-                                         n_cells=16, n_probe=4, m=8,
-                                         k=16, iters=1, dim=64)
+                                         n_cells=16, n_probe=4, m=16,
+                                         k=16, iters=2, dim=64)
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)

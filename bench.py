@@ -145,14 +145,14 @@ def main() -> None:
     # construction's recall claim).  p4/p8 chart the probe curve.
     from nifi_datasynthesizer_spark.operators import clustering as CL
     got_pq = {(r.query_id, r.cand_id)
-              for r in CL.pq_search(emb, qdf, k_top=10, m=8, k=16,
-                                    iters=1).collect()}
+              for r in CL.pq_search(emb, qdf, k_top=10, m=16, k=16,
+                                    iters=2).collect()}
     recall["ann_pq_recall"] = round(len(truth & got_pq) / len(truth), 3)
     for probe in (4, 8, 16):
         got_ivfpq = {(r.query_id, r.cand_id)
                      for r in CL.ivfpq_search(emb, qdf, k_top=10,
                                               n_cells=16, n_probe=probe,
-                                              m=8, k=16, iters=1).collect()}
+                                              m=16, k=16, iters=2).collect()}
         recall[f"ann_ivfpq_recall_p{probe}"] = round(
             len(truth & got_ivfpq) / len(truth), 3)
 
