@@ -215,7 +215,7 @@ _WINDOW_R5 = [
     "corpus_bpe", "text_oov",
     # new this round
     "synth_purchases", "sketch_hll", "text_train_classifier",
-    "corpus_split_groups", "corpus_tokenize",
+    "corpus_split_groups", "corpus_tokenize", "sketch_kmv",
     # stale r1/r2 greens
     "media_frames", "corpus_clean", "text_embed", "corpus_stats",
     # r3 greens touched by the r4 minhash-family refactor — missed
@@ -232,8 +232,9 @@ _WINDOW_R5 = [
     "streaming_dedup_docs", "streaming_running_totals",
     "synth_phone_numbers", "synth_text_messages", "synth_text_blocks",
     "synth_markov_text", "synth_markov_sms", "synth_transactions",
-    "synth_iot", "synth_exotic_scalar",
-    # ---- position 50 cutoff: r6 leads with the 15 below ----
+    "synth_iot",
+    # ---- position 50 cutoff: r6 leads with the 16 below ----
+    "synth_exotic_scalar",
     "synth_registry", "synth_cpoc",
     "synth_correlate", "synth_correlate_pair",
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
@@ -1426,6 +1427,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist_quantiles(ev, "event_type", "value").orderBy("event_type")
     q["sketch_quantiles"] = sketch_quantiles
 
+    def sketch_kmv(spark, sf):
+        """KMV bottom-k sketch per source + pairwise Jaccard between
+        sources — the theta-sketch set-operation the register sketches
+        can't do: union/intersection estimates composed from k-row
+        sketches alone, no cross-group token join."""
+        from nifi_datasynthesizer_spark.operators.sketches import kmv_sketch
+        docs = _t(spark, sf, "documents")
+        return kmv_sketch(docs, "source", k=64).orderBy("ga", "gb")
+    q["sketch_kmv"] = sketch_kmv
+
     def sketch_bloom(spark, sf):
         """Bloom-filter semi-join reduction: BUILDING-segment customer
         keys packed into a broadcast bitmap that filters orders with a
@@ -1981,6 +1992,7 @@ ORDER BY event_id"""
     o["dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
     o["sketch_hll"] = OR.hll_distinct_sql("event_type", "user_id")
+    o["sketch_kmv"] = OR.kmv_sketch_sql("source", k=64)
     o["sketch_bloom"] = OR.bloom_semi_join_sql("BUILDING")
     o["sketch_merge"] = OR.fm_rollup_sql("event_type", "user_id")
     o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)

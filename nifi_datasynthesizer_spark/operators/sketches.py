@@ -384,3 +384,93 @@ def hist_quantiles(df: DataFrame, group_col: str = "event_type",
     return cum.groupBy("grp").agg(*aggs) \
         .select(F.col("grp").alias(group_col), *[
             f"p{qt}_edge_c" for qt in quantiles], "n_buckets", "n_total")
+
+
+def kmv_sketch(docs: DataFrame, group_col: str = "source",
+               text_col: str = "text", k: int = 64,
+               n: int = 2, salt: int = 32) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch per group,
+    plus pairwise Jaccard estimates between groups — the theta-sketch
+    family's set-operation trick that FM/HLL registers cannot do:
+    because every sketch is just the k smallest ``h60`` values of the
+    group's word ``n``-shingle set (shingles, not single words — the
+    synthetic corpus shares one vocabulary, and any real corpus's
+    unigram overlap saturates the same way), sketches of different
+    groups COMPOSE — the
+    bottom-k of a union is computable from the two sketches alone,
+    and membership of a union-sample hash in both sketches estimates
+    Jaccard (the KMV coincidence estimator: J ≈ |K(A∪B) ∩ A ∩ B| /
+    |K(A∪B)|).  The corpus overlap matrix between sources is the
+    pipeline question this answers at 100 TB without any cross-group
+    token join.
+
+    Plan shape: one explode+distinct pass builds (group, token-hash)
+    — the only corpus-sized work, shuffled on the uniform digest.
+    Bottom-k is TWO-LEVEL: a per-(group, h mod ``salt``) window keeps
+    k rows per slice (the vocab-sized sort runs parallel across
+    salts), then the final per-group window merges ≤ ``salt·k`` rows
+    — no group-sized single-task sort.  Everything downstream
+    (estimates, pair unions) touches only k-row sketches.
+
+    Exactness: estimates are ``floor((k-1)·2^60 / kth)`` with one
+    IEEE double division (both operands exactly representable,
+    bit-identical across engines; groups with < k distinct tokens
+    report their exact count), Jaccard is integer ppm.  Returns one
+    row per unordered group pair (ga < gb):
+    (ga, gb, est_a, est_b, inter_k, kk, jaccard_ppm).
+    """
+    from .dedup import _shingles, ensure_parallelism
+
+    two60 = float(1 << 60)
+    base = (ensure_parallelism(docs)
+            .select(F.col(group_col).alias("grp"),
+                    F.explode(F.array_distinct(
+                        _shingles(F.col(text_col), n))).alias("w"))
+            .filter(F.col("w") != "")
+            .select("grp", h60(F.col("w")).alias("h"))
+            .distinct())
+    ws = Window.partitionBy("grp", "s").orderBy("h")
+    cand = (base.withColumn("s", F.pmod("h", F.lit(salt)))
+            .withColumn("rs", F.row_number().over(ws))
+            .filter(F.col("rs") <= k).select("grp", "h"))
+    wg = Window.partitionBy("grp").orderBy("h")
+    sk = (cand.withColumn("rnk", F.row_number().over(wg))
+          .filter(F.col("rnk") <= k).select("grp", "h"))
+
+    gstats = sk.groupBy("grp").agg(F.count("*").alias("nk"),
+                                   F.max("h").alias("kth"))
+    est = F.when(F.col("nk") < k, F.col("nk")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(two60)
+                / F.col("kth").cast("double"))).cast("long")
+    gest = gstats.select("grp", est.alias("est_distinct"))
+
+    groups = gest.select("grp")
+    pairs = (groups.select(F.col("grp").alias("ga"))
+             .crossJoin(groups.select(F.col("grp").alias("gb")))
+             .filter(F.col("ga") < F.col("gb")))
+    ua = (F.broadcast(pairs)
+          .join(sk.select(F.col("grp").alias("ga"), "h"), "ga")
+          .select("ga", "gb", "h", F.lit(1).alias("ia"),
+                  F.lit(0).alias("ib")))
+    ub = (F.broadcast(pairs)
+          .join(sk.select(F.col("grp").alias("gb"), "h"), "gb")
+          .select("ga", "gb", "h", F.lit(0).alias("ia"),
+                  F.lit(1).alias("ib")))
+    u = (ua.unionByName(ub)
+         .groupBy("ga", "gb", "h")
+         .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    ru = u.withColumn("rnk", F.row_number().over(wu))
+    pagg = ru.groupBy("ga", "gb").agg(
+        F.sum(F.when((F.col("rnk") <= k) & (F.col("ia") == 1)
+                     & (F.col("ib") == 1), 1).otherwise(0))
+        .cast("long").alias("inter_k"),
+        F.least(F.count("*"), F.lit(k).cast("long")).alias("kk"))
+    return (pagg
+            .join(gest.select(F.col("grp").alias("ga"),
+                              F.col("est_distinct").alias("est_a")), "ga")
+            .join(gest.select(F.col("grp").alias("gb"),
+                              F.col("est_distinct").alias("est_b")), "gb")
+            .select("ga", "gb", "est_a", "est_b", "inter_k", "kk",
+                    F.floor(F.col("inter_k") * 1_000_000 / F.col("kk"))
+                    .cast("long").alias("jaccard_ppm")))

@@ -1634,3 +1634,67 @@ SELECT digest, COUNT(*) AS n_copies,
        MIN(media_id) AS keeper_media_id,
        COUNT(DISTINCT kind) AS n_kinds
 FROM m GROUP BY digest HAVING COUNT(*) > 1 ORDER BY digest"""
+
+
+def kmv_sketch_sql(group_col: str = "source", k: int = 64,
+                   n: int = 2, salt: int = 32,
+                   table: str = "documents") -> str:
+    """Mirror of sketches.kmv_sketch: two-level bottom-k over word
+    n-shingles, KMV distinct estimates (one IEEE double division, both
+    operands exact), and the pairwise union-coincidence Jaccard in
+    integer ppm."""
+    two60 = "1152921504606846976.0"  # 2^60, exactly representable
+    shingle = (f"CASE WHEN len(W) >= {n} "
+               f"THEN list_transform(range(0, len(W) - {n} + 1), "
+               f"s -> array_to_string(list_slice(W, s + 1, s + {n}), ' ')) "
+               f"ELSE [array_to_string(W, ' ')] END")
+    return f"""
+WITH base AS (
+  SELECT DISTINCT grp, {h60_sql('w')} AS h FROM (
+    SELECT grp, UNNEST(list_distinct({shingle})) AS w FROM
+      (SELECT {group_col} AS grp, string_split({_NORM}, ' ') AS W
+       FROM {table}))
+  WHERE w <> ''),
+cand AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, ROW_NUMBER() OVER
+        (PARTITION BY grp, h % {salt} ORDER BY h) AS rs
+    FROM base) WHERE rs <= {k}),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, ROW_NUMBER() OVER
+        (PARTITION BY grp ORDER BY h) AS rnk
+    FROM cand) WHERE rnk <= {k}),
+g AS (SELECT grp, COUNT(*) AS nk, MAX(h) AS kth FROM sk GROUP BY grp),
+gest AS (
+  SELECT grp,
+         CAST(CASE WHEN nk < {k} THEN nk
+              ELSE FLOOR({k - 1} * {two60} / CAST(kth AS DOUBLE))
+              END AS BIGINT) AS est_distinct
+  FROM g),
+pairs AS (SELECT a.grp AS ga, b.grp AS gb
+          FROM gest a, gest b WHERE a.grp < b.grp),
+u AS (
+  SELECT ga, gb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN sk s ON s.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS ia, 1 AS ib
+    FROM pairs p JOIN sk s ON s.grp = p.gb)
+  GROUP BY ga, gb, h),
+ru AS (SELECT ga, gb, h, ia, ib, ROW_NUMBER() OVER
+           (PARTITION BY ga, gb ORDER BY h) AS rnk
+       FROM u),
+pagg AS (
+  SELECT ga, gb,
+         CAST(SUM(CASE WHEN rnk <= {k} AND ia = 1 AND ib = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inter_k,
+         CAST(LEAST(COUNT(*), {k}) AS BIGINT) AS kk
+  FROM ru GROUP BY ga, gb)
+SELECT ga, gb, ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+       inter_k, kk,
+       CAST(FLOOR(inter_k * 1000000 / kk) AS BIGINT) AS jaccard_ppm
+FROM pagg
+JOIN gest ea ON ea.grp = ga
+JOIN gest eb ON eb.grp = gb
+ORDER BY ga, gb"""

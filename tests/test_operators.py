@@ -1150,3 +1150,24 @@ def test_bpe_tokenize_counts(spark):
     assert out[0].n_bpe_tokens == 3 * 1 + 1 + 2
     assert out[1].n_bpe_tokens == 1 + 1 + 2
     assert out[2].n_words == 1 and out[2].n_bpe_tokens == 20
+
+
+def test_kmv_sketch_estimates_and_jaccard(spark):
+    """KMV bottom-k: groups under k distinct shingles report exact
+    counts; groups over k estimate within the ~1/sqrt(k) band; the
+    union-coincidence Jaccard lands near the planted overlap."""
+    from nifi_datasynthesizer_spark.operators.sketches import kmv_sketch
+    a = " ".join(f"w{i}" for i in range(200))        # bigrams 0..198
+    b = " ".join(f"w{i}" for i in range(100, 300))   # bigrams 100..298
+    rows = [("A", 1, a), ("B", 2, b), ("C", 3, "a b c")]
+    docs = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {(r.ga, r.gb): r
+           for r in kmv_sketch(docs, "source", k=64).collect()}
+    ab = out[("A", "B")]
+    # 199 bigrams each; truth J = 99 / 299 ~ 0.331
+    assert 120 < ab.est_a < 320 and 120 < ab.est_b < 320
+    assert 150_000 < ab.jaccard_ppm < 550_000
+    ac = out[("A", "C")]
+    assert ac.est_b == 2          # < k distinct -> exact count
+    assert ac.jaccard_ppm == 0    # disjoint shingle sets
+    assert all(r.inter_k <= r.kk for r in out.values())
