@@ -215,7 +215,7 @@ _WINDOW_R5 = [
     "corpus_bpe", "text_oov",
     # new this round
     "synth_purchases", "sketch_hll", "text_train_classifier",
-    "corpus_split_groups", "corpus_tokenize", "sketch_kmv",
+    "corpus_split_groups", "corpus_tokenize", "sketch_kmv", "corpus_dsir",
     # stale r1/r2 greens
     "media_frames", "corpus_clean", "text_embed", "corpus_stats",
     # r3 greens touched by the r4 minhash-family refactor — missed
@@ -232,9 +232,8 @@ _WINDOW_R5 = [
     "streaming_dedup_docs", "streaming_running_totals",
     "synth_phone_numbers", "synth_text_messages", "synth_text_blocks",
     "synth_markov_text", "synth_markov_sms", "synth_transactions",
-    "synth_iot",
-    # ---- position 50 cutoff: r6 leads with the 16 below ----
-    "synth_exotic_scalar",
+    # ---- position 50 cutoff: r6 leads with the 17 below ----
+    "synth_iot", "synth_exotic_scalar",
     "synth_registry", "synth_cpoc",
     "synth_correlate", "synth_correlate_pair",
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
@@ -1244,6 +1243,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_tokenize(docs, rounds=4).orderBy("doc_id")
     q["corpus_tokenize"] = corpus_tokenize
 
+    def corpus_dsir(spark, sf):
+        """DSIR importance resampling: hashed-ngram likelihood-ratio
+        scores vs a low-repetition target subpopulation, histogram-
+        threshold top-share selection — fit, scoring, and selection
+        all one declarative plan (micro-log2 tables, no libm)."""
+        from nifi_datasynthesizer_spark.operators.curation import dsir_weights
+        from nifi_datasynthesizer_spark.operators.dedup import normalize_text
+        docs = _t(spark, sf, "documents")
+        w = F.split(normalize_text(F.col("text")), " ")
+        target = F.size(F.array_distinct(w)) * 1000 >= F.size(w) * 600
+        return dsir_weights(docs, target).orderBy("doc_id")
+    q["corpus_dsir"] = corpus_dsir
+
     def embed_quantize(spark, sf):
         from nifi_datasynthesizer_spark.operators import similarity as SIM
         return (SIM.quantize_int8(_t(spark, sf, "embeddings"), dim=64)
@@ -1993,6 +2005,8 @@ ORDER BY event_id"""
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
     o["sketch_hll"] = OR.hll_distinct_sql("event_type", "user_id")
     o["sketch_kmv"] = OR.kmv_sketch_sql("source", k=64)
+    o["corpus_dsir"] = OR.dsir_weights_sql(
+        "len(list_distinct(W)) * 1000 >= len(W) * 600")
     o["sketch_bloom"] = OR.bloom_semi_join_sql("BUILDING")
     o["sketch_merge"] = OR.fm_rollup_sql("event_type", "user_id")
     o["sketch_heavy_hitters"] = OR.cm_heavy_hitters_sql(k=10)

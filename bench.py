@@ -61,7 +61,7 @@ def main() -> None:
              "corpus_bpe", "text_oov", "sketch_quantiles",
              "synth_weblog_lines", "synth_purchases", "sketch_hll",
              "text_train_classifier", "corpus_split_groups",
-             "corpus_tokenize", "sketch_kmv"]
+             "corpus_tokenize", "sketch_kmv", "corpus_dsir"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

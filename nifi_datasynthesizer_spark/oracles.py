@@ -1698,3 +1698,59 @@ FROM pagg
 JOIN gest ea ON ea.grp = ga
 JOIN gest eb ON eb.grp = gb
 ORDER BY ga, gb"""
+
+
+def _ilog2_micro_duck(x: str) -> str:
+    """DuckDB twin of curation._ilog2_micro_sql — same Python-generated
+    mantissa tables, DuckDB list/shift syntax."""
+    from .operators.curation import _ILOG2_T0, _ILOG2_T1
+    t0 = "[" + ",".join(str(v) for v in _ILOG2_T0) + "]"
+    t1 = "[" + ",".join(str(v) for v in _ILOG2_T1) + "]"
+    e8 = f"(length(bin({x})) - 9)"
+    q = f"CAST(({x}) // (CAST(1 AS BIGINT) << {e8}) AS INT)"
+    return (f"(CASE WHEN ({x}) < 256 THEN {t0}[CAST({x} AS INT) + 1] "
+            f"ELSE {e8} * 1000000 + {t1}[{q} - 255] END)")
+
+
+def dsir_weights_sql(target_sql: str, n_buckets: int = 256,
+                     share_ppm: int = 250_000, bin_width: int = 50_000,
+                     table: str = "documents") -> str:
+    """Mirror of curation.dsir_weights.  ``target_sql`` is a boolean
+    expression over ``W`` (the normalized word list)."""
+    sh2 = ("CASE WHEN len(W) >= 2 "
+           "THEN list_transform(range(0, len(W) - 1), "
+           "s -> array_to_string(list_slice(W, s + 1, s + 2), ' ')) "
+           "ELSE [array_to_string(W, ' ')] END")
+    il = _ilog2_micro_duck
+    return f"""
+WITH w0 AS (SELECT doc_id, string_split({_NORM}, ' ') AS W FROM {table}),
+tgt AS (SELECT doc_id, ({target_sql}) AS is_t,
+               list_concat(W, {sh2}) AS G FROM w0),
+feats AS (SELECT doc_id, is_t, {h60_sql('f')} % {n_buckets} AS b
+          FROM (SELECT doc_id, is_t, UNNEST(G) AS f FROM tgt)),
+fit AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               COUNT(*) AS cr
+        FROM feats GROUP BY b),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
+               CAST(SUM(cr) AS BIGINT) AS r_tot FROM fit),
+d0 AS (SELECT b, ct + 1 AS x1, t_tot + {n_buckets} AS x2,
+              cr + 1 AS x3, r_tot + {n_buckets} AS x4 FROM fit, tot),
+delta AS (SELECT b, CAST({il('x1')} - {il('x2')} - {il('x3')} + {il('x4')}
+                        AS BIGINT) AS delta_micro FROM d0),
+scored AS (SELECT doc_id, COUNT(*) AS n_feats,
+                  CAST(SUM(delta_micro) AS BIGINT) AS logw_micro
+           FROM feats JOIN delta USING (b) GROUP BY doc_id),
+hist AS (SELECT CAST(FLOOR(logw_micro / {bin_width}.0) AS BIGINT) AS bin,
+                COUNT(*) AS n
+         FROM scored GROUP BY 1),
+cum AS (SELECT bin,
+               SUM(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum,
+               SUM(n) OVER () AS total
+        FROM hist),
+thr AS (SELECT MAX(CASE WHEN cum * 1000000 >= total * {share_ppm}
+                        THEN bin END) AS tbin FROM cum)
+SELECT doc_id, n_feats, logw_micro,
+       CAST(CASE WHEN FLOOR(logw_micro / {bin_width}.0) >= tbin
+                 THEN 1 ELSE 0 END AS INT) AS selected
+FROM scored, thr ORDER BY doc_id"""

@@ -1171,3 +1171,27 @@ def test_kmv_sketch_estimates_and_jaccard(spark):
     assert ac.est_b == 2          # < k distinct -> exact count
     assert ac.jaccard_ppm == 0    # disjoint shingle sets
     assert all(r.inter_k <= r.kk for r in out.values())
+
+
+def test_dsir_weights_shift_toward_target(spark):
+    """DSIR importance weights: documents sharing the target
+    subpopulation's n-gram profile outscore off-profile documents,
+    and the histogram threshold keeps ~share_ppm of the pool."""
+    from nifi_datasynthesizer_spark.operators.curation import dsir_weights
+    import pyspark.sql.functions as SF
+    voc_a = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    voc_b = ["zork", "quux", "wibble", "fnord", "blorp"]
+    rows = []
+    for i in range(40):
+        v = voc_a if (i < 10 or 20 <= i < 30) else voc_b
+        rows.append((i, " ".join(v[(i + j) % 5] for j in range(30))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           dsir_weights(docs, SF.col("doc_id") < 10,
+                        share_ppm=500_000).collect()}
+    mean_a = sum(out[i].logw_micro for i in range(20, 30)) / 10
+    mean_b = sum(out[i].logw_micro for i in range(30, 40)) / 10
+    assert mean_a > mean_b, (mean_a, mean_b)
+    sel = sum(r.selected for r in out.values())
+    assert 20 <= sel <= 30, sel          # ~50% share, one-bin overshoot
+    assert all(out[i].selected for i in range(20, 30))
