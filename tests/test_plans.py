@@ -408,3 +408,38 @@ def test_cm_heavy_hitters_bounded_topk(spark):
     assert "TakeOrderedAndProject" in p
     # the cells side broadcasts (4096 rows)
     assert "BroadcastHashJoin" in p
+
+
+def test_kmv_sketch_no_cross_group_token_join(spark):
+    """sketch_kmv's whole point is composing k-row sketches: the only
+    corpus-sized work is the explode+distinct pass, and the pair
+    stage must join BROADCAST pair keys against k-row sketches —
+    never a token-level cross-group join or cartesian product."""
+    import re
+    df = entrymod.queries()["sketch_kmv"](spark, SF)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    # the ga < gb pair enumeration is the one sanctioned nested-loop
+    # join (group-count², tiny); every BNLJ in the plan must be that
+    # cross, never an unkeyed token-level join
+    conds = re.findall(
+        r"\(\d+\) BroadcastNestedLoopJoin\s*\nJoin type: (\w+)"
+        r"\s*\nJoin condition: ([^\n]+)", p)
+    assert conds, "expected the pair-enumeration BNLJ in the plan"
+    for jtype, cond in conds:
+        assert jtype == "Cross" and "ga" in cond, (jtype, cond)
+    # sketch windows are salted / per-group — never a global sort
+    assert "Window [" not in p or "partitionBy" not in p
+
+
+def test_dsir_single_fit_join_is_broadcast(spark):
+    """corpus_dsir: the 256-row delta table must re-attach to the
+    feature stream as a BROADCAST join (the corpus is never shuffled
+    on the bucket key), and the plan has no cartesian product beyond
+    the 1-row totals/threshold attachments."""
+    df = entrymod.queries()["corpus_dsir"](spark, SF)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # per-doc scoring aggregates on doc_id (partial agg applies)
+    assert "partial" in p.lower()
