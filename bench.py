@@ -61,7 +61,7 @@ def main() -> None:
              "corpus_bpe", "text_oov", "sketch_quantiles",
              "synth_weblog_lines", "synth_purchases", "sketch_hll",
              "text_train_classifier", "corpus_split_groups",
-             "corpus_tokenize", "sketch_kmv", "corpus_dsir"]
+             "corpus_tokenize", "sketch_kmv", "corpus_dsir", "ann_pq_rerank"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation
@@ -148,6 +148,10 @@ def main() -> None:
               for r in CL.pq_search(emb, qdf, k_top=10, m=16, k=16,
                                     iters=2).collect()}
     recall["ann_pq_recall"] = round(len(truth & got_pq) / len(truth), 3)
+    got_rr = {(r.query_id, r.cand_id)
+              for r in CL.pq_rerank_search(emb, qdf, k_top=10, shortlist=4,
+                                           m=16, k=16, iters=2).collect()}
+    recall["ann_pq_rerank_recall"] = round(len(truth & got_rr) / len(truth), 3)
     for probe in (4, 8, 16):
         got_ivfpq = {(r.query_id, r.cand_id)
                      for r in CL.ivfpq_search(emb, qdf, k_top=10,

@@ -1754,3 +1754,49 @@ SELECT doc_id, n_feats, logw_micro,
        CAST(CASE WHEN FLOOR(logw_micro / {bin_width}.0) >= tbin
                  THEN 1 ELSE 0 END AS INT) AS selected
 FROM scored, thr ORDER BY doc_id"""
+
+
+def pq_rerank_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
+                  shortlist: int = 4, m: int = 16, k: int = 16,
+                  iters: int = 2, dim: int = 64,
+                  table: str = "embeddings") -> str:
+    """Mirror of clustering.pq_rerank_search: the pq_search ADC chain,
+    shortlist of shortlist*k_top per query, exact integer re-rank."""
+    parts, sub = _pq_parts(m, k, iters, dim, table)
+
+    def dist(xi: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, {sub + 1}), "
+                f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))")
+
+    code_cols = ", ".join(f"f{s}.code AS c{s}" for s in range(m))
+    joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+    bjoins = " ".join(f"JOIN cb{s}_{iters} b{s} ON b{s}.j = codes.c{s}"
+                      for s in range(m))
+    adc = " + ".join(
+        dist(f"list_slice(q.xi, {s * sub + 1}, {(s + 1) * sub})", f"b{s}.c")
+        for s in range(m))
+    exact = (f"list_sum(list_transform(range(1, {dim + 1}), "
+             f"d -> (cx.xi[d] - q2.xi[d]) * (cx.xi[d] - q2.xi[d])))")
+    return f"""
+WITH {', '.join(parts)},
+codes AS (SELECT f0.vec_id AS cand_id, {code_cols} FROM f0 {joins}),
+q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
+scored AS (SELECT q.query_id, codes.cand_id,
+                  CAST({adc} AS BIGINT) AS adc_q
+           FROM q CROSS JOIN codes {bjoins}
+           WHERE codes.cand_id <> q.query_id),
+short AS (SELECT query_id, cand_id, adc_q FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_q, cand_id) AS srank
+            FROM scored)
+          WHERE srank <= {k_top * shortlist}),
+rer AS (SELECT short.query_id, short.cand_id, short.adc_q,
+               CAST({exact} AS BIGINT) AS exact_q
+        FROM short
+        JOIN x cx ON cx.vec_id = short.cand_id
+        JOIN x q2 ON q2.vec_id = short.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY exact_q, cand_id) AS rank
+      FROM rer)
+SELECT query_id, cand_id, adc_q, exact_q, rank FROM r
+WHERE rank <= {k_top} ORDER BY query_id, rank"""

@@ -1195,3 +1195,25 @@ def test_dsir_weights_shift_toward_target(spark):
     sel = sum(r.selected for r in out.values())
     assert 20 <= sel <= 30, sel          # ~50% share, one-bin overshoot
     assert all(out[i].selected for i in range(20, 30))
+
+
+def test_pq_rerank_beats_adc_ranking(spark):
+    """Two-stage PQ: exact re-rank of the ADC shortlist must recover
+    at least as much bruteforce recall as ADC-only ranking, and its
+    exact distances must be genuinely exact (agree with bruteforce
+    ordering on the shortlist)."""
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    from nifi_datasynthesizer_spark.operators import similarity as SIM
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") < 8)
+    truth = {(r.query_id, r.cand_id)
+             for r in SIM.ann_bruteforce(emb, qdf, k=10).collect()}
+    adc = {(r.query_id, r.cand_id)
+           for r in CL.pq_search(emb, qdf, k_top=10, m=16, k=16,
+                                 iters=2).collect()}
+    rer = {(r.query_id, r.cand_id)
+           for r in CL.pq_rerank_search(emb, qdf, k_top=10, shortlist=4,
+                                        m=16, k=16, iters=2).collect()}
+    assert len(truth & rer) >= len(truth & adc), (len(truth & rer),
+                                                  len(truth & adc))
+    assert len(truth & rer) / len(truth) >= 0.4
