@@ -1217,3 +1217,29 @@ def test_pq_rerank_beats_adc_ranking(spark):
     assert len(truth & rer) >= len(truth & adc), (len(truth & rer),
                                                   len(truth & adc))
     assert len(truth & rer) / len(truth) >= 0.4
+
+
+def test_ilog2_micro_cross_engine_exact(spark):
+    """The micro-log2 decomposition must agree BIT-EXACTLY between the
+    Spark template and the DuckDB twin on boundary values (powers of
+    two, table edges) and track true log2 within the documented
+    2^-8 mantissa-truncation error."""
+    import math
+
+    import duckdb
+
+    from nifi_datasynthesizer_spark.operators.curation import _ilog2_micro_sql
+    from nifi_datasynthesizer_spark.oracles import _ilog2_micro_duck
+    vals = ([1, 2, 3, 127, 128, 255, 256, 257, 511, 512, 513, 65535,
+             65536, (1 << 40) - 1, 1 << 40, (1 << 59) + 12345]
+            + [7 ** i % (1 << 50) + 1 for i in range(1, 30)])
+    sdf = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    got_s = [r.v for r in
+             sdf.select(F.expr(_ilog2_micro_sql("x")).alias("v")).collect()]
+    got_d = [r[0] for r in duckdb.sql(
+        "SELECT " + _ilog2_micro_duck("x") + " FROM (SELECT UNNEST(["
+        + ",".join(str(v) for v in vals) + "]) AS x)").fetchall()]
+    assert got_s == got_d
+    for v, g in zip(vals, got_s):
+        true = 1e6 * math.log2(v)
+        assert true - 5700 <= g <= true + 1, (v, g, true)
