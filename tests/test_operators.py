@@ -1243,3 +1243,36 @@ def test_ilog2_micro_cross_engine_exact(spark):
     for v, g in zip(vals, got_s):
         true = 1e6 * math.log2(v)
         assert true - 5700 <= g <= true + 1, (v, g, true)
+
+
+def test_kmv_exact_when_k_covers_universe(spark):
+    """With k >= every group's shingle cardinality the KMV sketch IS
+    the full set: estimates must equal exact distinct counts and the
+    coincidence Jaccard must equal exact floor(1e6·|∩|/|∪|)."""
+    from nifi_datasynthesizer_spark.operators.sketches import kmv_sketch
+    a = "p q r s t u v w"         # bigrams: pq qr rs st tu uv vw (7)
+    b = "r s t u v w x y"         # bigrams: rs st tu uv vw wx xy (7)
+    docs = spark.createDataFrame([("A", 1, a), ("B", 2, b)],
+                                 ["source", "doc_id", "text"])
+    r = kmv_sketch(docs, "source", k=64).collect()[0]
+    assert (r.est_a, r.est_b) == (7, 7)
+    inter, union = 5, 9           # shared: rs st tu uv vw
+    assert r.inter_k == inter and r.kk == union
+    assert r.jaccard_ppm == (inter * 1_000_000) // union
+
+
+def test_dsir_share_monotone_and_full(spark):
+    """Raising share_ppm can only grow the selected set (histogram
+    threshold moves down-bin); share=1e6 selects everything."""
+    from nifi_datasynthesizer_spark.operators.curation import dsir_weights
+    import pyspark.sql.functions as SF
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(20)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = SF.col("doc_id") % 3 == 0
+    picked = {}
+    for share in (200_000, 500_000, 1_000_000):
+        out = dsir_weights(docs, target, share_ppm=share).collect()
+        picked[share] = {r.doc_id for r in out if r.selected}
+    assert picked[200_000] <= picked[500_000] <= picked[1_000_000]
+    assert len(picked[1_000_000]) == 30
