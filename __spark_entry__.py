@@ -1021,7 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
         return (CL.ivfpq_search(emb, queries_df, k_top=10, n_cells=16,
-                                n_probe=4, m=16, k=16, iters=2)
+                                n_probe=4, m=16, k=16, iters=2,
+                                coarse_iters=1)
                 .orderBy("query_id", "rank"))
     q["ann_ivfpq"] = ann_ivfpq
 
@@ -1899,7 +1900,8 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
                                    iters=2, dim=64)
     o["ann_ivfpq"] = OR.ivfpq_search_sql("vec_id < 5", k_top=10,
                                          n_cells=16, n_probe=4, m=16,
-                                         k=16, iters=2, dim=64)
+                                         k=16, iters=2, coarse_iters=1,
+                                         dim=64)
     o["ann_pq_rerank"] = OR.pq_rerank_sql("vec_id < 5", k_top=10,
                                           shortlist=4, m=16, k=16,
                                           iters=2, dim=64)

@@ -156,7 +156,8 @@ def main() -> None:
         got_ivfpq = {(r.query_id, r.cand_id)
                      for r in CL.ivfpq_search(emb, qdf, k_top=10,
                                               n_cells=16, n_probe=probe,
-                                              m=16, k=16, iters=2).collect()}
+                                              m=16, k=16, iters=2,
+                                              coarse_iters=1).collect()}
         recall[f"ann_ivfpq_recall_p{probe}"] = round(
             len(truth & got_ivfpq) / len(truth), 3)
 

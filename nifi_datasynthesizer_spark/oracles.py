@@ -944,14 +944,17 @@ WHERE rank <= {k_top} ORDER BY query_id, rank"""
 
 def ivfpq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
                      n_cells: int = 16, n_probe: int = 4, m: int = 8,
-                     k: int = 16, iters: int = 1, dim: int = 64,
+                     k: int = 16, iters: int = 1,
+                     coarse_iters: int | None = None, dim: int = 64,
                      table: str = "embeddings") -> str:
     """Mirror of clustering.ivfpq_search (residual IVF-PQ): shared x +
     coarse k-means chain (_km_parts) + residual CTE + PQ chain sourced
     from the residuals; probe gating is the per-query top-n_probe
     cells, and ADC distances use the query's residual in the PROBED
     cell against the residual codebooks."""
-    km = _km_parts(n_cells, iters, dim)
+    if coarse_iters is None:
+        coarse_iters = iters
+    km = _km_parts(n_cells, coarse_iters, dim)
     pq, sub = _pq_parts(m, k, iters, dim, table, src="xres")
 
     def dist(xi: str, c: str, n: int) -> str:
@@ -976,7 +979,7 @@ xres AS (SELECT x.vec_id,
                 list_transform(range(1, {dim + 1}),
                                d -> x.xi[d] - cc.c[d]) AS xi
          FROM x JOIN asg ON asg.vec_id = x.vec_id
-                JOIN c{iters} cc ON cc.j = asg.cell)"""
+                JOIN c{coarse_iters} cc ON cc.j = asg.cell)"""
     parts = [_x_part(table)] + km + [xres] + pq[1:]
     return f"""
 WITH {', '.join(parts)},
@@ -986,13 +989,13 @@ probes AS (SELECT query_id, j AS cell FROM (
                     ROW_NUMBER() OVER (
                       PARTITION BY q.query_id
                       ORDER BY {dist('q.xi', 'cc.c', dim)}, cc.j) AS rn
-             FROM q CROSS JOIN c{iters} cc)
+             FROM q CROSS JOIN c{coarse_iters} cc)
            WHERE rn <= {n_probe}),
 codes AS (SELECT f0.vec_id AS cand_id, {code_cols} FROM f0 {joins}),
 scored AS (SELECT q.query_id, codes.cand_id,
                   CAST({adc} AS BIGINT) AS adc_q
            FROM q JOIN probes USING (query_id)
-                JOIN c{iters} qc ON qc.j = probes.cell
+                JOIN c{coarse_iters} qc ON qc.j = probes.cell
                 JOIN asg ON asg.cell = probes.cell
                 JOIN codes ON codes.cand_id = asg.vec_id
                 {bjoins}
