@@ -419,7 +419,7 @@ def kmv_sketch(docs: DataFrame, group_col: str = "source",
     row per unordered group pair (ga < gb):
     (ga, gb, est_a, est_b, inter_k, kk, jaccard_ppm).
     """
-    from .dedup import _shingles, ensure_parallelism
+    from .dedup import _pin, _shingles, ensure_parallelism
 
     two60 = float(1 << 60)
     base = (ensure_parallelism(docs)
@@ -436,6 +436,15 @@ def kmv_sketch(docs: DataFrame, group_col: str = "source",
     wg = Window.partitionBy("grp").orderBy("h")
     sk = (cand.withColumn("rnk", F.row_number().over(wg))
           .filter(F.col("rnk") <= k).select("grp", "h"))
+    # the k-row-per-group sketch feeds FOUR derivations (estimates +
+    # both pair sides); without a pin each one replays the
+    # corpus-sized explode+distinct chain (audited: 8 Generate nodes,
+    # zero ReusedExchange).  Pin EAGERLY (count() forces the build —
+    # a lazily-pinned frame fanned out in one job degrades to
+    # recomputation) and register for release_caches().  The cache is
+    # k×|groups| rows — driver-tiny at any corpus size.
+    sk = _pin(sk)
+    sk.count()
 
     gstats = sk.groupBy("grp").agg(F.count("*").alias("nk"),
                                    F.max("h").alias("kth"))
