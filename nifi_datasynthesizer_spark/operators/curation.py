@@ -624,9 +624,18 @@ def dsir_weights(docs: DataFrame, target, n_buckets: int = 256,
     feats = (pre.select("doc_id", "is_t", F.explode(grams).alias("f"))
              .select("doc_id", "is_t",
                      F.pmod(h60(F.col("f")), F.lit(n_buckets)).alias("b")))
+    from .dedup import _pin
+
     fit = feats.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
         F.count("*").alias("cr"))
+    # fit is n_buckets rows but its LINEAGE is a corpus pass, and three
+    # derivations read it (totals, delta, and delta's join build) —
+    # unpinned, the plan audit showed SIX parquet scans of the corpus.
+    # Pin eagerly (lazily-pinned + fan-out degrades to recomputation);
+    # released via release_caches().
+    fit = _pin(fit)
+    fit.count()
     tot = fit.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
     d0 = (fit.crossJoin(F.broadcast(tot))
           .select("b",
@@ -642,6 +651,12 @@ def dsir_weights(docs: DataFrame, target, n_buckets: int = 256,
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_feats"),
                    F.sum("delta_micro").alias("logw_micro")))
+    # scored (doc_id + two longs — slim at any corpus size) feeds the
+    # histogram-threshold chain AND the final selection; pinning it
+    # caps the whole operator at TWO corpus text passes (fit build +
+    # scoring) instead of six.
+    scored = _pin(scored)
+    scored.count()
     binc = F.floor(F.col("logw_micro") / F.lit(float(bin_width)))
     hist = scored.groupBy(binc.alias("bin")).agg(F.count("*").alias("n"))
     wd = (Window.orderBy(F.desc("bin"))
