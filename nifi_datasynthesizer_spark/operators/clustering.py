@@ -453,6 +453,13 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
         .select("vec_id", "cluster")
     normed = emb.select("vec_id", l2_normalize(F.col(vec_col)).alias("v"))
     both = asg.join(normed, "vec_id")
+    # both pair-join sides read this frame — unpinned, each side
+    # replays the k-means assignment AND the normalization (audited:
+    # four corpus scans).  Pin eagerly (the dedup signature-store
+    # pattern; released via dedup.release_caches()).
+    from .dedup import _pin
+    both = _pin(both)
+    both.count()
     left = both.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
                        "cluster")
     right = both.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),

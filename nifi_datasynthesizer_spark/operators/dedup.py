@@ -645,6 +645,14 @@ def containment_pairs(docs: DataFrame, n: int = 3,
                          F.explode(F.array_distinct(
                              _shingles(F.col(text_col), n))).alias("sh"))
              .select("doc_id", h60(F.col("sh")).alias("g")))
+    # grams feeds FOUR consumers (sizes, dfreq, both pair-join sides)
+    # — unpinned, the plan audit showed five parquet scans of the
+    # corpus, each re-running normalize+shingle+md5.  The pinned frame
+    # is the slim (doc_id, digest) posting list (MEMORY_AND_DISK —
+    # spills, never OOMs); eager count() because a lazily-pinned frame
+    # fanned out in one job degrades to recomputation.
+    grams = _pin(grams)
+    grams.count()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
     rare = grams.join(dfreq.filter(F.col("df") <= df_cap), "g")

@@ -166,9 +166,13 @@ def test_semantic_dedup_pairs_only_within_cluster(spark):
     pair_join = [ln for ln in p.splitlines()
                  if "Left keys" in ln and "cluster#" in ln]
     assert pair_join, "pair join is not keyed on the cluster id"
+    # any VISIBLE exchange must key on cluster/vec_id; the assignment
+    # + normalization exchanges now live inside the pinned `both`
+    # subtree (InMemoryTableScan), so the outer plan may have none
     shuffles = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
-    assert shuffles and all("cluster#" in ln or "vec_id#" in ln
-                            for ln in shuffles), shuffles
+    assert all("cluster#" in ln or "vec_id#" in ln
+               for ln in shuffles), shuffles
+    assert "InMemoryTableScan" in p or shuffles
 
 
 def test_bloom_probe_is_narrow(spark):
