@@ -434,6 +434,14 @@ def tfidf_keywords(docs: DataFrame, k: int = 3,
                                            " ")).alias("word"))
              .filter(F.col("word") != ""))
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df derivation and the scoring join — unpinned,
+    # each replays the corpus explode (plan audit: 3 corpus scans).
+    # The pinned frame is the aggregated slim posting list; eager
+    # count() per the lazily-pinned-fan-out rule; released via
+    # dedup.release_caches().
+    from .dedup import _pin
+    tf = _pin(tf)
+    tf.count()
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     # corpus size as a broadcast 1-row aggregate — keeps the operator
     # fully lazy (no driver-side count() action embedded in a plan)
@@ -490,6 +498,14 @@ def bigram_fluency(docs: DataFrame, text_col: str = "text",
              .select(id_col, F.col("bg.w1").alias("w1"),
                      F.col("bg.w2").alias("w2")))
     lm2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # the LM table is |bigram vocab|-bounded but its lineage is the
+    # corpus bigram explode, and THREE consumers read it (prefix
+    # counts, probs, and the per-doc join build) — pin it (eagerly;
+    # released via dedup.release_caches()) so the corpus pays the
+    # explode twice (LM build + per-doc pass), not three times.
+    from .dedup import _pin
+    lm2 = _pin(lm2)
+    lm2.count()
     lm1 = lm2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     probs = lm2.join(lm1, "w1").select(
         "w1", "w2",
