@@ -315,10 +315,13 @@ def test_tfidf_df_derives_from_postings(spark):
     df = entrymod.queries()["text_keywords"](spark, SF)
     p = _plan(df)
     # document frequencies must come from the aggregated postings, not
-    # a second corpus scan: documents.parquet is read for tf and for
-    # the 1-row corpus-size aggregate only
-    ps = _plan(df, "simple")
-    assert ps.count("Scan parquet") <= 3
+    # a second corpus scan: with the postings frame pinned, documents
+    # .parquet is read once to build the tf cache and once for the
+    # 1-row corpus-size aggregate (formatted mode counts real plan
+    # nodes; the cache's stored-plan repr in other modes double-counts)
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) <= 2, scans
+    assert "InMemoryTableScan" in p
 
 
 def test_interval_join_state_watermarks(spark):
