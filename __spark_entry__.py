@@ -207,6 +207,14 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 # oldest-first.  The 11 r3 greens that don't fit (dedup_exact family,
 # ann_bruteforce/lsh, text_langid/quality/tokens/fingerprint — all
 # untouched since their last green) lead the r6 window.
+# r6 rotation draft (activate next round by renaming to the live
+# window): lead with the 18 r3-greens displaced/queued below the r5
+# cutoff — dedup_exact, dedup_exact_keep, dedup_simhash,
+# dedup_ngram_jaccard, dedup_embedding, ann_bruteforce, ann_lsh,
+# text_langid, text_quality, text_tokens, text_fingerprint,
+# synth_registry, synth_cpoc, synth_correlate, synth_correlate_pair,
+# synth_transactions, synth_iot, synth_exotic_scalar — then the oldest
+# remaining r4 greens; the r5-window queries are freshest and go last.
 _WINDOW_R5 = [
     # repaired oracles (BIGINT CASTs, r4's only two failures)
     "corpus_pack", "corpus_mix",
