@@ -99,8 +99,7 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
         # ``files_per_value`` parallel writers per value.  Hash only
         # hashable column types: xxhash64 rejects MapType (and
         # VariantType), so a frame with a map column would otherwise
-        # fail to write at all; partition keys alone suffice as a
-        # fallback spread when nothing else is hashable.
+        # fail to write at all.
         from pyspark.sql.types import MapType
         try:
             from pyspark.sql.types import VariantType
@@ -109,10 +108,18 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
             bad = (MapType,)
         hashable = [df[f.name] for f in df.schema.fields
                     if not _has_unhashable(f.dataType, bad)]
-        if not hashable:
-            hashable = [df[c] for c in partition_by]
-        salt = F.pmod(F.xxhash64(F.struct(*hashable)),
-                      F.lit(files_per_value))
+        if hashable:
+            salt = F.pmod(F.xxhash64(F.struct(*hashable)),
+                          F.lit(files_per_value))
+        else:
+            # every column (including the partition keys) is
+            # unhashable: a content salt is impossible, and a salt
+            # derived from the partition keys would be CONSTANT per
+            # value (one writer per value).  Spread by physical row
+            # position instead — still files_per_value writers per
+            # value, merely without content-affinity.
+            salt = F.pmod(F.monotonically_increasing_id(),
+                          F.lit(files_per_value))
         df = df.repartition(*([df[c] for c in partition_by] + [salt]))
     w = df.write.mode(mode).format(fmt)
     if fmt in ("parquet", "orc"):

@@ -58,7 +58,11 @@ def get_spark(app: str = "nifi-datasynthesizer-spark",
     # and io.write(..., fmt="avro") lights up.
     if os.environ.get("SPARK_GRAFT_AVRO"):
         import pyspark
-        scala = "2.13"
+        # Spark 4.x builds are Scala 2.13; 3.x convenience builds are
+        # Scala 2.12 — derive the suffix so the jar coordinate stays
+        # valid if the project is ever run under an older pyspark
+        major = int(pyspark.__version__.split(".")[0])
+        scala = "2.13" if major >= 4 else "2.12"
         b = b.config("spark.jars.packages",
                      f"org.apache.spark:spark-avro_{scala}:"
                      f"{pyspark.__version__}")

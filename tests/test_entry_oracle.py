@@ -7,9 +7,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import compare_with_duckdb
-
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR, compare_with_duckdb
 
 _queries = entrymod.queries()
 _oracles = entrymod.oracle_sql()

@@ -10,6 +10,7 @@ from nifi_datasynthesizer_spark.operators import multimodal as MM
 from nifi_datasynthesizer_spark.operators import similarity as SIM
 from nifi_datasynthesizer_spark.operators import text as TX
 from nifi_datasynthesizer_spark import synthesizers as SZ
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -1103,7 +1104,7 @@ def test_train_classifier_learns(spark):
     rate by a clear margin at the entry-query hyperparameters, and
     the final round's accuracy must beat round 1's (the GD loop
     actually descends rather than oscillating)."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = TX.train_classifier(docs, dim=16, rounds=16,
                               lr_num=1600).collect()
     acc = {r.round: r.acc_ppm for r in out}
@@ -1204,7 +1205,7 @@ def test_pq_rerank_beats_adc_ranking(spark):
     ordering on the shortlist)."""
     from nifi_datasynthesizer_spark.operators import clustering as CL
     from nifi_datasynthesizer_spark.operators import similarity as SIM
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qdf = emb.filter(F.col("vec_id") < 8)
     truth = {(r.query_id, r.cand_id)
              for r in SIM.ann_bruteforce(emb, qdf, k=10).collect()}

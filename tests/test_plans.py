@@ -11,7 +11,7 @@ import io
 import __spark_entry__ as entrymod
 from nifi_datasynthesizer_spark import compile_schema
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR as SF
 
 
 def _plan(df, mode: str = "formatted") -> str:
