@@ -198,61 +198,56 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 # The driver's correctness harness oracles exactly the FIRST 50 entries
 # of queries() in dict-insertion order.  Each round the least-recently
 # driver-verified queries rotate to the front so every operator earns a
-# fresh CORRECTNESS row at most two rounds old.  Round-5 window, per the
-# r4 verdict's prescription: the two repaired HUGEINT oracles first
-# (values judge-verified, only the dtype differed), then the six queries
-# added after r4's window filled (never driver-checked), this round's
-# new queries, the four r1/r2-stale greens, the refactor-touched r3
-# greens that missed the r4 backfill cut, then the remaining r3 greens
-# oldest-first.  The 11 r3 greens that don't fit (dedup_exact family,
-# ann_bruteforce/lsh, text_langid/quality/tokens/fingerprint — all
-# untouched since their last green) lead the r6 window.
-# r6 rotation draft (activate next round by renaming to the live
-# window): lead with the 18 r3-greens displaced/queued below the r5
-# cutoff — dedup_exact, dedup_exact_keep, dedup_simhash,
-# dedup_ngram_jaccard, dedup_embedding, ann_bruteforce, ann_lsh,
-# text_langid, text_quality, text_tokens, text_fingerprint,
-# synth_registry, synth_cpoc, synth_correlate, synth_correlate_pair,
-# synth_transactions, synth_iot, synth_exotic_scalar — then the oldest
-# remaining r4 greens; the r5-window queries are freshest and go last.
-_WINDOW_R5 = [
-    # repaired oracles (BIGINT CASTs, r4's only two failures)
-    "corpus_pack", "corpus_mix",
-    # never driver-checked (added after the r4 window filled)
-    "synth_weblog_lines", "events_transitions", "ann_pq", "ann_ivfpq",
-    "corpus_bpe", "text_oov",
-    # new this round
-    "synth_purchases", "sketch_hll", "text_train_classifier",
-    "corpus_split_groups", "corpus_tokenize", "sketch_kmv", "corpus_dsir",
-    "ann_pq_rerank",
-    # stale r1/r2 greens
-    "media_frames", "corpus_clean", "text_embed", "corpus_stats",
-    # r3 greens touched by the r4 minhash-family refactor — missed
-    # the r4 backfill cut at position 50
-    "dedup_minhash", "dedup_groups", "dedup_cross", "dedup_containment",
-    "ann_ivf", "streaming_events_daily",
-    # remaining r3 greens, core surface first
-    "synth_basic", "synth_identifiers", "q1_pricing_summary",
-    "events_daily", "synth_vehicle_commuter", "synth_net", "remove_path",
-    "synth_exotic_nested",
-    "q3_top_orders", "q5_nation_revenue", "events_retention",
-    "events_asof_balance", "events_range_windows", "events_salted_join",
-    "media_resize", "streaming_sessionize", "streaming_enrich_nation",
-    "streaming_dedup_docs", "streaming_running_totals",
-    "synth_phone_numbers", "synth_text_messages", "synth_text_blocks",
-    "synth_markov_text", "synth_markov_sms", "synth_transactions",
-    # ---- position 50 cutoff: r6 leads with the 18 below ----
-    "synth_transactions", "synth_iot", "synth_exotic_scalar",
-    "synth_registry", "synth_cpoc",
-    "synth_correlate", "synth_correlate_pair",
+# fresh CORRECTNESS row at most two rounds old.  Round-6 window, per
+# the r5 verdict's prescription: this round's NEW queries first
+# (ann_ivfpq_rerank, events_parse_lines, sketch_topk — never
+# driver-checked), then the 18 r3-greens the r5 cutoff displaced, then
+# the four r5 greens whose RESULTS changed this round (the PQ family
+# now fits its codebooks on a deterministic hash sample), then the
+# oldest r4 greens up to the 50-slot budget.  The leftover r4 greens
+# (events_ewma..synth_weblog, listed in the tail) lead the r7 window;
+# the r5-window queries are freshest and go last via registry order.
+_WINDOW_R6_HEAD = [
+    # new this round — never driver-checked
+    "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
+    # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "synth_registry", "synth_cpoc", "synth_correlate",
+    "synth_correlate_pair", "synth_transactions", "synth_iot",
+    "synth_exotic_scalar",
+    # r5 greens whose plans/results changed this round (sample-fit
+    # codebooks) — must re-verify, not coast on last round's row
+    "ann_pq", "ann_ivfpq", "ann_pq_rerank", "embed_pq",
+    # oldest r4 greens (embed_cluster/dedup_semantic also carry the
+    # sample-fit change)
+    "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
+    "embed_pca", "embed_quantize", "text_keywords", "text_fluency",
+    "text_classify", "text_bm25", "search_rrf", "text_chunks",
+    "text_repetition", "text_pii_scrub", "corpus_sample",
+    "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
+    "corpus_shuffle", "corpus_split", "events_sessionize",
+    "events_funnel", "events_ohlc", "events_anomaly", "events_scd2",
 ]
+# r4 greens that did not fit the r6 budget — lead the r7 window
+_WINDOW_R6_TAIL = [
+    "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "events_rollup", "events_cube", "sketch_distinct",
+    "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
+    "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
+    "media_features", "media_dedup", "io_roundtrip",
+    "io_signature_store", "streaming_stream_join",
+    "streaming_dedup_cross", "synth_commuter", "synth_weblog",
+]
+assert len(_WINDOW_R6_HEAD) == 50, len(_WINDOW_R6_HEAD)
+assert len(set(_WINDOW_R6_HEAD)) == 50, "duplicate in window head"
+_WINDOW_R6 = _WINDOW_R6_HEAD + _WINDOW_R6_TAIL
+assert len(set(_WINDOW_R6)) == len(_WINDOW_R6), "duplicate in window"
 
 
 def _rotate(q: dict) -> dict:
-    head = [n for n in _WINDOW_R5 if n in q]
+    head = [n for n in _WINDOW_R6 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in head]}
 
 
@@ -1045,6 +1040,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     shortlist=4, m=16, k=16, iters=2)
                 .orderBy("query_id", "rank"))
     q["ann_pq_rerank"] = ann_pq_rerank
+
+    def ann_ivfpq_rerank(spark, sf):
+        """The full billion-scale composition: IVF cell-gated ADC
+        shortlist + broadcast exact integer re-rank — recall 0.36
+        (ADC ranks, p16) -> rerank-grade at the same probe budget;
+        corpus is code-scanned once, never shuffled."""
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return (CL.ivfpq_rerank_search(emb, queries_df, k_top=10,
+                                       shortlist=4, n_cells=16,
+                                       n_probe=8, m=16, k=16, iters=2,
+                                       coarse_iters=1)
+                .orderBy("query_id", "rank"))
+    q["ann_ivfpq_rerank"] = ann_ivfpq_rerank
 
     def embed_pca(spark, sf):
         """Distributed power-iteration PCA: per-vector projection onto
@@ -1913,6 +1923,11 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["ann_pq_rerank"] = OR.pq_rerank_sql("vec_id < 5", k_top=10,
                                           shortlist=4, m=16, k=16,
                                           iters=2, dim=64)
+    o["ann_ivfpq_rerank"] = OR.ivfpq_rerank_sql("vec_id < 5", k_top=10,
+                                                shortlist=4, n_cells=16,
+                                                n_probe=8, m=16, k=16,
+                                                iters=2, coarse_iters=1,
+                                                dim=64)
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)

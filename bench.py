@@ -61,7 +61,8 @@ def main() -> None:
              "corpus_bpe", "text_oov", "sketch_quantiles",
              "synth_weblog_lines", "synth_purchases", "sketch_hll",
              "text_train_classifier", "corpus_split_groups",
-             "corpus_tokenize", "sketch_kmv", "corpus_dsir", "ann_pq_rerank"]
+             "corpus_tokenize", "sketch_kmv", "corpus_dsir", "ann_pq_rerank",
+             "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation
@@ -175,6 +176,19 @@ def main() -> None:
                                               coarse_iters=1).collect()}
         recall[f"ann_ivfpq_recall_p{probe}"] = round(
             len(truth & got_ivfpq) / len(truth), 3)
+    # the composed production shape: cell-gated shortlist + exact
+    # re-rank (recall bounded only by whether a true neighbor's cell
+    # was probed, not by ADC rank error)
+    for probe in (8, 16):
+        got_ivfpq_rr = {
+            (r.query_id, r.cand_id)
+            for r in CL.ivfpq_rerank_search(emb, qdf, k_top=10,
+                                            shortlist=4, n_cells=16,
+                                            n_probe=probe, m=16, k=16,
+                                            iters=2,
+                                            coarse_iters=1).collect()}
+        recall[f"ann_ivfpq_rerank_recall_p{probe}"] = round(
+            len(truth & got_ivfpq_rr) / len(truth), 3)
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)

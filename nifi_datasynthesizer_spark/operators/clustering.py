@@ -281,36 +281,20 @@ def _adc_scored(emb, queries, m: int, k: int, iters: int, vec_col: str):
     return scored, quant, qxi, dim
 
 
-def pq_rerank_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
-                     shortlist: int = 4, m: int = 16, k: int = 16,
-                     iters: int = 2,
-                     vec_col: str = "embedding") -> DataFrame:
-    """Two-stage PQ search — the production billion-scale pattern:
-    stage 1 ADC-scans the codes (memory-bandwidth bound, same as
-    :func:`pq_search`) but keeps a ``shortlist × k_top`` candidate
-    list per query; stage 2 re-ranks ONLY the shortlist with exact
-    integer distances against the raw vectors.  Quantization error
-    then only has to keep the true neighbors inside the shortlist,
-    not rank them — recall climbs toward bruteforce at a full-corpus
-    cost that is still just the m-byte code scan plus
-    |queries|·shortlist·k_top exact distances (measured on the sf0.1
-    corpus: 0.31 ADC-only → 0.62 at shortlist=4 → 0.81 at
-    shortlist=8, recall@10).
-
-    Plan shape: the shortlist (tiny by construction) BROADCASTS back
+def _exact_rerank(scored: DataFrame, quant: DataFrame, qxi: DataFrame,
+                  dim: int, k_top: int, shortlist: int) -> DataFrame:
+    """Shared stage 2 of the two-stage searches: ADC shortlist →
+    broadcast exact integer re-rank.  The shortlist (≤ |queries| ·
+    shortlist · k_top rows, tiny by construction) BROADCASTS back
     against the quantized corpus — the corpus is scanned, never
     shuffled, and only shortlist rows survive the hash join; the
-    exact distance is an unrolled 64-term integer expression (HOF
+    exact distance is an unrolled dim-term integer expression (HOF
     lambdas run interpreted); final top-k is the usual per-query
-    window.  Exact in DuckDB end-to-end.  Returns
-    (query_id, cand_id, adc_q, exact_q, rank).
-    """
+    window.  Returns (query_id, cand_id, adc_q, exact_q, rank)."""
     from functools import reduce
 
     from pyspark.sql import Window
 
-    scored, quant, qxi, dim = _adc_scored(emb, queries, m, k, iters,
-                                          vec_col)
     ws = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
                                                 F.asc("cand_id"))
     short = (scored.withColumn("srank", F.row_number().over(ws))
@@ -331,6 +315,31 @@ def pq_rerank_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
             .withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k_top)
             .select("query_id", "cand_id", "adc_q", "exact_q", "rank"))
+
+
+def pq_rerank_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
+                     shortlist: int = 4, m: int = 16, k: int = 16,
+                     iters: int = 2,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Two-stage PQ search — the production billion-scale pattern:
+    stage 1 ADC-scans the codes (memory-bandwidth bound, same as
+    :func:`pq_search`) but keeps a ``shortlist × k_top`` candidate
+    list per query; stage 2 re-ranks ONLY the shortlist with exact
+    integer distances against the raw vectors.  Quantization error
+    then only has to keep the true neighbors inside the shortlist,
+    not rank them — recall climbs toward bruteforce at a full-corpus
+    cost that is still just the m-byte code scan plus
+    |queries|·shortlist·k_top exact distances (measured on the sf0.1
+    corpus: 0.31 ADC-only → 0.62 at shortlist=4 → 0.81 at
+    shortlist=8, recall@10).
+
+    Plan shape: see :func:`_exact_rerank` (shared with
+    :func:`ivfpq_rerank_search`).  Exact in DuckDB end-to-end.
+    Returns (query_id, cand_id, adc_q, exact_q, rank).
+    """
+    scored, quant, qxi, dim = _adc_scored(emb, queries, m, k, iters,
+                                          vec_col)
+    return _exact_rerank(scored, quant, qxi, dim, k_top, shortlist)
 
 
 def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
@@ -357,6 +366,49 @@ def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     the query_id window.  All-integer micro-units: DuckDB replays
     ranks bit-exactly.  Returns (query_id, cand_id, adc_q, rank).
     """
+    scored = _ivfpq_scored(emb, queries, n_cells, n_probe, m, k, iters,
+                           coarse_iters, vec_col)[0]
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
+                                               F.asc("cand_id"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_top)
+            .select("query_id", "cand_id", "adc_q", "rank"))
+
+
+def ivfpq_rerank_search(emb: DataFrame, queries: DataFrame,
+                        k_top: int = 10, shortlist: int = 4,
+                        n_cells: int = 16, n_probe: int = 4, m: int = 8,
+                        k: int = 16, iters: int = 1,
+                        coarse_iters: int | None = None,
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ with exact re-rank — the full production billion-scale
+    composition (Jégou et al.): cell-gated ADC shortlist (stage 1 of
+    :func:`ivfpq_search` — |corpus|·n_probe/n_cells code reads, no
+    corpus shuffle) feeding the broadcast exact integer re-rank of
+    :func:`_exact_rerank` (stage 2 of :func:`pq_rerank_search`).
+    Quantization error then only has to keep true neighbors inside
+    the shortlist, not rank them: measured recall@10 on the sf0.1
+    corpus rises from 0.36 (ADC ranks, p16) to ~bruteforce-shortlist
+    quality at the SAME probe budget, for |queries|·shortlist·k_top
+    extra exact distances.  Returns
+    (query_id, cand_id, adc_q, exact_q, rank).
+    """
+    scored, quant, qxi, dim = _ivfpq_scored(emb, queries, n_cells,
+                                            n_probe, m, k, iters,
+                                            coarse_iters, vec_col)
+    return _exact_rerank(scored, quant, qxi, dim, k_top, shortlist)
+
+
+def _ivfpq_scored(emb, queries, n_cells: int, n_probe: int, m: int,
+                  k: int, iters: int, coarse_iters: int | None,
+                  vec_col: str):
+    """Shared IVF-PQ machinery: coarse quantizer + residual codebooks
+    + probe-gated ADC scoring.  Returns (scored, quant, qxi, dim)
+    with ``scored`` the unranked (query_id, cand_id, adc_q) frame over
+    the probed cells only, ``quant`` the integer-quantized corpus and
+    ``qxi`` the driver-sized (query_id, qx) exact query frame."""
     # coarse cells only need rough Voronoi balance — the fine ranking
     # lives in the residual codebooks — so they get their own (lower)
     # iteration budget: one pass saves a full corpus assign+update per
@@ -418,15 +470,14 @@ def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     qdf = spark.createDataFrame(probe_rows, ["query_id", "cell", "lut"])
     score = " + ".join(f"element_at(lut, {s * k} + c{s} + 1)"
                        for s in range(m))
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
-                                               F.asc("cand_id"))
-    return (coded.join(F.broadcast(qdf), "cell")
-            .filter(F.col("cand_id") != F.col("query_id"))
-            .withColumn("adc_q", F.expr(score))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k_top)
-            .select("query_id", "cand_id", "adc_q", "rank"))
+    scored = (coded.join(F.broadcast(qdf), "cell")
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .withColumn("adc_q", F.expr(score))
+              .select("query_id", "cand_id", "adc_q"))
+    qxi = spark.createDataFrame(
+        [(int(r.vec_id), list(r.xi)) for r in qrows],
+        "query_id bigint, qx array<bigint>")
+    return scored, quant, qxi, dim
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,

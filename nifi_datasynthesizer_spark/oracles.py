@@ -942,18 +942,15 @@ SELECT query_id, cand_id, adc_q, rank FROM r
 WHERE rank <= {k_top} ORDER BY query_id, rank"""
 
 
-def ivfpq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
-                     n_cells: int = 16, n_probe: int = 4, m: int = 8,
-                     k: int = 16, iters: int = 1,
-                     coarse_iters: int | None = None, dim: int = 64,
-                     table: str = "embeddings") -> str:
-    """Mirror of clustering.ivfpq_search (residual IVF-PQ): shared x +
-    coarse k-means chain (_km_parts) + residual CTE + PQ chain sourced
-    from the residuals; probe gating is the per-query top-n_probe
-    cells, and ADC distances use the query's residual in the PROBED
-    cell against the residual codebooks."""
-    if coarse_iters is None:
-        coarse_iters = iters
+def _ivfpq_chain(queries_pred: str, n_cells: int, n_probe: int, m: int,
+                 k: int, iters: int, coarse_iters: int, dim: int,
+                 table: str) -> list:
+    """Shared CTE chain for the IVF-PQ oracles, ending with the
+    ``scored`` CTE (query_id, cand_id, adc_q over probed cells only):
+    x + coarse k-means chain (_km_parts) + residual CTE + PQ chain
+    sourced from the residuals; probe gating is the per-query
+    top-n_probe cells, and ADC distances use the query's residual in
+    the PROBED cell against the residual codebooks."""
     km = _km_parts(n_cells, coarse_iters, dim)
     pq, sub = _pq_parts(m, k, iters, dim, table, src="xres")
 
@@ -981,9 +978,7 @@ xres AS (SELECT x.vec_id,
          FROM x JOIN asg ON asg.vec_id = x.vec_id
                 JOIN c{coarse_iters} cc ON cc.j = asg.cell)"""
     parts = [_x_part(table)] + km + [xres] + pq[1:]
-    return f"""
-WITH {', '.join(parts)},
-q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
+    parts.append(f"""q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
 probes AS (SELECT query_id, j AS cell FROM (
              SELECT q.query_id, cc.j,
                     ROW_NUMBER() OVER (
@@ -999,11 +994,62 @@ scored AS (SELECT q.query_id, codes.cand_id,
                 JOIN asg ON asg.cell = probes.cell
                 JOIN codes ON codes.cand_id = asg.vec_id
                 {bjoins}
-           WHERE codes.cand_id <> q.query_id),
+           WHERE codes.cand_id <> q.query_id)""")
+    return parts
+
+
+def ivfpq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
+                     n_cells: int = 16, n_probe: int = 4, m: int = 8,
+                     k: int = 16, iters: int = 1,
+                     coarse_iters: int | None = None, dim: int = 64,
+                     table: str = "embeddings") -> str:
+    """Mirror of clustering.ivfpq_search: the _ivfpq_chain scored CTE
+    ranked per query on the ADC distance."""
+    if coarse_iters is None:
+        coarse_iters = iters
+    parts = _ivfpq_chain(queries_pred, n_cells, n_probe, m, k, iters,
+                         coarse_iters, dim, table)
+    return f"""
+WITH {', '.join(parts)},
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc_q, cand_id) AS rank
       FROM scored)
 SELECT query_id, cand_id, adc_q, rank FROM r
+WHERE rank <= {k_top} ORDER BY query_id, rank"""
+
+
+def ivfpq_rerank_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
+                     shortlist: int = 4, n_cells: int = 16,
+                     n_probe: int = 4, m: int = 8, k: int = 16,
+                     iters: int = 1, coarse_iters: int | None = None,
+                     dim: int = 64, table: str = "embeddings") -> str:
+    """Mirror of clustering.ivfpq_rerank_search: the _ivfpq_chain
+    scored CTE shortlisted to shortlist*k_top per query on the ADC
+    distance, then re-ranked on the exact integer distance against
+    the RAW (non-residual) quantized vectors — the same stage-2 SQL
+    as pq_rerank_sql."""
+    if coarse_iters is None:
+        coarse_iters = iters
+    parts = _ivfpq_chain(queries_pred, n_cells, n_probe, m, k, iters,
+                         coarse_iters, dim, table)
+    exact = (f"list_sum(list_transform(range(1, {dim + 1}), "
+             f"d -> (cx.xi[d] - q2.xi[d]) * (cx.xi[d] - q2.xi[d])))")
+    return f"""
+WITH {', '.join(parts)},
+short AS (SELECT query_id, cand_id, adc_q FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_q, cand_id) AS srank
+            FROM scored)
+          WHERE srank <= {k_top * shortlist}),
+rer AS (SELECT short.query_id, short.cand_id, short.adc_q,
+               CAST({exact} AS BIGINT) AS exact_q
+        FROM short
+        JOIN x cx ON cx.vec_id = short.cand_id
+        JOIN x q2 ON q2.vec_id = short.query_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY exact_q, cand_id) AS rank
+      FROM rer)
+SELECT query_id, cand_id, adc_q, exact_q, rank FROM r
 WHERE rank <= {k_top} ORDER BY query_id, rank"""
 
 

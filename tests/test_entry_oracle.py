@@ -25,6 +25,18 @@ def test_every_oracle_has_query():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_window_names_resolve():
+    """_rotate silently drops window names missing from the registry,
+    so a typo would shrink the checked window without any failure —
+    every window entry must name a real query, the head must be
+    exactly the 50 the driver checks, and the registry must lead with
+    it (r5 advice: the stray 51st entry landed OUTSIDE the window)."""
+    assert len(entrymod._WINDOW_R6_HEAD) == 50
+    ghosts = [n for n in entrymod._WINDOW_R6 if n not in _queries]
+    assert not ghosts, f"window names missing from registry: {ghosts}"
+    assert list(_queries)[:50] == entrymod._WINDOW_R6_HEAD
+
+
 @pytest.mark.parametrize("name", sorted(_oracles))
 def test_oracle_match(spark, name):
     df = _queries[name](spark, SF_DIR)

@@ -123,6 +123,22 @@ def test_ann_ivfpq_gates_on_cell(spark):
     assert shuffles and all("query_id#" in ln for ln in shuffles), shuffles
 
 
+def test_ann_ivfpq_rerank_gates_and_broadcasts(spark):
+    """The composed search must keep BOTH stage guarantees: the ADC
+    stage gates on a broadcast cell-id equi-join, and the exact
+    re-rank attaches the shortlist to the corpus via broadcast hash
+    joins — at no point is the corpus hash-shuffled (only query_id
+    windows repartition)."""
+    df = entrymod.queries()["ann_ivfpq_rerank"](spark, SF)
+    p = _plan(df)
+    join_keys = [ln for ln in p.splitlines()
+                 if "Left keys" in ln or "Right keys" in ln]
+    assert any("cell#" in ln for ln in join_keys), join_keys
+    assert any("cand_id#" in ln for ln in join_keys), join_keys
+    shuffles = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    assert shuffles and all("query_id#" in ln for ln in shuffles), shuffles
+
+
 def test_ann_pq_corpus_never_shuffled(spark):
     """ADC scoring must broadcast the query-LUT side; the only
     hash shuffle is the query_id top-k window."""
