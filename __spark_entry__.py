@@ -1507,6 +1507,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return transition_matrix(ev).orderBy("src", "dst")
     q["events_transitions"] = events_transitions
 
+    def events_parse_lines(spark, sf):
+        """Event.java:37 log ingestion: render the reference's
+        ``[iso-ts] /op?user=hexuid o1.o2.o3.o4`` line format from the
+        events table, then parse it back into typed
+        (uid, time_ms, ip_num, op) records — hex uid, Java
+        signed-int32 ip packing, epoch millis via pure integer
+        civil-date arithmetic.  Narrow scan-transform; no shuffle."""
+        from nifi_datasynthesizer_spark.operators import logs as LG
+        ev = _t(spark, sf, "events")
+        return (LG.parse_event_lines(LG.format_event_lines(ev))
+                .orderBy("event_id"))
+    q["events_parse_lines"] = events_parse_lines
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -1928,6 +1941,9 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
                                                 n_probe=8, m=16, k=16,
                                                 iters=2, coarse_iters=1,
                                                 dim=64)
+    from nifi_datasynthesizer_spark.operators.logs import \
+        event_lines_roundtrip_sql
+    o["events_parse_lines"] = event_lines_roundtrip_sql()
     o["text_bm25"] = OR.bm25_topk_sql(BM25_QUERIES, k=10)
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)

@@ -1277,3 +1277,53 @@ def test_dsir_share_monotone_and_full(spark):
         picked[share] = {r.doc_id for r in out if r.selected}
     assert picked[200_000] <= picked[500_000] <= picked[1_000_000]
     assert len(picked[1_000_000]) == 30
+
+
+def test_event_lines_roundtrip(spark):
+    """parse(format(events)) must reproduce the source fields exactly:
+    uid == user_id, op == event_type, time_ms == epoch millis, and the
+    ip packs the h60-derived octets with Java's signed-int32 wrap
+    (reference Event.java:37-80)."""
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators import logs as LG
+    from nifi_datasynthesizer_spark.phash import h60_py
+
+    ev = read_table(spark, SF_DIR, "events")
+    src = {r.event_id: r for r in
+           ev.selectExpr("event_id", "user_id", "event_type",
+                         "unix_micros(ts) div 1000 as tms").collect()}
+    out = LG.parse_event_lines(LG.format_event_lines(ev)).collect()
+    assert len(out) == len(src)
+    for r in out:
+        s = src[r.event_id]
+        assert r.uid == s.user_id
+        assert r.op == s.event_type
+        assert r.time_ms == s.tms
+        hb = h60_py(f"{s.user_id}:ip")
+        v = ((hb % 256) << 24 | (hb // 256 % 256) << 16
+             | (hb // 65536 % 256) << 8 | (hb // 16777216 % 256))
+        expect = v - (1 << 32) if v >= (1 << 31) else v
+        assert r.ip_num == expect
+
+
+def test_event_lines_drops_malformed(spark):
+    """Lines that don't match the reference pattern are dropped —
+    Event.read() returns null on them (Event.java:62-75)."""
+    from nifi_datasynthesizer_spark.operators import logs as LG
+    rows = [(1, "[2024-03-01T00:00:00.000+00:00] /buy?user=1f 1.2.3.4"),
+            (2, "totally not a log line"),
+            (3, "[2024-03-01T00:00:00.000+00:00] missing op"),
+            # negative offset exercises the sign branch
+            (4, "[2024-02-29T23:30:00.500-01:30] /look?user=ff 128.0.0.1")]
+    df = spark.createDataFrame(rows, ["line_id", "log_line"])
+    out = {r.line_id: r for r in LG.parse_event_lines(df).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].uid == 31 and out[1].op == "buy"
+    assert out[1].ip_num == (1 << 24 | 2 << 16 | 3 << 8 | 4)
+    assert out[4].uid == 255
+    # 2024-02-29 (leap day) 23:30:00.500 at -01:30 = 01:00:00.500 UTC Mar 1
+    import datetime as dt
+    want = int(dt.datetime(2024, 3, 1, 1, 0, 0, 500000,
+                           tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert out[4].time_ms == want
+    assert out[4].ip_num == (128 << 24) - (1 << 32) + 1  # Java int wrap
