@@ -1471,6 +1471,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hist_quantiles(ev, "event_type", "value").orderBy("event_type")
     q["sketch_quantiles"] = sketch_quantiles
 
+    def sketch_topk(spark, sf):
+        """UpperQuantile.java:31 port: exact tail quantiles from a
+        retained top-k per group — reference interpolation formula,
+        WindowGroupLimit partial top-k before the shuffle, group
+        counts broadcast back; ≤ k·|groups| rows past the filter."""
+        from nifi_datasynthesizer_spark.operators.sketches import \
+            upper_quantile
+        ev = _t(spark, sf, "events")
+        return (upper_quantile(ev, "event_type", "value", "event_id",
+                               max_retained=4096,
+                               quantiles=(0.9, 0.99, 0.999))
+                .orderBy("event_type"))
+    q["sketch_topk"] = sketch_topk
+
     def sketch_kmv(spark, sf):
         """KMV bottom-k sketch per source + pairwise Jaccard between
         sources — the theta-sketch set-operation the register sketches
@@ -2085,6 +2099,9 @@ c AS (SELECT grp, bucket, n,
 SELECT grp AS event_type, {_hq},
        COUNT(*) AS n_buckets, MAX(total) AS n_total
 FROM c GROUP BY grp ORDER BY event_type"""
+    o["sketch_topk"] = OR.upper_quantile_sql(
+        "event_type", "value", "event_id", max_retained=4096,
+        quantiles=(0.9, 0.99, 0.999))
     o["geo_near"] = OR.geo_near_sql(
         compile_schema(GEO_SCHEMA, seed=31).duckdb_sql(GEO_N),
         radius_udeg=GEO_RADIUS_UDEG)

@@ -483,3 +483,83 @@ def kmv_sketch(docs: DataFrame, group_col: str = "source",
             .select("ga", "gb", "est_a", "est_b", "inter_k", "kk",
                     F.floor(F.col("inter_k") * 1_000_000 / F.col("kk"))
                     .cast("long").alias("jaccard_ppm")))
+
+
+def upper_quantile(df: DataFrame, group_col: str = "event_type",
+                   value: str = "value", id_col: str = "event_id",
+                   max_retained: int = 4096,
+                   quantiles: tuple[float, ...] = (0.9, 0.99, 0.999)
+                   ) -> DataFrame:
+    """Exact upper quantiles from a retained top-k — the port of the
+    reference's ``com/mapr/stats/UpperQuantile.java:31`` (heap of the
+    ``max_retained`` biggest stream values; ``quantile(q)`` walks the
+    retained tail with linear interpolation,  UpperQuantile.java:55-82).
+    Complements :func:`hist_quantiles`: the histogram sketch bounds
+    error by bucket width everywhere; this is EXACT for tail quantiles
+    whenever the tail fits the retained budget — the p99/p999 latency
+    question.
+
+    Formula parity (UpperQuantile.quantile): with n stream values and
+    size = min(n, k) retained values r[1..size] ascending,
+    ``item = (n-1)·(1-q)``, ``pos = size - item``, ``i = floor(pos)``,
+    ``frac = pos - i``; the answer is ``r[i]`` when frac = 0 else
+    ``r[i]·(1-frac) + r[i+1]·frac``.  Groups where q is out of the
+    retained range (item > size-1 — the reference throws,
+    UpperQuantile.java:61) report NULL.  ``1-q`` is pre-computed in
+    Python and embedded as the SAME decimal literal in both engines,
+    so the double arithmetic is bit-identical; the two interpolation
+    terms sum in either order identically (IEEE + is commutative).
+
+    Plan shape for 100 TB: the group count is ONE map-side-combined
+    aggregation to |groups| rows (broadcast back), and the top-k
+    filter is a rank-desc row_number ≤ k — Spark's WindowGroupLimit
+    rewrites it into a per-partition partial top-k BEFORE the
+    shuffle, so no executor ever sorts a full group; everything after
+    the filter touches ≤ k·|groups| rows.  Heap ties at the boundary
+    retain the same value-multiset as the reference's strict-greater
+    heap test, so quantiles agree even when the cut value repeats.
+    """
+    # the rank-filter -> partial-top-k rewrite (InferWindowGroupLimit)
+    # only fires for limits <= the optimizer threshold (default 1000);
+    # raise it to the retained budget or the full per-group sort comes
+    # back.  Session-wide, idempotent, same pattern as io.read_table's
+    # reader confs.
+    if max_retained > 1000:
+        df.sparkSession.conf.set(
+            "spark.sql.optimizer.windowGroupLimitThreshold",
+            str(max_retained))
+    grp = F.col(group_col).alias("grp")
+    counts = (df.groupBy(grp)
+              .agg(F.count("*").alias("n")))
+    wd = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc(id_col))
+    ret = (df.select(grp, F.col(value).cast("double").alias("v"),
+                     F.col(id_col))
+           .withColumn("rd", F.row_number().over(wd))
+           .filter(F.col("rd") <= max_retained))
+    both = (ret.join(F.broadcast(counts), "grp")
+            .withColumn("size", F.least(F.col("n"),
+                                        F.lit(max_retained).cast("long")))
+            .withColumn("asc_idx", F.col("size") - F.col("rd") + 1))
+    aggs = [F.max("n").alias("n_total"),
+            F.max("size").alias("n_retained")]
+    for q in quantiles:
+        omq = repr(1.0 - q)          # identical literal both engines
+        name = "p" + repr(q)[2:]     # 0.9 -> p9, 0.99 -> p99, ...
+        # string-parse the literal: a bare decimal literal is DECIMAL
+        # in BOTH engines' SQL (exact arithmetic, not the reference's
+        # IEEE doubles); CAST('…' AS DOUBLE) pins nearest-double
+        item = F.expr(f"(n - 1) * CAST('{omq}' AS DOUBLE)")
+        pos = F.col("size") - item
+        i = F.floor(pos).cast("long")
+        frac = pos - i.cast("double")
+        contrib = (F.when(F.col("asc_idx") == i,
+                          F.col("v") * (F.lit(1.0) - frac))
+                   .when((F.col("asc_idx") == i + 1) & (frac > 0),
+                         F.col("v") * frac))
+        valid = item <= (F.col("size") - 1).cast("double")
+        aggs.append(F.when(F.max(F.when(valid, 1).otherwise(0)) == 1,
+                           F.sum(contrib)).alias(name))
+    return (both.groupBy("grp").agg(*aggs)
+            .select(F.col("grp").alias(group_col), "n_total",
+                    "n_retained",
+                    *["p" + repr(q)[2:] for q in quantiles]))

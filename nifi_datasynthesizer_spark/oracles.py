@@ -1849,3 +1849,48 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM rer)
 SELECT query_id, cand_id, adc_q, exact_q, rank FROM r
 WHERE rank <= {k_top} ORDER BY query_id, rank"""
+
+
+def upper_quantile_sql(group_col: str = "event_type",
+                       value: str = "value", id_col: str = "event_id",
+                       max_retained: int = 4096,
+                       quantiles: tuple = (0.9, 0.99, 0.999),
+                       table: str = "events") -> str:
+    """Mirror of sketches.upper_quantile (UpperQuantile.java port):
+    group count + retained top-k + the reference's interpolation, with
+    every 1-q embedded as the SAME string-parsed double literal the
+    Spark side uses (a bare decimal literal would be DECIMAL — exact
+    arithmetic, not the reference's IEEE doubles)."""
+    k = max_retained
+    qdefs, qaggs, qnames = [], [], []
+    for q in quantiles:
+        omq = repr(1.0 - q)
+        nm = "p" + repr(q)[2:]
+        qnames.append(nm)
+        qdefs.append(
+            f"sz - (n - 1) * CAST('{omq}' AS DOUBLE) AS pos_{nm}, "
+            f"CASE WHEN (n - 1) * CAST('{omq}' AS DOUBLE) "
+            f"<= CAST(sz - 1 AS DOUBLE) THEN 1 ELSE 0 END AS ok_{nm}")
+        qaggs.append(
+            f"CASE WHEN MAX(ok_{nm}) = 1 THEN "
+            f"SUM(CASE WHEN asc_idx = CAST(FLOOR(pos_{nm}) AS BIGINT) "
+            f"THEN v * (1.0 - (pos_{nm} - FLOOR(pos_{nm}))) "
+            f"WHEN asc_idx = CAST(FLOOR(pos_{nm}) AS BIGINT) + 1 "
+            f"AND pos_{nm} - FLOOR(pos_{nm}) > 0 "
+            f"THEN v * (pos_{nm} - FLOOR(pos_{nm})) END) END AS {nm}")
+    return f"""
+WITH counts AS (SELECT {group_col} AS grp, COUNT(*) AS n
+                FROM {table} GROUP BY 1),
+ret AS (SELECT grp, v, rd FROM (
+          SELECT {group_col} AS grp, CAST({value} AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                    ORDER BY {value} DESC, {id_col}) AS rd
+          FROM {table})
+        WHERE rd <= {k}),
+b AS (SELECT ret.grp, v, rd, n, LEAST(n, {k}) AS sz,
+             LEAST(n, {k}) - rd + 1 AS asc_idx
+      FROM ret JOIN counts USING (grp)),
+b2 AS (SELECT *, {', '.join(qdefs)} FROM b)
+SELECT grp AS {group_col}, MAX(n) AS n_total, MAX(sz) AS n_retained,
+       {', '.join(qaggs)}
+FROM b2 GROUP BY grp ORDER BY {group_col}"""

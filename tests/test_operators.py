@@ -1327,3 +1327,47 @@ def test_event_lines_drops_malformed(spark):
                            tzinfo=dt.timezone.utc).timestamp() * 1000)
     assert out[4].time_ms == want
     assert out[4].ip_num == (128 << 24) - (1 << 32) + 1  # Java int wrap
+
+
+def test_upper_quantile_matches_reference_formula(spark):
+    """Planted values: compare against a literal driver-side replay of
+    UpperQuantile.java (retain top-k, sort ascending, interpolate) —
+    including the interpolating (frac > 0) and exact (frac = 0)
+    branches and the out-of-retained-range NULL."""
+    from nifi_datasynthesizer_spark.operators.sketches import upper_quantile
+    import math
+
+    def ref_quantile(values, k, q):
+        n = len(values)
+        retained = sorted(sorted(values, reverse=True)[:k])
+        size = len(retained)
+        item = (n - 1) * (1 - q)
+        if item > size - 1:
+            return None
+        pos = size - item
+        i = math.floor(pos)
+        frac = pos - i
+        if frac > 0:
+            return retained[i - 1] * (1 - frac) + retained[i] * frac
+        return retained[i - 1]
+
+    vals_a = [float(v * 7 % 101) + 0.25 for v in range(57)]   # frac != 0
+    vals_b = [float(v) for v in range(11)]                    # n-1 mult of 10
+    vals_c = [5.0, 1.0, 9.0]                                  # tiny group
+    rows = ([("a", i, v) for i, v in enumerate(vals_a)]
+            + [("b", 100 + i, v) for i, v in enumerate(vals_b)]
+            + [("c", 200 + i, v) for i, v in enumerate(vals_c)])
+    df = spark.createDataFrame(rows, ["g", "eid", "val"])
+    out = {r.g: r for r in upper_quantile(
+        df, "g", "val", "eid", max_retained=8,
+        quantiles=(0.9, 0.99)).collect()}
+    for g, vals in (("a", vals_a), ("b", vals_b), ("c", vals_c)):
+        assert out[g].n_total == len(vals)
+        assert out[g].n_retained == min(8, len(vals))
+        for q, col in ((0.9, "p9"), (0.99, "p99")):
+            want = ref_quantile(vals, 8, q)
+            got = out[g][col]
+            if want is None:
+                assert got is None, (g, q, got)
+            else:
+                assert got == want, (g, q, got, want)

@@ -466,3 +466,14 @@ def test_dsir_single_fit_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
     # per-doc scoring aggregates on doc_id (partial agg applies)
     assert "partial" in p.lower()
+
+
+def test_sketch_topk_partial_topk_before_shuffle(spark):
+    """UpperQuantile's retained top-k must hit the WindowGroupLimit
+    rewrite (partial per-partition top-k BEFORE the exchange) — the
+    full per-group sort is the thing the operator exists to avoid —
+    and the group-count side must broadcast."""
+    df = entrymod.queries()["sketch_topk"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p, "rank-limit pushdown did not fire"
+    assert "BroadcastHashJoin" in p
