@@ -958,7 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embed_cluster(spark, sf):
         from nifi_datasynthesizer_spark.operators import clustering as CL
         return (CL.cluster_embeddings(_t(spark, sf, "embeddings"),
-                                      k=8, iters=2)
+                                      k=8, iters=2, fit_mod=2)
                 .orderBy("vec_id"))
     q["embed_cluster"] = embed_cluster
 
@@ -990,7 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         semantic twin of LSH blocking."""
         from nifi_datasynthesizer_spark.operators import clustering as CL
         return (CL.semantic_dedup(_t(spark, sf, "embeddings"),
-                                  k=8, iters=2, threshold=0.4)
+                                  k=8, iters=2, threshold=0.4,
+                                  fit_mod=2)
                 .orderBy("a", "b"))
     q["dedup_semantic"] = dedup_semantic
 
@@ -1000,7 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         distortion, codebooks trained deterministically."""
         from nifi_datasynthesizer_spark.operators import clustering as CL
         return (CL.pq_encode(_t(spark, sf, "embeddings"),
-                             m=16, k=16, iters=2)
+                             m=16, k=16, iters=2, fit_mod=2)
                 .orderBy("vec_id"))
     q["embed_pq"] = embed_pq
 
@@ -1012,7 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
         return (CL.pq_search(emb, queries_df, k_top=10, m=16, k=16,
-                             iters=2)
+                             iters=2, fit_mod=2)
                 .orderBy("query_id", "rank"))
     q["ann_pq"] = ann_pq
 
@@ -1025,7 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 5)
         return (CL.ivfpq_search(emb, queries_df, k_top=10, n_cells=16,
                                 n_probe=4, m=16, k=16, iters=2,
-                                coarse_iters=1)
+                                coarse_iters=1, fit_mod=2)
                 .orderBy("query_id", "rank"))
     q["ann_ivfpq"] = ann_ivfpq
 
@@ -1037,7 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
         return (CL.pq_rerank_search(emb, queries_df, k_top=10,
-                                    shortlist=4, m=16, k=16, iters=2)
+                                    shortlist=4, m=16, k=16, iters=2,
+                                    fit_mod=2)
                 .orderBy("query_id", "rank"))
     q["ann_pq_rerank"] = ann_pq_rerank
 
@@ -1052,7 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (CL.ivfpq_rerank_search(emb, queries_df, k_top=10,
                                        shortlist=4, n_cells=16,
                                        n_probe=8, m=16, k=16, iters=2,
-                                       coarse_iters=1)
+                                       coarse_iters=1, fit_mod=2)
                 .orderBy("query_id", "rank"))
     q["ann_ivfpq_rerank"] = ann_ivfpq_rerank
 
@@ -1937,24 +1939,27 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
     o["corpus_shuffle"] = OR.corpus_shuffle_sql(shards=8, salt=1)
-    o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64)
+    o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64,
+                                                   fit_mod=2)
     o["dedup_semantic"] = OR.semantic_dedup_sql(k=8, iters=2,
-                                                threshold=0.4, dim=64)
-    o["embed_pq"] = OR.pq_encode_sql(m=16, k=16, iters=2, dim=64)
+                                                threshold=0.4, dim=64,
+                                                fit_mod=2)
+    o["embed_pq"] = OR.pq_encode_sql(m=16, k=16, iters=2, dim=64,
+                                     fit_mod=2)
     o["ann_pq"] = OR.pq_search_sql("vec_id < 5", k_top=10, m=16, k=16,
-                                   iters=2, dim=64)
+                                   iters=2, dim=64, fit_mod=2)
     o["ann_ivfpq"] = OR.ivfpq_search_sql("vec_id < 5", k_top=10,
                                          n_cells=16, n_probe=4, m=16,
                                          k=16, iters=2, coarse_iters=1,
-                                         dim=64)
+                                         dim=64, fit_mod=2)
     o["ann_pq_rerank"] = OR.pq_rerank_sql("vec_id < 5", k_top=10,
                                           shortlist=4, m=16, k=16,
-                                          iters=2, dim=64)
+                                          iters=2, dim=64, fit_mod=2)
     o["ann_ivfpq_rerank"] = OR.ivfpq_rerank_sql("vec_id < 5", k_top=10,
                                                 shortlist=4, n_cells=16,
                                                 n_probe=8, m=16, k=16,
                                                 iters=2, coarse_iters=1,
-                                                dim=64)
+                                                dim=64, fit_mod=2)
     from nifi_datasynthesizer_spark.operators.logs import \
         event_lines_roundtrip_sql
     o["events_parse_lines"] = event_lines_roundtrip_sql()

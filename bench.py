@@ -159,21 +159,31 @@ def main() -> None:
     # n_probe = n_cells (identical candidate set; the only difference
     # is codes quantizing x - c(cell) instead of x — the Jégou
     # construction's recall claim).  p4/p8 chart the probe curve.
+    # PQ entries use the production sample-fit path (fit_mod=2, the
+    # entry-query setting); ann_pq also reports the full-fit A/B so
+    # the sample's recall cost stays measured (target: <= 0.02 loss)
     from nifi_datasynthesizer_spark.operators import clustering as CL
     got_pq = {(r.query_id, r.cand_id)
               for r in CL.pq_search(emb, qdf, k_top=10, m=16, k=16,
-                                    iters=2).collect()}
+                                    iters=2, fit_mod=2).collect()}
     recall["ann_pq_recall"] = round(len(truth & got_pq) / len(truth), 3)
+    got_pq_full = {(r.query_id, r.cand_id)
+                   for r in CL.pq_search(emb, qdf, k_top=10, m=16, k=16,
+                                         iters=2).collect()}
+    recall["ann_pq_recall_fullfit"] = round(
+        len(truth & got_pq_full) / len(truth), 3)
     got_rr = {(r.query_id, r.cand_id)
               for r in CL.pq_rerank_search(emb, qdf, k_top=10, shortlist=4,
-                                           m=16, k=16, iters=2).collect()}
+                                           m=16, k=16, iters=2,
+                                           fit_mod=2).collect()}
     recall["ann_pq_rerank_recall"] = round(len(truth & got_rr) / len(truth), 3)
     for probe in (4, 8, 16):
         got_ivfpq = {(r.query_id, r.cand_id)
                      for r in CL.ivfpq_search(emb, qdf, k_top=10,
                                               n_cells=16, n_probe=probe,
                                               m=16, k=16, iters=2,
-                                              coarse_iters=1).collect()}
+                                              coarse_iters=1,
+                                              fit_mod=2).collect()}
         recall[f"ann_ivfpq_recall_p{probe}"] = round(
             len(truth & got_ivfpq) / len(truth), 3)
     # the composed production shape: cell-gated shortlist + exact
@@ -185,10 +195,11 @@ def main() -> None:
             for r in CL.ivfpq_rerank_search(emb, qdf, k_top=10,
                                             shortlist=4, n_cells=16,
                                             n_probe=probe, m=16, k=16,
-                                            iters=2,
-                                            coarse_iters=1).collect()}
+                                            iters=2, coarse_iters=1,
+                                            fit_mod=2).collect()}
         recall[f"ann_ivfpq_rerank_recall_p{probe}"] = round(
             len(truth & got_ivfpq_rr) / len(truth), 3)
+    release_caches()      # free the pinned fit samples
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)

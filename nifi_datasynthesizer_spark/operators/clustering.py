@@ -104,37 +104,75 @@ def _update(assigned: DataFrame, vec_col: str,
         for j in range(len(centroids))]
 
 
+def _fit_sample(quant: DataFrame, fit_mod: int | None) -> DataFrame:
+    """Deterministic fit sample: keep the ~1/fit_mod of rows whose
+    portable h60 hash of ``vec_id || ':fit'`` lands on residue 0 —
+    reproducible under retries/speculation (unlike rand()) and
+    replayable by the DuckDB oracle (md5 both sides), unlike
+    kmeans_centroids' driver-numpy path.
+
+    This is THE 100 TB guard for the Lloyd-family fits: centroid /
+    codebook training is the only step that makes per-iteration
+    full-corpus passes, and statistically a bounded sample fits the
+    same codebooks.  The sample is pinned EAGERLY (iters+1 readers;
+    a lazily-pinned frame fanned out in one job degrades to
+    recomputation), released via dedup.release_caches().  The caller
+    must leave >= k sampled rows (fit quality, and both engines
+    silently train fewer centroids below that).
+    """
+    if fit_mod is None:
+        return quant
+    from ..phash import h60
+    from .dedup import _pin
+    samp = quant.filter(F.pmod(
+        h60(F.concat(F.col("vec_id").cast("string"), F.lit(":fit"))),
+        F.lit(fit_mod)) == 0)
+    samp = _pin(samp)
+    samp.count()
+    return samp
+
+
 def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       fit_mod: int | None = None) -> DataFrame:
     """Lloyd's k-means over an embedding column; ``iters`` centroid
     updates after first-k init, then a final assignment.
+
+    With ``fit_mod`` set, init + centroid updates run on the pinned
+    1/fit_mod hash sample (:func:`_fit_sample`) and only the final
+    assignment touches the full corpus — one corpus pass total
+    instead of iters+1.
 
     Returns (vec_id, cluster, dist_q) — dist_q is the exact squared
     L2 distance in micro-unit² integers.
     """
     dim = len(emb.select(vec_col).first()[0])
     quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
+    fitq = _fit_sample(quant, fit_mod)
 
-    first = (quant.orderBy("vec_id").limit(k).collect())
+    first = (fitq.orderBy("vec_id").limit(k).collect())
     centroids = [list(r.xi) for r in first]
 
     for _ in range(iters):
-        assigned = _assign(quant, centroids)
+        assigned = _assign(fitq, centroids)
         centroids = _update(assigned, "xi", centroids, dim)
 
     return (_assign(quant, centroids)
             .select("vec_id", "cluster", "dist_q"))
 
 
-def _pq_train(quant, m: int, k: int, iters: int,
-              sub: int) -> list[list[list[int]]]:
+def _pq_train(quant, m: int, k: int, iters: int, sub: int,
+              fit_mod: int | None = None) -> list[list[list[int]]]:
     """Train the m per-subspace codebooks.  ONE init collect serves
     all m codebooks (slices of the same first-k rows), and each Lloyd
     pass trains ALL subspaces in ONE job: the per-subspace assignments
     are independent narrow expressions, so they stack into an exploded
     (s, cluster, d, v) frame whose partial sums shuffle m·k·sub rows
     total.  (Per-subspace loops cost ~3 driver jobs each — 24 for m=8
-    — pure scheduling/codegen overhead repeated per subspace.)"""
+    — pure scheduling/codegen overhead repeated per subspace.)
+    ``fit_mod`` trains every codebook on the pinned hash sample
+    (:func:`_fit_sample`) — the encode pass stays full-corpus."""
+    quant = _fit_sample(quant, fit_mod)
     first = quant.orderBy("vec_id").limit(k).collect()
     books: list[list[list[int]]] = [
         [list(r.xi)[s * sub:(s + 1) * sub] for r in first]
@@ -168,7 +206,8 @@ def _pq_train(quant, m: int, k: int, iters: int,
 
 
 def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              fit_mod: int | None = None) -> DataFrame:
     """Product quantization: split each vector into ``m`` sub-vectors,
     k-means each subspace independently, store the per-subspace
     centroid index — ``dim`` floats become ``m`` small codes per
@@ -190,7 +229,7 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
     dim = len(emb.select(vec_col).first()[0])
     sub = dim // m
     quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
-    books = _pq_train(quant, m, k, iters, sub)
+    books = _pq_train(quant, m, k, iters, sub, fit_mod)
     structs = [
         F.expr(_argmin_sql(
             _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
@@ -207,7 +246,8 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
 
 def pq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
               m: int = 8, k: int = 16, iters: int = 1,
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              fit_mod: int | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes — the
     billion-scale ANN scoring shape: the corpus exists only as ``m``
     codes per vector; each query precomputes an m×k lookup table of
@@ -224,7 +264,7 @@ def pq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     arithmetic is exact int64 micro-units, so DuckDB replays ranks
     bit-exactly.  Returns (query_id, cand_id, adc_q, rank).
     """
-    scored = _adc_scored(emb, queries, m, k, iters, vec_col)[0]
+    scored = _adc_scored(emb, queries, m, k, iters, vec_col, fit_mod)[0]
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
                                                F.asc("cand_id"))
@@ -234,7 +274,8 @@ def pq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
             .select("query_id", "cand_id", "adc_q", "rank"))
 
 
-def _adc_scored(emb, queries, m: int, k: int, iters: int, vec_col: str):
+def _adc_scored(emb, queries, m: int, k: int, iters: int, vec_col: str,
+                fit_mod: int | None = None):
     """Shared ADC machinery: returns (scored, quant, qxi, dim) where
     ``scored`` is the unranked (query_id, cand_id, adc_q) frame,
     ``quant`` the integer-quantized corpus, and ``qxi`` the
@@ -243,7 +284,7 @@ def _adc_scored(emb, queries, m: int, k: int, iters: int, vec_col: str):
     dim = len(emb.select(vec_col).first()[0])
     sub = dim // m
     quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
-    books = _pq_train(quant, m, k, iters, sub)
+    books = _pq_train(quant, m, k, iters, sub, fit_mod)
 
     structs = [
         F.expr(_argmin_sql(
@@ -319,8 +360,8 @@ def _exact_rerank(scored: DataFrame, quant: DataFrame, qxi: DataFrame,
 
 def pq_rerank_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
                      shortlist: int = 4, m: int = 16, k: int = 16,
-                     iters: int = 2,
-                     vec_col: str = "embedding") -> DataFrame:
+                     iters: int = 2, vec_col: str = "embedding",
+                     fit_mod: int | None = None) -> DataFrame:
     """Two-stage PQ search — the production billion-scale pattern:
     stage 1 ADC-scans the codes (memory-bandwidth bound, same as
     :func:`pq_search`) but keeps a ``shortlist × k_top`` candidate
@@ -338,7 +379,7 @@ def pq_rerank_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     Returns (query_id, cand_id, adc_q, exact_q, rank).
     """
     scored, quant, qxi, dim = _adc_scored(emb, queries, m, k, iters,
-                                          vec_col)
+                                          vec_col, fit_mod)
     return _exact_rerank(scored, quant, qxi, dim, k_top, shortlist)
 
 
@@ -346,7 +387,8 @@ def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
                  n_cells: int = 16, n_probe: int = 4, m: int = 8,
                  k: int = 16, iters: int = 1,
                  coarse_iters: int | None = None,
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 fit_mod: int | None = None) -> DataFrame:
     """IVF-PQ: the production billion-scale ANN composition — a
     coarse k-means partitions the corpus into ``n_cells`` inverted
     lists; a query probes only its ``n_probe`` nearest cells and
@@ -367,7 +409,7 @@ def ivfpq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     ranks bit-exactly.  Returns (query_id, cand_id, adc_q, rank).
     """
     scored = _ivfpq_scored(emb, queries, n_cells, n_probe, m, k, iters,
-                           coarse_iters, vec_col)[0]
+                           coarse_iters, vec_col, fit_mod)[0]
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
                                                F.asc("cand_id"))
@@ -382,7 +424,8 @@ def ivfpq_rerank_search(emb: DataFrame, queries: DataFrame,
                         n_cells: int = 16, n_probe: int = 4, m: int = 8,
                         k: int = 16, iters: int = 1,
                         coarse_iters: int | None = None,
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        fit_mod: int | None = None) -> DataFrame:
     """IVF-PQ with exact re-rank — the full production billion-scale
     composition (Jégou et al.): cell-gated ADC shortlist (stage 1 of
     :func:`ivfpq_search` — |corpus|·n_probe/n_cells code reads, no
@@ -397,13 +440,14 @@ def ivfpq_rerank_search(emb: DataFrame, queries: DataFrame,
     """
     scored, quant, qxi, dim = _ivfpq_scored(emb, queries, n_cells,
                                             n_probe, m, k, iters,
-                                            coarse_iters, vec_col)
+                                            coarse_iters, vec_col,
+                                            fit_mod)
     return _exact_rerank(scored, quant, qxi, dim, k_top, shortlist)
 
 
 def _ivfpq_scored(emb, queries, n_cells: int, n_probe: int, m: int,
                   k: int, iters: int, coarse_iters: int | None,
-                  vec_col: str):
+                  vec_col: str, fit_mod: int | None = None):
     """Shared IVF-PQ machinery: coarse quantizer + residual codebooks
     + probe-gated ADC scoring.  Returns (scored, quant, qxi, dim)
     with ``scored`` the unranked (query_id, cand_id, adc_q) frame over
@@ -420,11 +464,13 @@ def _ivfpq_scored(emb, queries, n_cells: int, n_probe: int, m: int,
     quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
 
     # coarse quantizer: same deterministic Lloyd loop as
-    # cluster_embeddings (first-k init, posexplode update)
+    # cluster_embeddings (first-k init, posexplode update); with
+    # fit_mod the coarse fit runs on the pinned hash sample
+    fitq = _fit_sample(quant, fit_mod)
     coarse = [list(r.xi) for r in
-              quant.orderBy("vec_id").limit(n_cells).collect()]
+              fitq.orderBy("vec_id").limit(n_cells).collect()]
     for _ in range(coarse_iters):
-        coarse = _update(_assign(quant, coarse), "xi", coarse, dim)
+        coarse = _update(_assign(fitq, coarse), "xi", coarse, dim)
 
     coarse_arr = ("array(" + ",".join(
         "array(" + ",".join(f"{v}L" for v in c) + ")" for c in coarse)
@@ -436,7 +482,8 @@ def _ivfpq_scored(emb, queries, n_cells: int, n_probe: int, m: int,
              .select("vec_id", "cell",
                      F.expr(f"zip_with(xi, element_at({coarse_arr}, "
                             f"cell + 1), (a, b) -> a - b)").alias("xi")))
-    books = _pq_train(resid.select("vec_id", "xi"), m, k, iters, sub)
+    books = _pq_train(resid.select("vec_id", "xi"), m, k, iters, sub,
+                      fit_mod)
 
     structs = [
         F.expr(_argmin_sql(
@@ -481,8 +528,8 @@ def _ivfpq_scored(emb, queries, n_cells: int, n_probe: int, m: int,
 
 
 def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
-                   threshold: float = 0.8,
-                   vec_col: str = "embedding") -> DataFrame:
+                   threshold: float = 0.8, vec_col: str = "embedding",
+                   fit_mod: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): cluster the embedding space with
     k-means, then search for semantic duplicates ONLY within each
     cluster — documents saying the same thing in different words land
@@ -500,8 +547,8 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
     """
     from .similarity import l2_normalize
 
-    asg = cluster_embeddings(emb, k=k, iters=iters, vec_col=vec_col) \
-        .select("vec_id", "cluster")
+    asg = cluster_embeddings(emb, k=k, iters=iters, vec_col=vec_col,
+                             fit_mod=fit_mod).select("vec_id", "cluster")
     normed = emb.select("vec_id", l2_normalize(F.col(vec_col)).alias("v"))
     both = asg.join(normed, "vec_id")
     # both pair-join sides read this frame — unpinned, each side

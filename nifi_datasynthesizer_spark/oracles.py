@@ -761,21 +761,26 @@ FROM sc WHERE score_q4 > 0
 QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
-def _km_parts(k: int, iters: int, dim: int) -> list:
+def _km_parts(k: int, iters: int, dim: int, fit: bool = False) -> list:
     """Shared CTE chain for the k-means oracles: x (quantized
     vectors, shared with _pq_parts), c{i} codebooks, fin (final
-    assignment distances).  Callers select assignment from fin."""
+    assignment distances).  Callers select assignment from fin.
+    ``fit`` semijoins init + training against the caller-provided
+    ``xfit`` id CTE (clustering._fit_sample mirror); the final
+    assignment stays full."""
+    fj = " JOIN xfit USING (vec_id)" if fit else ""
+
     def dist(xi: str, c: str) -> str:
         return (f"list_sum(list_transform(range(1, {dim + 1}), "
                 f"d -> ({xi}[d] - {c}[d]) * ({xi}[d] - {c}[d])))")
 
     parts = [f"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, xi AS c
-       FROM (SELECT vec_id, xi FROM x ORDER BY vec_id LIMIT {k}))"""]
+       FROM (SELECT vec_id, xi FROM x{fj} ORDER BY vec_id LIMIT {k}))"""]
     prev = "c0"
     for i in range(1, iters + 1):
         parts.append(f"""d{i} AS (SELECT x.vec_id, x.xi, {prev}.j,
         {dist('x.xi', f'{prev}.c')} AS dist
-        FROM x CROSS JOIN {prev}),
+        FROM x{fj} CROSS JOIN {prev}),
 a{i} AS (SELECT vec_id, xi, j AS cluster FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY dist, j) AS rn FROM d{i})
@@ -796,6 +801,17 @@ c{i} AS (SELECT {prev}.j, COALESCE(n{i}.c, {prev}.c) AS c
     return parts
 
 
+def fit_sample_pred(fit_mod: int) -> str:
+    """DuckDB text of clustering._fit_sample's deterministic hash
+    sample predicate (portable h60 of ``vec_id || ':fit'``)."""
+    h = h60_sql("CAST(vec_id AS VARCHAR) || ':fit'")
+    return f"{h} % {fit_mod} = 0"
+
+
+def _xfit_part(fit_mod: int) -> str:
+    return f"xfit AS (SELECT vec_id FROM x WHERE {fit_sample_pred(fit_mod)})"
+
+
 def _x_part(table: str) -> str:
     return f"""x AS (SELECT vec_id,
   list_transform(embedding,
@@ -804,13 +820,16 @@ def _x_part(table: str) -> str:
 
 
 def cluster_embeddings_sql(k: int = 8, iters: int = 2, dim: int = 64,
-                           table: str = "embeddings") -> str:
+                           table: str = "embeddings",
+                           fit_mod: int | None = None) -> str:
     """Mirror of clustering.cluster_embeddings: the Lloyd iterations
     unroll into CTE chains (assign_i -> update_i).  All-integer
     micro-unit arithmetic, so every step replays exactly; the
     centroid refresh floor(sum/count) is the same single IEEE double
     division both engines perform."""
-    parts = [_x_part(table)] + _km_parts(k, iters, dim)
+    parts = ([_x_part(table)]
+             + ([_xfit_part(fit_mod)] if fit_mod else [])
+             + _km_parts(k, iters, dim, fit=fit_mod is not None))
     return f"""
 WITH {', '.join(parts)}
 SELECT vec_id, CAST(j AS INT) AS cluster, CAST(dist AS BIGINT) AS dist_q
@@ -820,11 +839,13 @@ WHERE rn = 1 ORDER BY vec_id"""
 
 
 def semantic_dedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.8,
-                       dim: int = 64, table: str = "embeddings") -> str:
+                       dim: int = 64, table: str = "embeddings",
+                       fit_mod: int | None = None) -> str:
     """Mirror of clustering.semantic_dedup: the full k-means
     assignment (cluster_embeddings_sql as a subquery) + within-cluster
     cosine pairs over L2-normalized vectors."""
-    asg = cluster_embeddings_sql(k=k, iters=iters, dim=dim, table=table)
+    asg = cluster_embeddings_sql(k=k, iters=iters, dim=dim, table=table,
+                                 fit_mod=fit_mod)
     return f"""
 WITH asg AS ({asg}),
 {_NORMED},
@@ -841,11 +862,17 @@ WHERE cosine >= {threshold} ORDER BY a, b"""
 
 
 def _pq_parts(m: int, k: int, iters: int, dim: int,
-              table: str, src: str = "x") -> tuple[list, int]:
+              table: str, src: str = "x",
+              fit: bool = False) -> tuple[list, int]:
     """Shared CTE chain for the PQ oracles: codebook training + the
     per-subspace code/dist frames f{s}; final codebooks are
     cb{s}_{iters}.  ``src`` names the (vec_id, xi) CTE the subspace
-    slices read — ``x`` for raw vectors, a residual CTE for IVF-PQ."""
+    slices read — ``x`` for raw vectors, a residual CTE for IVF-PQ.
+    ``fit`` semijoins codebook init + Lloyd passes against the
+    caller-provided ``xfit`` id CTE (clustering._fit_sample mirror;
+    x and xres share vec_ids, so one xfit serves both); the final
+    encode f{s} stays full."""
+    fj = " JOIN xfit USING (vec_id)" if fit else ""
     sub = dim // m
 
     def dist(xi: str, c: str) -> str:
@@ -862,12 +889,12 @@ def _pq_parts(m: int, k: int, iters: int, dim: int,
         parts.append(f"""xs{s} AS (SELECT vec_id, list_slice(xi, {lo}, {hi}) AS xs FROM {src}),
 cb{s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
                    xs AS c
-            FROM (SELECT vec_id, xs FROM xs{s} ORDER BY vec_id LIMIT {k}))""")
+            FROM (SELECT vec_id, xs FROM xs{s}{fj} ORDER BY vec_id LIMIT {k}))""")
         prev = f"cb{s}_0"
         for it in range(1, iters + 1):
             parts.append(f"""d{s}_{it} AS (SELECT xs{s}.vec_id, xs{s}.xs, {prev}.j,
         {dist(f'xs{s}.xs', f'{prev}.c')} AS dist
-        FROM xs{s} CROSS JOIN {prev}),
+        FROM xs{s}{fj} CROSS JOIN {prev}),
 a{s}_{it} AS (SELECT vec_id, xs, j AS cluster FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY dist, j) AS rn FROM d{s}_{it})
@@ -894,10 +921,14 @@ cb{s}_{it} AS (SELECT {prev}.j, COALESCE(n{s}_{it}.c, {prev}.c) AS c
 
 
 def pq_encode_sql(m: int = 8, k: int = 16, iters: int = 1, dim: int = 64,
-                  table: str = "embeddings") -> str:
+                  table: str = "embeddings",
+                  fit_mod: int | None = None) -> str:
     """Mirror of clustering.pq_encode: per-subspace Lloyd chains over
     list_slice sub-vectors, then the joined code/distortion output."""
-    parts, _ = _pq_parts(m, k, iters, dim, table)
+    parts, _ = _pq_parts(m, k, iters, dim, table,
+                         fit=fit_mod is not None)
+    if fit_mod:
+        parts.insert(1, _xfit_part(fit_mod))
     code_cat = " || ',' || ".join(
         f"CAST(f{s}.code AS VARCHAR)" for s in range(m))
     dist_sum = " + ".join(f"f{s}.dist" for s in range(m))
@@ -910,11 +941,15 @@ FROM f0 {joins} ORDER BY vec_id"""
 
 def pq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
                   m: int = 8, k: int = 16, iters: int = 1, dim: int = 64,
-                  table: str = "embeddings") -> str:
+                  table: str = "embeddings",
+                  fit_mod: int | None = None) -> str:
     """Mirror of clustering.pq_search (ADC): the SAME codebook chain,
     per-(query, cand) distance summed from the query's sub-vector to
     the centroid each code points at."""
-    parts, sub = _pq_parts(m, k, iters, dim, table)
+    parts, sub = _pq_parts(m, k, iters, dim, table,
+                           fit=fit_mod is not None)
+    if fit_mod:
+        parts.insert(1, _xfit_part(fit_mod))
 
     def dist(xi: str, c: str) -> str:
         return (f"list_sum(list_transform(range(1, {sub + 1}), "
@@ -944,15 +979,16 @@ WHERE rank <= {k_top} ORDER BY query_id, rank"""
 
 def _ivfpq_chain(queries_pred: str, n_cells: int, n_probe: int, m: int,
                  k: int, iters: int, coarse_iters: int, dim: int,
-                 table: str) -> list:
+                 table: str, fit_mod: int | None = None) -> list:
     """Shared CTE chain for the IVF-PQ oracles, ending with the
     ``scored`` CTE (query_id, cand_id, adc_q over probed cells only):
     x + coarse k-means chain (_km_parts) + residual CTE + PQ chain
     sourced from the residuals; probe gating is the per-query
     top-n_probe cells, and ADC distances use the query's residual in
     the PROBED cell against the residual codebooks."""
-    km = _km_parts(n_cells, coarse_iters, dim)
-    pq, sub = _pq_parts(m, k, iters, dim, table, src="xres")
+    km = _km_parts(n_cells, coarse_iters, dim, fit=fit_mod is not None)
+    pq, sub = _pq_parts(m, k, iters, dim, table, src="xres",
+                        fit=fit_mod is not None)
 
     def dist(xi: str, c: str, n: int) -> str:
         return (f"list_sum(list_transform(range(1, {n + 1}), "
@@ -977,7 +1013,9 @@ xres AS (SELECT x.vec_id,
                                d -> x.xi[d] - cc.c[d]) AS xi
          FROM x JOIN asg ON asg.vec_id = x.vec_id
                 JOIN c{coarse_iters} cc ON cc.j = asg.cell)"""
-    parts = [_x_part(table)] + km + [xres] + pq[1:]
+    parts = ([_x_part(table)]
+             + ([_xfit_part(fit_mod)] if fit_mod else [])
+             + km + [xres] + pq[1:])
     parts.append(f"""q AS (SELECT vec_id AS query_id, xi FROM x WHERE {queries_pred}),
 probes AS (SELECT query_id, j AS cell FROM (
              SELECT q.query_id, cc.j,
@@ -1002,13 +1040,14 @@ def ivfpq_search_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
                      n_cells: int = 16, n_probe: int = 4, m: int = 8,
                      k: int = 16, iters: int = 1,
                      coarse_iters: int | None = None, dim: int = 64,
-                     table: str = "embeddings") -> str:
+                     table: str = "embeddings",
+                     fit_mod: int | None = None) -> str:
     """Mirror of clustering.ivfpq_search: the _ivfpq_chain scored CTE
     ranked per query on the ADC distance."""
     if coarse_iters is None:
         coarse_iters = iters
     parts = _ivfpq_chain(queries_pred, n_cells, n_probe, m, k, iters,
-                         coarse_iters, dim, table)
+                         coarse_iters, dim, table, fit_mod)
     return f"""
 WITH {', '.join(parts)},
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1022,7 +1061,8 @@ def ivfpq_rerank_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
                      shortlist: int = 4, n_cells: int = 16,
                      n_probe: int = 4, m: int = 8, k: int = 16,
                      iters: int = 1, coarse_iters: int | None = None,
-                     dim: int = 64, table: str = "embeddings") -> str:
+                     dim: int = 64, table: str = "embeddings",
+                     fit_mod: int | None = None) -> str:
     """Mirror of clustering.ivfpq_rerank_search: the _ivfpq_chain
     scored CTE shortlisted to shortlist*k_top per query on the ADC
     distance, then re-ranked on the exact integer distance against
@@ -1031,7 +1071,7 @@ def ivfpq_rerank_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
     if coarse_iters is None:
         coarse_iters = iters
     parts = _ivfpq_chain(queries_pred, n_cells, n_probe, m, k, iters,
-                         coarse_iters, dim, table)
+                         coarse_iters, dim, table, fit_mod)
     exact = (f"list_sum(list_transform(range(1, {dim + 1}), "
              f"d -> (cx.xi[d] - q2.xi[d]) * (cx.xi[d] - q2.xi[d])))")
     return f"""
@@ -1808,10 +1848,14 @@ FROM scored, thr ORDER BY doc_id"""
 def pq_rerank_sql(queries_pred: str = "vec_id < 5", k_top: int = 10,
                   shortlist: int = 4, m: int = 16, k: int = 16,
                   iters: int = 2, dim: int = 64,
-                  table: str = "embeddings") -> str:
+                  table: str = "embeddings",
+                  fit_mod: int | None = None) -> str:
     """Mirror of clustering.pq_rerank_search: the pq_search ADC chain,
     shortlist of shortlist*k_top per query, exact integer re-rank."""
-    parts, sub = _pq_parts(m, k, iters, dim, table)
+    parts, sub = _pq_parts(m, k, iters, dim, table,
+                           fit=fit_mod is not None)
+    if fit_mod:
+        parts.insert(1, _xfit_part(fit_mod))
 
     def dist(xi: str, c: str) -> str:
         return (f"list_sum(list_transform(range(1, {sub + 1}), "

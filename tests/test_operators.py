@@ -1371,3 +1371,32 @@ def test_upper_quantile_matches_reference_formula(spark):
                 assert got is None, (g, q, got)
             else:
                 assert got == want, (g, q, got, want)
+
+
+def test_fit_sample_deterministic_and_pinned(spark):
+    """The codebook fit sample must be the exact h60-predicate subset
+    (oracle-replayable), pinned in memory so Lloyd iterations read
+    the cache instead of re-scanning the corpus, and fit_mod=1 must
+    reproduce the full-fit codebooks bit-for-bit."""
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    from nifi_datasynthesizer_spark.phash import h60_py
+    import pyspark.sql.functions as SF
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    quant = emb.select("vec_id", CL._quantize(SF.col("embedding"))
+                       .alias("xi"))
+    full_ids = {r.vec_id for r in quant.select("vec_id").collect()}
+
+    samp = CL._fit_sample(quant, 4)
+    ids = {r.vec_id for r in samp.select("vec_id").collect()}
+    assert ids == {i for i in full_ids if h60_py(f"{i}:fit") % 4 == 0}
+    assert 0 < len(ids) < len(full_ids)
+    assert samp.storageLevel.useMemory, "fit sample not pinned"
+    assert "InMemoryRelation" in samp._jdf.queryExecution() \
+        .optimizedPlan().toString()
+
+    b_full = CL._pq_train(quant, m=4, k=8, iters=1, sub=16)
+    b_mod1 = CL._pq_train(quant, m=4, k=8, iters=1, sub=16, fit_mod=1)
+    assert b_full == b_mod1
+    release_caches()
