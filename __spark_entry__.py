@@ -1529,11 +1529,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events table, then parse it back into typed
         (uid, time_ms, ip_num, op) records — hex uid, Java
         signed-int32 ip packing, epoch millis via pure integer
-        civil-date arithmetic.  Narrow scan-transform; no shuffle."""
+        civil-date arithmetic.  Each half is a narrow scan-transform;
+        the roundtrip composition pins the rendered lines because (a)
+        the single-file local scan otherwise runs all regexes on one
+        core (at 100 TB input splits parallelize this for free —
+        ensure_parallelism no-ops) and (b) format+parse stacked in ONE
+        whole-stage pipeline exceed janino's 64 KB method limit and
+        fall back to interpreted row copies (~27 projections); split
+        stages codegen cleanly.  Real ingestion runs parse alone over
+        stored lines and needs neither crutch."""
         from nifi_datasynthesizer_spark.operators import logs as LG
-        ev = _t(spark, sf, "events")
-        return (LG.parse_event_lines(LG.format_event_lines(ev))
-                .orderBy("event_id"))
+        from nifi_datasynthesizer_spark.operators.dedup import (
+            _pin, ensure_parallelism)
+        ev = ensure_parallelism(_t(spark, sf, "events"))
+        lines = _pin(LG.format_event_lines(ev))
+        lines.count()
+        return LG.parse_event_lines(lines).orderBy("event_id")
     q["events_parse_lines"] = events_parse_lines
 
     def events_scd2(spark, sf):
