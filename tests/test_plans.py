@@ -477,3 +477,26 @@ def test_sketch_topk_partial_topk_before_shuffle(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p, "rank-limit pushdown did not fire"
     assert "BroadcastHashJoin" in p
+
+
+def test_r6_operators_scan_counts(spark):
+    """Rescan audit at birth (the r5 lesson: shared derived frames
+    silently replay their lineage per consumer).  events_parse_lines
+    reads the pinned lines cache (≤1 parquet scan, for the pin's
+    lineage); sketch_topk's two scans are the count + retained sides
+    by design; ann_ivfpq_rerank's two scans are the code chain and
+    the re-rank vector attach by design."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    expect = {"events_parse_lines": 1, "sketch_topk": 2,
+              "ann_ivfpq_rerank": 2}
+    for name, want in expect.items():
+        df = entrymod.queries()[name](spark, SF)
+        p = _plan(df)
+        scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+        assert len(scans) <= want, (name, scans)
+        gens = [ln for ln in p.splitlines() if ") Generate" in ln]
+        assert not gens, (name, gens)
+        release_caches()
+    df = entrymod.queries()["events_parse_lines"](spark, SF)
+    assert "InMemoryTableScan" in _plan(df)
+    release_caches()
