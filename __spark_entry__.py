@@ -210,6 +210,7 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 _WINDOW_R6_HEAD = [
     # new this round — never driver-checked
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
+    "text_entropy",
     # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
@@ -228,11 +229,11 @@ _WINDOW_R6_HEAD = [
     "text_repetition", "text_pii_scrub", "corpus_sample",
     "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
     "corpus_shuffle", "corpus_split", "events_sessionize",
-    "events_funnel", "events_ohlc", "events_anomaly", "events_scd2",
+    "events_funnel", "events_ohlc", "events_anomaly",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -878,6 +879,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (TX.fingerprint(_t(spark, sf, "documents"))
                 .select("doc_id", "fp_full", "fp_min", "fp_max").orderBy("doc_id"))
     q["text_fingerprint"] = text_fingerprint
+
+    def text_entropy(spark, sf):
+        """Unigram-entropy + TTR quality signals (information
+        density): micro-log2 integer arithmetic, the classic
+        two-stage wordcount aggregation — both map-side combinable,
+        no window, no UDF."""
+        return (TX.word_entropy(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+    q["text_entropy"] = text_entropy
 
     def text_embed(spark, sf):
         emb = TX.hash_embed(_t(spark, sf, "documents"), dim=16)
@@ -1924,6 +1934,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["dedup_groups"] = OR.dup_groups_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
+    o["text_entropy"] = OR.word_entropy_sql()
     o["text_embed"] = OR.hash_embed_sql(dim=16)
     o["corpus_stats"] = OR.corpus_stats_sql()
     o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)

@@ -62,7 +62,8 @@ def main() -> None:
              "synth_weblog_lines", "synth_purchases", "sketch_hll",
              "text_train_classifier", "corpus_split_groups",
              "corpus_tokenize", "sketch_kmv", "corpus_dsir", "ann_pq_rerank",
-             "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk"]
+             "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
+             "text_entropy"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

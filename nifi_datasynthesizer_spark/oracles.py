@@ -1938,3 +1938,29 @@ b2 AS (SELECT *, {', '.join(qdefs)} FROM b)
 SELECT grp AS {group_col}, MAX(n) AS n_total, MAX(sz) AS n_retained,
        {', '.join(qaggs)}
 FROM b2 GROUP BY grp ORDER BY {group_col}"""
+
+
+def word_entropy_sql(table: str = "documents") -> str:
+    """Mirror of text.word_entropy: lowercase whitespace words,
+    per-word counts, micro-log2 entropy and integer-ppm TTR."""
+    il = _ilog2_micro_duck
+    return f"""
+WITH w AS (SELECT doc_id,
+                  unnest(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+           FROM {table}),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w WHERE w <> ''
+       GROUP BY doc_id, w),
+per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * {il('c')}) AS BIGINT) AS sum_clog
+        FROM wc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN n_words >= 1
+                 THEN {il('n_words')} - (sum_clog // n_words) END
+            AS BIGINT) AS entropy_micro,
+       CAST(CASE WHEN n_words >= 1
+                 THEN n_distinct * 1000000 // n_words END
+            AS BIGINT) AS ttr_ppm
+FROM {table} d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""

@@ -1400,3 +1400,21 @@ def test_fit_sample_deterministic_and_pinned(spark):
     b_mod1 = CL._pq_train(quant, m=4, k=8, iters=1, sub=16, fit_mod=1)
     assert b_full == b_mod1
     release_caches()
+
+
+def test_word_entropy_planted(spark):
+    """Exact micro-bit entropies on planted docs: powers of two hit
+    the mantissa table exactly (ilog2(2)=1e6, ilog2(4)=2e6)."""
+    rows = [(1, "a a b b"),        # H = 1 bit
+            (2, "x"),              # H = 0
+            (3, "a b c d"),        # H = 2 bits
+            (4, "w w w w w w w w"),  # H = 0 (8 copies)
+            (5, "   ")]            # wordless -> NULL metrics
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.word_entropy(docs).collect()}
+    assert out[1].entropy_micro == 1_000_000 and out[1].n_words == 4
+    assert out[2].entropy_micro == 0 and out[2].n_distinct == 1
+    assert out[3].entropy_micro == 2_000_000
+    assert out[4].entropy_micro == 0 and out[4].ttr_ppm == 125_000
+    assert out[5].n_words == 0 and out[5].entropy_micro is None
+    assert out[1].ttr_ppm == 500_000
