@@ -210,7 +210,7 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 _WINDOW_R6_HEAD = [
     # new this round — never driver-checked
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
-    "text_entropy",
+    "text_entropy", "dedup_agreement",
     # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
@@ -229,11 +229,11 @@ _WINDOW_R6_HEAD = [
     "text_repetition", "text_pii_scrub", "corpus_sample",
     "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
     "corpus_shuffle", "corpus_split", "events_sessionize",
-    "events_funnel", "events_ohlc", "events_anomaly",
+    "events_funnel", "events_ohlc",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -792,6 +792,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        n=3, threshold=0.4)
                 .orderBy("a", "b"))
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_agreement(spark, sf):
+        """Ensemble dedup governance: every pair flagged by ANY of
+        minhash/simhash/ngram-jaccard with per-method flags and the
+        agreement count — two FULL joins over pair-sized frames."""
+        return (DD.dedup_agreement(_t(spark, sf, "documents"))
+                .orderBy("a", "b"))
+    q["dedup_agreement"] = dedup_agreement
 
     def dedup_groups(spark, sf):
         pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
@@ -1930,6 +1938,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5)
     o["dedup_simhash"] = OR.simhash_pairs_sql(bits=60, hamming_max=3, shingle_k=2)
     o["dedup_ngram_jaccard"] = OR.ngram_jaccard_sql(n=3, threshold=0.4)
+    o["dedup_agreement"] = OR.dedup_agreement_sql()
     o["dedup_fuzzy"] = OR.fuzzy_pairs_sql(max_dist_ppm=300_000)
     o["dedup_groups"] = OR.dup_groups_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))

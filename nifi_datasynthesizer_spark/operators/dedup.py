@@ -669,3 +669,44 @@ def containment_pairs(docs: DataFrame, n: int = 3,
                         .cast("long"))
             .filter(F.col("cont_ppm") >= thr)
             .select("a", "b", "cont_ppm"))
+
+
+def dedup_agreement(docs: DataFrame, num_hashes: int = 64,
+                    bands: int = 16, shingle_k: int = 5,
+                    jaccard_threshold: float = 0.5, bits: int = 60,
+                    hamming_max: int = 3, ngram_n: int = 3,
+                    ngram_threshold: float = 0.4) -> DataFrame:
+    """Ensemble agreement matrix across the three text near-dup
+    detectors — the dedup-governance report a production pipeline
+    runs before committing to a method: every pair flagged by ANY of
+    MinHash-LSH, SimHash or exact n-gram Jaccard, with per-method
+    flags and the agreement count.  Pairs with n_methods == 3 are
+    safe deletions; single-method pairs show each detector's
+    characteristic blind spots (simhash misses re-orderings minhash
+    catches; ngram's exact verify kills minhash's estimation false
+    positives).
+
+    Plan shape: the three finders run their own (independently
+    blocked, capped) candidate plans — each scales as audited for its
+    own query — and the agreement is two FULL OUTER joins on the
+    (a, b) pair key over pair-sized (not corpus-sized) frames.
+    Returns (a, b, by_minhash, by_simhash, by_ngram, n_methods).
+    """
+    mh = (dedup_minhash(docs, num_hashes=num_hashes, bands=bands,
+                        shingle_k=shingle_k,
+                        jaccard_threshold=jaccard_threshold)
+          .select("a", "b", F.lit(1).alias("by_minhash")))
+    sh = (dedup_simhash(docs, bits=bits, hamming_max=hamming_max)
+          .select("a", "b", F.lit(1).alias("by_simhash")))
+    ng = (ngram_jaccard_pairs(docs, n=ngram_n,
+                              threshold=ngram_threshold)
+          .select("a", "b", F.lit(1).alias("by_ngram")))
+    u = (mh.join(sh, ["a", "b"], "full")
+         .join(ng, ["a", "b"], "full")
+         .select("a", "b",
+                 F.coalesce("by_minhash", F.lit(0)).alias("by_minhash"),
+                 F.coalesce("by_simhash", F.lit(0)).alias("by_simhash"),
+                 F.coalesce("by_ngram", F.lit(0)).alias("by_ngram")))
+    return u.withColumn(
+        "n_methods",
+        F.col("by_minhash") + F.col("by_simhash") + F.col("by_ngram"))

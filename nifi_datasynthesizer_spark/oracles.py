@@ -1964,3 +1964,34 @@ SELECT d.doc_id,
                  THEN n_distinct * 1000000 // n_words END
             AS BIGINT) AS ttr_ppm
 FROM {table} d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+
+
+def dedup_agreement_sql(num_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 5,
+                        jaccard_threshold: float = 0.5, bits: int = 60,
+                        hamming_max: int = 3, ngram_n: int = 3,
+                        ngram_threshold: float = 0.4) -> str:
+    """Mirror of dedup.dedup_agreement: the three pair oracles
+    composed by FULL OUTER joins on the pair key."""
+    mh = minhash_pairs_sql(num_hashes=num_hashes, bands=bands,
+                           shingle_k=shingle_k,
+                           jaccard_threshold=jaccard_threshold)
+    sh = simhash_pairs_sql(bits=bits, hamming_max=hamming_max,
+                           shingle_k=2)
+    ng = ngram_jaccard_sql(n=ngram_n, threshold=ngram_threshold)
+    return f"""
+WITH mh AS (SELECT a, b FROM ({mh})),
+sh AS (SELECT a, b FROM ({sh})),
+ng AS (SELECT a, b FROM ({ng})),
+ms AS (SELECT COALESCE(mh.a, sh.a) AS a, COALESCE(mh.b, sh.b) AS b,
+              CASE WHEN mh.a IS NOT NULL THEN 1 ELSE 0 END AS by_minhash,
+              CASE WHEN sh.a IS NOT NULL THEN 1 ELSE 0 END AS by_simhash
+       FROM mh FULL JOIN sh ON mh.a = sh.a AND mh.b = sh.b),
+ag AS (SELECT COALESCE(ms.a, ng.a) AS a, COALESCE(ms.b, ng.b) AS b,
+              COALESCE(by_minhash, 0) AS by_minhash,
+              COALESCE(by_simhash, 0) AS by_simhash,
+              CASE WHEN ng.a IS NOT NULL THEN 1 ELSE 0 END AS by_ngram
+       FROM ms FULL JOIN ng ON ms.a = ng.a AND ms.b = ng.b)
+SELECT a, b, by_minhash, by_simhash, by_ngram,
+       by_minhash + by_simhash + by_ngram AS n_methods
+FROM ag ORDER BY a, b"""
