@@ -210,7 +210,7 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 _WINDOW_R6_HEAD = [
     # new this round — never driver-checked
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
-    "text_entropy", "dedup_agreement",
+    "text_entropy", "dedup_agreement", "corpus_pack_pairs",
     # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
@@ -229,11 +229,11 @@ _WINDOW_R6_HEAD = [
     "text_repetition", "text_pii_scrub", "corpus_sample",
     "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
     "corpus_shuffle", "corpus_split", "events_sessionize",
-    "events_funnel", "events_ohlc",
+    "events_funnel",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -1102,6 +1102,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   seq_tokens=256, shards=8)
                 .orderBy("doc_id"))
     q["corpus_pack"] = corpus_pack
+
+    def corpus_pack_pairs(spark, sf):
+        """Sorted-pairing packing (no-split alternative to
+        corpus_pack): longest-with-shortest rank pairing per hash
+        shard — one shuffle, two rank windows in one pass, pair-key
+        2-row aggregation; padding cost reported per pair."""
+        from nifi_datasynthesizer_spark.operators.curation import pack_pairs
+        return (pack_pairs(_t(spark, sf, "documents"), seq_tokens=256,
+                           shards=8)
+                .orderBy("shard", "pair_id"))
+    q["corpus_pack_pairs"] = corpus_pack_pairs
 
     def corpus_mix(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
@@ -1998,6 +2009,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_ngrams"] = OR.corpus_ngrams_sql(n=2, k=20)
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)
     o["corpus_mix"] = OR.corpus_mix_report_sql()
+    o["corpus_pack_pairs"] = OR.pack_pairs_sql(seq_tokens=256, shards=8)
     o["text_repetition"] = OR.repetition_stats_sql()
     _pii_counts, _pii_scrubbed = OR.pii_scrub_exprs()
     o["text_pii_scrub"] = f"""

@@ -1995,3 +1995,36 @@ ag AS (SELECT COALESCE(ms.a, ng.a) AS a, COALESCE(ms.b, ng.b) AS b,
 SELECT a, b, by_minhash, by_simhash, by_ngram,
        by_minhash + by_simhash + by_ngram AS n_methods
 FROM ag ORDER BY a, b"""
+
+
+def pack_pairs_sql(seq_tokens: int = 256, shards: int = 8,
+                   table: str = "documents") -> str:
+    """Mirror of curation.pack_pairs: per-shard longest-with-shortest
+    rank pairing, fit flag and padding accounting."""
+    cap = seq_tokens
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len({_RAW_WORDS}) AS BIGINT) AS n_tokens,
+                  {h60_sql("CAST(doc_id AS VARCHAR)")} % {shards} AS shard
+           FROM {table}),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY shard) AS n
+      FROM t),
+p AS (SELECT *, LEAST(rnk, n - rnk + 1) AS pair_id FROM r),
+agg AS (SELECT shard, pair_id,
+               MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi,
+               CAST(MIN(n_tokens) AS BIGINT) AS tokens_lo,
+               CAST(MAX(n_tokens) AS BIGINT) AS tokens_hi,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+               COUNT(*) AS members,
+               CAST(SUM(GREATEST({cap} - n_tokens, 0)) AS BIGINT) AS pad_sep
+        FROM p GROUP BY shard, pair_id)
+SELECT shard, pair_id, doc_lo, doc_hi, tokens_lo, tokens_hi,
+       CAST(CASE WHEN members = 2 AND tok_sum <= {cap}
+                 THEN 1 ELSE 0 END AS INT) AS packed,
+       CAST(CASE WHEN members = 2 AND tok_sum <= {cap}
+                 THEN {cap} - tok_sum ELSE pad_sep END AS BIGINT)
+         AS padding_tokens
+FROM agg ORDER BY shard, pair_id"""

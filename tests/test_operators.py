@@ -1418,3 +1418,24 @@ def test_word_entropy_planted(spark):
     assert out[4].entropy_micro == 0 and out[4].ttr_ppm == 125_000
     assert out[5].n_words == 0 and out[5].entropy_micro is None
     assert out[1].ttr_ppm == 500_000
+
+
+def test_pack_pairs_planted(spark):
+    """5 docs in one shard with known lengths: longest pairs with
+    shortest, middle is a singleton, fit/padding exact."""
+    from nifi_datasynthesizer_spark.operators.curation import pack_pairs
+    rows = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in [(0, 10), (1, 100), (2, 200), (3, 40), (4, 300)]]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_lo, r.doc_hi): r
+           for r in pack_pairs(docs, seq_tokens=256, shards=1).collect()}
+    # rank desc: 4(300) 2(200) 1(100) 3(40) 0(10)
+    # pairs: (4,0) (2,3) singleton (1)
+    assert set(out) == {(0, 4), (2, 3), (1, 1)}
+    p = out[(0, 4)]          # 300 + 10 > 256 -> unpacked; 300 truncates
+    assert p.packed == 0 and p.padding_tokens == (256 - 10)
+    p = out[(2, 3)]          # 200 + 40 <= 256 -> packed
+    assert p.packed == 1 and p.padding_tokens == 256 - 240
+    p = out[(1, 1)]          # singleton 100
+    assert p.packed == 0 and p.padding_tokens == 156
+    assert p.doc_lo == p.doc_hi == 1
