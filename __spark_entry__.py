@@ -211,6 +211,7 @@ _WINDOW_R6_HEAD = [
     # new this round — never driver-checked
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
     "text_entropy", "dedup_agreement", "corpus_pack_pairs",
+    "corpus_balance",
     # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
@@ -229,11 +230,10 @@ _WINDOW_R6_HEAD = [
     "text_repetition", "text_pii_scrub", "corpus_sample",
     "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
     "corpus_shuffle", "corpus_split", "events_sessionize",
-    "events_funnel",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -1102,6 +1102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   seq_tokens=256, shards=8)
                 .orderBy("doc_id"))
     q["corpus_pack"] = corpus_pack
+
+    def corpus_balance(spark, sf):
+        """Equalize the language mix: per-group keep rates fit
+        IN-PLAN (count agg -> broadcast -> narrow h60 filter), all
+        groups converge on the smallest group's volume."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            corpus_balance
+        return (corpus_balance(_t(spark, sf, "documents"), "lang")
+                .orderBy("doc_id"))
+    q["corpus_balance"] = corpus_balance
 
     def corpus_pack_pairs(spark, sf):
         """Sorted-pairing packing (no-split alternative to
@@ -2010,6 +2020,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_pack"] = OR.pack_sequences_sql(seq_tokens=256, shards=8)
     o["corpus_mix"] = OR.corpus_mix_report_sql()
     o["corpus_pack_pairs"] = OR.pack_pairs_sql(seq_tokens=256, shards=8)
+    o["corpus_balance"] = OR.corpus_balance_sql("lang")
     o["text_repetition"] = OR.repetition_stats_sql()
     _pii_counts, _pii_scrubbed = OR.pii_scrub_exprs()
     o["text_pii_scrub"] = f"""

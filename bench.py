@@ -63,7 +63,8 @@ def main() -> None:
              "text_train_classifier", "corpus_split_groups",
              "corpus_tokenize", "sketch_kmv", "corpus_dsir", "ann_pq_rerank",
              "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
-             "text_entropy", "dedup_agreement", "corpus_pack_pairs"]
+             "text_entropy", "dedup_agreement", "corpus_pack_pairs",
+             "corpus_balance"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

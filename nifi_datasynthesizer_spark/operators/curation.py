@@ -729,3 +729,39 @@ def pack_pairs(docs: DataFrame, seq_tokens: int = 256, shards: int = 8,
                       "tokens_lo", "tokens_hi",
                       packed.alias("packed"),
                       padding.alias("padding_tokens"))
+
+
+def corpus_balance(docs: DataFrame, group_col: str = "lang",
+                   id_col: str = "doc_id", salt: int = 11) -> DataFrame:
+    """Equalize a training mix across a group column (the
+    down-sample-the-majority-language step): every group keeps a
+    deterministic ~min_n/n_group fraction so all groups converge on
+    the smallest group's volume.  Unlike :func:`corpus_sample` the
+    rates are FIT FROM THE DATA inside the plan — one tiny
+    aggregation row per group, broadcast back — so the oracle replays
+    the fit and no scale-dependent literal leaks into the query.
+
+    Keep rule: ``h60(id:salt) % 1e6 < floor(1e6·min_n/n_group)``,
+    with the smallest group kept whole (ppm = 1e6 — the h60 draw is
+    < 1e6 by construction).  Hash-draw sampling is binomial per
+    group (±√n), retry-stable, and composes with corpus_sample's
+    per-source rates.  Plan: one map-side-combined count agg
+    (|groups| rows) + broadcast join + narrow filter — the corpus is
+    scanned once and never shuffled.  Returns the kept rows'
+    (id, group, draw_ppm, keep_ppm).
+    """
+    counts = docs.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.count("*").alias("n_grp"))
+    min_n = counts.agg(F.min("n_grp").alias("min_n"))
+    rates = (counts.crossJoin(F.broadcast(min_n))
+             .select("grp",
+                     F.expr("CAST(min_n * 1000000 div n_grp AS BIGINT)")
+                     .alias("keep_ppm")))
+    draw = (h60(F.concat(F.col(id_col).cast("string"),
+                         F.lit(f":{salt}"))) % PPM).alias("draw_ppm")
+    return (docs.select(F.col(id_col), F.col(group_col).alias("grp"),
+                        draw)
+            .join(F.broadcast(rates), "grp")
+            .filter(F.col("draw_ppm") < F.col("keep_ppm"))
+            .select(id_col, F.col("grp").alias(group_col),
+                    "draw_ppm", "keep_ppm"))

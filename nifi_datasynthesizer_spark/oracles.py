@@ -2028,3 +2028,22 @@ SELECT shard, pair_id, doc_lo, doc_hi, tokens_lo, tokens_hi,
                  THEN {cap} - tok_sum ELSE pad_sep END AS BIGINT)
          AS padding_tokens
 FROM agg ORDER BY shard, pair_id"""
+
+
+def corpus_balance_sql(group_col: str = "lang", id_col: str = "doc_id",
+                       salt: int = 11, table: str = "documents") -> str:
+    """Mirror of curation.corpus_balance: in-plan fit of per-group
+    keep rates (min_n/n_group ppm) + the deterministic h60 draw."""
+    draw = h60_sql(f"CAST({id_col} AS VARCHAR) || ':{salt}'")
+    return f"""
+WITH counts AS (SELECT {group_col} AS grp, COUNT(*) AS n_grp
+                FROM {table} GROUP BY 1),
+m AS (SELECT MIN(n_grp) AS min_n FROM counts),
+rates AS (SELECT grp, CAST(min_n * 1000000 // n_grp AS BIGINT) AS keep_ppm
+          FROM counts, m),
+d AS (SELECT {id_col}, {group_col} AS grp, {draw} % 1000000 AS draw_ppm
+      FROM {table})
+SELECT d.{id_col}, d.grp AS {group_col},
+       CAST(d.draw_ppm AS BIGINT) AS draw_ppm, rates.keep_ppm
+FROM d JOIN rates USING (grp)
+WHERE d.draw_ppm < rates.keep_ppm ORDER BY d.{id_col}"""

@@ -1439,3 +1439,22 @@ def test_pack_pairs_planted(spark):
     p = out[(1, 1)]          # singleton 100
     assert p.packed == 0 and p.padding_tokens == 156
     assert p.doc_lo == p.doc_hi == 1
+
+
+def test_corpus_balance_equalizes(spark):
+    """Groups converge on the smallest group's volume (binomial ±√n)
+    and the smallest group is kept whole."""
+    from nifi_datasynthesizer_spark.operators.curation import corpus_balance
+    rows = ([(i, "big") for i in range(4000)]
+            + [(10_000 + i, "mid") for i in range(1000)]
+            + [(20_000 + i, "small") for i in range(200)])
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = corpus_balance(docs, "lang").collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.lang, 0)
+        kept[r.lang] += 1
+        assert r.draw_ppm < r.keep_ppm
+    assert kept["small"] == 200              # kept whole
+    assert abs(kept["big"] - 200) <= 3 * (200 ** 0.5) + 10
+    assert abs(kept["mid"] - 200) <= 3 * (200 ** 0.5) + 10
