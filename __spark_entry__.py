@@ -211,7 +211,7 @@ _WINDOW_R6_HEAD = [
     # new this round — never driver-checked
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
     "text_entropy", "dedup_agreement", "corpus_pack_pairs",
-    "corpus_balance",
+    "corpus_balance", "streaming_topk",
     # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
@@ -229,11 +229,11 @@ _WINDOW_R6_HEAD = [
     "text_classify", "text_bm25", "search_rrf", "text_chunks",
     "text_repetition", "text_pii_scrub", "corpus_sample",
     "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
-    "corpus_shuffle", "corpus_split", "events_sessionize",
+    "corpus_shuffle", "corpus_split",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -538,6 +538,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (spark.table("stream_dedup_docs").select("digest")
                 .distinct().orderBy("digest"))
     q["streaming_dedup_docs"] = _stream_tuned(streaming_dedup_docs)
+
+    def streaming_topk(spark, sf):
+        """Streaming heavy hitters under the oracle gate: exact
+        per-(event_type, user) counters in applyInPandasWithState
+        (composite-key state, one shuffle), drained bounded, then a
+        batch top-k window over the final states — the per-segment
+        most-active-users report, equal to the batch GROUP BY +
+        rank.  Counts are monotone so the final state is the max-n
+        update-mode row per key."""
+        from pyspark.sql import Window as W
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        out = ST.key_counts(src, "event_type", "user_id")
+        q_ = ST.run_to_memory(out, "stream_topk", output_mode="update")
+        try:
+            q_.awaitTermination()
+        finally:
+            q_.stop()
+        tbl = spark.table("stream_topk")
+        final = (tbl.groupBy("k1", "k2").agg(F.max("n").alias("n")))
+        w = W.partitionBy("k1").orderBy(F.desc("n"), F.asc("k2"))
+        return (final.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .select(F.col("k1").alias("event_type"),
+                        F.col("k2").alias("user_id"),
+                        F.col("n").alias("n_events"), "rank")
+                .orderBy("event_type", "rank"))
+    q["streaming_topk"] = _stream_tuned(streaming_topk)
 
     def streaming_running_totals(spark, sf):
         """Custom stateful operator (applyInPandasWithState) under the
@@ -1788,6 +1819,17 @@ SELECT c_nationkey, COUNT(*) AS n_events,
 FROM events e JOIN customer c
   ON c.c_custkey = e.user_id % (SELECT COUNT(*) FROM customer) + 1
 GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+    o["streaming_topk"] = """
+WITH c AS (SELECT CAST(event_type AS VARCHAR) AS event_type,
+                  CAST(user_id AS VARCHAR) AS user_id,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n_events DESC, user_id) AS rank
+      FROM c)
+SELECT event_type, user_id, n_events, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY event_type, rank"""
 
     o["streaming_running_totals"] = """
 SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS n_events,

@@ -245,3 +245,36 @@ def run_foreach_batch(stream: DataFrame, handle) -> None:
         q.awaitTermination()
     finally:
         q.stop()
+
+
+KEY_COUNT_STATE = StructType([StructField("n", LongType())])
+KEY_COUNT_OUT = StructType([StructField("k1", StringType()),
+                            StructField("k2", StringType()),
+                            StructField("n", LongType())])
+
+
+def key_counts(stream: DataFrame, key1: str, key2: str,
+               timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming per-(key1, key2) event counter via
+    applyInPandasWithState — the state layer of a streaming
+    heavy-hitters report: exact integer counts keyed and partitioned
+    by the composite key (one shuffle), Arrow-batched, emitted every
+    micro-batch in update mode.  The count is monotone per key, so
+    the final state is recoverable from update-mode output as the
+    max-n row per key — which is what lets the drained stream carry
+    the same SQL oracle as the batch GROUP BY."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += int(len(pdf))
+        state.update((n,))
+        yield pd.DataFrame({"k1": [key[0]], "k2": [key[1]], "n": [n]})
+
+    return (stream.select(F.col(key1).cast("string").alias("k1"),
+                          F.col(key2).cast("string").alias("k2"))
+            .groupBy("k1", "k2")
+            .applyInPandasWithState(update, KEY_COUNT_OUT,
+                                    KEY_COUNT_STATE, "update", timeout))
