@@ -211,7 +211,7 @@ _WINDOW_R6_HEAD = [
     # new this round — never driver-checked
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
     "text_entropy", "dedup_agreement", "corpus_pack_pairs",
-    "corpus_balance", "streaming_topk",
+    "corpus_balance", "streaming_topk", "corpus_diff",
     # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
@@ -229,11 +229,11 @@ _WINDOW_R6_HEAD = [
     "text_classify", "text_bm25", "search_rrf", "text_chunks",
     "text_repetition", "text_pii_scrub", "corpus_sample",
     "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
-    "corpus_shuffle", "corpus_split",
+    "corpus_shuffle",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -1133,6 +1133,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   seq_tokens=256, shards=8)
                 .orderBy("doc_id"))
     q["corpus_pack"] = corpus_pack
+
+    def corpus_diff(spark, sf):
+        """Snapshot diff between two corpus versions: per-doc
+        added/removed/changed/unchanged via the dedup_exact content
+        digest — one digest pass per side + ONE full outer join on
+        the id (co-partitioned, no blowup)."""
+        from nifi_datasynthesizer_spark.operators.curation import corpus_diff
+        docs = _t(spark, sf, "documents")
+        old = docs.filter(F.col("doc_id") % 3 != 0)
+        new = (docs.filter(F.col("doc_id") % 5 != 0)
+               .withColumn("text",
+                           F.when(F.col("doc_id") % 7 == 0,
+                                  F.concat(F.col("text"), F.lit(" v2")))
+                           .otherwise(F.col("text"))))
+        return corpus_diff(old, new).orderBy("doc_id")
+    q["corpus_diff"] = corpus_diff
 
     def corpus_balance(spark, sf):
         """Equalize the language mix: per-group keep rates fit
@@ -2063,6 +2079,10 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_mix"] = OR.corpus_mix_report_sql()
     o["corpus_pack_pairs"] = OR.pack_pairs_sql(seq_tokens=256, shards=8)
     o["corpus_balance"] = OR.corpus_balance_sql("lang")
+    o["corpus_diff"] = OR.corpus_diff_sql(
+        "doc_id % 3 <> 0", "doc_id % 5 <> 0",
+        new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "
+                 "ELSE text END")
     o["text_repetition"] = OR.repetition_stats_sql()
     _pii_counts, _pii_scrubbed = OR.pii_scrub_exprs()
     o["text_pii_scrub"] = f"""

@@ -765,3 +765,37 @@ def corpus_balance(docs: DataFrame, group_col: str = "lang",
             .filter(F.col("draw_ppm") < F.col("keep_ppm"))
             .select(id_col, F.col("grp").alias(group_col),
                     "draw_ppm", "keep_ppm"))
+
+
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """Snapshot diff between two corpus versions — the data-versioning
+    primitive behind "what changed since the last training run":
+    every document id is classified ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` by comparing normalized-content
+    digests, carrying the source for per-source rollups.
+
+    Plan shape: one narrow digest pass per side (md5 over normalized
+    text — the dedup_exact digest, so diff and dedup agree on what
+    "same content" means), then ONE full outer join on the id — both
+    sides shuffle-partition on the same key, no row blowup, no
+    driver state.  At 100 TB this is the standard two-snapshot
+    reconciliation scan.  Returns (id, source, status).
+    """
+    from .dedup import normalize_text
+
+    def side(df, tag):
+        return df.select(
+            F.col(id_col),
+            F.col(source_col).alias(f"src_{tag}"),
+            F.md5(normalize_text(F.col(text_col))).alias(f"dig_{tag}"))
+
+    j = side(old_docs, "old").join(side(new_docs, "new"), id_col, "full")
+    status = (F.when(F.col("dig_old").isNull(), "added")
+              .when(F.col("dig_new").isNull(), "removed")
+              .when(F.col("dig_old") == F.col("dig_new"), "unchanged")
+              .otherwise("changed"))
+    return j.select(F.col(id_col),
+                    F.coalesce("src_new", "src_old").alias(source_col),
+                    status.alias("status"))

@@ -2047,3 +2047,29 @@ SELECT d.{id_col}, d.grp AS {group_col},
        CAST(d.draw_ppm AS BIGINT) AS draw_ppm, rates.keep_ppm
 FROM d JOIN rates USING (grp)
 WHERE d.draw_ppm < rates.keep_ppm ORDER BY d.{id_col}"""
+
+
+def corpus_diff_sql(old_pred: str, new_pred: str, new_text: str = "text",
+                    table: str = "documents") -> str:
+    """Mirror of curation.corpus_diff over two filtered views of the
+    documents table; ``new_text`` lets the caller mutate the new
+    side's text to exercise the ``changed`` branch."""
+    norm = ("MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({t}),"
+            " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))")
+    # same normalizer as _NORM (dedup_exact's digest), parameterized
+    # on the text expression
+    return f"""
+WITH o AS (SELECT doc_id, source AS src_old,
+                  {norm.format(t='text')} AS dig_old
+           FROM {table} WHERE {old_pred}),
+n AS (SELECT doc_id, source AS src_new,
+             {norm.format(t=new_text)} AS dig_new
+      FROM {table} WHERE {new_pred}),
+j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             COALESCE(src_new, src_old) AS source,
+             CASE WHEN dig_old IS NULL THEN 'added'
+                  WHEN dig_new IS NULL THEN 'removed'
+                  WHEN dig_old = dig_new THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, source, status FROM j ORDER BY doc_id"""

@@ -1458,3 +1458,21 @@ def test_corpus_balance_equalizes(spark):
     assert kept["small"] == 200              # kept whole
     assert abs(kept["big"] - 200) <= 3 * (200 ** 0.5) + 10
     assert abs(kept["mid"] - 200) <= 3 * (200 ** 0.5) + 10
+
+
+def test_corpus_diff_planted(spark):
+    """All four statuses on planted snapshots; punctuation-only edits
+    are 'unchanged' (digest normalizes like dedup_exact)."""
+    from nifi_datasynthesizer_spark.operators.curation import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "alpha beta", "s"), (2, "gone now", "s"),
+         (3, "same text", "s"), (4, "will change", "s")],
+        ["doc_id", "text", "source"])
+    new = spark.createDataFrame(
+        [(1, "Alpha,  beta!", "s"),       # normalizes equal
+         (3, "same text", "s"), (4, "has changed", "s"),
+         (5, "brand new", "s")],
+        ["doc_id", "text", "source"])
+    out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "removed", 3: "unchanged",
+                   4: "changed", 5: "added"}
