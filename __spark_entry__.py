@@ -212,6 +212,7 @@ _WINDOW_R6_HEAD = [
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
     "text_entropy", "dedup_agreement", "corpus_pack_pairs",
     "corpus_balance", "streaming_topk", "corpus_diff",
+    "events_cdc_apply",
     # r3-stale greens (displaced below the r5 cutoff two rounds ago)
     "dedup_exact", "dedup_exact_keep", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
@@ -229,11 +230,10 @@ _WINDOW_R6_HEAD = [
     "text_classify", "text_bm25", "search_rrf", "text_chunks",
     "text_repetition", "text_pii_scrub", "corpus_sample",
     "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
-    "corpus_shuffle",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -1633,6 +1633,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return LG.parse_event_lines(lines).orderBy("event_id")
     q["events_parse_lines"] = events_parse_lines
 
+    def events_cdc_apply(spark, sf):
+        """CDC/MERGE primitive: latest-change-wins per key over a
+        changelog (struct-max aggregation — map-side partials, no
+        full-history window), final deletes drop the key."""
+        from nifi_datasynthesizer_spark.operators.temporal import cdc_apply
+        ev = _t(spark, sf, "events")
+        op = (F.when(F.col("event_type") == "error", "delete")
+              .when(F.col("event_type") == "signup", "insert")
+              .otherwise("update"))
+        changes = ev.select("user_id", "ts", "event_id", op.alias("op"))
+        return (cdc_apply(changes)
+                .select("user_id",
+                        F.unix_micros("last_ts").alias("last_tus"),
+                        "last_seq", "last_op", "n_changes")
+                .orderBy("user_id"))
+    q["events_cdc_apply"] = events_cdc_apply
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -2079,6 +2096,10 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_mix"] = OR.corpus_mix_report_sql()
     o["corpus_pack_pairs"] = OR.pack_pairs_sql(seq_tokens=256, shards=8)
     o["corpus_balance"] = OR.corpus_balance_sql("lang")
+    o["events_cdc_apply"] = OR.cdc_apply_sql(
+        "CASE WHEN event_type = 'error' THEN 'delete' "
+        "WHEN event_type = 'signup' THEN 'insert' "
+        "ELSE 'update' END")
     o["corpus_diff"] = OR.corpus_diff_sql(
         "doc_id % 3 <> 0", "doc_id % 5 <> 0",
         new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "

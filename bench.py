@@ -64,7 +64,8 @@ def main() -> None:
              "corpus_tokenize", "sketch_kmv", "corpus_dsir", "ann_pq_rerank",
              "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
              "text_entropy", "dedup_agreement", "corpus_pack_pairs",
-             "corpus_balance", "streaming_topk", "corpus_diff"]
+             "corpus_balance", "streaming_topk", "corpus_diff",
+             "events_cdc_apply"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -358,3 +358,32 @@ def gap_fill_daily(events: DataFrame, key: str = "user_id", ts: str = "ts",
         .otherwise(F.last(F.when(observed, F.col("cents")),
                           ignorenulls=True).over(wfill)).alias("cents"),
         observed.cast("int").alias("observed"))
+
+
+def cdc_apply(changes: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts", op_col: str = "op",
+              seq_col: str = "event_id") -> DataFrame:
+    """Apply a CDC changelog to produce the final table state — the
+    lakehouse MERGE primitive (Debezium/Delta-style upsert streams):
+    per key, the LATEST change wins (ordered by event time, then the
+    changelog sequence id for same-timestamp determinism); a final
+    ``delete`` removes the key entirely.
+
+    Plan shape for 100 TB of changelog: ONE shuffle on the key and a
+    max_by-style aggregation — per-key state collapses map-side (the
+    partial aggregate keeps only each partition's latest row), so
+    skewed keys cost partials, not a sorted window over the full
+    history.  Returns (key, last_ts, last_seq, last_op, n_changes)
+    for surviving (non-deleted) keys.
+    """
+    latest = F.max(F.struct(F.col(ts_col).alias("ts"),
+                            F.col(seq_col).alias("seq"),
+                            F.col(op_col).alias("op"))).alias("last")
+    agg = (changes.groupBy(F.col(key_col).alias("key"))
+           .agg(latest, F.count("*").alias("n_changes")))
+    return (agg.filter(F.col("last.op") != "delete")
+            .select(F.col("key").alias(key_col),
+                    F.col("last.ts").alias("last_ts"),
+                    F.col("last.seq").alias("last_seq"),
+                    F.col("last.op").alias("last_op"),
+                    "n_changes"))

@@ -2073,3 +2073,19 @@ j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                   ELSE 'changed' END AS status
       FROM o FULL JOIN n ON o.doc_id = n.doc_id)
 SELECT doc_id, source, status FROM j ORDER BY doc_id"""
+
+
+def cdc_apply_sql(op_case: str, table: str = "events") -> str:
+    """Mirror of temporal.cdc_apply over the events table with
+    ``op_case`` deriving the op column.  The struct-max tie-break is
+    (ts, event_id, op) lexicographic — replayed as a window."""
+    return f"""
+WITH ch AS (SELECT user_id, ts, event_id, {op_case} AS op FROM {table}),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC, op DESC) AS rn,
+      COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM ch)
+SELECT user_id, epoch_us(ts) AS last_tus, event_id AS last_seq,
+       op AS last_op, n_changes
+FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY user_id"""

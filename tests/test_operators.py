@@ -1476,3 +1476,21 @@ def test_corpus_diff_planted(spark):
     out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "removed", 3: "unchanged",
                    4: "changed", 5: "added"}
+
+
+def test_cdc_apply_planted(spark):
+    """Latest op wins, deletes drop keys, same-ts ties break on seq."""
+    import datetime as dt
+    from nifi_datasynthesizer_spark.operators.temporal import cdc_apply
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [("a", t(1), 1, "insert"), ("a", t(2), 2, "update"),
+            ("b", t(1), 3, "insert"), ("b", t(5), 4, "delete"),
+            ("c", t(3), 5, "insert"), ("c", t(3), 6, "update"),
+            ("d", t(9), 7, "delete"), ("d", t(9), 8, "insert")]
+    ch = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "op"])
+    out = {r.user_id: r for r in
+           cdc_apply(ch, seq_col="event_id").collect()}
+    assert set(out) == {"a", "c", "d"}          # b deleted
+    assert out["a"].last_op == "update" and out["a"].n_changes == 2
+    assert out["c"].last_seq == 6               # same-ts: higher seq wins
+    assert out["d"].last_op == "insert"         # seq 8 beats delete seq 7
