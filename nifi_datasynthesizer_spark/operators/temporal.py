@@ -387,3 +387,52 @@ def cdc_apply(changes: DataFrame, key_col: str = "user_id",
                     F.col("last.seq").alias("last_seq"),
                     F.col("last.op").alias("last_op"),
                     "n_changes"))
+
+
+def last_touch_attribution(events: DataFrame,
+                           touch_types: tuple[str, ...] = ("click", "view"),
+                           conv_type: str = "purchase",
+                           lookback_us: int = 7 * 86400 * 1_000_000,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           value_col: str = "value") -> DataFrame:
+    """Last-touch marketing attribution: credit each conversion to the
+    most recent preceding touch event (click/view) by the same user
+    within a lookback window.  The classic formulation is an
+    inequality self-join (touch.ts <= conv.ts AND touch.ts >= conv.ts
+    - L) — quadratic per hot user and planned as a nested-loop join.
+    The scalable shape used here is the same union-and-window trick as
+    :func:`asof_join`: ONE window over (user ORDER BY ts, id) carries
+    the running latest touch struct forward, and the lookback bound is
+    a post-filter on the carried timestamp.  One shuffle on the user
+    key, zero joins, linear in events per user.
+
+    Tie rule: a touch is visible to a conversion iff (ts, event_id)
+    sorts strictly before it — same-timestamp touches with a smaller
+    event id count, later ones don't (deterministic cross-engine).
+    Values are quantized to integer cents (floor) so the sums are
+    engine-exact.  Conversions with no in-window touch keep NULL touch
+    columns (they are "unattributed" — direct traffic).
+    """
+    tus = F.unix_micros(F.col(ts_col))
+    tagged = events.select(
+        F.col(key_col), F.col(id_col), F.col(type_col),
+        tus.alias("tus"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("value_cents"))
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(F.col("tus").alias("t_tus"),
+                 F.col(id_col).alias("t_id"),
+                 F.col(type_col).alias("t_type")))
+    w = (Window.partitionBy(key_col)
+         .orderBy("tus", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    carried = tagged.withColumn("lt", F.max(touch).over(w))
+    in_window = F.col("lt.t_tus") >= F.col("tus") - F.lit(lookback_us)
+    return (carried.filter(F.col(type_col) == conv_type)
+            .select(F.col(id_col).alias("conv_id"), F.col(key_col),
+                    F.col("tus").alias("conv_tus"), "value_cents",
+                    F.when(in_window, F.col("lt.t_id")).alias("touch_id"),
+                    F.when(in_window, F.col("lt.t_type")).alias("touch_type"),
+                    F.when(in_window, F.col("lt.t_tus")).alias("touch_tus")))

@@ -2089,3 +2089,31 @@ r AS (SELECT *, ROW_NUMBER() OVER (
 SELECT user_id, epoch_us(ts) AS last_tus, event_id AS last_seq,
        op AS last_op, n_changes
 FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY user_id"""
+
+
+def last_touch_attribution_sql(touch_types: tuple[str, ...] = ("click", "view"),
+                               conv_type: str = "purchase",
+                               lookback_us: int = 7 * 86400 * 1_000_000,
+                               table: str = "events") -> str:
+    """Mirror of temporal.last_touch_attribution: the carried-touch
+    window (MAX over a preceding-rows frame of the touch struct —
+    struct comparison is lexicographic (tus, id) in both engines) plus
+    the lookback post-filter."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH tagged AS (SELECT user_id, event_id, event_type,
+                       epoch_us(ts) AS tus,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+                FROM {table}),
+w AS (SELECT *,
+             MAX(CASE WHEN event_type IN ({touches}) THEN
+                   {{'t_tus': tus, 't_id': event_id, 't_type': event_type}}
+                 END) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS lt
+      FROM tagged)
+SELECT event_id AS conv_id, user_id, tus AS conv_tus, value_cents,
+       CASE WHEN lt.t_tus >= tus - {lookback_us} THEN lt.t_id END AS touch_id,
+       CASE WHEN lt.t_tus >= tus - {lookback_us} THEN lt.t_type END AS touch_type,
+       CASE WHEN lt.t_tus >= tus - {lookback_us} THEN lt.t_tus END AS touch_tus
+FROM w WHERE event_type = '{conv_type}' ORDER BY conv_id"""

@@ -1494,3 +1494,48 @@ def test_cdc_apply_planted(spark):
     assert out["a"].last_op == "update" and out["a"].n_changes == 2
     assert out["c"].last_seq == 6               # same-ts: higher seq wins
     assert out["d"].last_op == "insert"         # seq 8 beats delete seq 7
+
+
+def test_last_touch_attribution_planted(spark):
+    """Lookback bound, strict (ts,id) visibility, and unattributed
+    conversions on a planted timeline."""
+    import datetime as dt
+    from nifi_datasynthesizer_spark.operators.temporal import \
+        last_touch_attribution
+    t = lambda d, s=0: dt.datetime(2024, 1, 1 + d, 0, 0, s)
+    rows = [
+        # u1: click then purchase next day -> attributed to the click
+        (1, t(0), 10, "click", 1.0),
+        (1, t(1), 11, "purchase", 9.99),
+        # u1: second purchase 8 days after the click -> out of window
+        (1, t(9), 12, "purchase", 5.0),
+        # u2: view at the SAME timestamp, smaller id -> visible
+        (2, t(0, 30), 20, "view", 0.0),
+        (2, t(0, 30), 21, "purchase", 3.0),
+        # u2: later click does NOT attribute the earlier purchase
+        (2, t(2), 22, "click", 0.0),
+        # u3: purchase with no touches at all
+        (3, t(0), 30, "purchase", 7.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type", "value"])
+    out = {r.conv_id: r for r in last_touch_attribution(ev).collect()}
+    assert set(out) == {11, 12, 21, 30}
+    assert out[11].touch_id == 10 and out[11].touch_type == "click"
+    assert out[11].value_cents == 999
+    assert out[12].touch_id is None          # click 8 days old
+    assert out[21].touch_id == 20            # same-ts smaller id visible
+    assert out[30].touch_id is None          # direct traffic
+
+
+def test_last_touch_attribution_plan(spark):
+    """The attribution plan is ONE user-key exchange and zero joins —
+    the inequality self-join shape must not appear."""
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators.temporal import \
+        last_touch_attribution
+    ev = read_table(spark, SF_DIR, "events")
+    plan = last_touch_attribution(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2       # key shuffle (+AQE read)
