@@ -229,14 +229,15 @@ _WINDOW_R6_HEAD = [
     "embed_pca", "embed_quantize", "text_keywords", "text_fluency",
     "text_classify", "text_bm25", "search_rrf", "text_chunks",
     "text_repetition", "text_pii_scrub", "corpus_sample",
-    "corpus_sample_k", "corpus_decontaminate",
+    "corpus_sample_k",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
-    "events_attribution",
+    "events_attribution", "corpus_token_budget",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "corpus_decontaminate", "corpus_ngrams", "corpus_shuffle",
+    "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -1664,6 +1665,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return last_touch_attribution(ev).orderBy("conv_id")
     q["events_attribution"] = events_attribution
 
+    def corpus_token_budget(spark, sf):
+        """Token-balanced mixture: each source capped at the smallest
+        source's total tokens, admitted in hash-priority order —
+        level-CDF boundary location so no per-source global window
+        ever touches the corpus."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            corpus_token_budget
+        docs = _t(spark, sf, "documents")
+        return corpus_token_budget(docs).orderBy("doc_id")
+    q["corpus_token_budget"] = corpus_token_budget
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -2115,6 +2127,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
         "WHEN event_type = 'signup' THEN 'insert' "
         "ELSE 'update' END")
     o["events_attribution"] = OR.last_touch_attribution_sql()
+    o["corpus_token_budget"] = OR.corpus_token_budget_sql()
     o["corpus_diff"] = OR.corpus_diff_sql(
         "doc_id % 3 <> 0", "doc_id % 5 <> 0",
         new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "

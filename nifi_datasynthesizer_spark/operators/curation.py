@@ -799,3 +799,64 @@ def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
     return j.select(F.col(id_col),
                     F.coalesce("src_new", "src_old").alias(source_col),
                     status.alias("status"))
+
+
+def corpus_token_budget(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        source_col: str = "source", salt: int = 13,
+                        level_shift: int = 50) -> DataFrame:
+    """Token-budgeted mixture: every source contributes AT MOST B
+    tokens, where B is fit in-plan as the smallest source's total
+    token count (so the mixture is token-balanced, the token-space
+    sibling of :func:`corpus_balance`'s row-space equalization).
+    Within a source, documents are admitted in a deterministic
+    hash-shuffled priority order (h60(id:salt), then id) until the
+    running token sum would exceed the budget — strict prefix
+    semantics, not knapsack, so the kept set is unambiguous.
+
+    The naive shape is a per-source global sort + cumsum window — a
+    whole source on one task, the classic window scale-killer.  The
+    scalable shape used here is two-level (the histogram-CDF trick,
+    same as corpus_dsir's threshold fit): the 60-bit priority's top
+    bits define ~1k coarse LEVELS that are order-consistent with the
+    priority; per-(source, level) token sums make a TINY frame whose
+    per-source cumsum (window over ≤ |sources|·1k rows) locates the
+    one boundary level per source.  Levels strictly below the
+    boundary are kept whole via a broadcast semi-join (no window over
+    the corpus); only the boundary level's documents — ~1/1k of a
+    source — need the exact per-document cumsum window.  Plan: one
+    pinned narrow token pass, two tiny broadcast joins, one window
+    over the boundary sliver.  Returns kept (id, source, n_tokens).
+    """
+    from .dedup import _pin
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    prio = h60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    toks = _pin(docs.select(
+        F.col(id_col), F.col(source_col).alias("src"),
+        F.size(words).cast("long").alias("n_tokens"),
+        prio.alias("prio"),
+        F.shiftright(prio, level_shift).alias("lvl")))
+    toks.count()
+    budget = (toks.groupBy("src").agg(F.sum("n_tokens").alias("tot"))
+              .agg(F.min("tot").alias("budget")))
+    cdf_w = (Window.partitionBy("src").orderBy("lvl")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = (toks.groupBy("src", "lvl").agg(F.sum("n_tokens").alias("lvl_tok"))
+           .withColumn("cum", F.sum("lvl_tok").over(cdf_w))
+           .crossJoin(F.broadcast(budget))
+           .withColumn("prev_cum", F.col("cum") - F.col("lvl_tok")))
+    full_levels = (cdf.filter(F.col("cum") <= F.col("budget"))
+                   .select("src", "lvl"))
+    boundary = (cdf.filter((F.col("prev_cum") < F.col("budget"))
+                           & (F.col("cum") > F.col("budget")))
+                .select("src", "lvl",
+                        (F.col("budget") - F.col("prev_cum"))
+                        .alias("remaining")))
+    kept_full = toks.join(F.broadcast(full_levels), ["src", "lvl"])
+    bnd_w = (Window.partitionBy("src").orderBy("prio", id_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    kept_bnd = (toks.join(F.broadcast(boundary), ["src", "lvl"])
+                .withColumn("bcum", F.sum("n_tokens").over(bnd_w))
+                .filter(F.col("bcum") <= F.col("remaining")))
+    cols = [F.col(id_col), F.col("src").alias(source_col), "n_tokens"]
+    return kept_full.select(*cols).unionByName(kept_bnd.select(*cols))

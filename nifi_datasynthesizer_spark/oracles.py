@@ -2117,3 +2117,41 @@ SELECT event_id AS conv_id, user_id, tus AS conv_tus, value_cents,
        CASE WHEN lt.t_tus >= tus - {lookback_us} THEN lt.t_type END AS touch_type,
        CASE WHEN lt.t_tus >= tus - {lookback_us} THEN lt.t_tus END AS touch_tus
 FROM w WHERE event_type = '{conv_type}' ORDER BY conv_id"""
+
+
+def corpus_token_budget_sql(salt: int = 13, level_shift: int = 50,
+                            table: str = "documents") -> str:
+    """Mirror of curation.corpus_token_budget: in-plan min-source
+    token budget, level-CDF boundary location, whole levels below the
+    boundary + prefix-cumsum within it."""
+    prio = h60_sql(f"CAST(doc_id AS VARCHAR) || ':{salt}'")
+    return f"""
+WITH toks AS (SELECT doc_id, source AS src,
+                     CAST(len({_RAW_WORDS}) AS BIGINT) AS n_tokens,
+                     {prio} AS prio, {prio} >> {level_shift} AS lvl
+              FROM {table}),
+b AS (SELECT MIN(tot) AS budget
+      FROM (SELECT src, SUM(n_tokens) AS tot FROM toks GROUP BY 1)),
+cum AS (SELECT src, lvl, lvl_tok,
+               CAST(SUM(lvl_tok) OVER (PARTITION BY src ORDER BY lvl
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum
+        FROM (SELECT src, lvl, SUM(n_tokens) AS lvl_tok
+              FROM toks GROUP BY 1, 2)),
+j AS (SELECT src, lvl, cum, cum - lvl_tok AS prev_cum,
+             (SELECT budget FROM b) AS budget
+      FROM cum),
+bk AS (SELECT t.doc_id, t.src, t.n_tokens,
+              CAST(SUM(t.n_tokens) OVER (PARTITION BY t.src
+                                         ORDER BY t.prio, t.doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS bcum,
+              j.budget - j.prev_cum AS remaining
+      FROM toks t JOIN j ON t.src = j.src AND t.lvl = j.lvl
+      WHERE j.prev_cum < j.budget AND j.cum > j.budget)
+SELECT t.doc_id, t.src AS source, t.n_tokens
+FROM toks t JOIN j ON t.src = j.src AND t.lvl = j.lvl
+WHERE j.cum <= j.budget
+UNION ALL
+SELECT doc_id, src AS source, n_tokens FROM bk WHERE bcum <= remaining
+ORDER BY doc_id"""

@@ -1539,3 +1539,54 @@ def test_last_touch_attribution_plan(spark):
         .executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2       # key shuffle (+AQE read)
+
+
+def test_corpus_token_budget_planted(spark):
+    """Every source's kept token sum is <= the smallest source's
+    total; the smallest source is kept whole; admission follows the
+    hash-priority prefix order."""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        corpus_token_budget
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    from nifi_datasynthesizer_spark.phash import h60_py
+    rows = [(i, " ".join(["w"] * (3 + i % 5)),
+             "big" if i < 40 else "small") for i in range(52)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = corpus_token_budget(docs).collect()
+    release_caches()
+    toks = {i: 3 + i % 5 for i in range(52)}
+    small_total = sum(toks[i] for i in range(40, 52))
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert sum(r.n_tokens for r in by_src["small"]) == small_total
+    assert len(by_src["small"]) == 12              # kept whole
+    big_sum = sum(r.n_tokens for r in by_src["big"])
+    assert big_sum <= small_total
+    # prefix property: kept big docs are exactly the first ones in
+    # (h60(id:13), id) order whose running sum fits the budget
+    order = sorted(range(40), key=lambda i: (h60_py(f"{i}:13"), i))
+    run, expect = 0, set()
+    for i in order:
+        if run + toks[i] > small_total:
+            break
+        run += toks[i]
+        expect.add(i)
+    assert {r.doc_id for r in by_src["big"]} == expect
+    assert big_sum == run
+
+
+def test_corpus_token_budget_plan(spark):
+    """The corpus-side joins are broadcast (tiny level/boundary
+    frames) — no sort-merge join, and the only window sorts are over
+    the tiny CDF frame and the boundary sliver."""
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators.curation import \
+        corpus_token_budget
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = corpus_token_budget(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    release_caches()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
