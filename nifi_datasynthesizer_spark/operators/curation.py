@@ -860,3 +860,53 @@ def corpus_token_budget(docs: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("bcum") <= F.col("remaining")))
     cols = [F.col(id_col), F.col("src").alias(source_col), "n_tokens"]
     return kept_full.select(*cols).unionByName(kept_bnd.select(*cols))
+
+
+def corpus_overlap(docs: DataFrame, k: int = 3,
+                   source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    exact n-gram set overlap (|A∩B|, Jaccard, and BOTH directional
+    containments — a tiny source fully contained in a big one has low
+    Jaccard but containment ~1e6, which is what leaks benchmarks).
+    This is the corpus-governance report run before mixing sources:
+    which crawls duplicate each other, which curated sets leak into
+    the web snapshot.
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram-hash)
+    in one shuffle; per-gram source lists are bounded by |sources|
+    (not corpus size), so the pair fanout per gram is ≤ C(|S|,2) —
+    the operator's cost is the distinct, not the matrix.  Self-join
+    on the gram key would shuffle the gram frame twice and skew on
+    stop-grams; the posting-list fold (collect_set per gram → in-array
+    pair expansion) touches it once.  Returns one row per unordered
+    pair with ≥1 shared gram.
+    """
+    from .dedup import _pin
+    grams = (docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(_shingles(F.col(text_col), k)).alias("sh"))
+        .select("src", h60(F.col("sh")).alias("g"))
+        .distinct())
+    grams = _pin(grams)
+    grams.count()
+    sizes = grams.groupBy("src").agg(F.count("*").alias("n"))
+    posting = (grams.groupBy("g")
+               .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+               .filter(F.size("srcs") > 1))
+    pairs = posting.select(F.explode(F.expr(
+        "flatten(transform(srcs, (x, i) -> transform("
+        "slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))"
+    )).alias("p")).select("p.a", "p.b")
+    inter = pairs.groupBy("a", "b").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col("src").alias("a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("b"), F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+            .select(F.col("a").alias("src_a"), F.col("b").alias("src_b"),
+                    "inter", "n_a", "n_b",
+                    F.expr(f"CAST(inter * {PPM} div (n_a + n_b - inter)"
+                           " AS BIGINT)").alias("jaccard_ppm"),
+                    F.expr(f"CAST(inter * {PPM} div n_a AS BIGINT)")
+                    .alias("contain_a_ppm"),
+                    F.expr(f"CAST(inter * {PPM} div n_b AS BIGINT)")
+                    .alias("contain_b_ppm")))

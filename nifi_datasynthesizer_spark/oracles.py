@@ -2155,3 +2155,25 @@ WHERE j.cum <= j.budget
 UNION ALL
 SELECT doc_id, src AS source, n_tokens FROM bk WHERE bcum <= remaining
 ORDER BY doc_id"""
+
+
+def corpus_overlap_sql(k: int = 3, table: str = "documents") -> str:
+    """Mirror of curation.corpus_overlap: distinct (source, gram-h60)
+    + a plain self-join intersection (the oracle need not be
+    scale-shaped) with integer-ppm Jaccard/containments."""
+    return f"""
+WITH {_shingles_cte(k, table)},
+src_sh AS (SELECT source AS src, UNNEST(sh.sh) AS e, sh.doc_id
+           FROM sh JOIN {table} USING (doc_id)),
+g AS (SELECT DISTINCT src, {h60_sql('e')} AS g FROM src_sh),
+sizes AS (SELECT src, COUNT(*) AS n FROM g GROUP BY 1),
+i AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS inter
+      FROM g a JOIN g b ON a.g = b.g AND a.src < b.src GROUP BY 1, 2)
+SELECT src_a, src_b, inter, sa.n AS n_a, sb.n AS n_b,
+       CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT)
+         AS jaccard_ppm,
+       CAST(inter * 1000000 // sa.n AS BIGINT) AS contain_a_ppm,
+       CAST(inter * 1000000 // sb.n AS BIGINT) AS contain_b_ppm
+FROM i JOIN sizes sa ON i.src_a = sa.src
+       JOIN sizes sb ON i.src_b = sb.src
+ORDER BY src_a, src_b"""

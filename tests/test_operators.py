@@ -1590,3 +1590,37 @@ def test_corpus_token_budget_plan(spark):
     release_caches()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_overlap_planted(spark):
+    """Planted containment: source b's gram set is a subset of a's,
+    c shares nothing."""
+    from nifi_datasynthesizer_spark.operators.curation import corpus_overlap
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    rows = [(0, "one two three four five six", "a"),
+            (1, "one two three four", "b"),
+            (2, "seven eight nine ten eleven", "c")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.src_a, r.src_b): r for r in corpus_overlap(docs, k=3).collect()}
+    release_caches()
+    # a: 4 trigrams, b: 2 trigrams (both also in a), c: 3 disjoint
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r.n_a, r.n_b, r.inter) == (4, 2, 2)
+    assert r.contain_b_ppm == 1_000_000       # b fully inside a
+    assert r.jaccard_ppm == 500_000
+
+
+def test_corpus_overlap_plan(spark):
+    """One distinct pass over the exploded grams; the intersection is
+    the posting-list fold, not a gram-key self-join (no SortMergeJoin,
+    size joins broadcast)."""
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators.curation import corpus_overlap
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = corpus_overlap(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    release_caches()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
