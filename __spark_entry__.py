@@ -228,15 +228,16 @@ _WINDOW_R6_HEAD = [
     "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
     "embed_pca", "embed_quantize", "text_keywords", "text_fluency",
     "text_classify", "text_bm25", "search_rrf", "text_chunks",
-    "text_repetition", "text_pii_scrub", "corpus_sample",
+    "text_repetition", "text_pii_scrub",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
+    "graph_components",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "corpus_sample_k", "corpus_decontaminate", "corpus_ngrams",
-    "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
+    "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
+    "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
     "sketch_heavy_hitters", "sketch_merge", "sketch_bloom",
     "sketch_quantiles", "graph_pagerank", "graph_triangles", "geo_near",
@@ -1685,6 +1686,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus_overlap(docs).orderBy("src_a", "src_b")
     q["corpus_overlap"] = corpus_overlap
 
+    def graph_components(spark, sf):
+        """Generic connected components (min-label propagation,
+        O(diameter) rounds) over a rare-shared-key identity graph
+        built with linear chain edges, never per-key cliques."""
+        from nifi_datasynthesizer_spark.operators.graph import \
+            components, identity_edges
+        ev = _t(spark, sf, "events")
+        return components(identity_edges(ev)).orderBy("node")
+    q["graph_components"] = graph_components
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -2138,6 +2149,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_attribution"] = OR.last_touch_attribution_sql()
     o["corpus_token_budget"] = OR.corpus_token_budget_sql()
     o["corpus_overlap"] = OR.corpus_overlap_sql()
+    o["graph_components"] = OR.graph_components_sql()
     o["corpus_diff"] = OR.corpus_diff_sql(
         "doc_id % 3 <> 0", "doc_id % 5 <> 0",
         new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "

@@ -101,3 +101,48 @@ def pagerank(pairs: DataFrame, iters: int = 2,
                                 f"div {PPM}").alias("r")))
     return ranks.select(F.col("node").alias("doc_id"),
                         F.col("r").alias("pr_ppm"))
+
+
+def identity_edges(events: DataFrame, min_share: int = 2,
+                   max_share: int = 4, key_col: str = "user_id",
+                   type_col: str = "event_type",
+                   value_col: str = "value") -> DataFrame:
+    """Entity-resolution edge builder: connect users who share a rare
+    behavioral key — here (event_type, exact value in cents), the
+    CPoC-style "same card used by different accounts" signal.  Keys
+    shared by too many users (> ``max_share``) are coincidence, not
+    identity, and are dropped — which is ALSO the scale guard: the
+    all-pairs expansion of a hot key is C(n,2), and popular keys at
+    100 TB have millions of holders.
+
+    Within a kept key the users are linked as a sorted CHAIN
+    (u1-u2, u2-u3, ...), not a clique: same connected components,
+    LINEAR edge count — the standard blocking-graph construction for
+    entity resolution at scale.  Returns distinct undirected edges
+    (a < b).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    holders = (events.select(F.col(type_col).alias("etype"),
+                             cents.alias("cents"),
+                             F.col(key_col).alias("u"))
+               .distinct())
+    blocks = (holders.groupBy("etype", "cents")
+              .agg(F.sort_array(F.collect_set("u")).alias("us"))
+              .filter((F.size("us") >= min_share)
+                      & (F.size("us") <= max_share)))
+    chain = ("transform(slice(us, 1, size(us) - 1),"
+             " (x, i) -> struct(x AS a, element_at(us, i + 2) AS b))")
+    return (blocks.select(F.explode(F.expr(chain)).alias("p"))
+            .select("p.a", "p.b").distinct())
+
+
+def components(pairs: DataFrame) -> DataFrame:
+    """Generic connected components over an (a, b) edge list — the
+    exposed form of the min-label propagation loop behind
+    dedup.dup_groups (one key shuffle per round, label-sum fixpoint
+    detection, O(diameter) rounds).  Returns (node, component) with
+    the component labeled by its minimum node id.
+    """
+    from .dedup import dup_groups
+    return dup_groups(pairs).select(
+        F.col("doc_id").alias("node"), F.col("group_id").alias("component"))

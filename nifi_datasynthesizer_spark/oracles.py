@@ -2177,3 +2177,28 @@ SELECT src_a, src_b, inter, sa.n AS n_a, sb.n AS n_b,
 FROM i JOIN sizes sa ON i.src_a = sa.src
        JOIN sizes sb ON i.src_b = sb.src
 ORDER BY src_a, src_b"""
+
+
+def identity_edges_sql(min_share: int = 2, max_share: int = 4,
+                       table: str = "events") -> str:
+    """Mirror of graph.identity_edges: rare shared (event_type, cents)
+    keys, sorted-chain expansion (1-based list indexing)."""
+    return f"""
+SELECT DISTINCT p.a AS a, p.b AS b FROM (
+  SELECT UNNEST(list_transform(range(1, len(us)),
+                               i -> {{'a': us[i], 'b': us[i + 1]}})) AS p
+  FROM (SELECT list_sort(list(DISTINCT u)) AS us
+        FROM (SELECT DISTINCT event_type AS etype,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                     user_id AS u FROM {table})
+        GROUP BY etype, cents
+        HAVING COUNT(*) >= {min_share} AND COUNT(*) <= {max_share}))"""
+
+
+def graph_components_sql(min_share: int = 2, max_share: int = 4,
+                         table: str = "events") -> str:
+    """graph.components over identity_edges: recursive min-reachable
+    label (dup_groups_sql) with the node/component column names."""
+    inner = dup_groups_sql(identity_edges_sql(min_share, max_share, table))
+    return (f"SELECT doc_id AS node, group_id AS component FROM ({inner})"
+            " ORDER BY node")

@@ -1624,3 +1624,32 @@ def test_corpus_overlap_plan(spark):
     release_caches()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_identity_edges_and_components_planted(spark):
+    """Chain edges preserve components without cliques; hot keys are
+    dropped; components label by min node."""
+    import datetime as dt
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    from nifi_datasynthesizer_spark.operators.graph import (
+        components, identity_edges)
+    t = dt.datetime(2024, 1, 1)
+    # key 1.00: users 1,2,3 -> chain (1,2),(2,3).  key 2.00: users
+    # 4,5.  key 3.00 shared by 5 users -> dropped (hot).  key 4.00:
+    # single holder -> no edge.  user 3 also shares 2.00? no — keep
+    # components {1,2,3} and {4,5} disjoint.
+    rows = ([(i, t, u, "purchase", 1.00, "") for i, u in
+             enumerate([1, 2, 3])]
+            + [(10 + i, t, u, "purchase", 2.00, "") for i, u in
+               enumerate([4, 5])]
+            + [(20 + i, t, u, "purchase", 3.00, "") for i, u in
+               enumerate([6, 7, 8, 9, 10])]
+            + [(30, t, 11, "purchase", 4.00, "")])
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    edges = {(r.a, r.b) for r in identity_edges(ev).collect()}
+    assert edges == {(1, 2), (2, 3), (4, 5)}     # chain, no (1,3) clique edge
+    comp = {r.node: r.component for r in
+            components(identity_edges(ev)).collect()}
+    release_caches()
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
