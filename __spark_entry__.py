@@ -228,14 +228,14 @@ _WINDOW_R6_HEAD = [
     "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
     "embed_pca", "embed_quantize", "text_keywords", "text_fluency",
     "text_classify", "text_bm25", "search_rrf", "text_chunks",
-    "text_repetition", "text_pii_scrub",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
-    "graph_components",
+    "graph_components", "events_sequences", "sketch_ams",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
+    "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
@@ -1696,6 +1696,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return components(identity_edges(ev)).orderBy("node")
     q["graph_components"] = graph_components
 
+    def events_sequences(spark, sf):
+        """Top-k frequent event-type trigrams over per-user timelines
+        — contiguous-n-gram sequential pattern mining on the same
+        single user-key shuffle the transition matrix uses."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            frequent_sequences
+        ev = _t(spark, sf, "events")
+        out = frequent_sequences(ev)
+        return (out.withColumn("rank", F.col("rank").cast("long"))
+                .orderBy("rank"))
+    q["events_sequences"] = events_sequences
+
+    def sketch_ams(spark, sf):
+        """AMS F2 / self-join-size sketch per event type: ±1 hash-sign
+        counters over the collapsed key-frequency frame, exact
+        integer lower-median, exact F2 riding along."""
+        from nifi_datasynthesizer_spark.operators.sketches import ams_f2
+        ev = _t(spark, sf, "events")
+        return ams_f2(ev).orderBy("event_type")
+    q["sketch_ams"] = sketch_ams
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -2150,6 +2171,8 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_token_budget"] = OR.corpus_token_budget_sql()
     o["corpus_overlap"] = OR.corpus_overlap_sql()
     o["graph_components"] = OR.graph_components_sql()
+    o["events_sequences"] = OR.frequent_sequences_sql()
+    o["sketch_ams"] = OR.ams_f2_sql()
     o["corpus_diff"] = OR.corpus_diff_sql(
         "doc_id % 3 <> 0", "doc_id % 5 <> 0",
         new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "

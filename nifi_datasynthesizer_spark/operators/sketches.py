@@ -563,3 +563,53 @@ def upper_quantile(df: DataFrame, group_col: str = "event_type",
             .select(F.col("grp").alias(group_col), "n_total",
                     "n_retained",
                     *["p" + repr(q)[2:] for q in quantiles]))
+
+
+def ams_f2(df: DataFrame, group_col: str = "event_type",
+           id_col: str = "user_id", estimators: int = 16) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F2 sketch: per group, estimate the
+    SECOND frequency moment Σ f_x² — the self-join size, the quantity
+    a join planner needs to predict skew before shuffling 100 TB.
+    Each estimator keeps one counter c_j = Σ_x f_x·sign_j(x) with a
+    ±1 hash sign; E[c_j²] = F2, and the lower median over estimators
+    tames the variance.  Signs come from the portable h60 parity so
+    the sketch is bit-identical cross-engine.
+
+    Plan shape: frequencies collapse to one row per (group, key) in a
+    single map-side-combined shuffle (the same frame yields the exact
+    F2 for calibration — pinned, one pass); the J-way estimator
+    expansion happens on that COLLAPSED frame, not the raw events, so
+    the explode costs J·|distinct keys|, never J·|rows|.  Counters
+    merge map-side (sum), per-group state is J longs.  The median is
+    an exact integer pick from the sorted J-array — no float
+    percentile.
+    """
+    from .dedup import _pin
+    freq = _pin(df.groupBy(F.col(group_col).alias("grp"),
+                           F.col(id_col).cast("string").alias("x"))
+                .agg(F.count("*").alias("f")))
+    freq.count()
+    exact = freq.groupBy("grp").agg(
+        F.sum(F.col("f") * F.col("f")).alias("exact_f2"),
+        F.count("*").alias("n_keys"))
+    signed = (freq.select(
+        "grp", "f",
+        F.explode(F.sequence(F.lit(0), F.lit(estimators - 1))).alias("j"),
+        "x")
+        .select("grp", "j",
+                (F.col("f") * (1 - 2 * (h60(F.concat(F.col("x"),
+                 F.lit(":"), F.col("j").cast("string"))) % 2)))
+                .alias("contrib")))
+    counters = (signed.groupBy("grp", "j")
+                .agg(F.sum("contrib").alias("cj")))
+    med_idx = estimators // 2 + 1          # 1-based lower median
+    summary = (counters.select("grp", (F.col("cj") * F.col("cj"))
+                               .alias("cj2"))
+               .groupBy("grp")
+               .agg(F.element_at(F.sort_array(F.collect_list("cj2")),
+                                 med_idx).alias("est_f2")))
+    return (summary.join(F.broadcast(exact), "grp")
+            .select(F.col("grp").alias(group_col), "n_keys", "est_f2",
+                    "exact_f2",
+                    F.expr("CAST(abs(est_f2 - exact_f2) * 1000000"
+                           " div exact_f2 AS BIGINT)").alias("err_ppm")))

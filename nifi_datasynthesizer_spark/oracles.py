@@ -2202,3 +2202,49 @@ def graph_components_sql(min_share: int = 2, max_share: int = 4,
     inner = dup_groups_sql(identity_edges_sql(min_share, max_share, table))
     return (f"SELECT doc_id AS node, group_id AS component FROM ({inner})"
             " ORDER BY node")
+
+
+def frequent_sequences_sql(n: int = 3, top_k: int = 20,
+                           table: str = "events") -> str:
+    """Mirror of temporal.frequent_sequences: (n-1) leads over the
+    per-user timeline, n-gram counts, deterministic top-k."""
+    parts = ["event_type"] + [f"LEAD(event_type, {i}) OVER w"
+                              for i in range(1, n)]
+    seq = " || '>' || ".join(parts)
+    return f"""
+WITH g AS (SELECT {seq} AS seq,
+                  LEAD(event_type, {n - 1}) OVER w AS last
+           FROM {table}
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT seq, COUNT(*) AS support FROM g
+      WHERE last IS NOT NULL GROUP BY 1),
+t AS (SELECT SUM(support) AS tot FROM c)
+SELECT seq, support,
+       CAST(support * 1000000 // tot AS BIGINT) AS support_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY support DESC, seq) AS BIGINT)
+         AS rank
+FROM c, t QUALIFY rank <= {top_k} ORDER BY rank"""
+
+
+def ams_f2_sql(estimators: int = 16, table: str = "events") -> str:
+    """Mirror of sketches.ams_f2: h60-parity signs over the collapsed
+    (group, key) frequency frame, exact integer lower-median."""
+    _h = h60_sql("x || ':' || CAST(j AS VARCHAR)")
+    sign = f"(1 - 2 * ({_h} % 2))"
+    med_idx = estimators // 2 + 1
+    return f"""
+WITH freq AS (SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS x,
+                     COUNT(*) AS f
+              FROM {table} GROUP BY 1, 2),
+exact AS (SELECT grp, SUM(f * f) AS exact_f2, COUNT(*) AS n_keys
+          FROM freq GROUP BY 1),
+cnt AS (SELECT grp, j, SUM(f * {sign}) AS cj
+        FROM freq, (SELECT UNNEST(range(0, {estimators})) AS j)
+        GROUP BY 1, 2),
+med AS (SELECT grp, list_sort(list(cj * cj))[{med_idx}] AS est_f2
+        FROM cnt GROUP BY 1)
+SELECT grp AS event_type, n_keys, CAST(est_f2 AS BIGINT) AS est_f2,
+       CAST(exact_f2 AS BIGINT) AS exact_f2,
+       CAST(abs(est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT)
+         AS err_ppm
+FROM med JOIN exact USING (grp) ORDER BY event_type"""

@@ -1653,3 +1653,41 @@ def test_identity_edges_and_components_planted(spark):
             components(identity_edges(ev)).collect()}
     release_caches()
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_frequent_sequences_planted(spark):
+    """n-gram counts, window-end exclusion, deterministic ties."""
+    import datetime as dt
+    from nifi_datasynthesizer_spark.operators.temporal import \
+        frequent_sequences
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = ([(i, t(i), 1, e, 0.0, "") for i, e in
+             enumerate(["a", "b", "c", "a", "b", "c"])]
+            + [(10 + i, t(i), 2, e, 0.0, "") for i, e in
+               enumerate(["a", "b"])])          # too short for trigram
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = {r.seq: r for r in frequent_sequences(ev, n=3, top_k=10).collect()}
+    assert {s: r.support for s, r in out.items()} == \
+        {"a>b>c": 2, "b>c>a": 1, "c>a>b": 1}
+    assert out["a>b>c"].rank == 1
+    assert out["b>c>a"].rank == 2               # count tie breaks on seq
+    assert out["a>b>c"].support_ppm == 500_000
+
+
+def test_ams_f2_estimates(spark):
+    """Exact F2 matches by construction; the sketch estimate is
+    within a constant factor on a skewed planted distribution."""
+    import datetime as dt
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    from nifi_datasynthesizer_spark.operators.sketches import ams_f2
+    t = dt.datetime(2024, 1, 1)
+    # group g: user 1 appears 8x, users 2..5 once -> F2 = 64 + 4 = 68
+    rows = ([(i, t, 1, "g", 0.0, "") for i in range(8)]
+            + [(10 + u, t, u, "g", 0.0, "") for u in range(2, 6)])
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    r = ams_f2(ev, estimators=16).collect()[0]
+    release_caches()
+    assert r.exact_f2 == 68 and r.n_keys == 5
+    assert 0 < r.est_f2 <= 68 * 4               # median-of-16 bound (loose)
