@@ -227,15 +227,16 @@ _WINDOW_R6_HEAD = [
     # sample-fit change)
     "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
     "embed_pca", "embed_quantize", "text_keywords", "text_fluency",
-    "text_classify", "text_bm25", "search_rrf", "text_chunks",
+    "text_classify", "text_bm25", "search_rrf",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
     "graph_components", "events_sequences", "sketch_ams",
+    "corpus_curriculum",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "text_repetition", "text_pii_scrub",
+    "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",
@@ -1717,6 +1718,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ams_f2(ev).orderBy("event_type")
     q["sketch_ams"] = sketch_ams
 
+    def corpus_curriculum(spark, sf):
+        """Length-quantile curriculum staging: CDF-from-histogram
+        boundaries (one tiny agg + broadcast row), never a global
+        ntile sort over the corpus."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            corpus_curriculum
+        docs = _t(spark, sf, "documents")
+        return corpus_curriculum(docs).orderBy("doc_id")
+    q["corpus_curriculum"] = corpus_curriculum
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -2173,6 +2184,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["graph_components"] = OR.graph_components_sql()
     o["events_sequences"] = OR.frequent_sequences_sql()
     o["sketch_ams"] = OR.ams_f2_sql()
+    o["corpus_curriculum"] = OR.corpus_curriculum_sql()
     o["corpus_diff"] = OR.corpus_diff_sql(
         "doc_id % 3 <> 0", "doc_id % 5 <> 0",
         new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "

@@ -65,7 +65,9 @@ def main() -> None:
              "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
              "text_entropy", "dedup_agreement", "corpus_pack_pairs",
              "corpus_balance", "streaming_topk", "corpus_diff",
-             "events_cdc_apply"]
+             "events_cdc_apply", "events_attribution",
+             "corpus_token_budget", "corpus_overlap", "graph_components",
+             "events_sequences", "sketch_ams"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

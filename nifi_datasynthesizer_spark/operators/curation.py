@@ -910,3 +910,45 @@ def corpus_overlap(docs: DataFrame, k: int = 3,
                     .alias("contain_a_ppm"),
                     F.expr(f"CAST(inter * {PPM} div n_b AS BIGINT)")
                     .alias("contain_b_ppm")))
+
+
+def corpus_curriculum(docs: DataFrame, stages: int = 4,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Length-based curriculum staging (easy→hard training order,
+    Bengio et al.): each document is assigned a stage 0..``stages``-1
+    by which quantile of the corpus token-count distribution it falls
+    in — short documents first, the standard curriculum for sequence
+    models.  Quantiles are BY VALUE: every document with the same
+    token count lands in the same stage, so the assignment is
+    deterministic and join-free to replay.
+
+    The naive shape is ntile() over a global sort — one task holds
+    the corpus.  Scale shape: token counts are small integers, so the
+    full CDF is an aggregate (one map-side-combined count per distinct
+    length, cumsum over that tiny frame), the ``stages - 1`` quantile
+    boundaries collapse to ONE broadcast row, and the stage is a
+    narrow comparison — the corpus is scanned twice (count pass +
+    assignment pass, pinned) and never sorted or shuffled whole.
+    Boundary rule: b_q = min length with CDF ≥ q·N/stages; stage =
+    #{q : length > b_q}.  Returns (id, n_words, stage).
+    """
+    from .dedup import _pin
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = _pin(docs.select(F.col(id_col),
+                            F.size(words).cast("long").alias("n_words")))
+    toks.count()
+    hist = toks.groupBy("n_words").agg(F.count("*").alias("cnt"))
+    cum_w = (Window.orderBy("n_words")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = (hist.withColumn("cum", F.sum("cnt").over(cum_w))
+           .crossJoin(F.broadcast(
+               hist.agg(F.sum("cnt").alias("n_total")))))
+    bounds = cdf.agg(*[
+        F.min(F.when(F.col("cum") * stages >= q * F.col("n_total"),
+                     F.col("n_words"))).alias(f"b{q}")
+        for q in range(1, stages)])
+    stage = sum((F.col("n_words") > F.col(f"b{q}")).cast("long")
+                for q in range(1, stages))
+    return (toks.crossJoin(F.broadcast(bounds))
+            .select(id_col, "n_words", stage.alias("stage")))

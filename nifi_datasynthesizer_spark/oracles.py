@@ -2248,3 +2248,26 @@ SELECT grp AS event_type, n_keys, CAST(est_f2 AS BIGINT) AS est_f2,
        CAST(abs(est_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT)
          AS err_ppm
 FROM med JOIN exact USING (grp) ORDER BY event_type"""
+
+
+def corpus_curriculum_sql(stages: int = 4, table: str = "documents") -> str:
+    """Mirror of curation.corpus_curriculum: value-quantile staging
+    from the token-length CDF."""
+    bq = ", ".join(
+        f"MIN(CASE WHEN cum * {stages} >= {q} * n_total THEN n_words END)"
+        f" AS b{q}" for q in range(1, stages))
+    stage = " + ".join(f"CASE WHEN n_words > b{q} THEN 1 ELSE 0 END"
+                       for q in range(1, stages))
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     CAST(len({_RAW_WORDS}) AS BIGINT) AS n_words
+              FROM {table}),
+hist AS (SELECT n_words, COUNT(*) AS cnt FROM toks GROUP BY 1),
+cdf AS (SELECT n_words,
+               SUM(cnt) OVER (ORDER BY n_words
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT SUM(cnt) FROM hist) AS n_total
+        FROM hist),
+b AS (SELECT {bq} FROM cdf)
+SELECT doc_id, n_words, CAST({stage} AS BIGINT) AS stage
+FROM toks, b ORDER BY doc_id"""

@@ -1691,3 +1691,17 @@ def test_ams_f2_estimates(spark):
     release_caches()
     assert r.exact_f2 == 68 and r.n_keys == 5
     assert 0 < r.est_f2 <= 68 * 4               # median-of-16 bound (loose)
+
+
+def test_corpus_curriculum_planted(spark):
+    """Value-quantile staging: equal lengths share a stage, stages
+    are monotone in length, boundary rule is CDF >= q*N/stages."""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        corpus_curriculum
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    # lengths: 1,1,2,2,3,3,4,4 -> quartile bounds b1=1, b2=2, b3=3
+    rows = [(i, " ".join(["w"] * (1 + i // 2))) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.stage for r in corpus_curriculum(docs).collect()}
+    release_caches()
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
