@@ -227,15 +227,16 @@ _WINDOW_R6_HEAD = [
     # sample-fit change)
     "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
     "embed_pca", "embed_quantize", "text_keywords", "text_fluency",
-    "text_classify", "text_bm25", "search_rrf",
+    "text_classify",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
     "graph_components", "events_sequences", "sketch_ams",
-    "corpus_curriculum",
+    "corpus_curriculum", "events_dwell", "embed_knn_graph",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
+    "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
@@ -1728,6 +1729,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus_curriculum(docs).orderBy("doc_id")
     q["corpus_curriculum"] = corpus_curriculum
 
+    def events_dwell(spark, sf):
+        """Timed process model: dwell-time stats per state transition
+        (integer-microsecond gaps, floor-division mean) on the same
+        user-key shuffle the transition matrix uses."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            dwell_times
+        ev = _t(spark, sf, "events")
+        return dwell_times(ev).orderBy("src", "dst")
+    q["events_dwell"] = events_dwell
+
+    def embed_knn_graph(spark, sf):
+        """Approximate k-NN graph with reciprocal-edge flags: one
+        pinned bucket pass, half-space join mirrored, pair-sized
+        top-k and mutual joins."""
+        from nifi_datasynthesizer_spark.operators.similarity import \
+            knn_graph
+        emb = _t(spark, sf, "embeddings")
+        return knn_graph(emb).orderBy("src", "rank")
+    q["embed_knn_graph"] = embed_knn_graph
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -2185,6 +2206,8 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_sequences"] = OR.frequent_sequences_sql()
     o["sketch_ams"] = OR.ams_f2_sql()
     o["corpus_curriculum"] = OR.corpus_curriculum_sql()
+    o["events_dwell"] = OR.dwell_times_sql()
+    o["embed_knn_graph"] = OR.knn_graph_sql()
     o["corpus_diff"] = OR.corpus_diff_sql(
         "doc_id % 3 <> 0", "doc_id % 5 <> 0",
         new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "

@@ -266,3 +266,53 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
                     lambda acc, c: acc + c).alias("code_sum"),
         F.floor(F.array_max(err) * 1e6).cast("long").alias("max_err_q6"))
     )
+
+
+def knn_graph(emb: DataFrame, k: int = 5, bucket_bits: int = 6,
+              seed: int = 7) -> DataFrame:
+    """Approximate k-NN graph over the embedding corpus — the input
+    structure for SemDeDup-style semantic clustering, label
+    propagation and graph-based retrieval.  Every vector gets (up to)
+    its ``k`` nearest in-bucket neighbors by exact cosine, plus a
+    ``mutual`` flag (both endpoints pick each other — the reciprocal
+    edges graph clustering wants, since one-way edges are mostly hub
+    pollution).
+
+    Scale shape: candidate pairs come from ONE hyperplane-bucket
+    equi-join computed in the a<b half-space and mirrored (halves the
+    join output vs a full directed self-join); the per-node top-k is
+    a window over candidate edges (|bucket|-bounded, never corpus-
+    global); the mutual flag is a self-join of the k·N edge list —
+    pair-sized frames only.  The normalized+bucketed frame is pinned:
+    one corpus pass feeds both join sides.  Recall is bucket-local,
+    the same trade every LSH stage here makes; raise bucket_bits for
+    sparser buckets or union multiple seeds for recall.
+    """
+    from .dedup import _pin
+    b = (emb.select(F.col("vec_id"),
+                    l2_normalize(F.col("embedding")).alias("v"))
+         .withColumn("bucket", random_hyperplane_bucket(
+             F.col("v"), bucket_bits, seed)))
+    b = _pin(b)
+    b.count()
+    l, r = b.alias("l"), b.alias("r")
+    half = (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(F.col("l.vec_id").alias("a"),
+                    F.col("r.vec_id").alias("b"),
+                    F.round(dot(F.col("l.v"), F.col("r.v")), 6)
+                    .alias("cosine")))
+    directed = half.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                           "cosine") \
+        .unionByName(half.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"), "cosine"))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (directed.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       F.lit(1).alias("rev"))
+    return (edges.join(rev, ["src", "dst"], "left")
+            .select("src", "dst", "cosine",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.coalesce(F.col("rev") == 1, F.lit(False))
+                    .alias("mutual")))

@@ -472,3 +472,34 @@ def frequent_sequences(events: DataFrame, n: int = 3, top_k: int = 20,
     rk = Window.orderBy(F.desc("support"), F.asc("seq"))
     return (ranked.withColumn("rank", F.row_number().over(rk))
             .filter(F.col("rank") <= top_k))
+
+
+def dwell_times(events: DataFrame, key: str = "user_id", ts: str = "ts",
+                state: str = "event_type",
+                id_col: str = "event_id") -> DataFrame:
+    """Time-in-state analysis: for every observed state transition
+    src→dst, the distribution of dwell times (how long users sit in
+    ``src`` before moving to ``dst``) — the companion to the
+    transition matrix that turns a clickstream into a timed process
+    model (queue mining / funnel latency).
+
+    Same single user-key shuffle as the transition matrix: one lead()
+    window yields (src, dst, gap), then a map-side-combined aggregate
+    to the |states|² matrix of count / total / min / max / mean gap.
+    Gaps are integer MICROSECONDS end-to-end (unix_micros), so every
+    statistic — including the floor-division mean — is engine-exact.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(id_col))
+    tus = F.unix_micros(F.col(ts))
+    seq = events.select(
+        F.col(state).alias("src"),
+        F.lag(state, -1).over(w).alias("dst"),
+        (F.lag(tus, -1).over(w) - tus).alias("gap_us"))
+    return (seq.filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n"),
+                 F.sum("gap_us").alias("total_us"),
+                 F.min("gap_us").alias("min_us"),
+                 F.max("gap_us").alias("max_us"))
+            .withColumn("mean_us",
+                        F.expr("CAST(total_us div n AS BIGINT)")))

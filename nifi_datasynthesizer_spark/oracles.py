@@ -2271,3 +2271,48 @@ cdf AS (SELECT n_words,
 b AS (SELECT {bq} FROM cdf)
 SELECT doc_id, n_words, CAST({stage} AS BIGINT) AS stage
 FROM toks, b ORDER BY doc_id"""
+
+
+def dwell_times_sql(table: str = "events") -> str:
+    """Mirror of temporal.dwell_times: lead-gap in integer micros,
+    per-transition aggregate with floor-division mean."""
+    return f"""
+WITH seq AS (SELECT event_type AS src,
+                    LEAD(event_type) OVER w AS dst,
+                    LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+             FROM {table}
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT src, dst, COUNT(*) AS n,
+       CAST(SUM(gap_us) AS BIGINT) AS total_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_us,
+       CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_us
+FROM seq WHERE dst IS NOT NULL
+GROUP BY src, dst ORDER BY src, dst"""
+
+
+def knn_graph_sql(k: int = 5, bucket_bits: int = 6, seed: int = 7,
+                  dim: int = 64) -> str:
+    """Mirror of similarity.knn_graph: half-space bucket join,
+    mirrored directions, per-node top-k, reciprocal-edge flag."""
+    return f"""
+WITH {_NORMED},
+b AS (SELECT vec_id, v, ({_bucket_terms(bucket_bits, seed, dim)}) AS bucket
+      FROM normed),
+half AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                ROUND(list_sum(list_transform(list_zip(l.v, r.v),
+                                              q -> q[1] * q[2])), 6)
+                  AS cosine
+         FROM b l JOIN b r
+           ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+directed AS (SELECT a AS src, b AS dst, cosine FROM half
+             UNION ALL SELECT b, a, cosine FROM half),
+edges AS (SELECT src, dst, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY cosine DESC, dst)
+                      AS BIGINT) AS rank
+          FROM directed QUALIFY rank <= {k})
+SELECT e.src, e.dst, e.cosine, e.rank,
+       COALESCE(r.src IS NOT NULL, FALSE) AS mutual
+FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+ORDER BY e.src, e.rank"""

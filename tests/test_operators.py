@@ -1705,3 +1705,41 @@ def test_corpus_curriculum_planted(spark):
     out = {r.doc_id: r.stage for r in corpus_curriculum(docs).collect()}
     release_caches()
     assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_dwell_times_planted(spark):
+    """Gap micros, per-transition aggregation, floor mean."""
+    import datetime as dt
+    from nifi_datasynthesizer_spark.operators.temporal import dwell_times
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(0, t(0), 1, "a", 0.0, ""), (1, t(10), 1, "b", 0.0, ""),
+            (2, t(13), 1, "a", 0.0, ""), (3, t(20), 1, "b", 0.0, "")]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = {(r.src, r.dst): r for r in dwell_times(ev).collect()}
+    assert out[("a", "b")].n == 2
+    assert out[("a", "b")].total_us == 17_000_000
+    assert out[("a", "b")].mean_us == 8_500_000
+    assert out[("b", "a")].min_us == 3_000_000
+
+
+def test_knn_graph_mutual(spark):
+    """Top-k bound, mutual symmetry, and self-edges excluded on the
+    real embeddings table."""
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    from nifi_datasynthesizer_spark.operators.similarity import knn_graph
+    emb = read_table(spark, SF_DIR, "embeddings").limit(200)
+    edges = knn_graph(emb, k=3).collect()
+    release_caches()
+    assert edges, "graph should be non-empty"
+    eset = {(r.src, r.dst) for r in edges}
+    per_src = {}
+    for r in edges:
+        assert r.src != r.dst
+        per_src.setdefault(r.src, []).append(r.rank)
+        # mutual flag is exactly reverse-edge membership
+        assert r.mutual == ((r.dst, r.src) in eset)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_src.values())
+    assert max(len(v) for v in per_src.values()) <= 3
