@@ -226,17 +226,18 @@ _WINDOW_R6_HEAD = [
     # oldest r4 greens (embed_cluster/dedup_semantic also carry the
     # sample-fit change)
     "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
-    "embed_pca", "embed_quantize", "text_keywords", "text_fluency",
+    "embed_pca", "text_keywords", "text_fluency",
     "text_classify",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
     "graph_components", "events_sequences", "sketch_ams",
     "corpus_curriculum", "events_dwell", "embed_knn_graph",
+    "streaming_cdc_apply",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "text_bm25", "search_rrf",
+    "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
@@ -1749,6 +1750,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn_graph(emb).orderBy("src", "rank")
     q["embed_knn_graph"] = embed_knn_graph
 
+    def streaming_cdc_apply(spark, sf):
+        """Streaming CDC under the batch oracle gate: per-key
+        latest-change-wins state (applyInPandasWithState, four
+        scalars per key) over the replayed changelog; the drained
+        max-n row per key equals the batch cdc_apply, deletes
+        dropped after the drain."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        op = (F.when(F.col("event_type") == "error", "delete")
+              .when(F.col("event_type") == "signup", "insert")
+              .otherwise("update"))
+        # the file stream reads ts as TIMESTAMP_NTZ; the session is
+        # pinned UTC, so the cast makes unix_micros equal the batch
+        # reader's epoch micros
+        ch = src.select(F.col("user_id"),
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        .alias("tus"),
+                        F.col("event_id").alias("seq"), op.alias("op"))
+        out = ST.cdc_state(ch, key_col="user_id")
+        q_ = ST.run_to_memory(out, "stream_cdc", output_mode="update")
+        try:
+            q_.awaitTermination()
+        finally:
+            q_.stop()
+        tbl = spark.table("stream_cdc")
+        final = (tbl.groupBy("key")
+                 .agg(F.max_by(F.struct("last_tus", "last_seq", "last_op"),
+                               "n_changes").alias("s"),
+                      F.max("n_changes").alias("n_changes")))
+        return (final.filter(F.col("s.last_op") != "delete")
+                .select(F.col("key").cast("long").alias("user_id"),
+                        F.col("s.last_tus").alias("last_tus"),
+                        F.col("s.last_seq").alias("last_seq"),
+                        F.col("s.last_op").alias("last_op"), "n_changes")
+                .orderBy("user_id"))
+    q["streaming_cdc_apply"] = _stream_tuned(streaming_cdc_apply)
+
     def events_scd2(spark, sf):
         """SCD type-2 dimension built from the event stream: one
         validity interval per (user, daily change point), closed by
@@ -2208,6 +2249,10 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_curriculum"] = OR.corpus_curriculum_sql()
     o["events_dwell"] = OR.dwell_times_sql()
     o["embed_knn_graph"] = OR.knn_graph_sql()
+    o["streaming_cdc_apply"] = OR.cdc_apply_sql(
+        "CASE WHEN event_type = 'error' THEN 'delete' "
+        "WHEN event_type = 'signup' THEN 'insert' "
+        "ELSE 'update' END")
     o["corpus_diff"] = OR.corpus_diff_sql(
         "doc_id % 3 <> 0", "doc_id % 5 <> 0",
         new_text="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' "

@@ -278,3 +278,59 @@ def key_counts(stream: DataFrame, key1: str, key2: str,
             .groupBy("k1", "k2")
             .applyInPandasWithState(update, KEY_COUNT_OUT,
                                     KEY_COUNT_STATE, "update", timeout))
+
+
+# ------------------------------------------------------------ CDC state
+
+CDC_STATE = StructType([StructField("last_tus", LongType()),
+                        StructField("last_seq", LongType()),
+                        StructField("last_op", StringType()),
+                        StructField("n", LongType())])
+CDC_OUT = StructType([StructField("key", StringType()),
+                      StructField("last_tus", LongType()),
+                      StructField("last_seq", LongType()),
+                      StructField("last_op", StringType()),
+                      StructField("n_changes", LongType())])
+
+
+def cdc_state(stream: DataFrame, key_col: str = "key",
+              timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming CDC / MERGE state layer: per key, keep the LATEST
+    change by the (event-time, sequence-id, op) lexicographic order —
+    the applyInPandasWithState twin of temporal.cdc_apply's struct-max
+    aggregation, for changelogs that arrive as an unbounded stream
+    (Debezium topics) rather than a settled table.
+
+    Expects columns (key STRING, tus LONG, seq LONG, op STRING).
+    State per key is four scalars; the composite max folds per
+    micro-batch inside the Arrow batch, so state size is O(keys),
+    never O(changes).  ``n_changes`` is monotone per key, so the
+    final state is recoverable from update-mode output as the max-n
+    row per key — which is what lets the drained stream carry the
+    SAME SQL oracle as the batch cdc_apply (filter deletes after the
+    drain, exactly like the batch operator)."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        if state.exists:
+            tus, seq, op, n = state.get
+            best = (tus, seq, op)
+        else:
+            best, n = None, 0
+        for pdf in pdfs:
+            n += int(len(pdf))
+            for t, s, o in zip(pdf["tus"], pdf["seq"], pdf["op"]):
+                cand = (int(t), int(s), str(o))
+                if best is None or cand > best:
+                    best = cand
+        state.update((best[0], best[1], best[2], n))
+        yield pd.DataFrame({"key": [key[0]], "last_tus": [best[0]],
+                            "last_seq": [best[1]], "last_op": [best[2]],
+                            "n_changes": [n]})
+
+    return (stream.select(F.col(key_col).cast("string").alias("key"),
+                          "tus", "seq", "op")
+            .groupBy("key")
+            .applyInPandasWithState(update, CDC_OUT, CDC_STATE,
+                                    "update", timeout))

@@ -1743,3 +1743,44 @@ def test_knn_graph_mutual(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in per_src.values())
     assert max(len(v) for v in per_src.values()) <= 3
+
+
+def test_streaming_cdc_state_planted(spark):
+    """The stateful CDC fold equals the batch struct-max on a planted
+    multi-batch changelog (replayed one file per micro-batch)."""
+    import tempfile
+
+    from nifi_datasynthesizer_spark import streaming as ST
+    with tempfile.TemporaryDirectory() as d:
+        rows1 = [("a", 1, 1, "insert"), ("b", 1, 2, "insert")]
+        rows2 = [("a", 5, 3, "update"), ("b", 5, 4, "delete"),
+                 ("a", 5, 2, "update")]          # same-ts: seq 3 wins
+        cols = ["key", "tus", "seq", "op"]
+        spark.createDataFrame(rows1, cols).coalesce(1) \
+            .write.parquet(f"{d}/f1")
+        spark.createDataFrame(rows2, cols).coalesce(1) \
+            .write.parquet(f"{d}/f2")
+        import shutil
+        import glob as g
+        stage = tempfile.mkdtemp()
+        for i, src in enumerate(sorted(g.glob(f"{d}/f*/part-*.parquet"))):
+            shutil.copy(src, f"{stage}/{i}.parquet")
+        schema = spark.read.parquet(f"{stage}").schema
+        st = ST.file_stream(spark, stage, schema)
+        out = ST.cdc_state(st)
+        q_ = ST.run_to_memory(out, "t_cdc_state", output_mode="update")
+        try:
+            q_.awaitTermination()
+        finally:
+            q_.stop()
+        from pyspark.sql import functions as F
+        tbl = spark.table("t_cdc_state")
+        final = {r.key: r for r in
+                 tbl.groupBy("key")
+                 .agg(F.max_by(F.struct("last_tus", "last_seq", "last_op"),
+                               "n_changes").alias("s"),
+                      F.max("n_changes").alias("n")).select(
+                          "key", "s.*", "n").collect()}
+        assert final["a"].last_seq == 3 and final["a"].last_op == "update"
+        assert final["a"].n == 3
+        assert final["b"].last_op == "delete" and final["b"].n == 2
