@@ -226,18 +226,18 @@ _WINDOW_R6_HEAD = [
     # oldest r4 greens (embed_cluster/dedup_semantic also carry the
     # sample-fit change)
     "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
-    "embed_pca", "text_keywords", "text_fluency",
+    "embed_pca", "text_keywords",
     "text_classify",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
     "graph_components", "events_sequences", "sketch_ams",
     "corpus_curriculum", "events_dwell", "embed_knn_graph",
-    "streaming_cdc_apply",
+    "streaming_cdc_apply", "media_segments",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "embed_quantize", "text_bm25", "search_rrf",
+    "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
@@ -1229,6 +1229,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("media_id", "frame_idx"))
     q["media_frames"] = media_frames
 
+    def media_segments(spark, sf):
+        """Audio sliding-window segmentation plumbing (stubbed
+        decode): overlapping win/hop fan-out with tail clipping,
+        narrow posexplode, no shuffle."""
+        media = MM.synth_media(spark, n=200, seed=10)
+        return (MM.segment_audio(media, win_ms=5000, hop_ms=2500)
+                .select("media_id", "seg_idx", "seg_start_ms",
+                        "seg_end_ms")
+                .orderBy("media_id", "seg_idx"))
+    q["media_segments"] = media_segments
+
     def media_dedup(spark, sf):
         """Exact blob dedup (md5 over payload bytes) on a synthetic
         media corpus with a folded payload universe — the multimodal
@@ -2186,6 +2197,8 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
     o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
+    o["media_segments"] = OR.media_segments_sql(n=200, win_ms=5000,
+                                                hop_ms=2500)
     o["corpus_clean"] = OR.corpus_clean_sql(min_quality=0.3,
                                             near_dup_threshold=0.5)
     o["corpus_sample"] = (

@@ -67,7 +67,9 @@ def main() -> None:
              "corpus_balance", "streaming_topk", "corpus_diff",
              "events_cdc_apply", "events_attribution",
              "corpus_token_budget", "corpus_overlap", "graph_components",
-             "events_sequences", "sketch_ams"]
+             "events_sequences", "sketch_ams", "corpus_curriculum",
+             "events_dwell", "embed_knn_graph", "streaming_cdc_apply",
+             "media_segments"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -154,3 +154,34 @@ def media_dedup(media: DataFrame) -> DataFrame:
                  F.min("media_id").alias("keeper_media_id"),
                  F.countDistinct("kind").alias("n_kinds"))
             .filter(F.col("n_copies") > 1))
+
+
+def segment_audio(media: DataFrame, win_ms: int = 5000,
+                  hop_ms: int = 2500) -> DataFrame:
+    """Audio segmentation plumbing: one row per (overlapping) analysis
+    window over the clip — the sliding-window fan-out every audio
+    featurizer (ASR chunking, VAD, fingerprinting) starts from.
+    ``hop_ms < win_ms`` gives overlap; the tail window is clipped to
+    the clip end, and every clip yields at least one window.
+
+    Decode is stubbed (no codecs in the container): the per-segment
+    payload is a deterministic fake, but the row fan-out, integer
+    window arithmetic, schema and Arrow batch shape are the real
+    thing — swapping in a real decoder touches one expression.  Narrow
+    posexplode, no shuffle; at 100 TB the fan-out factor is
+    duration/hop, bounded per row and uniform."""
+    n_seg = (F.floor(F.greatest(F.col("duration_ms") - win_ms, F.lit(0))
+                     / hop_ms).cast("int") + 1)
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload", "duration_ms",
+                    F.posexplode(F.sequence(F.lit(0), n_seg - 1))
+                    .alias("seg_idx", "_s"))
+            .withColumn("seg_start_ms", F.col("_s") * hop_ms)
+            .withColumn("seg_end_ms",
+                        F.least(F.col("seg_start_ms") + win_ms,
+                                F.col("duration_ms").cast("long")))
+            .drop("_s")
+            .withColumn("seg_payload",
+                        F.sha2(F.concat(F.col("payload").cast("string"),
+                                        F.col("seg_idx").cast("string")),
+                               256).cast("binary")))  # STUB decode

@@ -2316,3 +2316,20 @@ SELECT e.src, e.dst, e.cosine, e.rank,
        COALESCE(r.src IS NOT NULL, FALSE) AS mutual
 FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
 ORDER BY e.src, e.rank"""
+
+
+def media_segments_sql(n: int = 200, win_ms: int = 5000,
+                       hop_ms: int = 2500) -> str:
+    """Mirror of multimodal.segment_audio over synth_media(n):
+    kind=audio ⇔ media_id % 3 == 1, duration_ms = media_id % 60000."""
+    return f"""
+SELECT media_id, seg_idx,
+       seg_idx * {hop_ms} AS seg_start_ms,
+       LEAST(seg_idx * {hop_ms} + {win_ms}, dur) AS seg_end_ms
+FROM (SELECT media_id, dur,
+             unnest(range(0, CAST(FLOOR(GREATEST(dur - {win_ms}, 0)
+                                        / {hop_ms}.0) AS INT) + 1))
+               AS seg_idx
+      FROM (SELECT id AS media_id, id % 60000 AS dur
+            FROM range(0, {n}) t(id) WHERE id % 3 = 1))
+ORDER BY media_id, seg_idx"""

@@ -1784,3 +1784,24 @@ def test_streaming_cdc_state_planted(spark):
         assert final["a"].last_seq == 3 and final["a"].last_op == "update"
         assert final["a"].n == 3
         assert final["b"].last_op == "delete" and final["b"].n == 2
+
+
+def test_segment_audio_windows(spark):
+    """Window arithmetic: overlap, tail clipping, minimum one window,
+    audio-only fan-out."""
+    from nifi_datasynthesizer_spark.operators import multimodal as MM
+    media = MM.synth_media(spark, n=12, seed=3)
+    segs = MM.segment_audio(media, win_ms=5000, hop_ms=2500).collect()
+    assert all(r.media_id % 3 == 1 for r in segs)        # audio only
+    by_id = {}
+    for r in segs:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_id.items():
+        dur = mid % 60000
+        rows.sort(key=lambda r: r.seg_idx)
+        assert rows[0].seg_start_ms == 0
+        assert len(rows) == max(dur - 5000, 0) // 2500 + 1
+        for r in rows:
+            assert r.seg_end_ms == min(r.seg_start_ms + 5000, dur)
+    # duration 1 ms (media_id 1): one clipped window
+    assert len(by_id[1]) == 1 and by_id[1][0].seg_end_ms == 1
