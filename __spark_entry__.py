@@ -207,6 +207,9 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 # oldest r4 greens up to the 50-slot budget.  The leftover r4 greens
 # (events_ewma..synth_weblog, listed in the tail) lead the r7 window;
 # the r5-window queries are freshest and go last via registry order.
+# Wave 3 (same round, later session): each new operator displaces the
+# youngest r4 green from the head — a never-driver-checked query beats
+# a 2-round-old row; the displaced r4 greens lead the tail (r7 queue).
 _WINDOW_R6_HEAD = [
     # new this round — never driver-checked
     "ann_ivfpq_rerank", "events_parse_lines", "sketch_topk",
