@@ -230,17 +230,17 @@ _WINDOW_R6_HEAD = [
     # sample-fit change)
     "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
     "embed_pca", "text_keywords",
-    "text_classify",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
     "graph_components", "events_sequences", "sketch_ams",
     "corpus_curriculum", "events_dwell", "embed_knn_graph",
-    "streaming_cdc_apply", "media_segments",
+    "streaming_cdc_apply", "media_segments", "q6_forecast_revenue",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
+    "text_classify", "text_fluency", "embed_quantize", "text_bm25",
+    "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
@@ -326,6 +326,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("revenue"))
                 .orderBy(F.desc("revenue"), "n_name"))
     q["q5_nation_revenue"] = q5_nation_revenue
+
+    def q6_forecast_revenue(spark, sf):
+        """TPC-H Q6: pure scan-filter-aggregate — the predicate-
+        pushdown/column-pruning showcase (the parquet scan should
+        read 4 columns and push all three range predicates; no
+        shuffle beyond the 1-row partial-agg exchange)."""
+        li = _t(spark, sf, "lineitem")
+        f = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                       & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                       & (F.col("l_discount") >= 0.05)
+                       & (F.col("l_discount") <= 0.07)
+                       & (F.col("l_quantity") < 24)))
+        return f.agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * F.col("l_discount")), 2)
+                     .alias("revenue"))
+    q["q6_forecast_revenue"] = q6_forecast_revenue
 
     def events_daily(spark, sf):
         ev = _t(spark, sf, "events")
@@ -1906,6 +1922,14 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+    o["q6_forecast_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
 
     o["events_daily"] = """
 SELECT CAST(ts AS DATE) AS day, event_type,

@@ -500,3 +500,18 @@ def test_r6_operators_scan_counts(spark):
     df = entrymod.queries()["events_parse_lines"](spark, SF)
     assert "InMemoryTableScan" in _plan(df)
     release_caches()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """Q6's scan must read only the 4 referenced columns and push the
+    range predicates into the parquet scan; the only exchange is the
+    1-row partial-aggregate gather."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+    df = entrymod.queries()["q6_forecast_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_shipdate" in \
+        plan.split("PushedFilters", 1)[1][:400]
+    rs = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs
+    assert plan.count("Exchange") <= 1
