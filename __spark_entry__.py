@@ -228,7 +228,7 @@ _WINDOW_R6_HEAD = [
     "ann_pq", "ann_ivfpq", "ann_pq_rerank", "embed_pq",
     # oldest r4 greens (embed_cluster/dedup_semantic also carry the
     # sample-fit change)
-    "embed_cluster", "dedup_semantic", "dedup_fuzzy", "dedup_spans",
+    "embed_cluster", "dedup_semantic", "dedup_fuzzy",
     "embed_pca", "text_keywords",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
@@ -236,11 +236,12 @@ _WINDOW_R6_HEAD = [
     "graph_components", "events_sequences", "sketch_ams",
     "corpus_curriculum", "events_dwell", "embed_knn_graph",
     "streaming_cdc_apply", "media_segments", "q6_forecast_revenue",
+    "io_bucketed_join",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "text_classify", "text_fluency", "embed_quantize", "text_bm25",
-    "search_rrf",
+    "dedup_spans", "text_classify", "text_fluency", "embed_quantize",
+    "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
@@ -342,6 +343,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    * F.col("l_discount")), 2)
                      .alias("revenue"))
     q["q6_forecast_revenue"] = q6_forecast_revenue
+
+    def io_bucketed_join(spark, sf):
+        """Co-located fact-fact join: both sides written as bucketed
+        tables on the join key (equal bucket counts), so the
+        sort-merge join runs with NO exchange on either side — at
+        100 TB this deletes the two largest shuffles of the query
+        (plan-asserted in tests/test_io.py).  The per-customer
+        rollup after the join is the only exchange left."""
+        from nifi_datasynthesizer_spark.io import write_bucketed
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100).cast("long").alias("rev_cents"))
+        write_bucketed(orders, "q_orders_b", ["o_orderkey"], 16,
+                       sort_by=["o_orderkey"])
+        write_bucketed(li, "q_lineitem_b", ["l_orderkey"], 16,
+                       sort_by=["l_orderkey"])
+        a, b = spark.table("q_orders_b"), spark.table("q_lineitem_b")
+        j = a.hint("merge").join(b, a.o_orderkey == b.l_orderkey)
+        return (j.groupBy("o_custkey")
+                .agg(F.count("*").alias("n_items"),
+                     F.sum("rev_cents").alias("revenue_cents"))
+                .orderBy("o_custkey"))
+    q["io_bucketed_join"] = io_bucketed_join
 
     def events_daily(spark, sf):
         ev = _t(spark, sf, "events")
@@ -1930,6 +1956,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24"""
+
+    o["io_bucketed_join"] = """
+SELECT o_custkey, COUNT(*) AS n_items,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_custkey ORDER BY o_custkey"""
 
     o["events_daily"] = """
 SELECT CAST(ts AS DATE) AS day, event_type,
