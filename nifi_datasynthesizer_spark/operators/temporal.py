@@ -457,13 +457,18 @@ def frequent_sequences(events: DataFrame, n: int = 3, top_k: int = 20,
     ``ts`` break on the event id; ties in count break on the sequence
     string, so top-k is deterministic cross-engine.
     """
+    from .dedup import _pin
     w = Window.partitionBy(key).orderBy(F.col(ts), F.col(id_col))
     cols = [F.col(state)] + [F.lag(state, -i).over(w).alias(f"s{i}")
                              for i in range(1, n)]
     grams = events.select(F.concat_ws(">", *cols).alias("seq"),
                           F.lag(state, -(n - 1)).over(w).alias("last"))
-    counts = (grams.filter(F.col("last").isNotNull())
-              .groupBy("seq").agg(F.count("*").alias("support")))
+    # the aggregate is shared by the ranked output AND the total —
+    # pin it or the 1-row total replays the window+scan lineage
+    # (the r5 rescan-audit lesson, caught again by the plan audit)
+    counts = _pin(grams.filter(F.col("last").isNotNull())
+                  .groupBy("seq").agg(F.count("*").alias("support")))
+    counts.count()
     total = counts.agg(F.sum("support").alias("tot"))
     ranked = (counts.crossJoin(F.broadcast(total))
               .select("seq", "support",

@@ -515,3 +515,24 @@ def test_q6_pushdown_and_pruning(spark):
     rs = plan.split("ReadSchema", 1)[1][:400]
     assert "l_orderkey" not in rs and "l_returnflag" not in rs
     assert plan.count("Exchange") <= 1
+
+
+def test_wave3_operators_scan_counts(spark):
+    """Rescan audit for the wave-3 operators: pinned shared frames
+    cap each at its by-design parquet scan count.  corpus_token_budget
+    (pinned token frame feeds budget/CDF/both keeps: 1 scan of the
+    pin's lineage), corpus_overlap (pinned distinct-gram frame),
+    embed_knn_graph (pinned bucket frame feeds both join sides),
+    events_attribution / events_dwell / events_sequences (single
+    events scan), sketch_ams (pinned frequency frame)."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    expect = {"corpus_token_budget": 1, "corpus_overlap": 1,
+              "embed_knn_graph": 1, "events_attribution": 1,
+              "events_dwell": 1, "events_sequences": 1,
+              "sketch_ams": 1, "corpus_curriculum": 1}
+    for name, want in expect.items():
+        df = entrymod.queries()[name](spark, SF)
+        p = _plan(df)
+        scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+        assert len(scans) <= want, (name, scans)
+        release_caches()
