@@ -229,19 +229,19 @@ _WINDOW_R6_HEAD = [
     # oldest r4 greens (embed_cluster/dedup_semantic also carry the
     # sample-fit change)
     "embed_cluster", "dedup_semantic", "dedup_fuzzy",
-    "embed_pca", "text_keywords",
+    "embed_pca",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
     "graph_components", "events_sequences", "sketch_ams",
     "corpus_curriculum", "events_dwell", "embed_knn_graph",
     "streaming_cdc_apply", "media_segments", "q6_forecast_revenue",
-    "io_bucketed_join",
+    "io_bucketed_join", "corpus_filter_report",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "dedup_spans", "text_classify", "text_fluency", "embed_quantize",
-    "text_bm25", "search_rrf",
+    "text_keywords", "dedup_spans", "text_classify", "text_fluency",
+    "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
@@ -368,6 +368,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("rev_cents").alias("revenue_cents"))
                 .orderBy("o_custkey"))
     q["io_bucketed_join"] = io_bucketed_join
+
+    def corpus_filter_report(spark, sf):
+        """C4/Gopher filter-funnel accounting: per-rule drop counts
+        under sequential semantics, one narrow pass + one aggregate,
+        |rules|+1 rows out."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            corpus_filter_report
+        docs = _t(spark, sf, "documents")
+        return corpus_filter_report(docs).orderBy("rule_idx")
+    q["corpus_filter_report"] = corpus_filter_report
 
     def events_daily(spark, sf):
         ev = _t(spark, sf, "events")
@@ -2321,6 +2331,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["sketch_ams"] = OR.ams_f2_sql()
     o["corpus_curriculum"] = OR.corpus_curriculum_sql()
     o["events_dwell"] = OR.dwell_times_sql()
+    o["corpus_filter_report"] = OR.corpus_filter_report_sql()
     o["embed_knn_graph"] = OR.knn_graph_sql()
     o["streaming_cdc_apply"] = OR.cdc_apply_sql(
         "CASE WHEN event_type = 'error' THEN 'delete' "

@@ -69,7 +69,8 @@ def main() -> None:
              "corpus_token_budget", "corpus_overlap", "graph_components",
              "events_sequences", "sketch_ams", "corpus_curriculum",
              "events_dwell", "embed_knn_graph", "streaming_cdc_apply",
-             "media_segments", "q6_forecast_revenue", "io_bucketed_join"]
+             "media_segments", "q6_forecast_revenue", "io_bucketed_join",
+             "corpus_filter_report"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -952,3 +952,61 @@ def corpus_curriculum(docs: DataFrame, stages: int = 4,
                 for q in range(1, stages))
     return (toks.crossJoin(F.broadcast(bounds))
             .select(id_col, "n_words", stage.alias("stage")))
+
+
+def corpus_filter_report(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Filter-funnel governance report: the C4/Gopher cleaning rules
+    applied as a SEQUENTIAL funnel with per-rule accounting — for
+    each rule, how many documents it dropped (among those surviving
+    every earlier rule) and how many remain.  This is the report a
+    data curator reads before committing a filter chain: a rule that
+    drops 40% of the corpus needs eyes before it runs at 100 TB.
+
+    Rules (all integer arithmetic, engine-exact):
+      too_short      n_words < 5
+      long_words     n_chars > 12 · n_words   (mean word length > 12)
+      digit_heavy    10 · n_digits > n_chars  (> 10% digits)
+      low_diversity  2 · n_unique < n_words   (dup ratio > 50%)
+
+    One narrow pass computes every rule flag; the funnel is a single
+    map-side-combined aggregate over four conditional counters plus
+    the total — no shuffle of the corpus, |rules|+1 output rows.
+    """
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    uniq = F.size(F.array_distinct(words))
+    flags = docs.select(
+        (n_words < 5).alias("f1"),
+        (n_chars > 12 * n_words).alias("f2"),
+        (10 * digits > n_chars).alias("f3"),
+        (2 * uniq < n_words).alias("f4"))
+    # sequential funnel: rule k drops docs passing rules 1..k-1
+    d1 = F.col("f1")
+    d2 = ~F.col("f1") & F.col("f2")
+    d3 = ~F.col("f1") & ~F.col("f2") & F.col("f3")
+    d4 = ~F.col("f1") & ~F.col("f2") & ~F.col("f3") & F.col("f4")
+    agg = flags.agg(
+        F.count("*").alias("n_total"),
+        F.sum(d1.cast("long")).alias("n1"),
+        F.sum(d2.cast("long")).alias("n2"),
+        F.sum(d3.cast("long")).alias("n3"),
+        F.sum(d4.cast("long")).alias("n4"))
+    rules = ("array(struct('too_short' AS rule, n1 AS n_dropped), "
+             "struct('long_words' AS rule, n2 AS n_dropped), "
+             "struct('digit_heavy' AS rule, n3 AS n_dropped), "
+             "struct('low_diversity' AS rule, n4 AS n_dropped))")
+    out = (agg.select("n_total", F.explode(F.expr(rules)).alias("r"))
+           .select(F.col("r.rule").alias("rule"),
+                   F.col("r.n_dropped").alias("n_dropped"), "n_total"))
+    order = "CASE rule WHEN 'too_short' THEN 1 WHEN 'long_words' THEN 2" \
+            " WHEN 'digit_heavy' THEN 3 ELSE 4 END"
+    w = Window.orderBy(F.expr(order)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (out.withColumn("rule_idx", F.expr(order).cast("long"))
+            .withColumn("n_remaining",
+                        F.col("n_total") - F.sum("n_dropped").over(w))
+            .select("rule_idx", "rule", "n_dropped", "n_remaining"))

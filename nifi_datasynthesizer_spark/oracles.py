@@ -2333,3 +2333,35 @@ FROM (SELECT media_id, dur,
       FROM (SELECT id AS media_id, id % 60000 AS dur
             FROM range(0, {n}) t(id) WHERE id % 3 = 1))
 ORDER BY media_id, seg_idx"""
+
+
+def corpus_filter_report_sql(table: str = "documents") -> str:
+    """Mirror of curation.corpus_filter_report: the same integer rule
+    flags, sequential-funnel conditional counts, running remainder."""
+    return f"""
+WITH f AS (SELECT len({_RAW_WORDS}) AS nw, LENGTH(text) AS nc,
+                  LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS nd,
+                  len(list_distinct({_RAW_WORDS})) AS nu
+           FROM {table}),
+a AS (SELECT COUNT(*) AS n_total,
+             SUM(CASE WHEN nw < 5 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN NOT nw < 5 AND nc > 12 * nw
+                      THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN NOT nw < 5 AND NOT nc > 12 * nw
+                       AND 10 * nd > nc THEN 1 ELSE 0 END) AS n3,
+             SUM(CASE WHEN NOT nw < 5 AND NOT nc > 12 * nw
+                       AND NOT 10 * nd > nc AND 2 * nu < nw
+                      THEN 1 ELSE 0 END) AS n4
+      FROM f),
+r AS (SELECT * FROM (
+        SELECT 1 AS rule_idx, 'too_short' AS rule, n1 AS n_dropped,
+               n_total FROM a
+        UNION ALL SELECT 2, 'long_words', n2, n_total FROM a
+        UNION ALL SELECT 3, 'digit_heavy', n3, n_total FROM a
+        UNION ALL SELECT 4, 'low_diversity', n4, n_total FROM a))
+SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       CAST(n_total - SUM(n_dropped) OVER (ORDER BY rule_idx
+                                           ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_remaining
+FROM r ORDER BY rule_idx"""

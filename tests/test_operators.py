@@ -1805,3 +1805,26 @@ def test_segment_audio_windows(spark):
             assert r.seg_end_ms == min(r.seg_start_ms + 5000, dur)
     # duration 1 ms (media_id 1): one clipped window
     assert len(by_id[1]) == 1 and by_id[1][0].seg_end_ms == 1
+
+
+def test_corpus_filter_report_planted(spark):
+    """Sequential funnel semantics: a doc failing an early rule is
+    not double-counted by later rules it also fails."""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        corpus_filter_report
+    rows = [
+        (0, "good doc with several plain words here"),
+        (1, "tiny"),                                  # too_short only
+        (2, "a b"),                                   # too_short (not counted again)
+        (3, "supercalifragilisticexpialidocious anotherextremelylongword "
+            "thirdgiganticwordhere fourthverylongwordtoken fifthlongword"),
+        (4, "1234 5678 9012 3456 78 90123456789 111 ok"),  # digit_heavy
+        (5, "dup dup dup dup dup dup dup words x"),    # low_diversity
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.rule: r for r in corpus_filter_report(docs).collect()}
+    assert out["too_short"].n_dropped == 2
+    assert out["long_words"].n_dropped == 1
+    assert out["digit_heavy"].n_dropped == 1
+    assert out["low_diversity"].n_dropped == 1
+    assert out["low_diversity"].n_remaining == 1      # only doc 0 survives
