@@ -351,7 +351,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         100 TB this deletes the two largest shuffles of the query
         (plan-asserted in tests/test_io.py).  The per-customer
         rollup after the join is the only exchange left."""
+        import shutil
+        from urllib.parse import urlparse
+
         from nifi_datasynthesizer_spark.io import write_bucketed
+        # a FRESH session's in-memory catalog doesn't know about a
+        # previous session's managed-table directories, and saveAsTable
+        # refuses to claim an existing location — drop both the
+        # catalog entry and any orphaned directory before writing
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("q_orders_b", "q_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
         li = _t(spark, sf, "lineitem").select(
             "l_orderkey",
