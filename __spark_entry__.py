@@ -229,19 +229,18 @@ _WINDOW_R6_HEAD = [
     # oldest r4 greens (embed_cluster/dedup_semantic also carry the
     # sample-fit change)
     "embed_cluster", "dedup_semantic", "dedup_fuzzy",
-    "embed_pca",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
     "graph_components", "events_sequences", "sketch_ams",
     "corpus_curriculum", "events_dwell", "embed_knn_graph",
     "streaming_cdc_apply", "media_segments", "q6_forecast_revenue",
-    "io_bucketed_join", "corpus_filter_report",
+    "io_bucketed_join", "corpus_filter_report", "io_partition_prune",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "text_keywords", "dedup_spans", "text_classify", "text_fluency",
-    "embed_quantize", "text_bm25", "search_rrf",
+    "embed_pca", "text_keywords", "dedup_spans", "text_classify",
+    "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
     "corpus_ngrams", "corpus_shuffle", "corpus_split", "events_sessionize", "events_funnel", "events_ohlc", "events_anomaly", "events_scd2", "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
@@ -389,6 +388,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return corpus_filter_report(docs).orderBy("rule_idx")
     q["corpus_filter_report"] = corpus_filter_report
+
+    def io_partition_prune(spark, sf):
+        """Partition-pruned layout: events written partitioned by
+        event_type, then a single-type daily rollup read back — the
+        scan must touch ONE partition directory (PartitionFilters,
+        plan-asserted in tests/test_plans.py).  At 100 TB partition
+        pruning is the difference between scanning 1/|types| of the
+        data and all of it; the rollup equals the unpartitioned SQL."""
+        import shutil
+        import tempfile
+
+        from nifi_datasynthesizer_spark.io import read_table
+        ev = _t(spark, sf, "events")
+        d = tempfile.mkdtemp(prefix="evpart_")
+        try:
+            (ev.select("event_id", "ts", "user_id", "event_type",
+                       F.floor(F.col("value") * 100).cast("long")
+                       .alias("cents"))
+             .write.mode("overwrite").partitionBy("event_type")
+             .parquet(d))
+            part = spark.read.parquet(d) \
+                .filter(F.col("event_type") == "purchase")
+            out = (part.groupBy(F.to_date("ts").alias("day"))
+                   .agg(F.count("*").alias("n_events"),
+                        F.sum("cents").alias("cents"))
+                   .orderBy("day"))
+            rows = out.collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        # materialized before the temp dir vanishes; rebuild a frame
+        # with the same schema for the driver's collect
+        return spark.createDataFrame(rows, out.schema)
+    q["io_partition_prune"] = io_partition_prune
 
     def events_daily(spark, sf):
         ev = _t(spark, sf, "events")
@@ -2343,6 +2375,11 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_curriculum"] = OR.corpus_curriculum_sql()
     o["events_dwell"] = OR.dwell_times_sql()
     o["corpus_filter_report"] = OR.corpus_filter_report_sql()
+    o["io_partition_prune"] = """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY day ORDER BY day"""
     o["embed_knn_graph"] = OR.knn_graph_sql()
     o["streaming_cdc_apply"] = OR.cdc_apply_sql(
         "CASE WHEN event_type = 'error' THEN 'delete' "
