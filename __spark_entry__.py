@@ -228,7 +228,7 @@ _WINDOW_R6_HEAD = [
     "ann_pq", "ann_ivfpq", "ann_pq_rerank", "embed_pq",
     # oldest r4 greens (embed_cluster/dedup_semantic also carry the
     # sample-fit change)
-    "embed_cluster", "dedup_semantic", "dedup_fuzzy",
+    "embed_cluster", "dedup_semantic",
     # wave-3 new this round — never driver-checked beats a 2-round-old
     # green, so these displace the last r4 greens (now leading the tail)
     "events_attribution", "corpus_token_budget", "corpus_overlap",
@@ -236,10 +236,11 @@ _WINDOW_R6_HEAD = [
     "corpus_curriculum", "events_dwell", "embed_knn_graph",
     "streaming_cdc_apply", "media_segments", "q6_forecast_revenue",
     "io_bucketed_join", "corpus_filter_report", "io_partition_prune",
+    "events_wau",
 ]
 # r4 greens that did not fit the r6 budget — lead the r7 window
 _WINDOW_R6_TAIL = [
-    "embed_pca", "text_keywords", "dedup_spans", "text_classify",
+    "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
@@ -421,6 +422,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the same schema for the driver's collect
         return spark.createDataFrame(rows, out.schema)
     q["io_partition_prune"] = io_partition_prune
+
+    def events_wau(spark, sf):
+        """Rolling 7-day active users: distinct (user, day) pairs
+        exploded to contribution days and re-distincted — the
+        rolling-distinct problem without a distinct-over-window
+        (which can't sum) or an N-way self-join."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            rolling_active_users
+        ev = _t(spark, sf, "events")
+        return rolling_active_users(ev).orderBy("day")
+    q["events_wau"] = events_wau
 
     def events_daily(spark, sf):
         ev = _t(spark, sf, "events")
@@ -2375,6 +2387,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_curriculum"] = OR.corpus_curriculum_sql()
     o["events_dwell"] = OR.dwell_times_sql()
     o["corpus_filter_report"] = OR.corpus_filter_report_sql()
+    o["events_wau"] = OR.rolling_active_users_sql()
     o["io_partition_prune"] = """
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
        SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents

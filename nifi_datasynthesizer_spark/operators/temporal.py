@@ -508,3 +508,34 @@ def dwell_times(events: DataFrame, key: str = "user_id", ts: str = "ts",
                  F.max("gap_us").alias("max_us"))
             .withColumn("mean_us",
                         F.expr("CAST(total_us div n AS BIGINT)")))
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         key: str = "user_id", ts: str = "ts") -> DataFrame:
+    """Rolling N-day active users (WAU when N=7): for every calendar
+    day, how many distinct users had ≥1 event in the trailing N days.
+    Distinct counts don't sum, so the rolling window CANNOT be a
+    windowed aggregate over daily distincts — the textbook trap.  The
+    scale shape: collapse to distinct (user, active-day) pairs (one
+    map-side-combined shuffle), explode each pair to the ≤N report
+    days it contributes to, and re-distinct — |users|·N rows max,
+    independent of event volume; 100 TB of events collapses at the
+    first aggregate.  Report days are bounded to days that actually
+    have events (no synthetic trailing tail).  Returns (day, wau,
+    dau) — the trailing-window and same-day distinct counts.
+    """
+    day = F.to_date(F.col(ts))
+    pairs = events.select(F.col(key).alias("u"), day.alias("d")).distinct()
+    contrib = (pairs.select(
+        "u", "d",
+        F.explode(F.sequence(F.col("d"),
+                             F.date_add(F.col("d"), window_days - 1)))
+        .alias("report_day")))
+    days = pairs.select(F.col("d").alias("report_day")).distinct()
+    wau = (contrib.join(days, "report_day")   # only real event days
+           .groupBy("report_day")
+           .agg(F.countDistinct("u").alias("wau")))
+    dau = pairs.groupBy(F.col("d").alias("report_day")) \
+        .agg(F.countDistinct("u").alias("dau"))
+    return (wau.join(dau, "report_day")
+            .select(F.col("report_day").alias("day"), "wau", "dau"))

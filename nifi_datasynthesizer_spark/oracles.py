@@ -2365,3 +2365,21 @@ SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
                                            ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS n_remaining
 FROM r ORDER BY rule_idx"""
+
+
+def rolling_active_users_sql(window_days: int = 7,
+                             table: str = "events") -> str:
+    """Mirror of temporal.rolling_active_users: distinct (user, day)
+    pairs exploded to contribution days, re-distincted."""
+    return f"""
+WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+               FROM {table}),
+days AS (SELECT DISTINCT d AS report_day FROM pairs),
+contrib AS (SELECT u, d + CAST(k AS INTEGER) AS report_day
+            FROM pairs, (SELECT UNNEST(range(0, {window_days})) AS k)),
+wau AS (SELECT report_day, COUNT(DISTINCT u) AS wau
+        FROM contrib JOIN days USING (report_day) GROUP BY 1),
+dau AS (SELECT d AS report_day, COUNT(DISTINCT u) AS dau
+        FROM pairs GROUP BY 1)
+SELECT report_day AS day, wau, dau
+FROM wau JOIN dau USING (report_day) ORDER BY day"""

@@ -1828,3 +1828,26 @@ def test_corpus_filter_report_planted(spark):
     assert out["digit_heavy"].n_dropped == 1
     assert out["low_diversity"].n_dropped == 1
     assert out["low_diversity"].n_remaining == 1      # only doc 0 survives
+
+
+def test_rolling_active_users_planted(spark):
+    """WAU counts a user once per trailing window regardless of event
+    count; DAU is same-day distinct; report days only where events
+    exist."""
+    import datetime as dt
+    from nifi_datasynthesizer_spark.operators.temporal import \
+        rolling_active_users
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    rows = [(0, d(1), 1, "a", 0.0, ""), (1, d(1, 5), 1, "a", 0.0, ""),
+            (2, d(1), 2, "a", 0.0, ""),
+            (3, d(5), 2, "a", 0.0, ""),
+            (4, d(9), 3, "a", 0.0, "")]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    out = {str(r.day): r for r in rolling_active_users(ev).collect()}
+    assert set(out) == {"2024-01-01", "2024-01-05", "2024-01-09"}
+    assert out["2024-01-01"].dau == 2 and out["2024-01-01"].wau == 2
+    # Jan 5 window covers Jan 1 (users 1, 2) + Jan 5 (user 2) -> 2
+    assert out["2024-01-05"].dau == 1 and out["2024-01-05"].wau == 2
+    # Jan 9 window covers Jan 5 (user 2) + Jan 9 (user 3); Jan 1 aged out
+    assert out["2024-01-09"].dau == 1 and out["2024-01-09"].wau == 2
