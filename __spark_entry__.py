@@ -238,9 +238,11 @@ _WINDOW_R6_HEAD = [
     "io_bucketed_join", "corpus_filter_report", "io_partition_prune",
     "events_wau",
 ]
-# r4 greens that did not fit the r6 budget — lead the r7 window
+# did not fit the r6 budget — lead the r7 window (corpus_upsample is
+# new-this-round but the head's remaining entries are all verdict-
+# mandated stale re-verifications or results-changed queries)
 _WINDOW_R6_TAIL = [
-    "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
+    "corpus_upsample", "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
@@ -433,6 +435,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return rolling_active_users(ev).orderBy("day")
     q["events_wau"] = events_wau
+
+    def corpus_upsample(spark, sf):
+        """Deterministic fractional up-sampling (epoch repetition):
+        CASE-chain factors, h60 draw for the fractional copy, narrow
+        posexplode replication — one scan, no shuffle."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            corpus_upsample
+        docs = _t(spark, sf, "documents")
+        factors = {"src0": 2.5, "src1": 3.0, "src2": 0.5}
+        return (corpus_upsample(docs, factors)
+                .orderBy("doc_id", "copy_idx"))
+    q["corpus_upsample"] = corpus_upsample
 
     def events_daily(spark, sf):
         ev = _t(spark, sf, "events")
@@ -2388,6 +2402,8 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_dwell"] = OR.dwell_times_sql()
     o["corpus_filter_report"] = OR.corpus_filter_report_sql()
     o["events_wau"] = OR.rolling_active_users_sql()
+    o["corpus_upsample"] = OR.corpus_upsample_sql(
+        {"src0": 2.5, "src1": 3.0, "src2": 0.5})
     o["io_partition_prune"] = """
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
        SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents

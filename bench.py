@@ -70,7 +70,8 @@ def main() -> None:
              "events_sequences", "sketch_ams", "corpus_curriculum",
              "events_dwell", "embed_knn_graph", "streaming_cdc_apply",
              "media_segments", "q6_forecast_revenue", "io_bucketed_join",
-             "corpus_filter_report", "io_partition_prune", "events_wau"]
+             "corpus_filter_report", "io_partition_prune", "events_wau",
+             "corpus_upsample"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -1010,3 +1010,45 @@ def corpus_filter_report(docs: DataFrame,
             .withColumn("n_remaining",
                         F.col("n_total") - F.sum("n_dropped").over(w))
             .select("rule_idx", "rule", "n_dropped", "n_remaining"))
+
+
+def corpus_upsample(docs: DataFrame, factors: dict[str, float],
+                    default_factor: float = 1.0, id_col: str = "doc_id",
+                    stratum_col: str = "source",
+                    salt: int = 17) -> DataFrame:
+    """Deterministic fractional up-sampling — the mixture-weights-
+    above-1 counterpart of :func:`sample_stratified` (LLaMA-style
+    "Wikipedia ×2.5" epoch repetition): every document in a stratum
+    with factor f is emitted floor(f) times, plus one extra copy iff
+    its h60 draw lands under frac(f) — so a stratum's expected volume
+    is exactly f× and the decision is reproducible under retries,
+    partitioning and re-runs (no rand()).
+
+    Plan: the factor lookup compiles to a CASE chain of plan literals
+    (no join) and the replication is a narrow posexplode over a
+    per-row integer count — one scan, no shuffle; at 100 TB the
+    output volume is Σ f_s·|s|, the cost every epoch-repetition
+    pipeline pays by definition.  Returns (id, stratum, copy_idx)
+    with copy_idx 0..k-1 — the copy index keys downstream epoch
+    shuffles so replicas spread instead of clumping.
+    """
+    draw = h60(F.concat(F.col(id_col).cast("string"),
+                        F.lit(f":{salt}"))) % PPM
+    whole, frac = None, None
+    for value, f in sorted(factors.items()):
+        w = F.lit(int(f))
+        fr = F.lit(int(round((f - int(f)) * PPM)))
+        cond = F.col(stratum_col) == value
+        whole = F.when(cond, w) if whole is None else whole.when(cond, w)
+        frac = F.when(cond, fr) if frac is None else frac.when(cond, fr)
+    dw = F.lit(int(default_factor))
+    dfr = F.lit(int(round((default_factor - int(default_factor)) * PPM)))
+    whole = whole.otherwise(dw) if whole is not None else dw
+    frac = frac.otherwise(dfr) if frac is not None else dfr
+    n_copies = whole + (draw < frac).cast("int")
+    return (docs.select(F.col(id_col), F.col(stratum_col),
+                        n_copies.alias("__n"))
+            .filter(F.col("__n") > 0)
+            .select(id_col, stratum_col,
+                    F.explode(F.sequence(
+                        F.lit(0), F.col("__n") - 1)).alias("copy_idx")))

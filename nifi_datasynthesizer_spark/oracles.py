@@ -2383,3 +2383,26 @@ dau AS (SELECT d AS report_day, COUNT(DISTINCT u) AS dau
         FROM pairs GROUP BY 1)
 SELECT report_day AS day, wau, dau
 FROM wau JOIN dau USING (report_day) ORDER BY day"""
+
+
+def corpus_upsample_sql(factors: dict[str, float],
+                        default_factor: float = 1.0, salt: int = 17,
+                        table: str = "documents") -> str:
+    """Mirror of curation.corpus_upsample: CASE-chain factors, h60
+    fractional draw, range-unnest replication."""
+    draw = h60_sql(f"CAST(doc_id AS VARCHAR) || ':{salt}'")
+    wb = " ".join(f"WHEN source = '{v}' THEN {int(f)}"
+                  for v, f in sorted(factors.items()))
+    fb = " ".join(f"WHEN source = '{v}' THEN {int(round((f - int(f)) * 1000000))}"
+                  for v, f in sorted(factors.items()))
+    dw = int(default_factor)
+    dfr = int(round((default_factor - dw) * 1000000))
+    return f"""
+WITH n AS (SELECT doc_id, source,
+                  (CASE {wb} ELSE {dw} END)
+                  + CASE WHEN {draw} % 1000000 < (CASE {fb} ELSE {dfr} END)
+                         THEN 1 ELSE 0 END AS n_copies
+           FROM {table})
+SELECT doc_id, source, CAST(UNNEST(range(0, n_copies)) AS BIGINT)
+         AS copy_idx
+FROM n WHERE n_copies > 0 ORDER BY doc_id, copy_idx"""

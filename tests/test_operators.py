@@ -1851,3 +1851,28 @@ def test_rolling_active_users_planted(spark):
     assert out["2024-01-05"].dau == 1 and out["2024-01-05"].wau == 2
     # Jan 9 window covers Jan 5 (user 2) + Jan 9 (user 3); Jan 1 aged out
     assert out["2024-01-09"].dau == 1 and out["2024-01-09"].wau == 2
+
+
+def test_corpus_upsample_factors(spark):
+    """Whole copies exact, fractional copies hash-gated, default 1x,
+    sub-1 factors behave like sampling."""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        corpus_upsample
+    from nifi_datasynthesizer_spark.phash import h60_py
+    rows = [(i, "t", "a" if i < 40 else ("b" if i < 60 else "c"))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = corpus_upsample(docs, {"a": 2.5, "b": 0.25}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+        assert 0 <= r.copy_idx < per_doc[r.doc_id]
+    for i in range(100):
+        frac_hit = h60_py(f"{i}:17") % 1_000_000
+        if i < 40:        # a: 2 or 3 copies
+            want = 2 + (1 if frac_hit < 500_000 else 0)
+        elif i < 60:      # b: 0 or 1 copy
+            want = 1 if frac_hit < 250_000 else 0
+        else:             # default 1.0: exactly one copy
+            want = 1
+        assert per_doc.get(i, 0) == want, i
