@@ -242,7 +242,7 @@ _WINDOW_R6_HEAD = [
 # new-this-round but the head's remaining entries are all verdict-
 # mandated stale re-verifications or results-changed queries)
 _WINDOW_R6_TAIL = [
-    "corpus_upsample", "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
+    "corpus_upsample", "ann_recall_eval", "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
@@ -1024,6 +1024,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 5)
         return SIM.ann_lsh(emb, queries_df, k=10).orderBy("query_id", "rank")
     q["ann_lsh"] = ann_lsh
+
+    def ann_recall_eval(spark, sf):
+        """Index-quality monitoring: per-query recall@10 of the LSH
+        index vs exact truth on a 50-query sample, integer-ppm."""
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 50)
+        return SIM.ann_recall_eval(emb, queries_df, k=10) \
+            .orderBy("query_id")
+    q["ann_recall_eval"] = ann_recall_eval
 
     # ---- text analysis
     def text_langid(spark, sf):
@@ -2404,6 +2413,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_wau"] = OR.rolling_active_users_sql()
     o["corpus_upsample"] = OR.corpus_upsample_sql(
         {"src0": 2.5, "src1": 3.0, "src2": 0.5})
+    o["ann_recall_eval"] = OR.ann_recall_eval_sql()
     o["io_partition_prune"] = """
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
        SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents

@@ -316,3 +316,31 @@ def knn_graph(emb: DataFrame, k: int = 5, bucket_bits: int = 6,
                     F.col("rank").cast("long").alias("rank"),
                     F.coalesce(F.col("rev") == 1, F.lit(False))
                     .alias("mutual")))
+
+
+def ann_recall_eval(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    bucket_bits: int = 6, seed: int = 7) -> DataFrame:
+    """Retrieval evaluation as an operator: per-query recall@k of the
+    LSH index against exact brute-force truth — the continuous-
+    monitoring job every production vector index runs on a query
+    sample (recall regressions from index drift are silent otherwise).
+
+    Truth is exact top-k over the full corpus, so this runs on a
+    bounded QUERY SAMPLE by design (the corpus-side cost is one
+    broadcast-queries scan, same as ann_bruteforce); the approx side
+    reuses the LSH bucket join.  The intersection and the per-query
+    rollup touch only k·|queries| rows.  Returns (query_id, n_hits,
+    recall_ppm) with integer-ppm recall — engine-exact.
+    """
+    truth = ann_bruteforce(emb, queries, k=k) \
+        .select("query_id", "cand_id")
+    approx = ann_lsh(emb, queries, k=k, bucket_bits=bucket_bits,
+                     seed=seed).select("query_id", "cand_id")
+    hits = (truth.join(approx, ["query_id", "cand_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    qids = truth.select("query_id").distinct()
+    return (qids.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                    F.expr(f"CAST(coalesce(n_hits, 0) * 1000000 div {k}"
+                           " AS BIGINT)").alias("recall_ppm")))

@@ -2406,3 +2406,41 @@ WITH n AS (SELECT doc_id, source,
 SELECT doc_id, source, CAST(UNNEST(range(0, n_copies)) AS BIGINT)
          AS copy_idx
 FROM n WHERE n_copies > 0 ORDER BY doc_id, copy_idx"""
+
+
+def ann_recall_eval_sql(k: int = 10, bucket_bits: int = 6, seed: int = 7,
+                        dim: int = 64,
+                        query_pred: str = "vec_id < 50") -> str:
+    """Mirror of similarity.ann_recall_eval: brute-force truth vs the
+    LSH candidate top-k, integer-ppm per-query recall."""
+    return f"""
+WITH {_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv FROM normed WHERE {query_pred}),
+truth AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             ROUND(list_sum(list_transform(list_zip(qv, c.v),
+                                           p -> p[1] * p[2])), 6) DESC,
+             c.vec_id) AS rank
+    FROM normed c CROSS JOIN q WHERE c.vec_id <> query_id)
+  WHERE rank <= {k}),
+b AS (SELECT vec_id, v, ({_bucket_terms(bucket_bits, seed, dim)}) AS bucket
+      FROM normed),
+lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+       WHERE {query_pred}),
+lsh AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             ROUND(list_sum(list_transform(list_zip(qv, c.v),
+                                           p -> p[1] * p[2])), 6) DESC,
+             c.vec_id) AS rank
+    FROM b c JOIN lq USING (bucket) WHERE c.vec_id <> query_id)
+  WHERE rank <= {k}),
+hits AS (SELECT t.query_id, COUNT(*) AS n_hits
+         FROM truth t JOIN lsh USING (query_id, cand_id) GROUP BY 1)
+SELECT query_id, COALESCE(n_hits, 0) AS n_hits,
+       CAST(COALESCE(n_hits, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM truth) LEFT JOIN hits USING (query_id)
+ORDER BY query_id"""

@@ -1876,3 +1876,19 @@ def test_corpus_upsample_factors(spark):
         else:             # default 1.0: exactly one copy
             want = 1
         assert per_doc.get(i, 0) == want, i
+
+
+def test_ann_recall_eval_bounds(spark):
+    """recall_ppm in [0, 1e6]; self-consistency: evaluating
+    brute-force against itself would be 1e6 — LSH on the real table
+    is strictly positive on average."""
+    from nifi_datasynthesizer_spark.io import read_table
+    from nifi_datasynthesizer_spark.operators.similarity import \
+        ann_recall_eval
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    rows = ann_recall_eval(emb, queries, k=10).collect()
+    assert len(rows) == 20
+    assert all(0 <= r.recall_ppm <= 1_000_000 for r in rows)
+    assert all(r.recall_ppm == r.n_hits * 100_000 for r in rows)
+    assert sum(r.n_hits for r in rows) > 0
