@@ -242,7 +242,7 @@ _WINDOW_R6_HEAD = [
 # new-this-round but the head's remaining entries are all verdict-
 # mandated stale re-verifications or results-changed queries)
 _WINDOW_R6_TAIL = [
-    "corpus_upsample", "ann_recall_eval", "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
+    "corpus_upsample", "ann_recall_eval", "media_phash_dedup", "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
@@ -1373,6 +1373,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("media_id", "seg_idx"))
     q["media_segments"] = media_segments
 
+    def media_phash_dedup(spark, sf):
+        """Perceptual near-dup pairs: mean-binarized 16-bit codes
+        over the (replayable) stub features, Hamming-LSH band
+        candidates with capped postings, exact bit_count(xor)
+        filter."""
+        media = MM.synth_media(spark, n=500, seed=9,
+                               payload_universe=250)
+        feats = MM.extract_features(media, dim=16)
+        return (MM.phash_pairs(feats, dim=16, bands=4, max_hamming=2)
+                .orderBy("a", "b"))
+    q["media_phash_dedup"] = media_phash_dedup
+
     def media_dedup(spark, sf):
         """Exact blob dedup (md5 over payload bytes) on a synthetic
         media corpus with a folded payload universe — the multimodal
@@ -2414,6 +2426,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_upsample"] = OR.corpus_upsample_sql(
         {"src0": 2.5, "src1": 3.0, "src2": 0.5})
     o["ann_recall_eval"] = OR.ann_recall_eval_sql()
+    o["media_phash_dedup"] = OR.media_phash_dedup_sql()
     o["io_partition_prune"] = """
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
        SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents

@@ -185,3 +185,51 @@ def segment_audio(media: DataFrame, win_ms: int = 5000,
                         F.sha2(F.concat(F.col("payload").cast("string"),
                                         F.col("seg_idx").cast("string")),
                                256).cast("binary")))  # STUB decode
+
+
+def phash_pairs(features: DataFrame, dim: int = 16, bands: int = 4,
+                max_hamming: int = 2, max_block: int = 256) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over decoded media
+    features — the step after :func:`media_dedup`'s exact digest pass
+    (re-encodes and crops survive byte-dedup; a pHash catches them).
+    Each media's feature vector binarizes against its own mean
+    (bit_d = 16·ppm_d > Σppm, pure integer compare on the exact ppm
+    lanes) into a ``dim``-bit code; candidate pairs share at least
+    one of ``bands`` code bands (the classic Hamming-LSH guarantee:
+    distance ≤ bands−1 ⇒ some band equal), then the exact
+    ``bit_count(xor)`` distance filters to ≤ ``max_hamming``.
+
+    Scale shape: one narrow code pass, posting lists per (band, value)
+    with a ``max_block`` cap (hot postings are degenerate codes — flat
+    images — and capping them bounds the pair fanout linearly, the
+    dedup_fuzzy lesson), in-array pair expansion, distinct, exact
+    integer distance.  Returns (a, b, hamming) with a < b.
+    """
+    ppm = "transform(feature, x -> CAST(round(x * 1000000) AS BIGINT))"
+    tot = f"aggregate({ppm}, 0L, (a, x) -> a + x)"
+    code = (f"aggregate(transform(sequence(0, {dim - 1}), "
+            f"i -> IF(element_at({ppm}, i + 1) * {dim} > {tot}, "
+            f"shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+    width = dim // bands
+    coded = features.select(F.col("media_id").alias("m"),
+                            F.expr(code).alias("code"))
+    banded = coded.select(
+        "m", "code",
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+            f"(code div shiftleft(1L, b * {width})) % {1 << width}"
+            " AS bval))")).alias("p")) \
+        .select("m", "code", "p.band", "p.bval")
+    posting = (banded.groupBy("band", "bval")
+               .agg(F.slice(F.sort_array(
+                   F.collect_list(F.struct("m", "code"))),
+                   1, max_block).alias("ms"))
+               .filter(F.size("ms") > 1))
+    pairs = posting.select(F.explode(F.expr(
+        "flatten(transform(ms, (x, i) -> transform("
+        "slice(ms, i + 2, size(ms)), y -> struct(x.m AS a, y.m AS b, "
+        "x.code AS ca, y.code AS cb))))")).alias("p")) \
+        .select("p.a", "p.b", "p.ca", "p.cb").distinct()
+    ham = F.expr("bit_count(ca ^ cb)").cast("long")
+    return (pairs.select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

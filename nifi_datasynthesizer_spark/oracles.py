@@ -2444,3 +2444,50 @@ SELECT query_id, COALESCE(n_hits, 0) AS n_hits,
        CAST(COALESCE(n_hits, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
 FROM (SELECT DISTINCT query_id FROM truth) LEFT JOIN hits USING (query_id)
 ORDER BY query_id"""
+
+
+def media_phash_dedup_sql(n: int = 500, universe: int = 250,
+                          seed: int = 9, dim: int = 16, bands: int = 4,
+                          max_hamming: int = 2,
+                          max_block: int = 256) -> str:
+    """Mirror of multimodal.phash_pairs over synth_media(n, seed,
+    payload_universe): stub lanes from the sha256 hex string,
+    mean-binarized code, band postings, exact Hamming."""
+    width = dim // bands
+    return f"""
+WITH m AS (SELECT CAST(range AS BIGINT) AS media_id,
+                  sha256('{seed}' || CAST(range % {universe} AS VARCHAR))
+                    AS h
+           FROM range({n})),
+lanes AS (SELECT media_id,
+                 list_transform(range(0, {dim}), k ->
+                   ord(substr(h, CAST(k AS INT) + 1, 1))
+                   + ord(substr(h, CAST(k AS INT) + {dim + 1}, 1))
+                   + ord(substr(h, CAST(k AS INT) + {2 * dim + 1}, 1))
+                   + ord(substr(h, CAST(k AS INT) + {3 * dim + 1}, 1)))
+                   AS ls
+          FROM m),
+ppm AS (SELECT media_id,
+               list_transform(ls, x -> x * 1000000 // list_sum(ls)) AS p
+        FROM lanes),
+coded AS (SELECT media_id AS mm,
+                 CAST(list_sum(list_transform(range(0, {dim}), i ->
+                   CASE WHEN p[CAST(i AS INT) + 1] * {dim} > list_sum(p)
+                        THEN 1 << i ELSE 0 END)) AS BIGINT) AS code
+          FROM ppm),
+banded AS (SELECT mm, code, b.band,
+                  (code // (1 << (b.band * {width}))) % {1 << width}
+                    AS bval
+           FROM coded, (SELECT UNNEST(range(0, {bands})) AS band) b),
+posting AS (SELECT band, bval,
+                   list_sort(list({{'m': mm, 'code': code}}))[1:{max_block}]
+                     AS ms
+            FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 1),
+pb AS (SELECT band, bval, UNNEST(ms) AS e FROM posting),
+pairs AS (SELECT DISTINCT l.e.m AS a, r.e.m AS b,
+                          l.e.code AS ca, r.e.code AS cb
+          FROM pb l JOIN pb r ON l.band = r.band AND l.bval = r.bval
+                             AND l.e.m < r.e.m)
+SELECT a, b, CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(ca, cb)) <= {max_hamming}
+ORDER BY a, b"""

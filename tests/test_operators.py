@@ -1892,3 +1892,16 @@ def test_ann_recall_eval_bounds(spark):
     assert all(0 <= r.recall_ppm <= 1_000_000 for r in rows)
     assert all(r.recall_ppm == r.n_hits * 100_000 for r in rows)
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_phash_pairs_planted(spark):
+    """Exact duplicate payloads collide at Hamming 0; the band
+    guarantee finds every pair within max_hamming of a shared band."""
+    from nifi_datasynthesizer_spark.operators import multimodal as MM
+    media = MM.synth_media(spark, n=60, seed=9, payload_universe=30)
+    feats = MM.extract_features(media, dim=16)
+    pairs = MM.phash_pairs(feats, dim=16, bands=4, max_hamming=2).collect()
+    zero = {(r.a, r.b) for r in pairs if r.hamming == 0}
+    # payload universe 30 over 60 ids -> (i, i+30) share payload bytes
+    assert {(i, i + 30) for i in range(30)} <= zero
+    assert all(r.a < r.b and 0 <= r.hamming <= 2 for r in pairs)
