@@ -524,8 +524,13 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
     have events (no synthetic trailing tail).  Returns (day, wau,
     dau) — the trailing-window and same-day distinct counts.
     """
+    from .dedup import _pin
     day = F.to_date(F.col(ts))
-    pairs = events.select(F.col(key).alias("u"), day.alias("d")).distinct()
+    # the distinct (user, day) frame feeds three consumers (contrib,
+    # report-day set, dau) — pin it so the corpus is scanned once
+    pairs = _pin(events.select(F.col(key).alias("u"),
+                               day.alias("d")).distinct())
+    pairs.count()
     contrib = (pairs.select(
         "u", "d",
         F.explode(F.sequence(F.col("d"),

@@ -529,7 +529,9 @@ def test_wave3_operators_scan_counts(spark):
     expect = {"corpus_token_budget": 1, "corpus_overlap": 1,
               "embed_knn_graph": 1, "events_attribution": 1,
               "events_dwell": 1, "events_sequences": 1,
-              "sketch_ams": 1, "corpus_curriculum": 1}
+              "sketch_ams": 1, "corpus_curriculum": 1,
+              "events_wau": 1, "corpus_upsample": 1,
+              "corpus_filter_report": 1}
     for name, want in expect.items():
         df = entrymod.queries()[name](spark, SF)
         p = _plan(df)
