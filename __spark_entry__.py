@@ -2059,8 +2059,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
     o["io_bucketed_join"] = """
 SELECT o_custkey, COUNT(*) AS n_items,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
-                AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_custkey ORDER BY o_custkey"""
 
@@ -2429,7 +2429,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["media_phash_dedup"] = OR.media_phash_dedup_sql()
     o["io_partition_prune"] = """
 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events WHERE event_type = 'purchase'
 GROUP BY day ORDER BY day"""
     o["embed_knn_graph"] = OR.knn_graph_sql()
