@@ -242,7 +242,10 @@ _WINDOW_R6_HEAD = [
 # new-this-round but the head's remaining entries are all verdict-
 # mandated stale re-verifications or results-changed queries)
 _WINDOW_R6_TAIL = [
-    "corpus_upsample", "ann_recall_eval", "media_phash_dedup", "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
+    "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
+    # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
+    "text_readability",
+    "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
@@ -1067,6 +1070,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (TX.word_entropy(_t(spark, sf, "documents"))
                 .orderBy("doc_id"))
     q["text_entropy"] = text_entropy
+
+    def text_readability(spark, sf):
+        """Flesch / Flesch–Kincaid readability in integer micro-units:
+        regexp run counts (words, sentence-enders, vowel groups) and
+        positive-operand integer division — one narrow codegen pass,
+        no explode/shuffle/UDF."""
+        return (TX.readability(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+    q["text_readability"] = text_readability
 
     def text_embed(spark, sf):
         emb = TX.hash_embed(_t(spark, sf, "documents"), dim=16)
@@ -2351,6 +2363,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()
+    o["text_readability"] = OR.readability_sql()
     o["text_embed"] = OR.hash_embed_sql(dim=16)
     o["corpus_stats"] = OR.corpus_stats_sql()
     o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)

@@ -517,6 +517,54 @@ def bigram_fluency(docs: DataFrame, text_col: str = "text",
                  .alias("fluency_ppm")))
 
 
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document readability scores — Flesch reading-ease and
+    Flesch–Kincaid grade level, the third classic axis of a quality
+    filter chain (entropy catches boilerplate, repetition catches
+    spam, readability catches word-salad/OCR noise whose sentence
+    structure is wrong even when the vocabulary looks fine).
+
+    Counting rules (deterministic, engine-exact):
+      words      = maximal non-whitespace runs
+      sentences  = maximal ``[.!?]+`` runs, floored at 1
+      syllables  = vowel-group runs ``[aeiouy]+`` over the lowercased
+                   text, plus 1 per vowel-less word (every word
+                   contributes at least one syllable) — the standard
+                   dictionary-free estimate
+    Scores in integer micro-units with each division's operands
+    positive (trunc == floor in both engines):
+      flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+      fk     = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Plan shape for 100 TB: one narrow codegen pass over the corpus —
+    regexp counts and integer arithmetic only, no explode, no
+    shuffle, no UDF.  NULL metrics for wordless documents.
+    """
+    lower = F.lower(F.col(text_col))
+    toks = F.regexp_extract_all(lower, F.lit(r"[^\s]+"), 0)
+    staged = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col(text_col),
+                                        F.lit(r"[.!?]+"), 0)),
+            F.lit(1)).cast("long").alias("n_sentences"),
+        (F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0))
+         + F.size(F.filter(toks, lambda w: ~w.rlike("[aeiouy]"))))
+        .cast("long").alias("n_syllables"))
+    wps = F.expr("1015000 * n_words div n_sentences")
+    spw = F.expr("84600000 * n_syllables div n_words")
+    fk = F.expr("390000 * n_words div n_sentences"
+                " + 11800000 * n_syllables div n_words - 15590000")
+    gated = F.col("n_words") >= 1
+    return staged.select(
+        id_col, "n_words", "n_sentences", "n_syllables",
+        F.when(gated, F.lit(206835000) - wps - spw)
+        .cast("long").alias("flesch_micro"),
+        F.when(gated, fk).cast("long").alias("fk_grade_micro"))
+
+
 def word_entropy(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document unigram word entropy + type-token ratio — the

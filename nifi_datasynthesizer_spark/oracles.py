@@ -1966,6 +1966,32 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
 
 
+def readability_sql(table: str = "documents") -> str:
+    """Mirror of text.readability: regexp run counts + positive-operand
+    integer division, scores in micro-units."""
+    return f"""
+WITH t AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(LOWER(text), '[^\\s]+')) AS BIGINT)
+    AS n_words,
+  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+    AS n_sentences,
+  CAST(len(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+       + len(list_filter(regexp_extract_all(LOWER(text), '[^\\s]+'),
+                         w -> NOT regexp_matches(w, '[aeiouy]')))
+       AS BIGINT) AS n_syllables
+  FROM {table})
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CAST(CASE WHEN n_words >= 1
+            THEN 206835000 - (1015000 * n_words // n_sentences)
+                 - (84600000 * n_syllables // n_words) END
+       AS BIGINT) AS flesch_micro,
+  CAST(CASE WHEN n_words >= 1
+            THEN (390000 * n_words // n_sentences)
+                 + (11800000 * n_syllables // n_words) - 15590000 END
+       AS BIGINT) AS fk_grade_micro
+FROM t ORDER BY doc_id"""
+
+
 def dedup_agreement_sql(num_hashes: int = 64, bands: int = 16,
                         shingle_k: int = 5,
                         jaccard_threshold: float = 0.5, bits: int = 60,
