@@ -244,7 +244,7 @@ _WINDOW_R6_HEAD = [
 _WINDOW_R6_TAIL = [
     "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
-    "text_readability",
+    "text_readability", "corpus_dedup_report",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -972,6 +972,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  jaccard_threshold=0.5)
         return DD.dup_groups(pairs).orderBy("doc_id")
     q["dedup_groups"] = dedup_groups
+
+    def corpus_dedup_report(spark, sf):
+        """Dedup impact report: cluster-size distribution + exact
+        docs/tokens-saved accounting over the minhash near-dup graph
+        — the governance read before a 100 TB dedup deletes anything."""
+        docs = _t(spark, sf, "documents")
+        pairs = DD.dedup_minhash(docs, num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        return DD.dedup_report(docs, pairs).orderBy("cluster_size")
+    q["corpus_dedup_report"] = corpus_dedup_report
 
     def dedup_cross(spark, sf):
         """Incremental dedup: the 'incoming batch' (doc_id % 7 = 0)
@@ -2360,6 +2370,8 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
     o["dedup_agreement"] = OR.dedup_agreement_sql()
     o["dedup_fuzzy"] = OR.fuzzy_pairs_sql(max_dist_ppm=300_000)
     o["dedup_groups"] = OR.dup_groups_sql(OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
+    o["corpus_dedup_report"] = OR.dedup_report_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()

@@ -399,6 +399,49 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                          F.col("label").alias("group_id"))
 
 
+def dedup_report(docs: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Dedup impact report: the governance read BEFORE a dedup pass
+    deletes anything at 100 TB — cluster-size distribution of the
+    near-dup graph plus exact docs/tokens-saved accounting (how much
+    volume disappears if only each cluster's keeper survives).
+    A corpus whose duplicates sit in a few giant clusters (template
+    spam) needs different handling than one with many pairs, and
+    tokens-saved is the number that justifies the job's cost.
+
+    Shape: ``dup_groups`` collapses the pairs to (doc, keeper)
+    labels — a pair-sized frame, broadcast back onto a narrow
+    token-count pass over the corpus (singletons default to their own
+    id); then two map-side-combinable aggregations, cluster-key and
+    size-key, both over frames bounded by |docs| and |sizes|.  The
+    corpus itself is scanned once and never shuffled.
+
+    Returns one row per cluster size: (cluster_size, n_clusters,
+    n_docs, n_redundant_docs, tokens_total, tokens_redundant).
+    """
+    groups = dup_groups(pairs)
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("nt"))
+    labeled = (toks.join(F.broadcast(groups), id_col, "left")
+               .select(F.col(id_col),
+                       F.coalesce("group_id", F.col(id_col))
+                       .alias("gid"), "nt"))
+    per_cluster = labeled.groupBy("gid").agg(
+        F.count("*").alias("sz"),
+        F.sum("nt").alias("tok"),
+        F.sum(F.when(F.col(id_col) != F.col("gid"), F.col("nt"))
+              .otherwise(F.lit(0))).alias("tok_red"))
+    return (per_cluster.groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("sz").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).alias("n_redundant_docs"),
+                 F.sum("tok").alias("tokens_total"),
+                 F.sum("tok_red").alias("tokens_redundant")))
+
+
 # --------------------------------------------------- embedding near-dup
 
 def dedup_embedding(emb: DataFrame, threshold: float = 0.95,

@@ -319,6 +319,32 @@ SELECT node AS doc_id, MIN(lab) AS group_id
 FROM reach GROUP BY node ORDER BY doc_id"""
 
 
+def dedup_report_sql(pairs_sql: str, table: str = "documents") -> str:
+    """Mirror of dedup.dedup_report: components over ``pairs_sql``,
+    singleton fallback to own id, per-cluster then per-size rollup."""
+    groups = dup_groups_sql(pairs_sql)
+    return f"""
+WITH g AS ({groups}),
+t AS (SELECT doc_id,
+             CAST(len(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT)
+               AS nt
+      FROM {table}),
+l AS (SELECT t.doc_id, COALESCE(g.group_id, t.doc_id) AS gid, nt
+      FROM t LEFT JOIN g USING (doc_id)),
+pc AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS sz,
+              CAST(SUM(nt) AS BIGINT) AS tok,
+              CAST(SUM(CASE WHEN doc_id <> gid THEN nt ELSE 0 END)
+                   AS BIGINT) AS tok_red
+       FROM l GROUP BY gid)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_redundant_docs,
+       CAST(SUM(tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(tok_red) AS BIGINT) AS tokens_redundant
+FROM pc GROUP BY sz ORDER BY cluster_size"""
+
+
 def fingerprint_sql(ngram: int = 8, table: str = "documents") -> str:
     """Mirror of text.fingerprint (doc_id + fp columns only)."""
     return f"""
