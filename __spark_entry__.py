@@ -244,7 +244,7 @@ _WINDOW_R6_HEAD = [
 _WINDOW_R6_TAIL = [
     "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
-    "text_readability", "corpus_dedup_report",
+    "text_readability", "corpus_dedup_report", "events_rfm",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -438,6 +438,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return rolling_active_users(ev).orderBy("day")
     q["events_wau"] = events_wau
+
+    def events_rfm(spark, sf):
+        """RFM segmentation, quintiles by histogram-CDF — one event
+        aggregate, tiny per-value CDFs, boundaries broadcast as one
+        row, scores as narrow comparisons (no ntile global sort)."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            rfm_segments
+        ev = _t(spark, sf, "events")
+        return rfm_segments(ev).orderBy("user_id")
+    q["events_rfm"] = events_rfm
 
     def corpus_upsample(spark, sf):
         """Deterministic fractional up-sampling (epoch repetition):
@@ -2448,6 +2458,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_dwell"] = OR.dwell_times_sql()
     o["corpus_filter_report"] = OR.corpus_filter_report_sql()
     o["events_wau"] = OR.rolling_active_users_sql()
+    o["events_rfm"] = OR.rfm_segments_sql()
     o["corpus_upsample"] = OR.corpus_upsample_sql(
         {"src0": 2.5, "src1": 3.0, "src2": 0.5})
     o["ann_recall_eval"] = OR.ann_recall_eval_sql()

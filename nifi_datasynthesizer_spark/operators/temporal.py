@@ -544,3 +544,76 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
         .agg(F.countDistinct("u").alias("dau"))
     return (wau.join(dau, "report_day")
             .select(F.col("report_day").alias("day"), "wau", "dau"))
+
+
+def rfm_segments(events: DataFrame, key: str = "user_id",
+                 ts: str = "ts", value: str = "value",
+                 k: int = 5) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary),
+    each dimension scored 1..k by which value-quantile of the
+    per-user distribution it falls in — the classic marketing-
+    analytics rollup, and a stress test of quantile assignment at
+    scale.
+
+    The naive shape is three ``ntile()`` calls — three global sorts
+    over the user frame.  The scale shape (same trick as
+    corpus_curriculum): per-user (r, f, m) in ONE map-side-combined
+    aggregate over the events, then each dimension's full CDF from a
+    tiny per-distinct-value histogram, the k−1 boundary values
+    collapse to one broadcast row, and the score is a narrow
+    comparison — no sort, no second shuffle of the user frame.
+    Boundary rule: b_q = min value with CDF ≥ q·N/k; bucket =
+    #{q : value > b_q}.  Recency is inverted (recent = high score).
+
+    Monetary is exact integer cents; recency is whole days behind the
+    corpus max day.  Returns (user, r_days, f_events, m_cents,
+    r_score, f_score, m_score, segment) with segment = r·100+f·10+m.
+    """
+    from .dedup import _pin
+    day = F.to_date(F.col(ts))
+    per = _pin(events
+               .select(F.col(key), day.alias("d"),
+                       F.floor(F.col(value) * 100).cast("long")
+                       .alias("cents"))
+               .groupBy(key)
+               .agg(F.max("d").alias("last_day"),
+                    F.count("*").cast("long").alias("f_events"),
+                    F.sum("cents").alias("m_cents")))
+    per.count()
+    anchor = per.agg(F.max("last_day").alias("anchor"))
+    per2 = _pin(per.crossJoin(F.broadcast(anchor))
+                .select(key,
+                        F.datediff("anchor", "last_day").cast("long")
+                        .alias("r_days"), "f_events", "m_cents"))
+    per2.count()
+
+    def bounds(col: str):
+        hist = per2.groupBy(F.col(col).alias("v")) \
+            .agg(F.count("*").alias("c"))
+        cum_w = (Window.orderBy("v")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        cdf = (hist.withColumn("cum", F.sum("c").over(cum_w))
+               .crossJoin(F.broadcast(
+                   hist.agg(F.sum("c").alias("n")))))
+        return cdf.agg(*[
+            F.min(F.when(F.col("cum") * k >= q * F.col("n"),
+                         F.col("v"))).alias(f"{col}_b{q}")
+            for q in range(1, k)])
+
+    bs = (bounds("r_days").crossJoin(bounds("f_events"))
+          .crossJoin(bounds("m_cents")))
+
+    def bucket(col: str):
+        return sum((F.col(col) > F.col(f"{col}_b{q}")).cast("long")
+                   for q in range(1, k))
+
+    r_score = F.lit(k) - bucket("r_days")      # recent = high
+    f_score = bucket("f_events") + 1
+    m_score = bucket("m_cents") + 1
+    return (per2.crossJoin(F.broadcast(bs))
+            .select(key, "r_days", "f_events", "m_cents",
+                    r_score.alias("r_score"), f_score.alias("f_score"),
+                    m_score.alias("m_score"),
+                    (r_score * 100 + f_score * 10 + m_score)
+                    .alias("segment")))

@@ -2543,3 +2543,46 @@ pairs AS (SELECT DISTINCT l.e.m AS a, r.e.m AS b,
 SELECT a, b, CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(ca, cb)) <= {max_hamming}
 ORDER BY a, b"""
+
+
+def rfm_segments_sql(k: int = 5, table: str = "events") -> str:
+    """Mirror of temporal.rfm_segments: one per-user aggregate,
+    histogram-CDF quintile boundaries per dimension, comparison
+    scores (recency inverted)."""
+    def dim(col: str, tag: str) -> str:
+        return f"""
+h{tag} AS (SELECT {col} AS v, COUNT(*) AS c FROM p2 GROUP BY 1),
+c{tag} AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+                  (SELECT SUM(c) FROM h{tag}) AS n
+           FROM h{tag}),
+b{tag} AS (SELECT {", ".join(
+            f"MIN(CASE WHEN cum * {k} >= {q} * n THEN v END) AS {tag}b{q}"
+            for q in range(1, k))}
+           FROM c{tag})"""
+
+    def bucket(col: str, tag: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {col} > {tag}b{q} THEN 1 ELSE 0 END)"
+            for q in range(1, k))
+
+    return f"""
+WITH per AS (
+  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS f_events,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM {table} GROUP BY user_id),
+a AS (SELECT MAX(last_day) AS anchor FROM per),
+p2 AS (SELECT user_id,
+              CAST(date_diff('day', last_day, (SELECT anchor FROM a))
+                   AS BIGINT) AS r_days,
+              f_events, m_cents
+       FROM per),{dim("r_days", "r")},{dim("f_events", "f")},{dim("m_cents", "m")}
+SELECT user_id, r_days, f_events, m_cents,
+       CAST({k} - ({bucket("r_days", "r")}) AS BIGINT) AS r_score,
+       CAST(({bucket("f_events", "f")}) + 1 AS BIGINT) AS f_score,
+       CAST(({bucket("m_cents", "m")}) + 1 AS BIGINT) AS m_score,
+       CAST(({k} - ({bucket("r_days", "r")})) * 100
+            + (({bucket("f_events", "f")}) + 1) * 10
+            + (({bucket("m_cents", "m")}) + 1) AS BIGINT) AS segment
+FROM p2, br, bf, bm ORDER BY user_id"""
