@@ -245,6 +245,7 @@ _WINDOW_R6_TAIL = [
     "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
     "text_readability", "corpus_dedup_report", "events_rfm",
+    "graph_label_prop",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1436,6 +1437,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(pairs, iters=2).orderBy("doc_id")
     q["graph_pagerank"] = graph_pagerank
 
+    def graph_label_prop(spark, sf):
+        """Deterministic synchronous label propagation over the
+        minhash near-dup graph: dense-community detection (template
+        blobs collapse, borderline chains stay split) — one node-key
+        join + a struct-max vote per round, no window sort."""
+        from nifi_datasynthesizer_spark.operators.graph import \
+            label_propagation
+        pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
+                                 num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        return label_propagation(pairs, iters=3).orderBy("node")
+    q["graph_label_prop"] = graph_label_prop
+
     def geo_near(spark, sf):
         """Grid-blocked spatial self-join: generated continental-US
         points paired within ~5.5 km via cell blocking + 3×3 neighbor
@@ -2624,6 +2638,9 @@ FROM c GROUP BY grp ORDER BY event_type"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["graph_pagerank"] = OR.pagerank_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
+    o["graph_label_prop"] = OR.label_propagation_sql(OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5),
+        iters=3)
     # the streamed foreachBatch dedup drains to the batch answer
     o["streaming_dedup_cross"] = OR.minhash_cross_sql("doc_id % 7 = 0")
     # the signature store round-trips losslessly, so the stored-side

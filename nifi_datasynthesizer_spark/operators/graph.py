@@ -146,3 +146,42 @@ def components(pairs: DataFrame) -> DataFrame:
     from .dedup import dup_groups
     return dup_groups(pairs).select(
         F.col("doc_id").alias("node"), F.col("group_id").alias("component"))
+
+
+def label_propagation(pairs: DataFrame, iters: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the undirected pair graph — where
+    connected components answer "what is transitively linked", LPA
+    answers "where are the DENSE cores": a chain of borderline
+    near-dup links stays multiple communities, a template-spam blob
+    collapses to one.  The classic LPA is unstable; this variant is
+    made deterministic (and retry-safe on a cluster) by synchronous
+    updates, a fixed iteration budget, and the tie rule
+    (max neighbor-count, then min label).
+
+    Each round is ONE join keyed on the node id + one two-level
+    aggregation: (node, label) vote counts — map-side combinable,
+    bounded by the edge count — then a struct-max per node picks
+    (count desc, label asc) without a window sort.  Labels start as
+    node ids; edges are pinned once (release with
+    dedup.release_caches).  Lineage depth = ``iters`` (small, fixed);
+    persist per-round like dup_groups for deep budgets.
+
+    Returns (node, community) — community = converged label.
+    """
+    a, b = F.col("a"), F.col("b")
+    sym = (pairs.select(a.alias("src"), b.alias("dst"))
+           .union(pairs.select(b.alias("src"), a.alias("dst"))).distinct())
+    edges = _pin(sym)
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .select("node", F.col("node").alias("lbl"))
+    for _ in range(iters):
+        votes = (edges.join(labels, edges.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"), "lbl")
+                 .agg(F.count("*").alias("c")))
+        best = (votes.groupBy("node")
+                .agg(F.max(F.struct(F.col("c").alias("c"),
+                                    (-F.col("lbl")).alias("neg")))
+                     .alias("m")))
+        labels = best.select("node", (-F.col("m.neg")).alias("lbl"))
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -2586,3 +2586,24 @@ SELECT user_id, r_days, f_events, m_cents,
             + (({bucket("f_events", "f")}) + 1) * 10
             + (({bucket("m_cents", "m")}) + 1) AS BIGINT) AS segment
 FROM p2, br, bf, bm ORDER BY user_id"""
+
+
+def label_propagation_sql(pairs_sql: str, iters: int = 3) -> str:
+    """Mirror of graph.label_propagation: unrolled synchronous rounds,
+    (count DESC, label ASC) vote rule via ROW_NUMBER."""
+    ctes = [f"prs AS ({pairs_sql})",
+            "edges AS (SELECT a AS src, b AS dst FROM prs"
+            " UNION SELECT b, a FROM prs)",
+            "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+v{t} AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+         FROM edges e JOIN l{t - 1} l ON e.src = l.node
+         GROUP BY 1, 2),
+l{t} AS (SELECT node, lbl FROM (
+           SELECT node, lbl,
+                  ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY c DESC, lbl ASC) AS rn
+           FROM v{t}) WHERE rn = 1)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT node, lbl AS community FROM l{iters} ORDER BY node")
