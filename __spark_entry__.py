@@ -245,7 +245,7 @@ _WINDOW_R6_TAIL = [
     "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
     "text_readability", "corpus_dedup_report", "events_rfm",
-    "graph_label_prop",
+    "graph_label_prop", "io_zorder",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -395,6 +395,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return corpus_filter_report(docs).orderBy("rule_idx")
     q["corpus_filter_report"] = corpus_filter_report
+
+    def io_zorder(spark, sf):
+        """Z-order (Morton) clustering report: events keyed by the
+        bit-interleave of (user bucket, day bucket); per-z-bucket
+        min/max spans on BOTH dimensions stay narrow (a lexicographic
+        sort narrows only the leading one) — the layout primitive
+        behind OPTIMIZE ZORDER BY, as pure integer column algebra."""
+        x = "pmod(user_id, 16)"
+        y = ("pmod(datediff(to_date(ts), DATE '1970-01-01'), 16)")
+        ev = _t(spark, sf, "events")
+        staged = ev.select(
+            F.expr(x).cast("long").alias("x"),
+            F.expr(y).cast("long").alias("y"),
+            IO.zorder_key(x, y, bits=4).alias("z"))
+        return (staged.groupBy(F.expr("z div 16").alias("zbucket"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                     F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+                .select("zbucket", "n_rows", "min_x", "max_x",
+                        "min_y", "max_y",
+                        F.expr("(max_x - min_x + 1) * (max_y - min_y + 1)")
+                        .alias("span_product"))
+                .orderBy("zbucket"))
+    q["io_zorder"] = io_zorder
 
     def io_partition_prune(spark, sf):
         """Partition-pruned layout: events written partitioned by
@@ -2473,6 +2497,19 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_filter_report"] = OR.corpus_filter_report_sql()
     o["events_wau"] = OR.rolling_active_users_sql()
     o["events_rfm"] = OR.rfm_segments_sql()
+    _zsql = IO.zorder_key_sql("x", "y", bits=4)
+    o["io_zorder"] = f"""
+WITH s AS (SELECT (user_id % 16) AS x,
+                  (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   % 16) AS y
+           FROM events),
+z AS (SELECT x, y, {_zsql} AS z FROM s)
+SELECT z // 16 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+       CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+         AS span_product
+FROM z GROUP BY zbucket ORDER BY zbucket"""
     o["corpus_upsample"] = OR.corpus_upsample_sql(
         {"src0": 2.5, "src1": 3.0, "src2": 0.5})
     o["ann_recall_eval"] = OR.ann_recall_eval_sql()

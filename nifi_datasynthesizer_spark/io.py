@@ -184,3 +184,34 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         r = r.option("header", "true").option("inferSchema", schema is None)
     return r.load(path)
+
+
+def zorder_key(x, y, bits: int = 8):
+    """Morton (Z-order) interleave of two ``bits``-bit non-negative
+    integer columns into one clustering key — the multi-dimensional
+    layout primitive behind Delta/Iceberg ``OPTIMIZE ZORDER BY``:
+    sorting by the interleaved key keeps rows close in BOTH
+    dimensions, so per-file min/max statistics prune selective
+    filters on EITHER column (a lexicographic (x, y) sort prunes only
+    x).  At 100 TB, layout is the cheapest pruning there is: it costs
+    one range-partitioned write and pays on every later scan.
+
+    Pure integer column algebra (shift-free: div/mod/multiply), so
+    the identical expression replays in any ANSI engine:
+    ``z = Σᵢ ((x div 2ⁱ) mod 2 + 2·((y div 2ⁱ) mod 2)) · 4ⁱ``.
+    ``x``/``y`` are column NAMES (or SQL expressions); caller masks
+    them into range (e.g. ``pmod(user_id, 256)``).
+    """
+    from pyspark.sql import functions as F
+    terms = " + ".join(
+        f"((({x}) div {1 << i}) % 2 + 2 * ((({y}) div {1 << i}) % 2))"
+        f" * {4 ** i}" for i in range(bits))
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 8) -> str:
+    """The same Morton interleave as ANSI SQL text (oracle side)."""
+    terms = " + ".join(
+        f"((({x}) // {1 << i}) % 2 + 2 * ((({y}) // {1 << i}) % 2))"
+        f" * {4 ** i}" for i in range(bits))
+    return f"CAST({terms} AS BIGINT)"

@@ -122,3 +122,34 @@ def test_cli_rejects_bad_counts_and_threads():
         with _pt.raises(argparse.ArgumentTypeError):
             _parse_threads(bad)
     assert _parse_threads("4") == 4
+
+
+def test_zorder_locality(spark):
+    """Morton-key bucketing bounds the span of BOTH dimensions per
+    bucket (here 64×64 tiles for 16 buckets of a 256×256 space), so a
+    filter on the NON-leading dimension prunes ~3/4 of the buckets —
+    a lexicographic x-sort leaves every bucket covering the full y
+    range and prunes nothing."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    x = "pmod(user_id, 16)"
+    y = "pmod(datediff(to_date(ts), DATE '1970-01-01'), 16)"
+    staged = ev.select(
+        F.expr(x).cast("long").alias("x"),
+        F.expr(y).cast("long").alias("y"),
+        nio.zorder_key(x, y, bits=4).alias("z")).persist()
+    z_spans = (staged.groupBy(F.expr("z div 16"))
+               .agg((F.max("y") - F.min("y")).alias("ys"),
+                    (F.max("x") - F.min("x")).alias("xs"))
+               .agg(F.avg("ys").alias("ys"), F.avg("xs").alias("xs"))
+               .collect()[0])
+    lex_spans = (staged.groupBy("x")
+                 .agg((F.max("y") - F.min("y")).alias("ys"))
+                 .agg(F.avg("ys").alias("ys")).collect()[0])
+    staged.unpersist()
+    # z-buckets: ≤4-wide tiles in both dims; x-sort buckets span full y
+    assert z_spans["ys"] <= 4
+    assert z_spans["xs"] <= 4
+    assert z_spans["ys"] * 2 < lex_spans["ys"]
