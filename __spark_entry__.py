@@ -245,7 +245,7 @@ _WINDOW_R6_TAIL = [
     "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
     "text_readability", "corpus_dedup_report", "events_rfm",
-    "graph_label_prop", "io_zorder",
+    "graph_label_prop", "io_zorder", "dedup_minhash_eval",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1007,6 +1007,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  jaccard_threshold=0.5)
         return DD.dup_groups(pairs).orderBy("doc_id")
     q["dedup_groups"] = dedup_groups
+
+    def dedup_minhash_eval(spark, sf):
+        """Precision/recall/F1 of the MinHash-LSH detector vs exact
+        shingle-Jaccard truth on a deterministic sample — detector
+        governance before trusting a config on the next batch; truth
+        cost bounded by the sample BY DESIGN."""
+        return DD.minhash_eval(_t(spark, sf, "documents"),
+                               sample_mod=2, jaccard_threshold=0.5)
+    q["dedup_minhash_eval"] = dedup_minhash_eval
 
     def corpus_dedup_report(spark, sf):
         """Dedup impact report: cluster-size distribution + exact
@@ -2421,6 +2430,8 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["corpus_dedup_report"] = OR.dedup_report_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
+    o["dedup_minhash_eval"] = OR.minhash_eval_sql(sample_mod=2,
+                                                  jaccard_threshold=0.5)
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()
     o["text_readability"] = OR.readability_sql()

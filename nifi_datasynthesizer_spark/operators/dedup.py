@@ -442,6 +442,67 @@ def dedup_report(docs: DataFrame, pairs: DataFrame,
                  F.sum("tok_red").alias("tokens_redundant")))
 
 
+def minhash_eval(docs: DataFrame, sample_mod: int = 4,
+                 jaccard_threshold: float = 0.5, num_hashes: int = 64,
+                 bands: int = 16, shingle_k: int = 5) -> DataFrame:
+    """Detector-quality evaluation: precision/recall/F1 of the
+    MinHash-LSH detector against EXACT shingle-set Jaccard truth on a
+    deterministic document sample — the dedup twin of
+    ann_recall_eval, and the continuous monitoring job a production
+    pipeline runs before trusting a (num_hashes, bands, threshold)
+    configuration on the next 100 TB batch.
+
+    Exact truth is quadratic in principle; the sample bounds it BY
+    DESIGN (truth pairs are sample², candidates are shingle-posting
+    joins within the sample), while the detector under test runs its
+    normal banded plan.  Both sides see the same shingle sets
+    (h60-hashed), so the estimate measures signature+banding error
+    only.  Returns ONE row: (n_truth, n_pred, n_hit, precision_ppm,
+    recall_ppm, f1_ppm), F1 the ppm harmonic mean.
+    """
+    thr_ppm = int(round(jaccard_threshold * 1_000_000))
+    sample = _pin(docs.filter(F.col("doc_id") % sample_mod == 0))
+    posts = _pin(sample
+                 .select("doc_id",
+                         F.explode(_shingles(F.col("text"), shingle_k))
+                         .alias("g"))
+                 .select("doc_id", h60(F.col("g")).alias("gh"))
+                 .distinct())
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (posts.select(F.col("doc_id").alias("a"), "gh")
+             .join(posts.select(F.col("doc_id").alias("b"), "gh"), "gh")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("i")))
+    truth = (inter
+             .join(sizes.select(F.col("doc_id").alias("a"),
+                                F.col("n").alias("na")), "a")
+             .join(sizes.select(F.col("doc_id").alias("b"),
+                                F.col("n").alias("nb")), "b")
+             .filter(F.col("i") * 1_000_000
+                     >= thr_ppm * (F.col("na") + F.col("nb") - F.col("i")))
+             .select("a", "b"))
+    pred = dedup_minhash(sample, num_hashes=num_hashes, bands=bands,
+                         shingle_k=shingle_k,
+                         jaccard_threshold=jaccard_threshold) \
+        .select("a", "b")
+    hit = pred.join(truth, ["a", "b"])
+    row = (truth.agg(F.count("*").alias("n_truth"))
+           .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+           .crossJoin(hit.agg(F.count("*").alias("n_hit"))))
+    prec = F.expr("CASE WHEN n_pred > 0"
+                  " THEN n_hit * 1000000 div n_pred END")
+    rec = F.expr("CASE WHEN n_truth > 0"
+                 " THEN n_hit * 1000000 div n_truth END")
+    return (row.select("n_truth", "n_pred", "n_hit",
+                       prec.cast("long").alias("precision_ppm"),
+                       rec.cast("long").alias("recall_ppm"))
+            .withColumn("f1_ppm",
+                        F.expr("CASE WHEN precision_ppm + recall_ppm > 0"
+                               " THEN 2 * precision_ppm * recall_ppm"
+                               " div (precision_ppm + recall_ppm) END")
+                        .cast("long")))
+
+
 # --------------------------------------------------- embedding near-dup
 
 def dedup_embedding(emb: DataFrame, threshold: float = 0.95,

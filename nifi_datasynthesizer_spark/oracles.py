@@ -2607,3 +2607,50 @@ l{t} AS (SELECT node, lbl FROM (
            FROM v{t}) WHERE rn = 1)""")
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT node, lbl AS community FROM l{iters} ORDER BY node")
+
+
+def minhash_eval_sql(sample_mod: int = 4, jaccard_threshold: float = 0.5,
+                     num_hashes: int = 64, bands: int = 16,
+                     shingle_k: int = 5) -> str:
+    """Mirror of dedup.minhash_eval: exact shingle-set Jaccard truth
+    on the sampled docs vs the banded detector's pairs (band
+    collisions are per-pair, so full-corpus pairs filtered to the
+    sample equal detector-on-sample pairs)."""
+    thr_ppm = int(round(jaccard_threshold * 1_000_000))
+    pred = minhash_pairs_sql(num_hashes=num_hashes, bands=bands,
+                             shingle_k=shingle_k,
+                             jaccard_threshold=jaccard_threshold)
+    return f"""
+WITH {_shingles_cte(shingle_k)},
+samp AS (SELECT doc_id, sh FROM sh WHERE doc_id % {sample_mod} = 0),
+posts AS (SELECT DISTINCT doc_id, {h60_sql('g')} AS gh
+          FROM (SELECT doc_id, unnest(sh) AS g FROM samp)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM posts GROUP BY 1),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM posts x JOIN posts y USING (gh)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+truth AS (SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE i * 1000000 >= {thr_ppm} * (sa.n + sb.n - i)),
+pred AS (SELECT a, b FROM ({pred})
+         WHERE a % {sample_mod} = 0 AND b % {sample_mod} = 0),
+hit AS (SELECT a, b FROM pred INTERSECT SELECT a, b FROM truth),
+m AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM pred) AS n_pred,
+             (SELECT COUNT(*) FROM hit) AS n_hit),
+r AS (SELECT CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(n_pred AS BIGINT) AS n_pred,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(CASE WHEN n_pred > 0
+                       THEN n_hit * 1000000 // n_pred END AS BIGINT)
+               AS precision_ppm,
+             CAST(CASE WHEN n_truth > 0
+                       THEN n_hit * 1000000 // n_truth END AS BIGINT)
+               AS recall_ppm
+      FROM m)
+SELECT *, CAST(CASE WHEN precision_ppm + recall_ppm > 0
+               THEN 2 * precision_ppm * recall_ppm
+                    // (precision_ppm + recall_ppm) END AS BIGINT)
+            AS f1_ppm
+FROM r"""
