@@ -246,6 +246,7 @@ _WINDOW_R6_TAIL = [
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
     "text_readability", "corpus_dedup_report", "events_rfm",
     "graph_label_prop", "io_zorder", "dedup_minhash_eval",
+    "io_schema_evolution",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -419,6 +420,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("span_product"))
                 .orderBy("zbucket"))
     q["io_zorder"] = io_zorder
+
+    def io_schema_evolution(spark, sf):
+        """Schema-evolution read: two parquet snapshots of the corpus
+        — v2 adds a ``quality`` column — read back as ONE frame with
+        ``mergeSchema`` (v1 rows surface NULLs), rolled up per
+        snapshot.  This is how a 100 TB table actually grows columns:
+        old files are never rewritten; the reader reconciles
+        footers, and downstream aggregates must be NULL-correct."""
+        import shutil
+        import tempfile
+
+        docs = _t(spark, sf, "documents")
+        d = tempfile.mkdtemp(prefix="evschema_")
+        try:
+            (docs.filter(F.col("doc_id") % 2 == 0)
+             .select("doc_id")
+             .write.mode("overwrite").parquet(d + "/snap=1"))
+            (docs.filter(F.col("doc_id") % 2 == 1)
+             .select("doc_id",
+                     F.length("text").cast("long").alias("quality"))
+             .write.mode("overwrite").parquet(d + "/snap=2"))
+            merged = (spark.read.option("mergeSchema", "true")
+                      .parquet(d))
+            out = (merged.groupBy("snap")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.count("quality").alias("n_quality"),
+                        F.sum("quality").alias("sum_quality"))
+                   .select(F.col("snap").cast("long").alias("snap"),
+                           "n_docs", "n_quality", "sum_quality")
+                   .orderBy("snap"))
+            rows = out.collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, out.schema)
+    q["io_schema_evolution"] = io_schema_evolution
 
     def io_partition_prune(spark, sf):
         """Partition-pruned layout: events written partitioned by
@@ -2432,6 +2468,17 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["dedup_minhash_eval"] = OR.minhash_eval_sql(sample_mod=2,
                                                   jaccard_threshold=0.5)
+    o["io_schema_evolution"] = """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS snap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(0 AS BIGINT) AS n_quality, CAST(NULL AS BIGINT) AS sum_quality
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT)
+  FROM documents WHERE doc_id % 2 = 1)
+ORDER BY snap"""
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()
     o["text_readability"] = OR.readability_sql()
