@@ -246,7 +246,7 @@ _WINDOW_R6_TAIL = [
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
     "text_readability", "corpus_dedup_report", "events_rfm",
     "graph_label_prop", "io_zorder", "dedup_minhash_eval",
-    "io_schema_evolution",
+    "io_schema_evolution", "io_compaction",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -455,6 +455,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(d, ignore_errors=True)
         return spark.createDataFrame(rows, out.schema)
     q["io_schema_evolution"] = io_schema_evolution
+
+    def io_compaction(spark, sf):
+        """Small-file compaction: the corpus written as 64 tiny
+        parquet files (the classic streaming-ingest pathology — at
+        100 TB, file-count × footer/task overhead dominates scan cost
+        long before bytes do), then compacted 16:1 with one
+        round-robin repartition write.  File counts are MEASURED from
+        the directory (the oracle pins the expected 64 → 4), and a
+        bit_xor content digest over (doc_id, text) proves the rewrite
+        lost and duplicated nothing."""
+        import glob
+        import shutil
+        import tempfile
+
+        from nifi_datasynthesizer_spark.phash import h60
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        d = tempfile.mkdtemp(prefix="compact_")
+        try:
+            docs.repartition(64).write.mode("overwrite") \
+                .parquet(d + "/small")
+            n_before = len(glob.glob(d + "/small/part-*.parquet"))
+            spark.read.parquet(d + "/small").repartition(4) \
+                .write.mode("overwrite").parquet(d + "/compact")
+            n_after = len(glob.glob(d + "/compact/part-*.parquet"))
+            back = spark.read.parquet(d + "/compact")
+            sig = h60(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":"), F.col("text")))
+            out = back.select(sig.alias("sig")).agg(
+                F.lit(n_before).cast("long").alias("n_files_before"),
+                F.lit(n_after).cast("long").alias("n_files_after"),
+                F.count("*").alias("n_rows"),
+                F.expr("bit_xor(sig)").cast("long").alias("digest"))
+            rows = out.collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, out.schema)
+    q["io_compaction"] = io_compaction
 
     def io_partition_prune(spark, sf):
         """Partition-pruned layout: events written partitioned by
@@ -2479,6 +2516,13 @@ SELECT * FROM (
          CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT)
   FROM documents WHERE doc_id % 2 = 1)
 ORDER BY snap"""
+    _csig = OR.h60_sql("CAST(doc_id AS VARCHAR) || ':' || text")
+    o["io_compaction"] = f"""
+SELECT CAST(64 AS BIGINT) AS n_files_before,
+       CAST(4 AS BIGINT) AS n_files_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor({_csig}) AS BIGINT) AS digest
+FROM documents"""
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()
     o["text_readability"] = OR.readability_sql()
