@@ -71,7 +71,10 @@ def main() -> None:
              "events_dwell", "embed_knn_graph", "streaming_cdc_apply",
              "media_segments", "q6_forecast_revenue", "io_bucketed_join",
              "corpus_filter_report", "io_partition_prune", "events_wau",
-             "corpus_upsample", "ann_recall_eval", "media_phash_dedup"]
+             "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
+             "text_readability", "corpus_dedup_report", "events_rfm",
+             "graph_label_prop", "io_zorder", "dedup_minhash_eval",
+             "io_schema_evolution", "io_compaction"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation
