@@ -566,3 +566,22 @@ def test_partitioned_layout_prunes(spark):
         assert "event_type" not in pushed
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wave4_operators_scan_counts(spark):
+    """Rescan audit for the wave-4 operators.  text_readability /
+    io_zorder / events_rfm are single-scan narrow/agg plans (rfm's
+    boundary CDFs read the PINNED per-user frame, not the events);
+    corpus_dedup_report reads the corpus once for tokens plus the
+    pinned minhash signature lineage (2); dedup_minhash_eval reads
+    the sampled corpus for postings plus the pinned signature pass
+    (2)."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    expect = {"text_readability": 1, "io_zorder": 1, "events_rfm": 1,
+              "corpus_dedup_report": 2, "dedup_minhash_eval": 2}
+    for name, want in expect.items():
+        df = entrymod.queries()[name](spark, SF)
+        p = _plan(df)
+        scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+        assert len(scans) <= want, (name, scans)
+        release_caches()
