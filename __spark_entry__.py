@@ -246,7 +246,8 @@ _WINDOW_R6_TAIL = [
     # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
     "text_readability", "corpus_dedup_report", "events_rfm",
     "graph_label_prop", "io_zorder", "dedup_minhash_eval",
-    "io_schema_evolution", "io_compaction",
+    "io_schema_evolution", "io_compaction", "events_histogram",
+    "corpus_weighted_sample", "corpus_interleave",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -536,6 +537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         return rolling_active_users(ev).orderBy("day")
     q["events_wau"] = events_wau
+
+    def events_histogram(spark, sf):
+        """Log2-bucketed value histogram per event type: bucket from
+        length(bin(cents)) — engine-exact exponential buckets,
+        SUM-combinable counts, one narrow pass + two tiny aggs."""
+        from nifi_datasynthesizer_spark.operators.sketches import \
+            log_histogram
+        return (log_histogram(_t(spark, sf, "events"))
+                .orderBy("event_type", "bucket"))
+    q["events_histogram"] = events_histogram
 
     def events_rfm(spark, sf):
         """RFM segmentation, quintiles by histogram-CDF — one event
@@ -1089,6 +1100,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.minhash_eval(_t(spark, sf, "documents"),
                                sample_mod=2, jaccard_threshold=0.5)
     q["dedup_minhash_eval"] = dedup_minhash_eval
+
+    def corpus_interleave(spark, sf):
+        """Deterministic round-robin source striping (the 'streaming
+        mixture' training order): two-level (source, hash-shard) rank
+        + broadcast shard prefix-sums — shards×sources parallelism,
+        never a per-source global window."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            interleave_sources
+        return (interleave_sources(_t(spark, sf, "documents"), shards=32)
+                .orderBy("pos"))
+    q["corpus_interleave"] = corpus_interleave
+
+    def corpus_weighted_sample(spark, sf):
+        """Priority sampling (Duffield et al.): deterministic
+        weighted sample-without-replacement, P(keep) rising with
+        token count — narrow priority pass + TakeOrdered partial
+        top-k, never a global sort shuffle."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            weighted_sample
+        return weighted_sample(_t(spark, sf, "documents"), k=100)
+    q["corpus_weighted_sample"] = corpus_weighted_sample
 
     def corpus_dedup_report(spark, sf):
         """Dedup impact report: cluster-size distribution + exact
@@ -2599,6 +2631,9 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["corpus_filter_report"] = OR.corpus_filter_report_sql()
     o["events_wau"] = OR.rolling_active_users_sql()
     o["events_rfm"] = OR.rfm_segments_sql()
+    o["events_histogram"] = OR.log_histogram_sql()
+    o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
+    o["corpus_interleave"] = OR.interleave_sources_sql(shards=32)
     _zsql = IO.zorder_key_sql("x", "y", bits=4)
     o["io_zorder"] = f"""
 WITH s AS (SELECT (user_id % 16) AS x,

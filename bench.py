@@ -74,7 +74,8 @@ def main() -> None:
              "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
              "text_readability", "corpus_dedup_report", "events_rfm",
              "graph_label_prop", "io_zorder", "dedup_minhash_eval",
-             "io_schema_evolution", "io_compaction"]
+             "io_schema_evolution", "io_compaction", "events_histogram",
+             "corpus_weighted_sample", "corpus_interleave"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

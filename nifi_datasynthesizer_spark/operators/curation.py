@@ -1052,3 +1052,83 @@ def corpus_upsample(docs: DataFrame, factors: dict[str, float],
             .select(id_col, stratum_col,
                     F.explode(F.sequence(
                         F.lit(0), F.col("__n") - 1)).alias("copy_idx")))
+
+
+def weighted_sample(docs: DataFrame, k: int = 100, salt: int = 23,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY sampling
+    (Duffield/Lund/Thorup): each document draws a deterministic
+    uniform u = h60(id:salt) and gets priority q = u div w for weight
+    w (token count here); keeping the k SMALLEST priorities selects
+    documents with probability increasing in w — the "sample
+    proportional to length/quality" pass a curation pipeline runs to
+    eyeball or pilot-train on a corpus slice without a biased
+    head-of-file read.
+
+    Deterministic (no rand(): reproducible under task retries, and
+    the oracle replays it), and scale-correct: priority is a narrow
+    one-pass projection and ORDER BY+LIMIT plans as TakeOrdered —
+    per-partition partial top-k then a k-row driver merge, never a
+    global sort shuffle.  Returns (id, weight, priority) for the k
+    winners in priority order.
+    """
+    w = F.greatest(F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+                   F.lit(1)).cast("long")
+    u = h60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    staged = docs.select(F.col(id_col), w.alias("weight"), u.alias("u"))
+    # integer division: `/` would promote to double and lose exactness
+    # past 2^53 on the 60-bit uniform
+    return (staged.select(id_col, "weight",
+                          F.expr("u div weight").alias("priority"))
+            .orderBy("priority", id_col).limit(k))
+
+
+def interleave_sources(docs: DataFrame, shards: int = 32, salt: int = 9,
+                       id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Deterministic round-robin source interleave: assign every
+    document a global training position such that consecutive
+    positions cycle through the sources — the "streaming mixture"
+    order (each gradient batch sees every source) that a shuffled
+    concat only delivers in expectation.  corpus_shuffle randomizes;
+    this STRIPES.
+
+    Scale shape: a per-source ROW_NUMBER over the whole corpus is
+    |sources| tasks — no parallelism at 100 TB.  Two levels instead:
+    rank within (source, hash-shard) — shards × sources way
+    parallelism on one shuffle — plus an exclusive prefix-sum of
+    shard counts (a |sources|·shards-row frame) broadcast back as the
+    shard offset.  Source index and count are a second tiny broadcast.
+    pos = (shard_offset + in-shard rank) · n_sources + source_index;
+    positions of an exhausted source leave gaps, which preserves the
+    stripe invariant for the sources still live.  All deterministic
+    (h60 draws), retry-safe, oracle-replayable.
+    """
+    u = h60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    shard = F.pmod(
+        h60(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))),
+        F.lit(shards))
+    base = docs.select(F.col(id_col), F.col(source_col).alias("src"),
+                       u.alias("u"), shard.alias("shard"))
+    rank_w = Window.partitionBy("src", "shard").orderBy("u", id_col)
+    ranked = base.select(id_col, "src", "shard",
+                         (F.row_number().over(rank_w) - 1).alias("r"))
+    counts = base.groupBy("src", "shard").agg(F.count("*").alias("c"))
+    off_w = (Window.partitionBy("src").orderBy("shard")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = counts.select(
+        "src", "shard",
+        (F.sum("c").over(off_w) - F.col("c")).alias("off"))
+    srcs = (docs.select(F.col(source_col).alias("src")).distinct()
+            .select("src",
+                    (F.row_number().over(Window.orderBy("src")) - 1)
+                    .alias("sidx")))
+    ns = srcs.agg(F.count("*").alias("ns"))
+    return (ranked.join(F.broadcast(offsets), ["src", "shard"])
+            .join(F.broadcast(srcs), "src")
+            .crossJoin(F.broadcast(ns))
+            .select(F.col(id_col),
+                    F.col("src").alias(source_col),
+                    F.expr("(off + r) * ns + sidx").cast("long")
+                    .alias("pos")))

@@ -613,3 +613,40 @@ def ams_f2(df: DataFrame, group_col: str = "event_type",
                     "exact_f2",
                     F.expr("CAST(abs(est_f2 - exact_f2) * 1000000"
                            " div exact_f2 AS BIGINT)").alias("err_ppm")))
+
+
+def log_histogram(events: DataFrame, group_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """Log2-bucketed value histogram per group — the latency/amount
+    distribution primitive (exponential buckets hold their resolution
+    across six orders of magnitude where a fixed grid wastes its
+    cells): bucket = bit-length of the integer cents, so bucket b
+    covers [2^(b-1), 2^b).  Everything is SUM-combinable counts over
+    a one-pass narrow projection — the same shape monitoring systems
+    ship as histogram metrics, here engine-exact (bucket from
+    length(bin(x)) — no floating log anywhere).
+
+    Returns (group, bucket, lo_cents, hi_cents, n, share_ppm) with
+    share_ppm the bucket's fraction of its group in integer ppm;
+    zero/negative-cent rows land in bucket 0.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    bucketed = events.select(
+        F.col(group_col).alias("grp"),
+        F.when(cents <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(cents))).cast("long").alias("bucket"))
+    counts = bucketed.groupBy("grp", "bucket").agg(
+        F.count("*").alias("n"))
+    totals = counts.groupBy("grp").agg(F.sum("n").alias("total"))
+    return (counts.join(F.broadcast(totals), "grp")
+            .select(F.col("grp").alias(group_col), "bucket",
+                    F.expr("CASE WHEN bucket = 0 THEN 0 ELSE"
+                           " shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(bucket AS INT) - 1) END")
+                    .cast("long").alias("lo_cents"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(bucket AS INT)) - 1")
+                    .cast("long").alias("hi_cents"),
+                    "n",
+                    F.expr("n * 1000000 div total").cast("long")
+                    .alias("share_ppm")))

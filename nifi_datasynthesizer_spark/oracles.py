@@ -2654,3 +2654,70 @@ SELECT *, CAST(CASE WHEN precision_ppm + recall_ppm > 0
                     // (precision_ppm + recall_ppm) END AS BIGINT)
             AS f1_ppm
 FROM r"""
+
+
+def log_histogram_sql(table: str = "events") -> str:
+    """Mirror of sketches.log_histogram: bucket = bit-length of the
+    integer cents (length(bin(x)) — identical in both engines)."""
+    return f"""
+WITH b AS (SELECT event_type AS grp,
+                  CASE WHEN cents <= 0 THEN 0
+                       ELSE length(bin(cents)) END AS bucket
+           FROM (SELECT event_type,
+                        CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                 FROM {table})),
+c AS (SELECT grp, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT grp, SUM(n) AS total FROM c GROUP BY 1)
+SELECT grp AS event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket = 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END
+            AS BIGINT) AS lo_cents,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS hi_cents,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+FROM c JOIN t USING (grp) ORDER BY event_type, bucket"""
+
+
+def weighted_sample_sql(k: int = 100, salt: int = 23,
+                        table: str = "documents") -> str:
+    """Mirror of curation.weighted_sample: h60 uniform, integer
+    priority = u // w, bottom-k by (priority, id)."""
+    u = h60_sql(f"CAST(doc_id AS VARCHAR) || ':{salt}'")
+    return f"""
+WITH s AS (SELECT doc_id,
+                  CAST(GREATEST(len(STRING_SPLIT_REGEX(TRIM(text),
+                                                       '\\s+')), 1)
+                       AS BIGINT) AS weight,
+                  {u} AS u
+           FROM {table})
+SELECT doc_id, weight, CAST(u // weight AS BIGINT) AS priority
+FROM s ORDER BY priority, doc_id LIMIT {k}"""
+
+
+def interleave_sources_sql(shards: int = 32, salt: int = 9,
+                           table: str = "documents") -> str:
+    """Mirror of curation.interleave_sources: two-level sharded rank,
+    exclusive shard prefix-sum, stripe position arithmetic."""
+    u = h60_sql(f"CAST(doc_id AS VARCHAR) || ':{salt}'")
+    sh = h60_sql(f"CAST(doc_id AS VARCHAR) || '#{salt}'")
+    return f"""
+WITH base AS (SELECT doc_id, source AS src, {u} AS u,
+                     {sh} % {shards} AS shard
+              FROM {table}),
+ranked AS (SELECT doc_id, src, shard,
+                  ROW_NUMBER() OVER (PARTITION BY src, shard
+                                     ORDER BY u, doc_id) - 1 AS r
+           FROM base),
+counts AS (SELECT src, shard, COUNT(*) AS c FROM base GROUP BY 1, 2),
+offs AS (SELECT src, shard,
+                SUM(c) OVER (PARTITION BY src ORDER BY shard
+                             ROWS UNBOUNDED PRECEDING) - c AS off
+         FROM counts),
+srcs AS (SELECT src, ROW_NUMBER() OVER (ORDER BY src) - 1 AS sidx
+         FROM (SELECT DISTINCT src FROM base)),
+n AS (SELECT COUNT(*) AS ns FROM srcs)
+SELECT doc_id, src AS source,
+       CAST((off + r) * ns + sidx AS BIGINT) AS pos
+FROM ranked JOIN offs USING (src, shard) JOIN srcs USING (src)
+     CROSS JOIN n
+ORDER BY pos"""

@@ -1905,3 +1905,40 @@ def test_phash_pairs_planted(spark):
     # payload universe 30 over 60 ids -> (i, i+30) share payload bytes
     assert {(i, i + 30) for i in range(30)} <= zero
     assert all(r.a < r.b and 0 <= r.hamming <= 2 for r in pairs)
+
+
+def test_interleave_stripes(spark):
+    """While every source is still live, each consecutive
+    n_sources-wide position block holds one doc of each source, and
+    positions are globally unique."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark.operators.curation import \
+        interleave_sources
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = interleave_sources(docs, shards=8).collect()
+    ns = docs.select("source").distinct().count()
+    assert len({r.pos for r in out}) == len(out)
+    # pos % ns identifies the source slot — the stripe invariant
+    slot = {}
+    for r in out:
+        slot.setdefault(r.source, set()).add(r.pos % ns)
+    assert all(len(s) == 1 for s in slot.values())
+    # the first block (smallest per-source pos) covers distinct slots
+    assert len({min(s) for s in slot.values()}) == ns
+
+
+def test_weighted_sample_bias(spark):
+    """Priority sampling must over-represent heavy documents: the
+    mean weight of the selected k exceeds the corpus mean."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark.operators.curation import \
+        weighted_sample
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sel = weighted_sample(docs, k=50)
+    mean_sel = sel.agg(F.avg("weight")).collect()[0][0]
+    mean_all = docs.select(
+        F.greatest(F.size(F.split(F.trim(F.col("text")), r"\s+")),
+                   F.lit(1)).alias("w")).agg(F.avg("w")).collect()[0][0]
+    assert mean_sel > mean_all
