@@ -247,7 +247,7 @@ _WINDOW_R6_TAIL = [
     "text_readability", "corpus_dedup_report", "events_rfm",
     "graph_label_prop", "io_zorder", "dedup_minhash_eval",
     "io_schema_evolution", "io_compaction", "events_histogram",
-    "corpus_weighted_sample", "corpus_interleave",
+    "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1186,6 +1186,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 5)
         return SIM.ann_lsh(emb, queries_df, k=10).orderBy("query_id", "rank")
     q["ann_lsh"] = ann_lsh
+
+    def ann_filtered(spark, sf):
+        """Filtered vector search A/B: pre-filter truth (predicate
+        pushed into the corpus scan) vs oversampled post-filter —
+        quantifies the selective-predicate failure mode per query."""
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 50)
+        return SIM.ann_filtered(emb, queries_df, k=10, oversample=4) \
+            .orderBy("query_id")
+    q["ann_filtered"] = ann_filtered
 
     def ann_recall_eval(spark, sf):
         """Index-quality monitoring: per-query recall@10 of the LSH
@@ -2634,6 +2644,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_histogram"] = OR.log_histogram_sql()
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
     o["corpus_interleave"] = OR.interleave_sources_sql(shards=32)
+    o["ann_filtered"] = OR.ann_filtered_sql(k=10, oversample=4)
     _zsql = IO.zorder_key_sql("x", "y", bits=4)
     o["io_zorder"] = f"""
 WITH s AS (SELECT (user_id % 16) AS x,

@@ -344,3 +344,50 @@ def ann_recall_eval(emb: DataFrame, queries: DataFrame, k: int = 10,
                     F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
                     F.expr(f"CAST(coalesce(n_hits, 0) * 1000000 div {k}"
                            " AS BIGINT)").alias("recall_ppm")))
+
+
+def ann_filtered(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 oversample: int = 4,
+                 label_pred: str = "label % 3 = 0") -> DataFrame:
+    """Filtered vector search A/B — the hard production problem every
+    vector store hits once queries carry metadata predicates ("top-k
+    similar docs IN this tenant/language"):
+
+    - PRE-filter (the truth): brute-force top-k among candidates
+      passing the predicate.  The filter is part of the corpus scan
+      (predicate pushdown — Catalyst prunes before the distance
+      math), so cost scales with the QUALIFYING slice.
+    - POST-filter (the cheap strategy): global top-(k·oversample),
+      THEN apply the predicate and keep k.  Breaks exactly when the
+      predicate is selective: the oversampled pool may hold fewer
+      than k qualifying neighbors.
+
+    Returns per-query (n_truth, n_found, n_hit, recall_ppm) — the
+    quantified gap that tells an engineer whether oversample is
+    enough or the index needs predicate-aware partitioning.  Both
+    sides broadcast the query set and never shuffle the corpus; the
+    comparison joins touch only k·oversample·|queries| rows.
+    """
+    truth = ann_bruteforce(emb.filter(label_pred), queries, k=k) \
+        .select("query_id", "cand_id")
+    pool = ann_bruteforce(emb, queries, k=k * oversample)
+    labels = emb.select(F.col("vec_id").alias("cand_id"), "label")
+    w = Window.partitionBy("query_id").orderBy("rank")
+    post = (pool.join(labels, "cand_id")
+            .filter(label_pred)
+            .withColumn("prank", F.row_number().over(w))
+            .filter(F.col("prank") <= k)
+            .select("query_id", "cand_id"))
+    hits = (truth.join(post, ["query_id", "cand_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    n_truth = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    n_found = post.groupBy("query_id").agg(F.count("*").alias("n_found"))
+    return (n_truth
+            .join(n_found, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .select("query_id", "n_truth",
+                    F.coalesce("n_found", F.lit(0)).alias("n_found"),
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.expr("CAST(coalesce(n_hit, 0) * 1000000"
+                           " div n_truth AS BIGINT)")
+                    .alias("recall_ppm")))

@@ -2721,3 +2721,55 @@ SELECT doc_id, src AS source,
 FROM ranked JOIN offs USING (src, shard) JOIN srcs USING (src)
      CROSS JOIN n
 ORDER BY pos"""
+
+
+def ann_filtered_sql(k: int = 10, oversample: int = 4,
+                     label_pred: str = "label % 3 = 0",
+                     query_pred: str = "vec_id < 50") -> str:
+    """Mirror of similarity.ann_filtered: pre-filter truth vs
+    oversampled post-filter, per-query recall in integer ppm."""
+    dot = ("ROUND(list_sum(list_transform(list_zip(qv, c.v), "
+           "p -> p[1] * p[2])), 6)")
+    return f"""
+WITH normed AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      SQRT(list_sum(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM normed
+      WHERE {query_pred}),
+truth AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {dot} DESC, c.vec_id) AS rank
+    FROM normed c CROSS JOIN q
+    WHERE c.vec_id <> query_id AND c.{label_pred})
+  WHERE rank <= {k}),
+pool AS (
+  SELECT query_id, cand_id, rank FROM (
+    SELECT query_id, c.vec_id AS cand_id, c.label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {dot} DESC, c.vec_id) AS rank
+    FROM normed c CROSS JOIN q WHERE c.vec_id <> query_id)
+  WHERE rank <= {k * oversample}),
+post AS (
+  SELECT query_id, cand_id FROM (
+    SELECT p.query_id, p.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY p.rank) AS prank
+    FROM pool p JOIN normed l ON l.vec_id = p.cand_id
+    WHERE l.{label_pred})
+  WHERE prank <= {k}),
+nt AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+nf AS (SELECT query_id, COUNT(*) AS n_found FROM post GROUP BY 1),
+nh AS (SELECT t.query_id, COUNT(*) AS n_hit
+       FROM truth t JOIN post p USING (query_id, cand_id) GROUP BY 1)
+SELECT query_id, CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(n_found, 0) AS BIGINT) AS n_found,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(n_hit, 0) * 1000000 // n_truth AS BIGINT)
+         AS recall_ppm
+FROM nt LEFT JOIN nf USING (query_id) LEFT JOIN nh USING (query_id)
+ORDER BY query_id"""
