@@ -1105,12 +1105,16 @@ def interleave_sources(docs: DataFrame, shards: int = 32, salt: int = 9,
     stripe invariant for the sources still live.  All deterministic
     (h60 draws), retry-safe, oracle-replayable.
     """
+    from .dedup import _pin
     u = h60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
     shard = F.pmod(
         h60(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))),
         F.lit(shards))
-    base = docs.select(F.col(id_col), F.col(source_col).alias("src"),
-                       u.alias("u"), shard.alias("shard"))
+    # four consumers (rank, shard counts, source index, source count)
+    # — pin the projected frame so the corpus is scanned once
+    base = _pin(docs.select(F.col(id_col), F.col(source_col).alias("src"),
+                            u.alias("u"), shard.alias("shard")))
+    base.count()
     rank_w = Window.partitionBy("src", "shard").orderBy("u", id_col)
     ranked = base.select(id_col, "src", "shard",
                          (F.row_number().over(rank_w) - 1).alias("r"))
@@ -1120,7 +1124,7 @@ def interleave_sources(docs: DataFrame, shards: int = 32, salt: int = 9,
     offsets = counts.select(
         "src", "shard",
         (F.sum("c").over(off_w) - F.col("c")).alias("off"))
-    srcs = (docs.select(F.col(source_col).alias("src")).distinct()
+    srcs = (base.select("src").distinct()
             .select("src",
                     (F.row_number().over(Window.orderBy("src")) - 1)
                     .alias("sidx")))

@@ -637,8 +637,12 @@ def log_histogram(events: DataFrame, group_col: str = "event_type",
         .otherwise(F.length(F.bin(cents))).cast("long").alias("bucket"))
     counts = bucketed.groupBy("grp", "bucket").agg(
         F.count("*").alias("n"))
-    totals = counts.groupBy("grp").agg(F.sum("n").alias("total"))
-    return (counts.join(F.broadcast(totals), "grp")
+    # group totals as a window over the already-tiny counts frame: a
+    # groupBy+join would duplicate the counts subtree (second corpus
+    # scan — no reuse guarantee), a window re-reads |groups·buckets|
+    # rows
+    total_w = Window.partitionBy("grp")
+    return (counts.withColumn("total", F.sum("n").over(total_w))
             .select(F.col("grp").alias(group_col), "bucket",
                     F.expr("CASE WHEN bucket = 0 THEN 0 ELSE"
                            " shiftleft(CAST(1 AS BIGINT), "
