@@ -30,18 +30,41 @@ DAY_S = 86400
 
 
 class Ctx:
-    """Compilation context: row-index expr + salt path."""
+    """Compilation context: row-index expr + salt path.
 
-    def __init__(self, i: D, seed: int = 0, path: str = "$"):
+    ``helpers`` (when the schema compiler passes a shared dict) is the
+    column-level common-subexpression stage: a sampler whose VALUE
+    expression is referenced many times can ``bind_col`` it once and
+    reference it by name — the duplicated subtree becomes a projected
+    column in a preceding select, which whole-stage codegen fuses away
+    at runtime but which cuts Catalyst ANALYSIS from O(refs·|subtree|)
+    to O(refs) (imei: 4.5 s → 0.1 s of driver time).  Contexts built
+    outside the schema compiler (synthesizers compose their own
+    selects) leave ``helpers`` as None and get the inline expression
+    back unchanged.
+    """
+
+    def __init__(self, i: D, seed: int = 0, path: str = "$",
+                 helpers: dict | None = None):
         self.i = i
         self.seed = seed
         self.path = path
+        self.helpers = helpers
 
     def child(self, name: str) -> "Ctx":
-        return Ctx(self.i, self.seed, f"{self.path}.{name}")
+        return Ctx(self.i, self.seed, f"{self.path}.{name}", self.helpers)
 
     def salt(self, *extra) -> int:
         return salt_of(self.seed, self.path, *extra)
+
+    def bind_col(self, tag: str, d: D) -> D:
+        """Bind ``d`` as a named helper column and return a reference
+        to it (both dialects); no-op passthrough without a registry."""
+        if self.helpers is None:
+            return d
+        name = f"__b{len(self.helpers)}_{tag}"
+        self.helpers[name] = d
+        return D(None, f'"{name}"', f"`{name}`")
 
 
 # --------------------------------------------------------------- helpers
@@ -651,15 +674,16 @@ def s_imei(spec, ctx):
     and the digit string is two zero-padded 7-digit numbers — no
     per-digit string work, no hashing, fully codegen'd."""
     # NOTE: the two draws are referenced ~24 times across the Luhn sum
-    # and digit blocks, which costs ~3 s of analyzer time on the
-    # duplicated subtrees — but binding them with X.bind was WORSE:
-    # a lambda body is interpreted per row (HOFs sit outside
-    # whole-stage codegen), and moving 64 integer ops per row out of
-    # codegen measured 0.3 s -> 4.3 s on 2M rows.  Keep X.bind for
-    # expensive VALUES with cheap bodies (uuid/ip/mac md5 slicing);
-    # keep hot arithmetic inline where codegen CSE handles the reuse.
-    h1 = mix(ctx.i, ctx.salt("imei_a"))
-    h2 = mix(ctx.i, ctx.salt("imei_b"))
+    # and digit blocks — inline that cost ~4.5 s of Catalyst ANALYZER
+    # time on the duplicated subtrees (steady-state execution is
+    # 0.3 s).  X.bind (HOF lambda) was WORSE at runtime: a lambda body
+    # is interpreted per row (HOFs sit outside whole-stage codegen),
+    # measured 0.3 s -> 4.3 s on 2M rows.  ctx.bind_col is the right
+    # tool: the draws become projected helper columns (analyzed once),
+    # and whole-stage codegen fuses the projection back into the same
+    # stage — 4.5 s -> ~0.1 s driver time, runtime unchanged.
+    h1 = ctx.bind_col("imei_a", mix(ctx.i, ctx.salt("imei_a")))
+    h2 = ctx.bind_col("imei_b", mix(ctx.i, ctx.salt("imei_b")))
     total = None
     for j in range(14):
         h = h1 if j < 7 else h2

@@ -25,8 +25,20 @@ DEFAULT_ROWS_PER_PARTITION = 2_000_000
 
 
 class CompiledSchema:
-    def __init__(self, columns: list[tuple[str, D]]):
+    def __init__(self, columns: list[tuple[str, D]],
+                 helpers: dict[str, D] | None = None):
         self.columns = columns
+        # column-level CSE stage (Ctx.bind_col): helper columns are
+        # projected in a preceding select so a many-referenced value
+        # expression is ANALYZED once; whole-stage codegen fuses the
+        # two selects back into one stage at runtime
+        self.helpers = helpers or {}
+
+    def _with_helpers(self, base: DataFrame) -> DataFrame:
+        if not self.helpers:
+            return base
+        return base.select(
+            "*", *[d.c.alias(n) for n, d in self.helpers.items()])
 
     def dataframe(self, spark: SparkSession, n: int,
                   partitions: int | None = None) -> DataFrame:
@@ -37,11 +49,17 @@ class CompiledSchema:
             par = spark.sparkContext.defaultParallelism
             partitions = max(1, min(n, max(par, n // DEFAULT_ROWS_PER_PARTITION)))
         base = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
-        return base.select(*[d.c.alias(name) for name, d in self.columns])
+        return self._with_helpers(base).select(
+            *[d.c.alias(name) for name, d in self.columns])
 
     def duckdb_sql(self, n: int) -> str:
         cols = ", ".join(f'{d.s} AS "{name}"' for name, d in self.columns)
-        return f"SELECT {cols} FROM range(0, {n}) AS t(i)"
+        src = f"range(0, {n}) AS t(i)"
+        if self.helpers:
+            hcols = ", ".join(f'{d.s} AS "{n_}"'
+                           for n_, d in self.helpers.items())
+            src = f"(SELECT i, {hcols} FROM range(0, {n}) AS r(i)) AS t"
+        return f"SELECT {cols} FROM {src}"
 
     def project(self, df: DataFrame, index_col: str = "i",
                 keep: list[str] | None = None) -> DataFrame:
@@ -50,7 +68,8 @@ class CompiledSchema:
         ``value``.  ``keep`` passes through extra input columns."""
         base = df.withColumn("i", F.col(index_col).cast("long"))
         extra = [F.col(c) for c in (keep or []) if c != "i"]
-        return base.select(*extra, *[d.c.alias(name) for name, d in self.columns])
+        return self._with_helpers(base).select(
+            *extra, *[d.c.alias(name) for name, d in self.columns])
 
 
 def compile_schema(schema, seed: int = 0) -> CompiledSchema:
@@ -61,10 +80,11 @@ def compile_schema(schema, seed: int = 0) -> CompiledSchema:
         raise ValueError("schema must be a JSON array of field specs")
     i = D(None, "i", "i")
     out: list[tuple[str, D]] = []
+    helpers: dict[str, D] = {}
     for spec in schema:
         spec = dict(spec)
         name = spec.get("name", spec.get("class"))
-        ctx = Ctx(i, seed, f"$.{name}")
+        ctx = Ctx(i, seed, f"$.{name}", helpers)
         r = compile_field(spec, ctx)
         if isinstance(r, dict):
             if spec.get("class") == "flatten" or "name" not in spec:
@@ -75,7 +95,7 @@ def compile_schema(schema, seed: int = 0) -> CompiledSchema:
                 out.append((name, X.struct_(r)))
         else:
             out.append((name, r))
-    return CompiledSchema(out)
+    return CompiledSchema(out, helpers)
 
 
 def synthesize(spark: SparkSession, schema, n: int, seed: int = 0,
