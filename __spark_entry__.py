@@ -248,6 +248,7 @@ _WINDOW_R6_TAIL = [
     "graph_label_prop", "io_zorder", "dedup_minhash_eval",
     "io_schema_evolution", "io_compaction", "events_histogram",
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
+    "dedup_threshold_sweep",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1091,6 +1092,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  jaccard_threshold=0.5)
         return DD.dup_groups(pairs).orderBy("doc_id")
     q["dedup_groups"] = dedup_groups
+
+    def dedup_threshold_sweep(spark, sf):
+        """Threshold tuning curve: pairs surviving each candidate
+        Jaccard threshold from ONE low-floor detector pass —
+        match-count histogram + descending cumulative."""
+        return DD.threshold_sweep(_t(spark, sf, "documents"),
+                                  min_threshold=0.3)
+    q["dedup_threshold_sweep"] = dedup_threshold_sweep
 
     def dedup_minhash_eval(spark, sf):
         """Precision/recall/F1 of the MinHash-LSH detector vs exact
@@ -2547,6 +2556,7 @@ FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["dedup_minhash_eval"] = OR.minhash_eval_sql(sample_mod=2,
                                                   jaccard_threshold=0.5)
+    o["dedup_threshold_sweep"] = OR.threshold_sweep_sql(min_threshold=0.3)
     o["io_schema_evolution"] = """
 SELECT * FROM (
   SELECT CAST(1 AS BIGINT) AS snap, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -75,7 +75,8 @@ def main() -> None:
              "text_readability", "corpus_dedup_report", "events_rfm",
              "graph_label_prop", "io_zorder", "dedup_minhash_eval",
              "io_schema_evolution", "io_compaction", "events_histogram",
-             "corpus_weighted_sample", "corpus_interleave", "ann_filtered"]
+             "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
+             "dedup_threshold_sweep"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

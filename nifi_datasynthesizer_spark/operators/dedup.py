@@ -503,6 +503,40 @@ def minhash_eval(docs: DataFrame, sample_mod: int = 4,
                         .cast("long")))
 
 
+def threshold_sweep(docs: DataFrame, num_hashes: int = 64,
+                    bands: int = 16, shingle_k: int = 5,
+                    min_threshold: float = 0.3) -> DataFrame:
+    """Threshold tuning curve from ONE detector pass: how many
+    near-dup pairs survive at every candidate Jaccard threshold —
+    the governance read for picking a threshold BEFORE committing a
+    100 TB dedup (a cliff in the curve separates true duplicates
+    from the borderline mass; a smooth slope means the threshold is
+    arbitrary and needs the exact-truth eval).
+
+    The banded detector runs once at a LOW floor; its estimated
+    Jaccard is quantized back to the exact signature match count
+    (est·num_hashes is an integer by construction), histogrammed, and
+    cumulated descending — so the whole sweep costs one pair-sized
+    aggregate on top of the normal detection plan.  Returns one row
+    per observed match count: (n_match, threshold_ppm,
+    n_pairs_at_least).
+    """
+    pairs = dedup_minhash(docs, num_hashes=num_hashes, bands=bands,
+                          shingle_k=shingle_k,
+                          jaccard_threshold=min_threshold)
+    hist = (pairs.select((F.col("est_jaccard") * num_hashes)
+                         .cast("long").alias("n_match"))
+            .groupBy("n_match").agg(F.count("*").alias("c")))
+    w = (Window.orderBy(F.desc("n_match"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hist.select(
+        "n_match",
+        F.expr(f"n_match * 1000000 div {num_hashes}").cast("long")
+        .alias("threshold_ppm"),
+        F.sum("c").over(w).cast("long").alias("n_pairs_at_least"))
+        .orderBy("n_match"))
+
+
 # --------------------------------------------------- embedding near-dup
 
 def dedup_embedding(emb: DataFrame, threshold: float = 0.95,

@@ -2773,3 +2773,25 @@ SELECT query_id, CAST(n_truth AS BIGINT) AS n_truth,
          AS recall_ppm
 FROM nt LEFT JOIN nf USING (query_id) LEFT JOIN nh USING (query_id)
 ORDER BY query_id"""
+
+
+def threshold_sweep_sql(num_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 5,
+                        min_threshold: float = 0.3) -> str:
+    """Mirror of dedup.threshold_sweep: detector at the low floor,
+    match-count histogram, descending cumulative pair counts."""
+    pairs = minhash_pairs_sql(num_hashes=num_hashes, bands=bands,
+                              shingle_k=shingle_k,
+                              jaccard_threshold=min_threshold)
+    return f"""
+WITH p AS ({pairs}),
+h AS (SELECT CAST(est_jaccard * {num_hashes} AS BIGINT) AS n_match,
+             COUNT(*) AS c
+      FROM p GROUP BY 1)
+SELECT n_match,
+       CAST(n_match * 1000000 // {num_hashes} AS BIGINT)
+         AS threshold_ppm,
+       CAST(SUM(c) OVER (ORDER BY n_match DESC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_pairs_at_least
+FROM h ORDER BY n_match"""
