@@ -248,7 +248,7 @@ _WINDOW_R6_TAIL = [
     "graph_label_prop", "io_zorder", "dedup_minhash_eval",
     "io_schema_evolution", "io_compaction", "events_histogram",
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
-    "dedup_threshold_sweep",
+    "dedup_threshold_sweep", "text_quality_calibration",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1257,6 +1257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (TX.readability(_t(spark, sf, "documents"))
                 .orderBy("doc_id"))
     q["text_readability"] = text_readability
+
+    def text_quality_calibration(spark, sf):
+        """Reliability diagram of the classifier head vs the heuristic
+        quality labeler: positive rate per score decile — the read
+        that says whether the head can gate a 100 TB scan."""
+        return (TX.classifier_calibration(_t(spark, sf, "documents"))
+                .orderBy("bucket"))
+    q["text_quality_calibration"] = text_quality_calibration
 
     def text_embed(spark, sf):
         emb = TX.hash_embed(_t(spark, sf, "documents"), dim=16)
@@ -2578,6 +2586,7 @@ FROM documents"""
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()
     o["text_readability"] = OR.readability_sql()
+    o["text_quality_calibration"] = OR.classifier_calibration_sql()
     o["text_embed"] = OR.hash_embed_sql(dim=16)
     o["corpus_stats"] = OR.corpus_stats_sql()
     o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)

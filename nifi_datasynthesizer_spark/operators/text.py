@@ -608,3 +608,36 @@ def word_entropy(docs: DataFrame, text_col: str = "text",
                           F.expr("n_distinct * 1000000 div n_words"))
                    .cast("long").alias("ttr_ppm")))
     return out
+
+
+def classifier_calibration(docs: DataFrame, dim: int = 64,
+                           seed: int = 11,
+                           quality_threshold: float = 0.6,
+                           buckets: int = 10) -> DataFrame:
+    """Calibration curve (reliability diagram) of the linear
+    classifier head against the heuristic quality labeler — the
+    governance read before the head gates a 100 TB scan: a monotone
+    positive-rate-per-score-decile curve means the score is usable as
+    a threshold; a flat one means the head learned nothing and the
+    filter would be noise.
+
+    Two narrow passes over the corpus (score and label are
+    independent per-row expressions) joined on the id, then one
+    map-side-combined aggregate over ``buckets`` rows.  Returns
+    (bucket, n, n_pos, pos_rate_ppm) — all integers, engine-exact.
+    """
+    width = 1_000_000 // buckets
+    scored = classify_score(docs, dim=dim, seed=seed) \
+        .select("doc_id", "score_ppm")
+    lab = quality_score(docs).select(
+        "doc_id",
+        (F.col("quality") >= quality_threshold).cast("long").alias("pos"))
+    j = scored.join(lab, "doc_id")
+    bucket = F.least(F.expr(f"score_ppm div {width}"),
+                     F.lit(buckets - 1)).cast("long")
+    return (j.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("pos").alias("n_pos"))
+            .select("bucket", "n", "n_pos",
+                    F.expr("n_pos * 1000000 div n").cast("long")
+                    .alias("pos_rate_ppm")))

@@ -2795,3 +2795,26 @@ SELECT n_match,
                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS n_pairs_at_least
 FROM h ORDER BY n_match"""
+
+
+def classifier_calibration_sql(dim: int = 64, seed: int = 11,
+                               quality_threshold: float = 0.6,
+                               buckets: int = 10,
+                               table: str = "documents") -> str:
+    """Mirror of text.classifier_calibration: score deciles vs the
+    quality-blend label, integer positive rates."""
+    width = 1_000_000 // buckets
+    _, quality = _quality_exprs()
+    thr = f"{quality_threshold}e0"
+    return f"""
+WITH c AS ({classify_score_sql(dim=dim, seed=seed, table=table)}),
+q AS (SELECT doc_id,
+             CASE WHEN ({quality}) >= {thr} THEN 1 ELSE 0 END AS pos
+      FROM {table}),
+j AS (SELECT LEAST(score_ppm // {width}, {buckets - 1}) AS bucket, pos
+      FROM c JOIN q USING (doc_id))
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM j GROUP BY bucket ORDER BY bucket"""
