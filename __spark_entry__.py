@@ -249,6 +249,7 @@ _WINDOW_R6_TAIL = [
     "io_schema_evolution", "io_compaction", "events_histogram",
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
     "dedup_threshold_sweep", "text_quality_calibration",
+    "corpus_span_corruption",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1120,6 +1121,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (interleave_sources(_t(spark, sf, "documents"), shards=32)
                 .orderBy("pos"))
     q["corpus_interleave"] = corpus_interleave
+
+    def corpus_span_corruption(spark, sf):
+        """T5-style denoising example construction: deterministic
+        word masking, runs collapsed to sentinels in the input,
+        sentinel-prefixed spans as the target — one narrow per-row
+        array pass, corpus never exploded or shuffled."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            span_corruption
+        return (span_corruption(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+    q["corpus_span_corruption"] = corpus_span_corruption
 
     def corpus_weighted_sample(spark, sf):
         """Priority sampling (Duffield et al.): deterministic
@@ -2662,6 +2674,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_rfm"] = OR.rfm_segments_sql()
     o["events_histogram"] = OR.log_histogram_sql()
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
+    o["corpus_span_corruption"] = OR.span_corruption_sql()
     o["corpus_interleave"] = OR.interleave_sources_sql(shards=32)
     o["ann_filtered"] = OR.ann_filtered_sql(k=10, oversample=4)
     _zsql = IO.zorder_key_sql("x", "y", bits=4)

@@ -76,7 +76,8 @@ def main() -> None:
              "graph_label_prop", "io_zorder", "dedup_minhash_eval",
              "io_schema_evolution", "io_compaction", "events_histogram",
              "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
-             "dedup_threshold_sweep", "text_quality_calibration"]
+             "dedup_threshold_sweep", "text_quality_calibration",
+             "corpus_span_corruption"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -1136,3 +1136,54 @@ def interleave_sources(docs: DataFrame, shards: int = 32, salt: int = 9,
                     F.col("src").alias(source_col),
                     F.expr("(off + r) * ns + sidx").cast("long")
                     .alias("pos")))
+
+
+def span_corruption(docs: DataFrame, rate_ppm: int = 150_000,
+                    salt: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """T5/UL2-style span corruption — the training-EXAMPLE
+    construction step of a denoising-LM pipeline: mask ~rate of the
+    words, collapse each masked RUN to a sentinel in the input, and
+    emit the sentinel-prefixed masked spans as the target
+    (``input: "the <extra_id_0> sat" / target: "<extra_id_0> cat"``).
+
+    Every masking decision is a deterministic h60 draw on
+    (doc, position, salt) — reproducible under retries and replayed
+    exactly by the oracle (rand() would make training data
+    unrebuildable).  The whole transform is per-row array algebra
+    over the words: the mask array is materialized ONCE per row (one
+    md5 per word, bound at the DataFrame level so the run/sentinel
+    logic re-reads the array, not the hash), run starts and sentinel
+    indices are O(words²) boolean work on that in-memory array, and
+    the corpus is never exploded or shuffled — one narrow codegen
+    pass at any scale.  Returns (id, n_words, n_spans, input,
+    target).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    s1 = docs.select(F.col(id_col), words.alias("w"))
+    h = ("CAST(conv(substring(md5(concat(cast(doc_id AS string), ':', "
+         f"cast(j AS string), ':{salt}')), 1, 15), 16, 10) AS BIGINT)")
+    s2 = s1.select(id_col, "w", F.expr(
+        f"transform(sequence(0, size(w) - 1), "
+        f"j -> ({h}) % 1000000 < {rate_ppm})").alias("m"))
+    start = ("(element_at(m, j + 1) AND (j = 0 OR "
+             "NOT element_at(m, greatest(j, 1))))")
+    kof = ("(size(filter(sequence(0, j), i -> (element_at(m, i + 1) "
+           "AND (i = 0 OR NOT element_at(m, greatest(i, 1)))))) - 1)")
+    sent = f"concat('<extra_id_', cast({kof} AS string), '>')"
+    in_piece = (f"IF({start}, {sent}, "
+                "IF(element_at(m, j + 1), '', element_at(w, j + 1)))")
+    tgt_piece = (f"IF({start}, concat({sent}, ' ', element_at(w, j + 1)), "
+                 "IF(element_at(m, j + 1), element_at(w, j + 1), ''))")
+
+    def joined(piece: str) -> str:
+        return ("array_join(filter(transform(sequence(0, size(w) - 1), "
+                f"j -> {piece}), x -> x <> ''), ' ')")
+
+    n_spans = f"size(filter(sequence(0, size(w) - 1), j -> {start}))"
+    return s2.select(
+        id_col,
+        F.expr("size(w)").cast("long").alias("n_words"),
+        F.expr(n_spans).cast("long").alias("n_spans"),
+        F.expr(joined(in_piece)).alias("input"),
+        F.expr(joined(tgt_piece)).alias("target"))

@@ -2818,3 +2818,39 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(SUM(pos) AS BIGINT) AS n_pos,
        CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
 FROM j GROUP BY bucket ORDER BY bucket"""
+
+
+def span_corruption_sql(rate_ppm: int = 150_000, salt: int = 5,
+                        table: str = "documents") -> str:
+    """Mirror of curation.span_corruption: same mask draws, run
+    starts, sentinel arithmetic; COALESCE because DuckDB's
+    array_to_string of an EMPTY list is NULL where Spark's
+    array_join is ''."""
+    hq = h60_sql(f"CAST(doc_id AS VARCHAR) || ':' || "
+                 f"CAST(j AS VARCHAR) || ':{salt}'")
+    start = "(m[j + 1] AND (j = 0 OR NOT m[GREATEST(j, 1)]))"
+    kof = ("(len(list_filter(range(0, j + 1), i -> (m[i + 1] AND "
+           "(i = 0 OR NOT m[GREATEST(i, 1)])))) - 1)")
+    sent = f"'<extra_id_' || CAST({kof} AS VARCHAR) || '>'"
+    in_piece = (f"CASE WHEN {start} THEN {sent} "
+                "WHEN m[j + 1] THEN '' ELSE W[j + 1] END")
+    tgt_piece = (f"CASE WHEN {start} THEN {sent} || ' ' || W[j + 1] "
+                 "WHEN m[j + 1] THEN W[j + 1] ELSE '' END")
+
+    def joined(piece: str) -> str:
+        return ("COALESCE(array_to_string(list_filter(list_transform("
+                f"range(0, len(W)), j -> {piece}), x -> x <> ''), ' '), '')")
+
+    n_spans = f"len(list_filter(range(0, len(W)), j -> {start}))"
+    return f"""
+WITH w AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS W
+           FROM {table}),
+mm AS (SELECT doc_id, W,
+              list_transform(range(0, len(W)),
+                             j -> ({hq}) % 1000000 < {rate_ppm}) AS m
+       FROM w)
+SELECT doc_id, CAST(len(W) AS BIGINT) AS n_words,
+       CAST({n_spans} AS BIGINT) AS n_spans,
+       {joined(in_piece)} AS input,
+       {joined(tgt_piece)} AS target
+FROM mm ORDER BY doc_id"""

@@ -1942,3 +1942,38 @@ def test_weighted_sample_bias(spark):
         F.greatest(F.size(F.split(F.trim(F.col("text")), r"\s+")),
                    F.lit(1)).alias("w")).agg(F.avg("w")).collect()[0][0]
     assert mean_sel > mean_all
+
+
+def test_span_corruption_roundtrip(spark):
+    """The defining invariant of span corruption: substituting each
+    sentinel in the input with its target span reconstructs the
+    original document exactly, and span/word accounting matches."""
+    import re
+
+    from nifi_datasynthesizer_spark.operators.curation import \
+        span_corruption
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = span_corruption(docs).join(
+        docs.select("doc_id", "text"), "doc_id").collect()
+    assert any(r.n_spans > 0 for r in out)
+    for r in out:
+        spans = {}
+        # parse target: "<extra_id_0> w1 w2 <extra_id_1> w7 ..."
+        toks = re.split(r"(<extra_id_\d+>)", r.target)
+        cur = None
+        for t in toks:
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            elif cur is not None and t.strip():
+                spans[cur].extend(t.split())
+        rebuilt = []
+        for t in r.input.split(" ") if r.input else []:
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+            else:
+                rebuilt.append(t)
+        assert rebuilt == r.text.strip().split(), r.doc_id
+        assert len(spans) == r.n_spans
