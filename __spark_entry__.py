@@ -249,7 +249,7 @@ _WINDOW_R6_TAIL = [
     "io_schema_evolution", "io_compaction", "events_histogram",
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
     "dedup_threshold_sweep", "text_quality_calibration",
-    "corpus_span_corruption",
+    "corpus_span_corruption", "corpus_fim",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1132,6 +1132,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (span_corruption(_t(spark, sf, "documents"))
                 .orderBy("doc_id"))
     q["corpus_span_corruption"] = corpus_span_corruption
+
+    def corpus_fim(spark, sf):
+        """Fill-in-the-middle example construction (PSM order):
+        deterministic cut points, per-row array slicing — one narrow
+        pass, no explode, no shuffle."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            fim_transform
+        return (fim_transform(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+    q["corpus_fim"] = corpus_fim
 
     def corpus_weighted_sample(spark, sf):
         """Priority sampling (Duffield et al.): deterministic
@@ -2675,6 +2685,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_histogram"] = OR.log_histogram_sql()
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
     o["corpus_span_corruption"] = OR.span_corruption_sql()
+    o["corpus_fim"] = OR.fim_transform_sql()
     o["corpus_interleave"] = OR.interleave_sources_sql(shards=32)
     o["ann_filtered"] = OR.ann_filtered_sql(k=10, oversample=4)
     _zsql = IO.zorder_key_sql("x", "y", bits=4)

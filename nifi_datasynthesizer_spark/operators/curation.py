@@ -1187,3 +1187,42 @@ def span_corruption(docs: DataFrame, rate_ppm: int = 150_000,
         F.expr(n_spans).cast("long").alias("n_spans"),
         F.expr(joined(in_piece)).alias("input"),
         F.expr(joined(tgt_piece)).alias("target"))
+
+
+def fim_transform(docs: DataFrame, salt: int = 11,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Fill-in-the-middle (Bavarian et al. 2022) training-example
+    construction — the code/completion-model counterpart of span
+    corruption: split each document at two deterministic cut points
+    and emit the PSM-ordered string
+    ``<PRE> prefix <SUF> suffix <MID> middle`` so the model learns to
+    infill with bidirectional context.
+
+    Cut points are h60 draws on (doc, salt) mod n+1 (order-
+    normalized), so the transform is reproducible under retries and
+    oracle-replayable; everything is per-row array slicing — one
+    narrow pass, no explode, no shuffle.  Returns (id, n_words,
+    cut_lo, cut_hi, fim).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    a = h60(F.concat(F.col(id_col).cast("string"), F.lit(f":a:{salt}")))
+    b = h60(F.concat(F.col(id_col).cast("string"), F.lit(f":b:{salt}")))
+    s1 = docs.select(F.col(id_col), words.alias("w"),
+                     a.alias("ha"), b.alias("hb"))
+    s2 = s1.select(id_col, "w",
+                   F.expr("least(ha % (size(w) + 1), hb % (size(w) + 1))")
+                   .cast("long").alias("cut_lo"),
+                   F.expr("greatest(ha % (size(w) + 1), hb % (size(w) + 1))")
+                   .cast("long").alias("cut_hi"))
+    fim = ("concat('<PRE> ', "
+           "array_join(slice(w, 1, cast(cut_lo AS int)), ' '), "
+           "' <SUF> ', "
+           "array_join(slice(w, cast(cut_hi AS int) + 1, "
+           "size(w) - cast(cut_hi AS int)), ' '), "
+           "' <MID> ', "
+           "array_join(slice(w, cast(cut_lo AS int) + 1, "
+           "cast(cut_hi - cut_lo AS int)), ' '))")
+    return s2.select(id_col, F.expr("size(w)").cast("long")
+                     .alias("n_words"), "cut_lo", "cut_hi",
+                     F.expr(fim).alias("fim"))

@@ -2854,3 +2854,31 @@ SELECT doc_id, CAST(len(W) AS BIGINT) AS n_words,
        {joined(in_piece)} AS input,
        {joined(tgt_piece)} AS target
 FROM mm ORDER BY doc_id"""
+
+
+def fim_transform_sql(salt: int = 11, table: str = "documents") -> str:
+    """Mirror of curation.fim_transform: same cut draws, DuckDB
+    list_slice (inclusive end) in place of Spark slice (length);
+    COALESCE for DuckDB's NULL empty-list join."""
+    ha = h60_sql(f"CAST(doc_id AS VARCHAR) || ':a:{salt}'")
+    hb = h60_sql(f"CAST(doc_id AS VARCHAR) || ':b:{salt}'")
+
+    def j(sl: str) -> str:
+        return f"COALESCE(array_to_string({sl}, ' '), '')"
+
+    return f"""
+WITH w AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS W,
+                  {ha} AS ha, {hb} AS hb
+           FROM {table}),
+c AS (SELECT doc_id, W,
+             CAST(LEAST(ha % (len(W) + 1), hb % (len(W) + 1))
+                  AS BIGINT) AS cut_lo,
+             CAST(GREATEST(ha % (len(W) + 1), hb % (len(W) + 1))
+                  AS BIGINT) AS cut_hi
+      FROM w)
+SELECT doc_id, CAST(len(W) AS BIGINT) AS n_words, cut_lo, cut_hi,
+       '<PRE> ' || {j("list_slice(W, 1, CAST(cut_lo AS INT))")}
+       || ' <SUF> ' || {j("list_slice(W, CAST(cut_hi AS INT) + 1, len(W))")}
+       || ' <MID> ' || {j("list_slice(W, CAST(cut_lo AS INT) + 1, CAST(cut_hi AS INT))")}
+         AS fim
+FROM c ORDER BY doc_id"""

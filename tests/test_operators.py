@@ -1977,3 +1977,20 @@ def test_span_corruption_roundtrip(spark):
                 rebuilt.append(t)
         assert rebuilt == r.text.strip().split(), r.doc_id
         assert len(spans) == r.n_spans
+
+
+def test_fim_roundtrip(spark):
+    """PSM reorder is lossless: prefix + middle + suffix (in that
+    document order) reconstructs the original word sequence."""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        fim_transform
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = fim_transform(docs).join(
+        docs.select("doc_id", "text"), "doc_id").collect()
+    assert any(0 < r.cut_lo < r.cut_hi < r.n_words for r in out)
+    for r in out:
+        body = r.fim.split("<PRE> ", 1)[1]
+        pre, rest = body.split(" <SUF> ", 1)
+        suf, mid = rest.split(" <MID> ", 1)
+        rebuilt = (pre.split() + mid.split() + suf.split())
+        assert rebuilt == r.text.strip().split(), r.doc_id
