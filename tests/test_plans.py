@@ -580,7 +580,9 @@ def test_wave4_operators_scan_counts(spark):
     expect = {"text_readability": 1, "io_zorder": 1, "events_rfm": 1,
               "corpus_dedup_report": 2, "dedup_minhash_eval": 2,
               "events_histogram": 1, "corpus_weighted_sample": 1,
-              "corpus_interleave": 1}
+              "corpus_interleave": 1, "corpus_span_corruption": 1,
+              "corpus_fim": 1, "text_quality_calibration": 2,
+              "dedup_threshold_sweep": 2}
     for name, want in expect.items():
         df = entrymod.queries()[name](spark, SF)
         p = _plan(df)
