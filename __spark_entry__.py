@@ -243,7 +243,7 @@ _WINDOW_R6_HEAD = [
 # mandated stale re-verifications or results-changed queries)
 _WINDOW_R6_TAIL = [
     "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
-    # r6 wave 4 — new, lead the r7 window with the wave-3 overflow
+    # r6 waves 4-5 — new, lead the r7 window with the wave-3 overflow
     "text_readability", "corpus_dedup_report", "events_rfm",
     "graph_label_prop", "io_zorder", "dedup_minhash_eval",
     "io_schema_evolution", "io_compaction", "events_histogram",
