@@ -249,7 +249,7 @@ _WINDOW_R6_TAIL = [
     "io_schema_evolution", "io_compaction", "events_histogram",
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
     "dedup_threshold_sweep", "text_quality_calibration",
-    "corpus_span_corruption", "corpus_fim",
+    "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -549,6 +549,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (log_histogram(_t(spark, sf, "events"))
                 .orderBy("event_type", "bucket"))
     q["events_histogram"] = events_histogram
+
+    def events_markov_stationary(spark, sf):
+        """Stationary distribution of the user-journey Markov chain:
+        one user-key shuffle builds the tiny transition matrix, then
+        integer-ppm power iteration over the pinned frame."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            markov_stationary
+        return (markov_stationary(_t(spark, sf, "events"), iters=10)
+                .orderBy("event_type"))
+    q["events_markov_stationary"] = events_markov_stationary
 
     def events_rfm(spark, sf):
         """RFM segmentation, quintiles by histogram-CDF — one event
@@ -2683,6 +2693,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_wau"] = OR.rolling_active_users_sql()
     o["events_rfm"] = OR.rfm_segments_sql()
     o["events_histogram"] = OR.log_histogram_sql()
+    o["events_markov_stationary"] = OR.markov_stationary_sql(iters=10)
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
     o["corpus_span_corruption"] = OR.span_corruption_sql()
     o["corpus_fim"] = OR.fim_transform_sql()

@@ -77,7 +77,8 @@ def main() -> None:
              "io_schema_evolution", "io_compaction", "events_histogram",
              "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
              "dedup_threshold_sweep", "text_quality_calibration",
-             "corpus_span_corruption", "corpus_fim"]
+             "corpus_span_corruption", "corpus_fim",
+             "events_markov_stationary"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

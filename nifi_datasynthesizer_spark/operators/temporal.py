@@ -617,3 +617,50 @@ def rfm_segments(events: DataFrame, key: str = "user_id",
                     m_score.alias("m_score"),
                     (r_score * 100 + f_score * 10 + m_score)
                     .alias("segment")))
+
+
+def markov_stationary(events: DataFrame, iters: int = 10,
+                      key: str = "user_id", ts: str = "ts",
+                      state: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain —
+    'where do journeys spend their time at equilibrium', the chain-
+    level summary the raw transition matrix doesn't give (a state can
+    be a popular NEXT step yet rarely OCCUPIED if everything leaves
+    it immediately).
+
+    Power iteration in integer ppm over the aggregated matrix: the
+    ONLY corpus-scale work is the one user-key shuffle + count that
+    builds the |states|² matrix (shared shape with
+    :func:`transition_matrix`); each of the ``iters`` rounds is then
+    a join + sum over that tiny pinned frame — mass moves as
+    ``π(s) · n(s→d) div n(s)`` (truncating division; the lost
+    remainder mass is the documented quantization, mirrored exactly
+    by the oracle).  States with no outgoing edges shed their mass —
+    the standard dangling-state behavior without damping.  Returns
+    (state, pi_ppm) at the final round.
+    """
+    from .dedup import _pin
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(id_col))
+    seq = events.select(
+        F.col(state).alias("src"),
+        F.lag(state, -1).over(w).alias("dst"))
+    pairs = _pin(seq.filter(F.col("dst").isNotNull())
+                 .groupBy("src", "dst").agg(F.count("*").alias("n")))
+    pairs.count()
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("row_n"))
+    mat = pairs.join(totals, "src")
+    states = (pairs.select(F.col("src").alias("s"))
+              .union(pairs.select("dst")).distinct())
+    n_states = states.crossJoin(states.agg(F.count("*").alias("k")))
+    pi = n_states.select("s", F.expr("CAST(1000000 div k AS BIGINT)")
+                         .alias("pi_ppm"))
+    for _ in range(iters):
+        moved = (mat.join(pi, mat.src == pi.s)
+                 .select(F.col("dst").alias("s"),
+                         F.expr("pi_ppm * n div row_n").alias("c")))
+        pi = (states.join(moved.groupBy("s").agg(F.sum("c").alias("p")),
+                          "s", "left")
+              .select("s", F.coalesce("p", F.lit(0)).cast("long")
+                      .alias("pi_ppm")))
+    return pi.select(F.col("s").alias(state), "pi_ppm")

@@ -2882,3 +2882,34 @@ SELECT doc_id, CAST(len(W) AS BIGINT) AS n_words, cut_lo, cut_hi,
        || ' <MID> ' || {j("list_slice(W, CAST(cut_lo AS INT) + 1, CAST(cut_hi AS INT))")}
          AS fim
 FROM c ORDER BY doc_id"""
+
+
+def markov_stationary_sql(iters: int = 10, table: str = "events") -> str:
+    """Mirror of temporal.markov_stationary: unrolled power-iteration
+    rounds over the aggregated transition matrix, truncating ppm
+    division."""
+    ctes = [f"""seq AS (SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM {table})""",
+            """pairs AS (SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2)""",
+            """mat AS (SELECT p.src, p.dst, p.n, t.row_n
+        FROM pairs p JOIN (SELECT src, SUM(n) AS row_n FROM pairs
+                           GROUP BY 1) t USING (src))""",
+            """states AS (SELECT DISTINCT s FROM (SELECT src AS s FROM pairs
+                                     UNION SELECT dst FROM pairs))""",
+            """pi0 AS (SELECT s, CAST(1000000 // (SELECT COUNT(*) FROM states)
+                       AS BIGINT) AS pi_ppm
+       FROM states)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+pi{t} AS (SELECT st.s,
+                CAST(COALESCE(m.p, 0) AS BIGINT) AS pi_ppm
+         FROM states st LEFT JOIN (
+           SELECT mat.dst AS s, SUM(pi_ppm * n // row_n) AS p
+           FROM mat JOIN pi{t - 1} ON mat.src = pi{t - 1}.s
+           GROUP BY 1) m USING (s))""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT s AS event_type, pi_ppm FROM pi{iters}"
+            " ORDER BY event_type")
