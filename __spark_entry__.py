@@ -250,6 +250,7 @@ _WINDOW_R6_TAIL = [
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
     "dedup_threshold_sweep", "text_quality_calibration",
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
+    "embed_group_drift",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1237,6 +1238,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return SIM.ann_filtered(emb, queries_df, k=10, oversample=4) \
             .orderBy("query_id")
     q["ann_filtered"] = ann_filtered
+
+    def embed_group_drift(spark, sf):
+        """Pairwise cosine between label-group centroids: integer
+        MEAN centroids (magnitude bounded at any corpus size), one
+        posexplode + (group, dim) aggregate, pairwise dot on the
+        tiny pinned centroid frame."""
+        from nifi_datasynthesizer_spark.operators.clustering import \
+            group_drift
+        return (group_drift(_t(spark, sf, "embeddings"))
+                .orderBy("group_a", "group_b"))
+    q["embed_group_drift"] = embed_group_drift
 
     def ann_recall_eval(spark, sf):
         """Index-quality monitoring: per-query recall@10 of the LSH
@@ -2694,6 +2706,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_rfm"] = OR.rfm_segments_sql()
     o["events_histogram"] = OR.log_histogram_sql()
     o["events_markov_stationary"] = OR.markov_stationary_sql(iters=10)
+    o["embed_group_drift"] = OR.group_drift_sql()
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
     o["corpus_span_corruption"] = OR.span_corruption_sql()
     o["corpus_fim"] = OR.fim_transform_sql()

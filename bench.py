@@ -78,7 +78,7 @@ def main() -> None:
              "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
              "dedup_threshold_sweep", "text_quality_calibration",
              "corpus_span_corruption", "corpus_fim",
-             "events_markov_stationary"]
+             "events_markov_stationary", "embed_group_drift"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

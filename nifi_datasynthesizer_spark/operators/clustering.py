@@ -630,3 +630,51 @@ def pca_power(emb: DataFrame, iters: int = 2, dim: int = 64,
     proj = F.aggregate(F.zip_with(F.col("xi"), vlit, lambda a, b: a * b),
                        F.lit(0).cast("long"), lambda acc, t: acc + t)
     return quant.select("vec_id", proj.alias("proj_q"))
+
+
+def group_drift(emb: DataFrame, group_col: str = "label",
+                vec_col: str = "embedding") -> DataFrame:
+    """Semantic drift matrix between embedding GROUPS (sources,
+    labels, snapshots): pairwise cosine between group centroids —
+    the mixing-governance read ("which sources are near-duplicates
+    of each other in embedding space, which one is the outlier")
+    before weighting a training mix, and the drift monitor between
+    corpus versions.
+
+    Scale-proof arithmetic: centroids are integer MEANS per (group,
+    dimension) — ``sum div count`` in exact micro-units, so the
+    magnitude is bounded by the value range NO MATTER the corpus
+    size (raw sums would overflow first), and cosine of means equals
+    cosine of sums.  One posexplode + (group, dim) map-side-combined
+    aggregate is the only corpus-scale work; the pairwise dot is a
+    |groups|²·dim join over the tiny pinned centroid frame.  Final
+    cosine is one double expression over exact integers (IEEE-
+    deterministic in both engines).  Returns
+    (group_a, group_b, cosine) for a < b.
+    """
+    from .dedup import _pin
+    q = emb.select(F.col(group_col).cast("long").alias("g"),
+                   F.posexplode(_quantize(F.col(vec_col)))
+                   .alias("pos", "v"))
+    cent = _pin(q.groupBy("g", "pos")
+                .agg(F.expr("sum(v) div count(*)").alias("m")))
+    cent.count()
+    norms = cent.groupBy("g").agg(F.sum(F.expr("m * m")).alias("nn"))
+    a = cent.select(F.col("g").alias("ga"), "pos",
+                    F.col("m").alias("ma"))
+    b = cent.select(F.col("g").alias("gb"), "pos",
+                    F.col("m").alias("mb"))
+    dots = (a.join(b, "pos").filter(F.col("ga") < F.col("gb"))
+            .groupBy("ga", "gb")
+            .agg(F.sum(F.expr("ma * mb")).alias("dot")))
+    return (dots
+            .join(norms.select(F.col("g").alias("ga"),
+                               F.col("nn").alias("na")), "ga")
+            .join(norms.select(F.col("g").alias("gb"),
+                               F.col("nn").alias("nb")), "gb")
+            .select(F.col("ga").alias("group_a"),
+                    F.col("gb").alias("group_b"),
+                    F.round(F.expr("CAST(dot AS DOUBLE) / "
+                                   "sqrt(CAST(na AS DOUBLE) * "
+                                   "CAST(nb AS DOUBLE))"), 6)
+                    .alias("cosine")))

@@ -2913,3 +2913,30 @@ pi{t} AS (SELECT st.s,
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT s AS event_type, pi_ppm FROM pi{iters}"
             " ORDER BY event_type")
+
+
+def group_drift_sql(table: str = "embeddings") -> str:
+    """Mirror of clustering.group_drift: integer centroid means via a
+    range cross join, exact integer dots, one double cosine."""
+    return f"""
+WITH xi AS (SELECT CAST(label AS BIGINT) AS g,
+                   list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS xi
+            FROM {table}),
+q AS (SELECT g, r.pos, xi[r.pos + 1] AS v
+      FROM xi, (SELECT UNNEST(range(0, 64)) AS pos) r),
+cent AS (SELECT g, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+         FROM q GROUP BY 1, 2),
+norms AS (SELECT g, CAST(SUM(m * m) AS BIGINT) AS nn
+          FROM cent GROUP BY 1),
+dots AS (SELECT a.g AS ga, b.g AS gb,
+                CAST(SUM(a.m * b.m) AS BIGINT) AS dot
+         FROM cent a JOIN cent b USING (pos) WHERE a.g < b.g
+         GROUP BY 1, 2)
+SELECT ga AS group_a, gb AS group_b,
+       ROUND(CAST(dot AS DOUBLE) /
+             SQRT(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)), 6)
+         AS cosine
+FROM dots JOIN norms na ON na.g = ga JOIN norms nb ON nb.g = gb
+ORDER BY group_a, group_b"""
