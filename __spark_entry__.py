@@ -250,7 +250,7 @@ _WINDOW_R6_TAIL = [
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
     "dedup_threshold_sweep", "text_quality_calibration",
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
-    "embed_group_drift",
+    "embed_group_drift", "embed_outliers",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1249,6 +1249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (group_drift(_t(spark, sf, "embeddings"))
                 .orderBy("group_a", "group_b"))
     q["embed_group_drift"] = embed_group_drift
+
+    def embed_outliers(spark, sf):
+        """Per-group OOD accounting: exact integer distance to the
+        OWN group centroid (centroid literals, narrow corpus pass),
+        per-group q90 threshold from a histogram CDF — |groups|
+        output rows at any scale."""
+        from nifi_datasynthesizer_spark.operators.clustering import \
+            embedding_outliers
+        return (embedding_outliers(_t(spark, sf, "embeddings"))
+                .orderBy("label"))
+    q["embed_outliers"] = embed_outliers
 
     def ann_recall_eval(spark, sf):
         """Index-quality monitoring: per-query recall@10 of the LSH
@@ -2707,6 +2718,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_histogram"] = OR.log_histogram_sql()
     o["events_markov_stationary"] = OR.markov_stationary_sql(iters=10)
     o["embed_group_drift"] = OR.group_drift_sql()
+    o["embed_outliers"] = OR.embedding_outliers_sql()
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
     o["corpus_span_corruption"] = OR.span_corruption_sql()
     o["corpus_fim"] = OR.fim_transform_sql()

@@ -78,7 +78,8 @@ def main() -> None:
              "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
              "dedup_threshold_sweep", "text_quality_calibration",
              "corpus_span_corruption", "corpus_fim",
-             "events_markov_stationary", "embed_group_drift"]
+             "events_markov_stationary", "embed_group_drift",
+             "embed_outliers"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

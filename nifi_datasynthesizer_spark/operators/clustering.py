@@ -678,3 +678,68 @@ def group_drift(emb: DataFrame, group_col: str = "label",
                                    "sqrt(CAST(na AS DOUBLE) * "
                                    "CAST(nb AS DOUBLE))"), 6)
                     .alias("cosine")))
+
+
+def embedding_outliers(emb: DataFrame, group_col: str = "label",
+                       vec_col: str = "embedding",
+                       q_ppm: int = 900_000,
+                       bin_shift: int = 30) -> DataFrame:
+    """Embedding-space outlier accounting per group — the OOD/noise
+    screen of an embedding-curation pass ("how much of each source
+    sits far from its own centroid"): squared L2 distance to the OWN
+    group's centroid, thresholded at the group's q-quantile via the
+    histogram-CDF (the corpus_curriculum trick — never an ntile
+    sort).
+
+    Plan: integer MEAN centroids aggregate once (posexplode +
+    map-side combine, the group_drift pass) and collect to
+    |groups|·dim driver literals, so the distance pass is a NARROW
+    CASE-over-literals expression — the corpus is never joined or
+    shuffled for scoring.  Distances bucket by a power-of-two shift
+    into a tiny (group, bucket) histogram; the threshold bucket
+    broadcasts back.  Returns per group: (group, n, n_outliers,
+    thresh_bucket) — rows bounded by |groups| at any scale.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _pin
+    q = emb.select(F.col(group_col).cast("long").alias("g"),
+                   F.posexplode(_quantize(F.col(vec_col)))
+                   .alias("pos", "v"))
+    cent_rows = (q.groupBy("g", "pos")
+                 .agg(F.expr("sum(v) div count(*)").alias("m"))
+                 .collect())
+    cents: dict[int, list[int]] = {}
+    for r in cent_rows:
+        cents.setdefault(int(r.g), [0] * 64)[int(r.pos)] = int(r.m)
+    dist_cases = " ".join(
+        f"WHEN {g} THEN aggregate(zip_with(xi, array({','.join(str(v) + 'L' for v in cs)}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for g, cs in sorted(cents.items()))
+    staged = _pin(emb.select(
+        F.col(group_col).cast("long").alias("g"),
+        _quantize(F.col(vec_col)).alias("xi"))
+        .select("g", F.expr(f"CASE g {dist_cases} END").alias("d"))
+        .select("g", F.expr(f"d div {1 << bin_shift}").alias("b")))
+    staged.count()
+    hist = staged.groupBy("g", "b").agg(F.count("*").alias("c"))
+    cum_w = (Window.partitionBy("g").orderBy("b")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot_w = Window.partitionBy("g")
+    thresh = (hist
+              .withColumn("cum", F.sum("c").over(cum_w))
+              .withColumn("n", F.sum("c").over(tot_w))
+              .groupBy("g")
+              .agg(F.min(F.when(
+                  F.col("cum") * 1_000_000 >= q_ppm * F.col("n"),
+                  F.col("b"))).alias("tb"),
+                  F.max("n").alias("n")))
+    out = (staged.join(F.broadcast(thresh), "g")
+           .groupBy("g")
+           .agg(F.max("n").alias("n"),
+                F.sum(F.when(F.col("b") > F.col("tb"), 1)
+                      .otherwise(0)).alias("n_outliers"),
+                F.max("tb").alias("thresh_bucket")))
+    return out.select(F.col("g").alias(group_col), "n",
+                      F.col("n_outliers").cast("long"),
+                      "thresh_bucket")

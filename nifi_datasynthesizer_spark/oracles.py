@@ -2940,3 +2940,39 @@ SELECT ga AS group_a, gb AS group_b,
          AS cosine
 FROM dots JOIN norms na ON na.g = ga JOIN norms nb ON nb.g = gb
 ORDER BY group_a, group_b"""
+
+
+def embedding_outliers_sql(q_ppm: int = 900_000, bin_shift: int = 30,
+                           table: str = "embeddings") -> str:
+    """Mirror of clustering.embedding_outliers: centroid means,
+    per-vector exact integer distance, per-group CDF threshold."""
+    return f"""
+WITH xi AS (SELECT vec_id, CAST(label AS BIGINT) AS g,
+                   list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS xi
+            FROM {table}),
+q AS (SELECT vec_id, g, r.pos, xi[r.pos + 1] AS v
+      FROM xi, (SELECT UNNEST(range(0, 64)) AS pos) r),
+cent AS (SELECT g, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+         FROM q GROUP BY 1, 2),
+d AS (SELECT q.vec_id, q.g,
+             CAST(SUM((v - m) * (v - m)) AS BIGINT) AS d
+      FROM q JOIN cent USING (g, pos) GROUP BY 1, 2),
+bk AS (SELECT g, d // {1 << bin_shift} AS b FROM d),
+hist AS (SELECT g, b, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+cdf AS (SELECT g, b, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM hist),
+thresh AS (SELECT g, MIN(CASE WHEN cum * 1000000 >= {q_ppm} * n
+                              THEN b END) AS tb,
+                  MAX(n) AS n
+           FROM cdf GROUP BY g)
+SELECT g AS label, CAST(n AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN b > tb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(tb AS BIGINT) AS thresh_bucket
+FROM bk JOIN thresh USING (g)
+GROUP BY g, n, tb ORDER BY label"""
