@@ -250,7 +250,7 @@ _WINDOW_R6_TAIL = [
     "corpus_weighted_sample", "corpus_interleave", "ann_filtered",
     "dedup_threshold_sweep", "text_quality_calibration",
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
-    "embed_group_drift", "embed_outliers",
+    "embed_group_drift", "embed_outliers", "events_funnel_windowed",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1828,6 +1828,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("user_id"))
     q["events_funnel"] = events_funnel
 
+    def events_funnel_windowed(spark, sf):
+        """Conversion-window funnel: every later step must land
+        within 7 days of step 1 (the form product analytics actually
+        reports) — same one-shuffle min-over-filter fold, the
+        deadline is one more predicate in the per-step filter."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            funnel_steps
+        ev = _t(spark, sf, "events")
+        return (funnel_steps(ev, ["signup", "view", "purchase"],
+                             within_s=7 * 86400)
+                .orderBy("user_id"))
+    q["events_funnel_windowed"] = events_funnel_windowed
+
     def events_ohlc(spark, sf):
         """Daily OHLC bars per user — the timeseries downsampling
         rollup, integer-cents exact with (ts, event_id) tie-breaks."""
@@ -2832,6 +2845,30 @@ FROM f2
 WHERE (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
        + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) > 0
+ORDER BY user_id"""
+
+    _fw_dl = 7 * 86400 * 1_000_000
+    o["events_funnel_windowed"] = f"""
+WITH e AS (SELECT user_id, event_type AS st, epoch_us(ts) AS tus
+           FROM events
+           WHERE event_type IN ('signup', 'view', 'purchase')),
+g AS (SELECT user_id,
+             list_sort(list(tus) FILTER (WHERE st = 'signup'))[1:64] AS ts0,
+             list_sort(list(tus) FILTER (WHERE st = 'view'))[1:64] AS ts1,
+             list_sort(list(tus) FILTER (WHERE st = 'purchase'))[1:64] AS ts2
+      FROM e GROUP BY user_id),
+f0 AS (SELECT user_id, ts1, ts2, ts0[1] AS t0 FROM g),
+f1 AS (SELECT *, list_min(list_filter(ts1,
+              x -> x > t0 AND x <= t0 + {_fw_dl})) AS t1 FROM f0),
+f2 AS (SELECT *, list_min(list_filter(ts2,
+              x -> x > t1 AND x <= t0 + {_fw_dl})) AS t2 FROM f1)
+SELECT user_id,
+       (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS max_step,
+       t0 AS t_first_us, t2 AS t_final_us
+FROM f2
+WHERE t0 IS NOT NULL
 ORDER BY user_id"""
 
     o["events_ohlc"] = """
