@@ -251,6 +251,7 @@ _WINDOW_R6_TAIL = [
     "dedup_threshold_sweep", "text_quality_calibration",
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
     "embed_group_drift", "embed_outliers", "events_funnel_windowed",
+    "events_cohort_ltv",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -560,6 +561,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (markov_stationary(_t(spark, sf, "events"), iters=10)
                 .orderBy("event_type"))
     q["events_markov_stationary"] = events_markov_stationary
+
+    def events_cohort_ltv(spark, sf):
+        """Cohort LTV matrix: day-0 cohorts × days-since-signup
+        revenue with cumulative per-user value — the monetary twin
+        of retention; cumsum runs over the tiny cell frame."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            cohort_ltv
+        return (cohort_ltv(_t(spark, sf, "events"))
+                .orderBy("cohort_day", "age_days"))
+    q["events_cohort_ltv"] = events_cohort_ltv
 
     def events_rfm(spark, sf):
         """RFM segmentation, quintiles by histogram-CDF — one event
@@ -2732,6 +2743,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["events_markov_stationary"] = OR.markov_stationary_sql(iters=10)
     o["embed_group_drift"] = OR.group_drift_sql()
     o["embed_outliers"] = OR.embedding_outliers_sql()
+    o["events_cohort_ltv"] = OR.cohort_ltv_sql()
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
     o["corpus_span_corruption"] = OR.span_corruption_sql()
     o["corpus_fim"] = OR.fim_transform_sql()

@@ -79,7 +79,8 @@ def main() -> None:
              "dedup_threshold_sweep", "text_quality_calibration",
              "corpus_span_corruption", "corpus_fim",
              "events_markov_stationary", "embed_group_drift",
-             "embed_outliers", "events_funnel_windowed"]
+             "embed_outliers", "events_funnel_windowed",
+             "events_cohort_ltv"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

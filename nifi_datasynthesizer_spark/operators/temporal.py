@@ -664,3 +664,46 @@ def markov_stationary(events: DataFrame, iters: int = 10,
               .select("s", F.coalesce("p", F.lit(0)).cast("long")
                       .alias("pi_ppm")))
     return pi.select(F.col("s").alias(state), "pi_ppm")
+
+
+def cohort_ltv(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               value: str = "value") -> DataFrame:
+    """Cohort lifetime-value matrix: users cohorted by first-activity
+    day, revenue rolled up per (cohort, days-since-signup) with the
+    CUMULATIVE per-user average — the monetary twin of the retention
+    matrix (retention counts who came back; LTV says what they were
+    worth by day N, the number that prices acquisition).
+
+    One map-side-combined per-user aggregate finds cohort day-0, a
+    broadcast join tags each event (users ≪ events at any scale, and
+    the join key is the events' natural partitioning), then the
+    (cohort, age) rollup is tiny and the running cumsum is a window
+    over |cohorts|·|ages| rows, not over events.  Exact integer
+    cents; cumulative-per-user LTV in integer cents via truncating
+    division.  Returns (cohort_day, age_days, n_users, cents,
+    cum_cents, ltv_cents_per_user).
+    """
+    from .dedup import _pin
+    day = F.to_date(F.col(ts))
+    ev = _pin(events.select(F.col(key).alias("u"), day.alias("d"),
+                            F.floor(F.col(value) * 100).cast("long")
+                            .alias("cents")))
+    ev.count()
+    first = ev.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.countDistinct("u").alias("n_users"))
+    tagged = (ev.join(F.broadcast(first), "u")
+              .select("cohort_day",
+                      F.datediff("d", "cohort_day").cast("long")
+                      .alias("age_days"), "cents"))
+    cells = tagged.groupBy("cohort_day", "age_days").agg(
+        F.sum("cents").alias("cents"))
+    w = (Window.partitionBy("cohort_day").orderBy("age_days")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cells
+            .withColumn("cum_cents", F.sum("cents").over(w))
+            .join(F.broadcast(sizes), "cohort_day")
+            .select("cohort_day", "age_days", "n_users", "cents",
+                    F.col("cum_cents").cast("long").alias("cum_cents"),
+                    F.expr("cum_cents div n_users").cast("long")
+                    .alias("ltv_cents_per_user")))

@@ -2976,3 +2976,28 @@ SELECT g AS label, CAST(n AS BIGINT) AS n,
        CAST(tb AS BIGINT) AS thresh_bucket
 FROM bk JOIN thresh USING (g)
 GROUP BY g, n, tb ORDER BY label"""
+
+
+def cohort_ltv_sql(table: str = "events") -> str:
+    """Mirror of temporal.cohort_ltv."""
+    return f"""
+WITH ev AS (SELECT user_id AS u, CAST(ts AS DATE) AS d,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM {table}),
+first AS (SELECT u, MIN(d) AS cohort_day FROM ev GROUP BY u),
+sizes AS (SELECT cohort_day, COUNT(DISTINCT u) AS n_users
+          FROM first GROUP BY 1),
+cells AS (SELECT cohort_day,
+                 CAST(date_diff('day', cohort_day, d) AS BIGINT)
+                   AS age_days,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM ev JOIN first USING (u) GROUP BY 1, 2),
+c2 AS (SELECT *, SUM(cents) OVER (PARTITION BY cohort_day
+                                  ORDER BY age_days
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+       FROM cells)
+SELECT cohort_day, age_days, CAST(n_users AS BIGINT) AS n_users,
+       cents, CAST(cum AS BIGINT) AS cum_cents,
+       CAST(cum // n_users AS BIGINT) AS ltv_cents_per_user
+FROM c2 JOIN sizes USING (cohort_day)
+ORDER BY cohort_day, age_days"""

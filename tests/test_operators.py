@@ -1994,3 +1994,26 @@ def test_fim_roundtrip(spark):
         suf, mid = rest.split(" <MID> ", 1)
         rebuilt = (pre.split() + mid.split() + suf.split())
         assert rebuilt == r.text.strip().split(), r.doc_id
+
+
+def test_label_prop_refines_components(spark):
+    """Label propagation can only split within connectivity: every
+    LPA community must be contained in exactly one connected
+    component (communities refine components, never bridge them)."""
+    from nifi_datasynthesizer_spark.operators.dedup import (
+        dedup_minhash, release_caches)
+    from nifi_datasynthesizer_spark.operators.graph import (
+        components, label_propagation)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup_minhash(docs, num_hashes=64, bands=16,
+                          jaccard_threshold=0.5).persist()
+    comm = {r.node: r.community
+            for r in label_propagation(pairs, iters=3).collect()}
+    comp = {r.node: r.component for r in components(pairs).collect()}
+    pairs.unpersist()
+    release_caches()
+    assert set(comm) == set(comp)
+    comp_of_comm = {}
+    for node, c in comm.items():
+        comp_of_comm.setdefault(c, set()).add(comp[node])
+    assert all(len(s) == 1 for s in comp_of_comm.values())
