@@ -251,7 +251,7 @@ _WINDOW_R6_TAIL = [
     "dedup_threshold_sweep", "text_quality_calibration",
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
     "embed_group_drift", "embed_outliers", "events_funnel_windowed",
-    "events_cohort_ltv",
+    "events_cohort_ltv", "corpus_tokenizer_fertility",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1803,6 +1803,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_tokenize(docs, rounds=4).orderBy("doc_id")
     q["corpus_tokenize"] = corpus_tokenize
 
+    def corpus_tokenizer_fertility(spark, sf):
+        """Tokenizer fertility report per language: subword tokens
+        per word and chars per token under the corpus-fit BPE — the
+        governance read that exposes which languages the tokenizer
+        fragments (high fertility = wasted context window there);
+        one co-keyed join of the per-doc counts with the language
+        column, then a |langs|-row rollup."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            bpe_tokenize
+        docs = _t(spark, sf, "documents")
+        tok = bpe_tokenize(docs, rounds=4)
+        return (tok.join(docs.select("doc_id", "lang",
+                                     F.length("text").cast("long")
+                                     .alias("nc")), "doc_id")
+                .groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_words").alias("words"),
+                     F.sum("n_bpe_tokens").alias("bpe_tokens"),
+                     F.sum("nc").alias("chars"))
+                .select("lang", "n_docs", "words", "bpe_tokens",
+                        F.expr("bpe_tokens * 1000000 div words")
+                        .cast("long").alias("fertility_ppm"),
+                        F.expr("chars * 1000000 div bpe_tokens")
+                        .cast("long").alias("chars_per_token_ppm"))
+                .orderBy("lang"))
+    q["corpus_tokenizer_fertility"] = corpus_tokenizer_fertility
+
     def corpus_dsir(spark, sf):
         """DSIR importance resampling: hashed-ngram likelihood-ratio
         scores vs a low-repetition target subpopulation, histogram-
@@ -2744,6 +2771,19 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["embed_group_drift"] = OR.group_drift_sql()
     o["embed_outliers"] = OR.embedding_outliers_sql()
     o["events_cohort_ltv"] = OR.cohort_ltv_sql()
+    o["corpus_tokenizer_fertility"] = f"""
+WITH tok AS ({OR.bpe_tokenize_sql(rounds=4)}),
+j AS (SELECT t.doc_id, t.n_words, t.n_bpe_tokens, d.lang,
+             CAST(LENGTH(d.text) AS BIGINT) AS nc
+      FROM tok t JOIN documents d USING (doc_id))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_bpe_tokens) * 1000000 // SUM(n_words) AS BIGINT)
+         AS fertility_ppm,
+       CAST(SUM(nc) * 1000000 // SUM(n_bpe_tokens) AS BIGINT)
+         AS chars_per_token_ppm
+FROM j GROUP BY lang ORDER BY lang"""
     o["corpus_weighted_sample"] = OR.weighted_sample_sql(k=100)
     o["corpus_span_corruption"] = OR.span_corruption_sql()
     o["corpus_fim"] = OR.fim_transform_sql()
