@@ -582,7 +582,9 @@ def test_wave4_operators_scan_counts(spark):
               "events_histogram": 1, "corpus_weighted_sample": 1,
               "corpus_interleave": 1, "corpus_span_corruption": 1,
               "corpus_fim": 1, "text_quality_calibration": 2,
-              "dedup_threshold_sweep": 2}
+              "dedup_threshold_sweep": 2, "events_funnel_windowed": 1,
+              "events_cohort_ltv": 1, "events_markov_stationary": 1,
+              "embed_group_drift": 1, "embed_outliers": 1}
     for name, want in expect.items():
         df = entrymod.queries()[name](spark, SF)
         p = _plan(df)
