@@ -251,7 +251,7 @@ _WINDOW_R6_TAIL = [
     "dedup_threshold_sweep", "text_quality_calibration",
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
     "embed_group_drift", "embed_outliers", "events_funnel_windowed",
-    "events_cohort_ltv", "corpus_tokenizer_fertility",
+    "events_cohort_ltv", "corpus_tokenizer_fertility", "corpus_build",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1610,6 +1610,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "q_n_words", "quality").orderBy("doc_id"))
     q["corpus_clean"] = corpus_clean
 
+    def corpus_build(spark, sf):
+        """The composed training-data BUILD: hygiene pipeline
+        (exact-dedup → language/quality annotate → filter → minhash
+        near-dup removal) feeding sequence packing — the full
+        raw-crawl → training-sequences path as ONE declarative plan,
+        demonstrating that the operators compose without
+        materialization boundaries (Catalyst sees a single DAG)."""
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        from nifi_datasynthesizer_spark.operators.pipeline import \
+            corpus_clean as CC
+        cleaned = CC(_t(spark, sf, "documents"), min_quality=0.3,
+                     near_dup_threshold=0.5).select("doc_id", "text")
+        return (CU.pack_sequences(cleaned, seq_tokens=256, shards=8)
+                .orderBy("doc_id"))
+    q["corpus_build"] = corpus_build
+
     # ---- multimodal plumbing (decode stubbed; plumbing real)
     def media_features(spark, sf):
         media = MM.synth_media(spark, n=500, seed=9)
@@ -2703,6 +2719,11 @@ FROM documents"""
                                                 hop_ms=2500)
     o["corpus_clean"] = OR.corpus_clean_sql(min_quality=0.3,
                                             near_dup_threshold=0.5)
+    _clean_txt = OR.corpus_clean_sql(min_quality=0.3,
+                                     near_dup_threshold=0.5,
+                                     cols="doc_id, text")
+    o["corpus_build"] = OR.pack_sequences_sql(
+        seq_tokens=256, shards=8, table=f"({_clean_txt}) cleaned")
     o["corpus_sample"] = (
         "SELECT doc_id, source, lang, n_chars FROM ("
         + OR.sample_stratified_sql(SAMPLE_RATES, default_rate=0.0)

@@ -80,7 +80,8 @@ def main() -> None:
              "corpus_span_corruption", "corpus_fim",
              "events_markov_stationary", "embed_group_drift",
              "embed_outliers", "events_funnel_windowed",
-             "events_cohort_ltv", "corpus_tokenizer_fertility"]
+             "events_cohort_ltv", "corpus_tokenizer_fertility",
+             "corpus_build"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

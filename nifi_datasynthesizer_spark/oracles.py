@@ -446,9 +446,13 @@ def _quality_exprs() -> tuple[str, str]:
 
 def corpus_clean_sql(min_quality: float = 0.3,
                      near_dup_threshold: float = 0.5,
-                     table: str = "documents") -> str:
+                     table: str = "documents",
+                     cols: str = "doc_id, pred_lang, lang_score, "
+                                 "q_n_words, quality") -> str:
     """Mirror of pipeline.corpus_clean (exact-dedup → annotate →
-    quality filter → minhash near-dup removal, keep lower doc_id)."""
+    quality filter → minhash near-dup removal, keep lower doc_id).
+    ``cols`` selects the surfaced columns — composed pipelines
+    (corpus_build) keep the text for downstream stages."""
     pred_lang, lang_score = _langid_exprs()
     n_words, quality = _quality_exprs()
     mh = minhash_pairs_sql(jaccard_threshold=near_dup_threshold,
@@ -463,7 +467,7 @@ ann AS (SELECT doc_id, text, {pred_lang} AS pred_lang,
         FROM kept),
 filtered AS (SELECT * FROM ann WHERE quality >= {min_quality}),
 losers AS (SELECT DISTINCT b AS doc_id FROM ({mh}))
-SELECT doc_id, pred_lang, lang_score, q_n_words, quality
+SELECT {cols}
 FROM filtered WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id"""
 
