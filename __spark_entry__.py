@@ -252,6 +252,7 @@ _WINDOW_R6_TAIL = [
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
     "embed_group_drift", "embed_outliers", "events_funnel_windowed",
     "events_cohort_ltv", "corpus_tokenizer_fertility", "corpus_build",
+    "ann_lsh_multiprobe",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1239,6 +1240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 5)
         return SIM.ann_lsh(emb, queries_df, k=10).orderBy("query_id", "rank")
     q["ann_lsh"] = ann_lsh
+
+    def ann_lsh_multiprobe(spark, sf):
+        """Multi-probe LSH (Lv et al.): queries probe their bucket +
+        every Hamming-1 neighbor — recall bought on the broadcast
+        query side, the corpus is bucketed once and never re-hashed."""
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return SIM.ann_lsh_multiprobe(emb, queries_df, k=10) \
+            .orderBy("query_id", "rank")
+    q["ann_lsh_multiprobe"] = ann_lsh_multiprobe
 
     def ann_filtered(spark, sf):
         """Filtered vector search A/B: pre-filter truth (predicate
@@ -2713,6 +2724,8 @@ FROM documents"""
     o["corpus_stats"] = OR.corpus_stats_sql()
     o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
+    o["ann_lsh_multiprobe"] = OR.ann_lsh_multiprobe_sql(
+        k=10, bucket_bits=6, seed=7)
     o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["media_segments"] = OR.media_segments_sql(n=200, win_ms=5000,

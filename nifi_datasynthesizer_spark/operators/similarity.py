@@ -391,3 +391,39 @@ def ann_filtered(emb: DataFrame, queries: DataFrame, k: int = 10,
                     F.expr("CAST(coalesce(n_hit, 0) * 1000000"
                            " div n_truth AS BIGINT)")
                     .alias("recall_ppm")))
+
+
+def ann_lsh_multiprobe(emb: DataFrame, queries: DataFrame, k: int = 10,
+                       bucket_bits: int = 6, seed: int = 7) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): each query probes its own
+    hyperplane bucket PLUS every Hamming-1 neighbor (one sign bit
+    flipped) — the standard way to buy LSH recall without more hash
+    tables: a near neighbor that landed just across one hyperplane is
+    in exactly such a bucket.  Probes multiply the QUERY side
+    (bits + 1 rows per query, still broadcast-tiny); the corpus is
+    bucketed once and never re-hashed or shuffled — same plan shape
+    as single-probe, ~(bits+1)× the scored candidates instead of
+    2^bits× for brute force.
+    """
+    probes = F.array(*([F.col("bucket")] +
+                       [F.expr(f"CAST(bucket AS BIGINT) ^ {1 << j}")
+                        for j in range(bucket_bits)]))
+    q = (queries.select(F.col("vec_id").alias("query_id"),
+                        l2_normalize(F.col("embedding")).alias("qv"))
+         .withColumn("bucket", random_hyperplane_bucket(
+             F.col("qv"), bucket_bits, seed))
+         .withColumn("bucket", F.explode(probes)))
+    c = (emb.select(F.col("vec_id").alias("cand_id"),
+                    l2_normalize(F.col("embedding")).alias("cv"))
+         .withColumn("bucket", random_hyperplane_bucket(
+             F.col("cv"), bucket_bits, seed)))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("qv"), F.col("cv")), 6))
+              .select("query_id", "cand_id", "cosine").distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine", "rank"))

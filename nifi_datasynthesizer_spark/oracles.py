@@ -3005,3 +3005,27 @@ SELECT cohort_day, age_days, CAST(n_users AS BIGINT) AS n_users,
        CAST(cum // n_users AS BIGINT) AS ltv_cents_per_user
 FROM c2 JOIN sizes USING (cohort_day)
 ORDER BY cohort_day, age_days"""
+
+
+def ann_lsh_multiprobe_sql(k: int = 10, bucket_bits: int = 6,
+                           seed: int = 7, dim: int = 64,
+                           query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.ann_lsh_multiprobe: each query probes its
+    bucket plus every Hamming-1 neighbor (xor of one bit)."""
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})"
+                                     for j in range(bucket_bits)])
+    return f"""
+WITH {_NORMED},
+b AS (SELECT vec_id, v, ({_bucket_terms(bucket_bits, seed, dim)}) AS bucket FROM normed),
+q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+       WHERE {query_pred}),
+lq AS (SELECT query_id, qv, UNNEST([{probes}]) AS bucket FROM q0),
+scored AS (SELECT DISTINCT query_id, c.vec_id AS cand_id,
+                  ROUND(list_sum(list_transform(list_zip(qv, c.v),
+                                                p -> p[1] * p[2])), 6)
+                    AS cosine
+           FROM b c JOIN lq USING (bucket) WHERE c.vec_id <> query_id)
+SELECT query_id, cand_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id) AS rank
+FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""

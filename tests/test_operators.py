@@ -2017,3 +2017,24 @@ def test_label_prop_refines_components(spark):
     for node, c in comm.items():
         comp_of_comm.setdefault(c, set()).add(comp[node])
     assert all(len(s) == 1 for s in comp_of_comm.values())
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe's and the
+    re-rank is exact, so per-query recall@k vs brute-force truth can
+    only rise — and on this corpus it must rise somewhere."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 30)
+    truth = {(r.query_id, r.cand_id)
+             for r in SIM.ann_bruteforce(emb, qs, k=10).collect()}
+    single = {(r.query_id, r.cand_id)
+              for r in SIM.ann_lsh(emb, qs, k=10).collect()}
+    multi = {(r.query_id, r.cand_id)
+             for r in SIM.ann_lsh_multiprobe(emb, qs, k=10).collect()}
+    r1 = len(truth & single)
+    r2 = len(truth & multi)
+    assert r2 >= r1
+    assert r2 > r1  # 6 extra probes must recover some lost neighbors
