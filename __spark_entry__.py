@@ -252,7 +252,7 @@ _WINDOW_R6_TAIL = [
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
     "embed_group_drift", "embed_outliers", "events_funnel_windowed",
     "events_cohort_ltv", "corpus_tokenizer_fertility", "corpus_build",
-    "ann_lsh_multiprobe",
+    "ann_lsh_multiprobe", "text_langid_eval",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -1325,6 +1325,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (TX.word_entropy(_t(spark, sf, "documents"))
                 .orderBy("doc_id"))
     q["text_entropy"] = text_entropy
+
+    def text_langid_eval(spark, sf):
+        """Confusion matrix of the language-ID heuristic against the
+        corpus ground-truth lang column — detector governance (which
+        language pairs the marker sets confuse, where 'und' falls):
+        one narrow pass + a |langs|² map-side-combined aggregate."""
+        docs = _t(spark, sf, "documents")
+        from pyspark.sql import Window
+        pred = TX.lang_id(docs).select("lang", "pred_lang")
+        cells = pred.groupBy("lang", "pred_lang").agg(
+            F.count("*").alias("n"))
+        w_tot = Window.partitionBy("lang")
+        return (cells
+                .withColumn("true_n", F.sum("n").over(w_tot))
+                .select("lang", "pred_lang", "n",
+                        F.expr("n * 1000000 div true_n").cast("long")
+                        .alias("share_of_true_ppm"))
+                .orderBy("lang", "pred_lang"))
+    q["text_langid_eval"] = text_langid_eval
 
     def text_readability(spark, sf):
         """Flesch / Flesch–Kincaid readability in integer micro-units:
@@ -2726,6 +2745,14 @@ FROM documents"""
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
     o["ann_lsh_multiprobe"] = OR.ann_lsh_multiprobe_sql(
         k=10, bucket_bits=6, seed=7)
+    _pl, _ = OR._langid_exprs()
+    o["text_langid_eval"] = f"""
+WITH p AS (SELECT lang, {_pl} AS pred_lang FROM documents),
+c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_of_true_ppm
+FROM c ORDER BY lang, pred_lang"""
     o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["media_segments"] = OR.media_segments_sql(n=200, win_ms=5000,
