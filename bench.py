@@ -99,8 +99,10 @@ def main() -> None:
     # any query whose first run exceeds RETIME_SEC is run again and the
     # MIN is kept: steal only ever adds time, so min is the estimator
     # closest to the un-stolen cost.  Cheap queries stay single-shot —
-    # their absolute error is bounded by their cost.
-    RETIME_SEC = 3.0
+    # their absolute error is bounded by their cost.  (1.5 s: back-to-
+    # back session-close runs showed 10-20% phantom drift on 2-3 s
+    # queries that the old 3 s threshold left single-shot.)
+    RETIME_SEC = 1.5
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
