@@ -252,7 +252,7 @@ _WINDOW_R6_TAIL = [
     "corpus_span_corruption", "corpus_fim", "events_markov_stationary",
     "embed_group_drift", "embed_outliers", "events_funnel_windowed",
     "events_cohort_ltv", "corpus_tokenizer_fertility", "corpus_build",
-    "ann_lsh_multiprobe", "text_langid_eval",
+    "ann_lsh_multiprobe", "text_langid_eval", "events_ab_assign",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -562,6 +562,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (markov_stationary(_t(spark, sf, "events"), iters=10)
                 .orderBy("event_type"))
     q["events_markov_stationary"] = events_markov_stationary
+
+    def events_ab_assign(spark, sf):
+        """Deterministic experiment analysis: arm = h60(user) % 2 —
+        the hash-bucket assignment every production experiment system
+        uses (sticky across sessions/retries, no assignment table) —
+        with a per-arm readout of exact counts, integer-ppm mean and
+        histogram-CDF p50/p90 (scale-proof where naive variance sums
+        of squares overflow).  One narrow pass + tiny aggregates."""
+        from pyspark.sql import Window
+        from nifi_datasynthesizer_spark.phash import h60
+        ev = _t(spark, sf, "events").filter(
+            F.col("event_type") == "purchase")
+        staged = ev.select(
+            F.pmod(h60(F.concat(F.col("user_id").cast("string"),
+                                F.lit(":ab7"))), F.lit(2)).alias("arm"),
+            F.col("user_id").alias("u"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        base = staged.groupBy("arm").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("u").alias("n_users"),
+            F.sum("cents").alias("sum_cents"))
+        hist = staged.groupBy("arm", "cents").agg(F.count("*").alias("c"))
+        cum_w = (Window.partitionBy("arm").orderBy("cents")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        tot_w = Window.partitionBy("arm")
+        qs = (hist.withColumn("cum", F.sum("c").over(cum_w))
+              .withColumn("n", F.sum("c").over(tot_w))
+              .groupBy("arm")
+              .agg(F.min(F.when(F.col("cum") * 100 >= 50 * F.col("n"),
+                                F.col("cents"))).alias("p50_cents"),
+                   F.min(F.when(F.col("cum") * 100 >= 90 * F.col("n"),
+                                F.col("cents"))).alias("p90_cents")))
+        return (base.join(qs, "arm")
+                .select("arm", "n_events", "n_users", "sum_cents",
+                        F.expr("sum_cents * 1000000 div n_events")
+                        .cast("long").alias("mean_cents_ppm"),
+                        "p50_cents", "p90_cents")
+                .orderBy("arm"))
+    q["events_ab_assign"] = events_ab_assign
 
     def events_cohort_ltv(spark, sf):
         """Cohort LTV matrix: day-0 cohorts × days-since-signup
@@ -2832,6 +2872,33 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["embed_group_drift"] = OR.group_drift_sql()
     o["embed_outliers"] = OR.embedding_outliers_sql()
     o["events_cohort_ltv"] = OR.cohort_ltv_sql()
+    _ab_h = OR.h60_sql("CAST(user_id AS VARCHAR) || ':ab7'")
+    o["events_ab_assign"] = f"""
+WITH s AS (SELECT ({_ab_h}) % 2 AS arm, user_id AS u,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+base AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+                CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM s GROUP BY arm),
+hist AS (SELECT arm, cents, COUNT(*) AS c FROM s GROUP BY 1, 2),
+cdf AS (SELECT arm, cents, c,
+               SUM(c) OVER (PARTITION BY arm ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY arm) AS n
+        FROM hist),
+qs AS (SELECT arm,
+              MIN(CASE WHEN cum * 100 >= 50 * n THEN cents END)
+                AS p50_cents,
+              MIN(CASE WHEN cum * 100 >= 90 * n THEN cents END)
+                AS p90_cents
+       FROM cdf GROUP BY arm)
+SELECT arm, n_events, n_users, sum_cents,
+       CAST(sum_cents * 1000000 // n_events AS BIGINT)
+         AS mean_cents_ppm,
+       CAST(p50_cents AS BIGINT) AS p50_cents,
+       CAST(p90_cents AS BIGINT) AS p90_cents
+FROM base JOIN qs USING (arm) ORDER BY arm"""
     o["corpus_tokenizer_fertility"] = f"""
 WITH tok AS ({OR.bpe_tokenize_sql(rounds=4)}),
 j AS (SELECT t.doc_id, t.n_words, t.n_bpe_tokens, d.lang,

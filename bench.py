@@ -81,7 +81,8 @@ def main() -> None:
              "events_markov_stationary", "embed_group_drift",
              "embed_outliers", "events_funnel_windowed",
              "events_cohort_ltv", "corpus_tokenizer_fertility",
-             "corpus_build", "ann_lsh_multiprobe", "text_langid_eval"]
+             "corpus_build", "ann_lsh_multiprobe", "text_langid_eval",
+             "events_ab_assign"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation
