@@ -253,6 +253,7 @@ _WINDOW_R6_TAIL = [
     "embed_group_drift", "embed_outliers", "events_funnel_windowed",
     "events_cohort_ltv", "corpus_tokenizer_fertility", "corpus_build",
     "ann_lsh_multiprobe", "text_langid_eval", "events_ab_assign",
+    "sketch_cms_eval",
     "dedup_fuzzy", "embed_pca", "text_keywords", "dedup_spans", "text_classify",
     "text_fluency", "embed_quantize", "text_bm25", "search_rrf",
     "text_chunks", "text_repetition", "text_pii_scrub",
@@ -562,6 +563,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (markov_stationary(_t(spark, sf, "events"), iters=10)
                 .orderBy("event_type"))
     q["events_markov_stationary"] = events_markov_stationary
+
+    def sketch_cms_eval(spark, sf):
+        """CMS error evaluation on an h60 word sample (the light tail
+        where collision noise actually lands): exact vs estimate with
+        one-sided relative error in ppm — the sketch twin of
+        ann_recall_eval before trusting a (depth, width) config."""
+        from nifi_datasynthesizer_spark.operators.sketches import \
+            cm_error_eval
+        return (cm_error_eval(_t(spark, sf, "documents"),
+                              sample_mod=101)
+                .orderBy("word"))
+    q["sketch_cms_eval"] = sketch_cms_eval
 
     def events_ab_assign(spark, sf):
         """Deterministic experiment analysis: arm = h60(user) % 2 —
@@ -2872,6 +2885,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["embed_group_drift"] = OR.group_drift_sql()
     o["embed_outliers"] = OR.embedding_outliers_sql()
     o["events_cohort_ltv"] = OR.cohort_ltv_sql()
+    o["sketch_cms_eval"] = OR.cm_error_eval_sql(sample_mod=101)
     _ab_h = OR.h60_sql("CAST(user_id AS VARCHAR) || ':ab7'")
     o["events_ab_assign"] = f"""
 WITH s AS (SELECT ({_ab_h}) % 2 AS arm, user_id AS u,

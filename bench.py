@@ -82,7 +82,7 @@ def main() -> None:
              "embed_outliers", "events_funnel_windowed",
              "events_cohort_ltv", "corpus_tokenizer_fertility",
              "corpus_build", "ann_lsh_multiprobe", "text_langid_eval",
-             "events_ab_assign"]
+             "events_ab_assign", "sketch_cms_eval"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -654,3 +654,41 @@ def log_histogram(events: DataFrame, group_col: str = "event_type",
                     "n",
                     F.expr("n * 1000000 div total").cast("long")
                     .alias("share_ppm")))
+
+
+def cm_error_eval(docs: DataFrame, sample_mod: int = 101,
+                  depth: int = 4, width: int = 1024,
+                  text_col: str = "text") -> DataFrame:
+    """Count-min error evaluation on a deterministic WORD sample —
+    the sketch twin of ann_recall_eval / dedup_minhash_eval: heavy
+    hitters barely feel collision noise, so this measures where CMS
+    actually errs — the light tail — before a (depth, width) config
+    is trusted for 100 TB of ad-hoc frequency probes.
+
+    Same SUM-combinable grid as cm_heavy_hitters; the candidate set
+    is every word with h60(word) % sample_mod == 0 (≈1/mod of the
+    vocab, deterministic and replayable).  Returns per sampled word
+    (word, exact_n, cm_est, over_ppm) with the one-sided relative
+    overestimate in integer ppm — CMS never underestimates, so
+    over_ppm ≥ 0 is also a self-check.
+    """
+    words = (docs.select(F.explode(
+        F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != ""))
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    cells = (wc.select("w", "n",
+                       _cm_buckets(F.col("w"), depth, width)
+                       .alias("r", "bkt"))
+             .groupBy("r", "bkt").agg(F.sum("n").alias("cell")))
+    cand = wc.filter(F.pmod(h60(F.col("w")), F.lit(sample_mod)) == 0)
+    est = (cand.select("w", "n",
+                       _cm_buckets(F.col("w"), depth, width)
+                       .alias("r", "bkt"))
+           .join(F.broadcast(cells), ["r", "bkt"])
+           .groupBy("w", "n")
+           .agg(F.min("cell").alias("cm_est")))
+    return est.select(F.col("w").alias("word"),
+                      F.col("n").alias("exact_n"),
+                      F.col("cm_est").cast("long"),
+                      F.expr("(cm_est - n) * 1000000 div n")
+                      .cast("long").alias("over_ppm"))

@@ -3029,3 +3029,30 @@ SELECT query_id, cand_id, cosine,
        ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, cand_id) AS rank
 FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
+def cm_error_eval_sql(sample_mod: int = 101, depth: int = 4,
+                      width: int = 1024,
+                      table: str = "documents") -> str:
+    """Mirror of sketches.cm_error_eval: CMS grid, h60-sampled word
+    candidates, one-sided relative error in ppm."""
+    bkts = ", ".join(h60_sql(f"w || '#cm{r}'") + f" % {width}"
+                     for r in range(depth))
+    return f"""
+WITH wx AS (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM {table}),
+wc AS (SELECT w, COUNT(*) AS n FROM wx WHERE w <> '' GROUP BY w),
+cl AS (SELECT w, n, unnest([{bkts}]) AS bkt,
+              unnest(range({depth})) AS r
+       FROM wc),
+cells AS (SELECT r, bkt, CAST(SUM(n) AS BIGINT) AS cell
+          FROM cl GROUP BY r, bkt),
+cand AS (SELECT w, n, unnest([{bkts}]) AS bkt,
+                unnest(range({depth})) AS r
+         FROM wc WHERE {h60_sql('w')} % {sample_mod} = 0)
+SELECT cand.w AS word, CAST(cand.n AS BIGINT) AS exact_n,
+       CAST(MIN(cells.cell) AS BIGINT) AS cm_est,
+       CAST((MIN(cells.cell) - cand.n) * 1000000 // cand.n AS BIGINT)
+         AS over_ppm
+FROM cand JOIN cells USING (r, bkt)
+GROUP BY cand.w, cand.n
+ORDER BY word"""
