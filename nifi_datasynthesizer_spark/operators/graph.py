@@ -62,7 +62,7 @@ def triangles(pairs: DataFrame) -> DataFrame:
 
 
 def pagerank(pairs: DataFrame, iters: int = 2,
-             damping_ppm: int = 850_000) -> DataFrame:
+             damping_ppm: int = 850_000, pin_every: int = 5) -> DataFrame:
     """PageRank over the undirected pair graph, quantized to integer
     parts-per-million so every iteration is exact on any engine or
     partitioning (float PageRank drifts with summation order).
@@ -76,11 +76,14 @@ def pagerank(pairs: DataFrame, iters: int = 2,
     (release with dedup.release_caches); each iteration is one join on
     the node id + one aggregation — the same key both times, so at
     1000 executors the rank frame stays co-partitioned with edges and
-    only the contribution sums move.  Lineage depth is ``iters``
-    (small, fixed); for deep iteration counts persist per-round like
-    dup_groups.  Symmetric pairs mean no dangling nodes by
-    construction.
+    only the contribution sums move.  Lineage depth is bounded by
+    ``pin_every``: every ``pin_every`` rounds the rank frame is
+    localCheckpointed (values bit-identical — integer ppm), so
+    analysis cost stays flat at user-supplied iteration budgets
+    instead of growing a nested plan per round.  Symmetric pairs mean
+    no dangling nodes by construction.
     """
+    from .dedup import _cut_lineage
     a, b = F.col("a"), F.col("b")
     sym = (pairs.select(a.alias("src"), b.alias("dst"))
            .union(pairs.select(b.alias("src"), a.alias("dst"))).distinct())
@@ -89,7 +92,7 @@ def pagerank(pairs: DataFrame, iters: int = 2,
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(PPM).cast("long").alias("r"))
     base = PPM - damping_ppm
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (edges
                    .join(ranks, edges.src == ranks.node)
                    .join(deg, "src")
@@ -99,6 +102,8 @@ def pagerank(pairs: DataFrame, iters: int = 2,
                  .select("node",
                          F.expr(f"{base} + (s * {damping_ppm}) "
                                 f"div {PPM}").alias("r")))
+        if (i + 1) % pin_every == 0 and i + 1 < iters:
+            ranks = _cut_lineage(ranks)
     return ranks.select(F.col("node").alias("doc_id"),
                         F.col("r").alias("pr_ppm"))
 
@@ -148,7 +153,8 @@ def components(pairs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("node"), F.col("group_id").alias("component"))
 
 
-def label_propagation(pairs: DataFrame, iters: int = 3) -> DataFrame:
+def label_propagation(pairs: DataFrame, iters: int = 3,
+                      pin_every: int = 5) -> DataFrame:
     """Community detection by synchronous label propagation
     (Raghavan et al. 2007) over the undirected pair graph — where
     connected components answer "what is transitively linked", LPA
@@ -164,18 +170,20 @@ def label_propagation(pairs: DataFrame, iters: int = 3) -> DataFrame:
     bounded by the edge count — then a struct-max per node picks
     (count desc, label asc) without a window sort.  Labels start as
     node ids; edges are pinned once (release with
-    dedup.release_caches).  Lineage depth = ``iters`` (small, fixed);
-    persist per-round like dup_groups for deep budgets.
+    dedup.release_caches).  Lineage depth is bounded by ``pin_every``
+    (localCheckpoint — values bit-identical), so analysis cost stays
+    flat at user-supplied iteration budgets.
 
     Returns (node, community) — community = converged label.
     """
+    from .dedup import _cut_lineage
     a, b = F.col("a"), F.col("b")
     sym = (pairs.select(a.alias("src"), b.alias("dst"))
            .union(pairs.select(b.alias("src"), a.alias("dst"))).distinct())
     edges = _pin(sym)
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .select("node", F.col("node").alias("lbl"))
-    for _ in range(iters):
+    for i in range(iters):
         votes = (edges.join(labels, edges.src == labels.node)
                  .groupBy(F.col("dst").alias("node"), "lbl")
                  .agg(F.count("*").alias("c")))
@@ -184,4 +192,6 @@ def label_propagation(pairs: DataFrame, iters: int = 3) -> DataFrame:
                                     (-F.col("lbl")).alias("neg")))
                      .alias("m")))
         labels = best.select("node", (-F.col("m.neg")).alias("lbl"))
+        if (i + 1) % pin_every == 0 and i + 1 < iters:
+            labels = _cut_lineage(labels)
     return labels.select("node", F.col("lbl").alias("community"))

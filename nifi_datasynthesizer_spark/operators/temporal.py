@@ -622,7 +622,8 @@ def rfm_segments(events: DataFrame, key: str = "user_id",
 def markov_stationary(events: DataFrame, iters: int = 10,
                       key: str = "user_id", ts: str = "ts",
                       state: str = "event_type",
-                      id_col: str = "event_id") -> DataFrame:
+                      id_col: str = "event_id",
+                      pin_every: int = 5) -> DataFrame:
     """Stationary distribution of the user-journey Markov chain —
     'where do journeys spend their time at equilibrium', the chain-
     level summary the raw transition matrix doesn't give (a state can
@@ -637,10 +638,14 @@ def markov_stationary(events: DataFrame, iters: int = 10,
     ``π(s) · n(s→d) div n(s)`` (truncating division; the lost
     remainder mass is the documented quantization, mirrored exactly
     by the oracle).  States with no outgoing edges shed their mass —
-    the standard dangling-state behavior without damping.  Returns
+    the standard dangling-state behavior without damping.  Lineage
+    depth is bounded by ``pin_every`` (localCheckpoint every few
+    rounds — values bit-identical integer ppm), so driver analysis
+    cost stays flat at user-supplied iteration budgets instead of
+    re-analyzing an O(iters)-deep nested plan each round.  Returns
     (state, pi_ppm) at the final round.
     """
-    from .dedup import _pin
+    from .dedup import _cut_lineage, _pin
     w = Window.partitionBy(key).orderBy(F.col(ts), F.col(id_col))
     seq = events.select(
         F.col(state).alias("src"),
@@ -655,7 +660,7 @@ def markov_stationary(events: DataFrame, iters: int = 10,
     n_states = states.crossJoin(states.agg(F.count("*").alias("k")))
     pi = n_states.select("s", F.expr("CAST(1000000 div k AS BIGINT)")
                          .alias("pi_ppm"))
-    for _ in range(iters):
+    for i in range(iters):
         moved = (mat.join(pi, mat.src == pi.s)
                  .select(F.col("dst").alias("s"),
                          F.expr("pi_ppm * n div row_n").alias("c")))
@@ -663,6 +668,8 @@ def markov_stationary(events: DataFrame, iters: int = 10,
                           "s", "left")
               .select("s", F.coalesce("p", F.lit(0)).cast("long")
                       .alias("pi_ppm")))
+        if (i + 1) % pin_every == 0 and i + 1 < iters:
+            pi = _cut_lineage(pi)
     return pi.select(F.col("s").alias(state), "pi_ppm")
 
 

@@ -1002,6 +1002,40 @@ def test_pagerank_planted(spark):
     assert out == out2                                # integer-exact
 
 
+def test_power_iteration_lineage_bounded(spark):
+    """r6 verdict item: deep user-supplied iteration budgets must not
+    grow the analyzed plan without bound.  pin_every localCheckpoints
+    the per-round frame, so at iters=25 the final plan is one pin
+    interval deep, not 25 — and the cut changes no values (the
+    checkpoint stores the exact integer-ppm partitions)."""
+    from nifi_datasynthesizer_spark.operators.graph import pagerank
+    from nifi_datasynthesizer_spark.operators.temporal import \
+        markov_stationary
+    pairs = spark.createDataFrame([(0, k) for k in range(1, 6)], ["a", "b"])
+    # values identical with and without lineage cuts
+    cut = {r.doc_id: r.pr_ppm
+           for r in pagerank(pairs, iters=6, pin_every=2).collect()}
+    uncut = {r.doc_id: r.pr_ppm
+             for r in pagerank(pairs, iters=6, pin_every=100).collect()}
+    assert cut == uncut
+    ev = spark.createDataFrame(
+        [(1, i, "ab"[i % 2], i) for i in range(8)] +
+        [(2, i, "bc"[i % 2], 100 + i) for i in range(8)],
+        ["user_id", "ts", "event_type", "event_id"])
+    mcut = {r.event_type: r.pi_ppm
+            for r in markov_stationary(ev, iters=6, pin_every=2).collect()}
+    muncut = {r.event_type: r.pi_ppm
+              for r in markov_stationary(ev, iters=6,
+                                         pin_every=100).collect()}
+    assert mcut == muncut and len(mcut) == 3
+    # analyzed-plan size at iters=25 ~= one pin interval (iters=5), so
+    # analysis cost is flat in the iteration budget
+    def plan_len(iters):
+        df = pagerank(pairs, iters=iters, pin_every=5)
+        return len(df._jdf.queryExecution().analyzed().toString())
+    assert plan_len(25) <= 1.5 * plan_len(5)
+
+
 def test_media_dedup_planted(spark):
     from nifi_datasynthesizer_spark.operators import multimodal as MM
     media = MM.synth_media(spark, n=30, seed=5, payload_universe=10)
