@@ -68,14 +68,28 @@ def synth_media(spark, n: int = 100, seed: int = 0,
                     (F.col("id") % 60000).cast("int").alias("duration_ms")))
 
 
+# Optional real codecs, import-gated: the sandbox has neither PIL nor
+# soundfile, so the deterministic stub stays the ORACLE path (exact
+# integer math a SQL engine can replay); real decode is opt-in via
+# decode="real"/"auto" and swaps one per-row function — the Spark plan
+# (mapInPandas schema, batching, partitioning) is identical.
+try:
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:                       # sandbox path
+    _PIL_Image = None
+try:
+    import soundfile as _soundfile  # type: ignore
+except ImportError:                 # sandbox path
+    _soundfile = None
+
+
 def _decode_image_stub(payload: bytes, dim: int) -> list[float]:
     """STUB — container lacks PIL/libjpeg.  Deterministic fake feature:
     byte histogram folded to `dim` lanes, emitted as exact
     parts-per-million fractions (integer math throughout, then one
     IEEE double division — bit-identical in any engine, which is what
-    lets the DuckDB oracle replay this).  Replace with real decode:
-
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
+    lets the DuckDB oracle replay this).  The real twin is
+    :func:`_decode_image_real` (PIL), selected by ``decode=``.
     """
     acc = [0] * dim
     for j, b in enumerate(payload):
@@ -84,21 +98,60 @@ def _decode_image_stub(payload: bytes, dim: int) -> list[float]:
     return [(a * 1_000_000 // norm) / 1e6 for a in acc]
 
 
+def _decode_image_real(payload: bytes, dim: int) -> list[float]:
+    """Real decode (PIL): grayscale pixel intensity folded to ``dim``
+    lanes — the same output contract (ppm fractions summing to ~1) as
+    the stub, so downstream operators (phash_pairs, media feature
+    joins) are agnostic to which decoder produced the feature."""
+    import io as _io
+    img = _PIL_Image.open(_io.BytesIO(payload)).convert("L")
+    acc = [0] * dim
+    for j, px in enumerate(img.getdata()):
+        acc[j % dim] += px
+    norm = sum(acc) or 1
+    return [(a * 1_000_000 // norm) / 1e6 for a in acc]
+
+
+def _pick_decoder(decode: str):
+    """Resolve the decode mode to a per-row function.  'stub' = the
+    deterministic oracle fake; 'real' = PIL (ImportError when absent
+    — fail loud, never silently fake); 'auto' = real when PIL is
+    importable, else the stub."""
+    if decode == "stub":
+        return _decode_image_stub
+    if decode == "real":
+        if _PIL_Image is None:
+            raise ImportError(
+                "decode='real' needs Pillow (pip install Pillow); "
+                "this environment has no image codecs — use "
+                "decode='stub' (deterministic fake) or 'auto'")
+        return _decode_image_real
+    if decode == "auto":
+        return (_decode_image_real if _PIL_Image is not None
+                else _decode_image_stub)
+    raise ValueError(f"decode must be stub|real|auto, got {decode!r}")
+
+
 def extract_features(media: DataFrame, dim: int = 16,
-                     batch_hint: int = 1024) -> DataFrame:
+                     batch_hint: int = 1024,
+                     decode: str = "stub") -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched).
 
     Partition-local, zero shuffle; batches arrive as pandas frames of
     the input partitions, so executor memory is bounded by
     `spark.sql.execution.arrow.maxRecordsPerBatch` — set it when
-    payloads are large (e.g. 64 for 4K images).
+    payloads are large (e.g. 64 for 4K images).  ``decode`` picks the
+    per-row decoder (stub oracle fake / PIL / auto) without touching
+    the plan.
     """
     import pandas as pd
+
+    decoder = _pick_decoder(decode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_image_stub(p if p is not None else b"", dim)
+                decoder(p if p is not None else b"", dim)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({
@@ -111,14 +164,45 @@ def extract_features(media: DataFrame, dim: int = 16,
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing.  Decode is stubbed ⇒ this updates the
-    typed metadata and passes payload through; the mapInPandas shape
-    (schema + partitioning) is exactly what a real resize needs."""
-    return (media.withColumn("width", F.when(F.col("kind") == "image", width)
-                             .otherwise(F.col("width")))
-            .withColumn("height", F.when(F.col("kind") == "image", height)
-                        .otherwise(F.col("height"))))
+def resize_images(media: DataFrame, width: int, height: int,
+                  decode: str = "stub") -> DataFrame:
+    """Image resize.  The default ('stub') path updates the typed
+    metadata and passes payload through — the oracle-replayable shape.
+    ``decode='real'`` (PIL required; 'auto' falls back to the stub
+    path) actually re-encodes each image payload at the new size via
+    the same partition-local mapInPandas pattern as extract_features:
+    zero shuffle either way."""
+    if decode not in ("stub", "real", "auto"):
+        raise ValueError(f"decode must be stub|real|auto, got {decode!r}")
+    if decode == "real" and _PIL_Image is None:
+        raise ImportError(
+            "decode='real' needs Pillow; use decode='stub' or 'auto'")
+    meta_only = (media.withColumn(
+        "width", F.when(F.col("kind") == "image", width)
+        .otherwise(F.col("width")))
+        .withColumn("height", F.when(F.col("kind") == "image", height)
+                    .otherwise(F.col("height"))))
+    if decode == "stub" or _PIL_Image is None:
+        return meta_only
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        for pdf in batches:
+            out = []
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
+                if kind != "image" or p is None:
+                    out.append(p)
+                    continue
+                img = _PIL_Image.open(_io.BytesIO(p)).resize((width, height))
+                buf = _io.BytesIO()
+                img.save(buf, format=img.format or "PNG")
+                out.append(buf.getvalue())
+            pdf = pdf.assign(payload=out)
+            yield pdf
+
+    return meta_only.mapInPandas(run, meta_only.schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -157,34 +241,65 @@ def media_dedup(media: DataFrame) -> DataFrame:
 
 
 def segment_audio(media: DataFrame, win_ms: int = 5000,
-                  hop_ms: int = 2500) -> DataFrame:
+                  hop_ms: int = 2500, decode: str = "stub") -> DataFrame:
     """Audio segmentation plumbing: one row per (overlapping) analysis
     window over the clip — the sliding-window fan-out every audio
     featurizer (ASR chunking, VAD, fingerprinting) starts from.
     ``hop_ms < win_ms`` gives overlap; the tail window is clipped to
     the clip end, and every clip yields at least one window.
 
-    Decode is stubbed (no codecs in the container): the per-segment
-    payload is a deterministic fake, but the row fan-out, integer
-    window arithmetic, schema and Arrow batch shape are the real
-    thing — swapping in a real decoder touches one expression.  Narrow
-    posexplode, no shuffle; at 100 TB the fan-out factor is
-    duration/hop, bounded per row and uniform."""
+    Default decode='stub' (no codecs in the container): the
+    per-segment payload is a deterministic fake, but the row fan-out,
+    integer window arithmetic, schema and Arrow batch shape are the
+    real thing.  decode='real' (soundfile required; 'auto' falls back
+    to the stub) re-slices the actual samples per window via a
+    partition-local mapInPandas over the already-fanned-out rows —
+    the fan-out plan is identical.  Narrow posexplode, no shuffle; at
+    100 TB the fan-out factor is duration/hop, bounded per row and
+    uniform."""
+    if decode not in ("stub", "real", "auto"):
+        raise ValueError(f"decode must be stub|real|auto, got {decode!r}")
+    if decode == "real" and _soundfile is None:
+        raise ImportError(
+            "decode='real' needs soundfile (pip install soundfile); "
+            "use decode='stub' (deterministic fake) or 'auto'")
     n_seg = (F.floor(F.greatest(F.col("duration_ms") - win_ms, F.lit(0))
                      / hop_ms).cast("int") + 1)
-    return (media.filter(F.col("kind") == "audio")
-            .select("media_id", "payload", "duration_ms",
-                    F.posexplode(F.sequence(F.lit(0), n_seg - 1))
-                    .alias("seg_idx", "_s"))
-            .withColumn("seg_start_ms", F.col("_s") * hop_ms)
-            .withColumn("seg_end_ms",
-                        F.least(F.col("seg_start_ms") + win_ms,
-                                F.col("duration_ms").cast("long")))
-            .drop("_s")
-            .withColumn("seg_payload",
-                        F.sha2(F.concat(F.col("payload").cast("string"),
-                                        F.col("seg_idx").cast("string")),
-                               256).cast("binary")))  # STUB decode
+    fanned = (media.filter(F.col("kind") == "audio")
+              .select("media_id", "payload", "duration_ms",
+                      F.posexplode(F.sequence(F.lit(0), n_seg - 1))
+                      .alias("seg_idx", "_s"))
+              .withColumn("seg_start_ms", F.col("_s") * hop_ms)
+              .withColumn("seg_end_ms",
+                          F.least(F.col("seg_start_ms") + win_ms,
+                                  F.col("duration_ms").cast("long")))
+              .drop("_s"))
+    if decode == "stub" or _soundfile is None:
+        return fanned.withColumn(
+            "seg_payload",
+            F.sha2(F.concat(F.col("payload").cast("string"),
+                            F.col("seg_idx").cast("string")),
+                   256).cast("binary"))  # STUB decode
+
+    import pandas as pd
+
+    out_schema = fanned.withColumn(
+        "seg_payload", F.lit(b"")).schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        for pdf in batches:
+            segs = []
+            for p, s0, s1 in zip(pdf["payload"], pdf["seg_start_ms"],
+                                 pdf["seg_end_ms"]):
+                data, rate = _soundfile.read(_io.BytesIO(p))
+                lo, hi = int(s0 * rate / 1000), int(s1 * rate / 1000)
+                buf = _io.BytesIO()
+                _soundfile.write(buf, data[lo:hi], rate, format="WAV")
+                segs.append(buf.getvalue())
+            yield pdf.assign(seg_payload=segs)
+
+    return fanned.mapInPandas(run, out_schema)
 
 
 def phash_pairs(features: DataFrame, dim: int = 16, bands: int = 4,

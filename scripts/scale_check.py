@@ -1,0 +1,183 @@
+"""One-decade scale validation (r6 verdict item #3): time the most
+expensive operators at sf0.1 and at a derived 10x corpus ("sf1"), and
+record the per-query scaling ratio.  A linear-at-scale operator should
+land near (or below, via fixed-overhead amortization) 10x; anything
+clearly super-linear means a quadratic guard only holds at toy scale.
+
+The sf1 corpus is DERIVED deterministically from the driver-generated
+sf0.1 tables (never synthesized from scratch, never written outside
+the repo):
+
+- documents x10: replica k of doc i keeps i's exact word count, lang,
+  and source, but regenerates every word by seeded hash over the
+  corpus vocabulary — same vocabulary, same length distribution, same
+  shingle-collision statistics, but replicas are NOT near-dups of
+  their originals (appending literal copies would multiply every
+  dup-group by 10 and measure a different data distribution, not
+  scaling).
+- embeddings x10: replica k applies a fixed per-replica isometry
+  (dimension permutation + deterministic sign flips) — norms, within-
+  replica pairwise distances, and cluster structure are preserved
+  exactly while cross-replica similarity is scrambled.
+- events x10: replica k shifts user_id/event_id into a fresh key
+  range — per-user sequence lengths and timing preserved exactly,
+  10x users, same state space.
+
+Small dimension tables are copied as-is.  Usage:
+
+    python scripts/scale_check.py [--rebuild] [query ...]
+
+Writes scripts/scale_out.json: {"queries": {name: {"sf01": s, "sf1": s,
+"ratio": r}}, ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scale/sf1"
+REPLICAS = 10
+
+# the 15 most expensive BENCH_r06 queries (plus dedup_groups at #15);
+# all feed from documents/embeddings/events
+TOP = ["ann_ivfpq", "ann_ivfpq_rerank", "dedup_fuzzy",
+       "text_train_classifier", "ann_pq_rerank", "ann_pq",
+       "dedup_agreement", "dedup_semantic", "embed_pq",
+       "events_markov_stationary", "graph_pagerank",
+       "corpus_split_groups", "graph_triangles", "corpus_dedup_report",
+       "dedup_groups"]
+
+
+def build(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"),
+                    os.path.join(DST, f"{t}.parquet"))
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    n_docs = docs.count()
+    vocab = sorted(r.w for r in docs
+                   .select(F.explode(F.split("text", " ")).alias("w"))
+                   .distinct().collect())
+    vlit = F.array(*[F.lit(w) for w in vocab])
+    parts = [docs]
+    for k in range(1, REPLICAS):
+        nw = F.size(F.split(F.col("text"), " "))
+        txt = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda j: F.element_at(
+                    vlit, (F.pmod(F.hash(F.col("doc_id"), F.lit(k), j),
+                                  F.lit(len(vocab))) + 1).cast("int"))),
+            " ")
+        parts.append(docs.select(
+            (F.col("doc_id") + k * n_docs).alias("doc_id"),
+            txt.alias("text"), "lang", "source",
+            F.length(txt).alias("n_chars")))
+    _write_one(parts, os.path.join(DST, "documents.parquet"), spark)
+
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    parts = [emb]
+    for k in range(1, REPLICAS):
+        stride = [3, 5, 7, 9, 11, 13, 15, 17, 19][k - 1]
+        perm = [(j * stride) % dim for j in range(dim)]
+        sign = [1.0 if ((j * 2654435761 + k) >> 7) % 2 == 0 else -1.0
+                for j in range(dim)]
+        new = F.array(*[(F.col("embedding")[perm[j]] * F.lit(sign[j]))
+                        .cast("float") for j in range(dim)])
+        parts.append(emb.select(
+            (F.col("vec_id") + k * n_emb).alias("vec_id"),
+            new.alias("embedding"), "label"))
+    _write_one(parts, os.path.join(DST, "embeddings.parquet"), spark)
+
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    parts = [ev]
+    for k in range(1, REPLICAS):
+        parts.append(ev.select(
+            (F.col("event_id") + k * n_ev).alias("event_id"), "ts",
+            (F.col("user_id") + k * n_users).alias("user_id"),
+            "event_type", "value", "props"))
+    _write_one(parts, os.path.join(DST, "events.parquet"), spark)
+
+
+def _write_one(parts, path, spark) -> None:
+    """Write a single parquet FILE (the readers expect file paths like
+    the driver's testdata, not directories)."""
+    import functools
+    df = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    tmp = path + ".dir"
+    df.coalesce(8).write.mode("overwrite").parquet(tmp)
+    # single-file via pyarrow concat of the part files
+    import pyarrow.parquet as pq
+    files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    import pyarrow as pa
+    tables = [pq.read_table(os.path.join(tmp, f)) for f in files]
+    pq.write_table(pa.concat_tables(tables), path)
+    shutil.rmtree(tmp)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from nifi_datasynthesizer_spark import get_spark
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+
+    args = [a for a in sys.argv[1:] if a != "--rebuild"]
+    names = args or TOP
+    spark = get_spark(app="scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv or not os.path.exists(
+            os.path.join(DST, "documents.parquet")):
+        t0 = time.perf_counter()
+        build(spark)
+        print(f"built {DST} in {time.perf_counter() - t0:.1f}s")
+
+    q = entrymod.queries()
+
+    def _force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm
+    _force(spark.read.parquet(os.path.join(DST, "documents.parquet"))
+           .groupBy("lang").count())
+
+    out = {}
+    for name in names:
+        times = {}
+        for label, sf in [("sf01", SRC), ("sf1", DST)]:
+            t0 = time.perf_counter()
+            _force(q[name](spark, sf))
+            took = time.perf_counter() - t0
+            release_caches()
+            # min-of-2: same steal guard as bench.py
+            t0 = time.perf_counter()
+            _force(q[name](spark, sf))
+            took = min(took, time.perf_counter() - t0)
+            release_caches()
+            times[label] = round(took, 2)
+        times["ratio"] = round(times["sf1"] / max(times["sf01"], 1e-9), 2)
+        out[name] = times
+        print(f"{name}: sf0.1={times['sf01']}s sf1={times['sf1']}s "
+              f"ratio={times['ratio']}x")
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scale_out.json"), "w") as fh:
+        json.dump({"replicas": REPLICAS, "queries": out}, fh, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

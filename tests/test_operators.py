@@ -476,6 +476,37 @@ def test_media_pipeline(spark):
     assert frames.count() > 0
 
 
+def test_media_decode_gating(spark):
+    """Optional real codecs are import-gated: decode='stub' is the
+    default and the oracle path; 'real' fails LOUD when the lib is
+    absent (never silently fakes); 'auto' falls back to the stub in
+    this codec-free sandbox and must reproduce the stub exactly."""
+    import pytest
+    media = MM.synth_media(spark, n=12, seed=3)
+    stub = MM.extract_features(media, dim=8, decode="stub").collect()
+    auto = MM.extract_features(media, dim=8, decode="auto").collect()
+    key = lambda r: r.media_id
+    if MM._PIL_Image is None:
+        assert sorted(stub, key=key) == sorted(auto, key=key)
+        with pytest.raises(ImportError, match="Pillow"):
+            MM.extract_features(media, decode="real")
+        with pytest.raises(ImportError, match="Pillow"):
+            MM.resize_images(media, 32, 32, decode="real")
+    if MM._soundfile is None:
+        s_stub = MM.segment_audio(media, decode="stub").collect()
+        s_auto = MM.segment_audio(media, decode="auto").collect()
+        assert sorted(s_stub, key=lambda r: (r.media_id, r.seg_idx)) == \
+               sorted(s_auto, key=lambda r: (r.media_id, r.seg_idx))
+        with pytest.raises(ImportError, match="soundfile"):
+            MM.segment_audio(media, decode="real")
+    with pytest.raises(ValueError):
+        MM.extract_features(media, decode="nope")
+    with pytest.raises(ValueError):
+        MM.segment_audio(media, decode="nope")
+    with pytest.raises(ValueError):
+        MM.resize_images(media, 32, 32, decode="nope")
+
+
 def test_commuter_deterministic(spark):
     a = SZ.commuter_data(spark, n_drivers=3, trips=2, points_per_trip=10,
                          seed=5).orderBy("driver_id", "trip", "t_offset_s").collect()
