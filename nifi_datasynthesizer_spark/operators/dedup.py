@@ -584,7 +584,7 @@ _FUZZY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
 
 def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
-                length_band: int = 16, token_bands: int = 16,
+                length_band: int = 16, token_bands: int | None = None,
                 max_block: int | None = 256,
                 text_col: str = "text") -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs with two-key blocking
@@ -606,18 +606,31 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
       placement.  Each unordered pair still joins exactly once: the
       right side keeps its single home band and ``a < b`` fixes the
       orientation.  Known recall limit (documented, not fixed here):
-      an edit inside the *first token* changes ``tb`` and the pair is
-      missed — the standard single-pass blocking tradeoff; run a
-      second pass blocked on the last token if that matters.
-    * **Per-block cap**: band cardinality is fixed (16 token bands ×
-      ~len/16 length bands), so block population grows linearly with
-      corpus size and the within-block join quadratically — a corpus
-      of same-length template docs is a blow-up at 100×.  Docs whose
-      home block exceeds ``max_block`` members are excluded from
-      pairing (the :func:`dedup_minhash` ``max_bucket`` guard applied
-      here), bounding candidates per doc at ``3·max_block`` and total
-      candidate volume linear in corpus size.  Deterministic — whole
-      blocks drop, never a sample — so the oracle mirrors it exactly.
+      an edit inside the *first two tokens* changes ``tb`` and the
+      pair is missed — the standard single-pass blocking tradeoff;
+      run a second pass blocked on the last tokens if that matters.
+    * **Corpus-scaled band count** (r7 — the one-decade scale test
+      caught the fixed-cardinality version going quadratic): with a
+      FIXED ``token_bands`` the number of blocks is constant, so
+      block population grows linearly with corpus size and the
+      within-block join QUADRATICALLY until the cap starts dropping
+      whole blocks (time blow-up first — measured 78× for 10× docs —
+      then recall collapse at 100 TB when every block exceeds the
+      cap).  Default ``token_bands=None`` derives
+      ``max(16, n_docs div 256)`` from one corpus count (the oracle
+      embeds the same formula as a scalar subquery), so expected
+      block population stays CONSTANT as the corpus grows: candidate
+      volume and recall are both stable at any scale.  The band hash
+      covers the first TWO tokens — one token's vocabulary saturates
+      the band space on word-salad or Zipf-headed corpora long
+      before the band count does.
+    * **Per-block cap**: the residual guard for template/length skew
+      within the scaled bands.  Docs whose home block exceeds
+      ``max_block`` members are excluded from pairing (the
+      :func:`dedup_minhash` ``max_bucket`` guard applied here),
+      bounding candidates per doc at ``3·max_block``.  Deterministic
+      — whole blocks drop, never a sample — so the oracle mirrors it
+      exactly.
 
     The join is an equi-join on the block keys, never a cartesian
     product.  Verification is the JVM built-in ``levenshtein``
@@ -634,6 +647,12 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
          - F.length(F.replace(F.col("nt"), F.lit(c), F.lit(""))))
         .cast("long")
         for c in _FUZZY_ALPHABET])
+    if token_bands is None:
+        # one count() sizes the band space to the corpus (constant
+        # expected block population at any scale); at 100 TB the
+        # count comes from table stats / parquet footers, and the
+        # oracle replays the identical GREATEST(16, n div 256)
+        token_bands = max(16, docs.count() // 256)
     # normalize ONCE into nt, then derive bands/hist from the stored
     # column — inlining the expression into lb/tb would re-run the
     # two-regex normalization 3× per row
@@ -642,7 +661,8 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
                     normalize_text(F.col(text_col)).alias("nt"))
             .select("doc_id", "nt",
                     (F.length("nt") / length_band).cast("int").alias("lb"),
-                    F.pmod(h60(F.element_at(F.split("nt", " "), 1)),
+                    F.pmod(h60(F.concat_ws(
+                        " ", F.slice(F.split("nt", " "), 1, 2))),
                            F.lit(token_bands)).alias("tb"),
                     hist.alias("h")))
     if max_block is not None:

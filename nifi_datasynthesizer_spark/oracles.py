@@ -114,17 +114,22 @@ FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= {threshold} ORDER BY a, b"""
 
 
 def fuzzy_pairs_sql(max_dist_ppm: int = 300_000, length_band: int = 16,
-                    token_bands: int = 16, max_block: int = 256,
+                    token_bands: int | None = None, max_block: int = 256,
                     table: str = "documents") -> str:
     """Mirror of dedup.fuzzy_pairs (normalized Levenshtein over
-    (length band, first-token h60 band) blocks with the same
-    neighbor-band widening and per-block cap; DuckDB's levenshtein
-    is the same unit-cost edit distance as Spark's)."""
-    first_tok = f"string_split({_NORM}, ' ')[1]"
+    (length band, first-two-token h60 band) blocks with the same
+    neighbor-band widening, corpus-scaled band count, and per-block
+    cap; DuckDB's levenshtein is the same unit-cost edit distance as
+    Spark's).  token_bands=None mirrors the engine's
+    max(16, n div 256) derivation as a scalar subquery."""
+    prefix2 = (f"array_to_string(list_slice(string_split({_NORM}, ' '),"
+               f" 1, 2), ' ')")
+    tb_bands = (str(token_bands) if token_bands is not None else
+                f"(SELECT GREATEST(16, COUNT(*) // 256) FROM {table})")
     return f"""
 WITH g0 AS (SELECT doc_id, {_NORM} AS nt,
                    CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
-                   {h60_sql(first_tok)} % {token_bands} AS tb
+                   {h60_sql(prefix2)} % {tb_bands} AS tb
             FROM {table}),
 sz AS (SELECT lb, tb, COUNT(*) AS n FROM g0 GROUP BY lb, tb),
 g AS (SELECT g0.* FROM g0 JOIN sz USING (lb, tb) WHERE sz.n <= {max_block}),
