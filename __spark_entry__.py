@@ -1512,7 +1512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_semantic(spark, sf):
         """SemDeDup: k-means buckets confine the quadratic cosine
         search to within-cluster pairs (corpus² → Σ cluster²) — the
-        semantic twin of LSH blocking."""
+        semantic twin of LSH blocking.  k is pinned to 8 HERE because
+        the DuckDB mirror unrolls Lloyd into CTEs (structural literal
+        k); the production default (k=None) derives k≈√n from one
+        corpus count — the r7 scale study measures both
+        (scripts/scale_out.json: dedup_semantic vs
+        dedup_semantic_scaledk)."""
         from nifi_datasynthesizer_spark.operators import clustering as CL
         return (CL.semantic_dedup(_t(spark, sf, "embeddings"),
                                   k=8, iters=2, threshold=0.4,

@@ -527,7 +527,7 @@ def _ivfpq_scored(emb, queries, n_cells: int, n_probe: int, m: int,
     return scored, quant, qxi, dim
 
 
-def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
+def semantic_dedup(emb: DataFrame, k: int | None = None, iters: int = 2,
                    threshold: float = 0.8, vec_col: str = "embedding",
                    fit_mod: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): cluster the embedding space with
@@ -538,15 +538,25 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
 
     Scale shape: the assignment pass is the narrow centroid-literal
     argmin of :func:`cluster_embeddings` (no shuffle); the pair search
-    shuffles once on the cluster id.  At 100 TB run k ≈ √n so expected
-    cluster size stays √n and total pair work stays ~n^1.5; a skewed
-    cluster (degenerate embeddings) is the max_bucket situation —
-    pre-filter exact dups first.  Cosine is over L2-normalized
-    vectors, rounded to 6 dp (the proven engine-exact form of
-    dedup_embedding); returned as pairs (a < b) with the cluster id.
+    shuffles once on the cluster id.  ``k=None`` (the production
+    default) derives ``max(8, isqrt(n))`` from one corpus count so
+    expected cluster size stays √n and total pair work ~n^1.5 at any
+    scale — the r7 one-decade test measured a FIXED k=8 going 83× for
+    10× vectors (cluster population linear ⇒ within-cluster pairs
+    n²/k), vs near-linear with the derived k.  An explicit ``k``
+    remains for the static-SQL oracle (Lloyd unrolls into CTEs, so
+    the mirror needs a literal cluster count — the entry query pins
+    k=8 for replayability and documents this).  A skewed cluster
+    (degenerate embeddings) is the max_bucket situation — pre-filter
+    exact dups first.  Cosine is over L2-normalized vectors, rounded
+    to 6 dp (the proven engine-exact form of dedup_embedding);
+    returned as pairs (a < b) with the cluster id.
     """
     from .similarity import l2_normalize
 
+    if k is None:
+        import math
+        k = max(8, math.isqrt(emb.count()))
     asg = cluster_embeddings(emb, k=k, iters=iters, vec_col=vec_col,
                              fit_mod=fit_mod).select("vec_id", "cluster")
     normed = emb.select("vec_id", l2_normalize(F.col(vec_col)).alias("v"))

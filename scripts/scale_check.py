@@ -153,28 +153,47 @@ def main() -> int:
     _force(spark.read.parquet(os.path.join(DST, "documents.parquet"))
            .groupBy("lang").count())
 
+    # non-entry variants: the production scaled-k SemDeDup (the entry
+    # pins k=8 for the static-SQL oracle; k=None derives k≈√n — this
+    # is the 100 TB configuration the scale claim rests on)
+    def _semantic_scaledk(spark, sf):
+        from nifi_datasynthesizer_spark.io import read_table
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        return CL.semantic_dedup(read_table(spark, sf, "embeddings"),
+                                 k=None, iters=2, threshold=0.4,
+                                 fit_mod=2)
+    extra = {"dedup_semantic_scaledk": _semantic_scaledk}
+
     out = {}
     for name in names:
+        fn = q.get(name) or extra[name]
         times = {}
         for label, sf in [("sf01", SRC), ("sf1", DST)]:
             t0 = time.perf_counter()
-            _force(q[name](spark, sf))
+            _force(fn(spark, sf))
             took = time.perf_counter() - t0
             release_caches()
             # min-of-2: same steal guard as bench.py
             t0 = time.perf_counter()
-            _force(q[name](spark, sf))
+            _force(fn(spark, sf))
             took = min(took, time.perf_counter() - t0)
             release_caches()
             times[label] = round(took, 2)
         times["ratio"] = round(times["sf1"] / max(times["sf01"], 1e-9), 2)
         out[name] = times
         print(f"{name}: sf0.1={times['sf01']}s sf1={times['sf1']}s "
-              f"ratio={times['ratio']}x")
+              f"ratio={times['ratio']}x", flush=True)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "scale_out.json"), "w") as fh:
-        json.dump({"replicas": REPLICAS, "queries": out}, fh, indent=1)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scale_out.json")
+    try:
+        with open(path) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        prev = {}
+    prev.update(out)
+    with open(path, "w") as fh:
+        json.dump({"replicas": REPLICAS, "queries": prev}, fh, indent=1)
     spark.stop()
     return 0
 
