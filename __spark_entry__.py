@@ -221,8 +221,11 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 # empty and every remaining stale green is queued in _WINDOW_R7_TAIL
 # for r8.
 _WINDOW_R7_HEAD = [
-    # results changed this round (entry shortlist 4 -> 8) — re-verify
-    "ann_pq_rerank",
+    # results changed this round — re-verify, not coast: ann_pq_rerank
+    # raised its entry shortlist 4 -> 8; dedup_ngram_jaccard moved to
+    # corpus-scaled two-token blocking (the scale-study fix), and
+    # dedup_agreement composes it
+    "ann_pq_rerank", "dedup_ngram_jaccard", "dedup_agreement",
     # r6 waves 3-5 overflow — never driver-checked (verdict item #1)
     "corpus_upsample", "ann_recall_eval", "media_phash_dedup",
     "text_readability", "corpus_dedup_report", "events_rfm",
@@ -240,12 +243,12 @@ _WINDOW_R7_HEAD = [
     "text_classify", "text_fluency", "embed_quantize", "text_bm25",
     "search_rrf", "text_chunks", "text_repetition", "text_pii_scrub",
     "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
-    "corpus_ngrams", "corpus_shuffle", "corpus_split",
-    "events_sessionize",
+    "corpus_ngrams", "corpus_shuffle",
 ]
 # r4-stale greens that did not fit the 50-slot budget — lead the r8
 # window; r5/r6-green queries are fresher and follow in registry order
 _WINDOW_R7_TAIL = [
+    "corpus_split", "events_sessionize",
     "events_funnel", "events_ohlc", "events_anomaly", "events_scd2",
     "events_ewma", "events_gap_fill", "events_rolling", "events_pivot",
     "events_rollup", "events_cube", "sketch_distinct",

@@ -269,12 +269,24 @@ def dedup_minhash_cross(incoming: DataFrame, corpus: DataFrame,
 # -------------------------------------------------------------- simhash
 
 def dedup_simhash(docs: DataFrame, bits: int = 60, hamming_max: int = 3,
-                  shingle_k: int = 2) -> DataFrame:
+                  shingle_k: int = 2,
+                  max_bucket: int | None = 1024) -> DataFrame:
     """SimHash near-dup: 60-bit fingerprint = sign of per-bit sums of
     shingle hashes (portable h60, so DuckDB replays it); candidate
     pairs via 4-block Hamming banding (pigeonhole: ≤3 differing bits ⇒
     ≥1 identical 15-bit block).  All vectorized JVM expressions;
     shuffle only on (block_id, block).
+
+    ``max_bucket`` (r7): the band space is FIXED at 4 × 2^15 buckets
+    (pigeonhole forbids narrower blocks at hamming_max=3), so bucket
+    population grows linearly with corpus size — degenerate
+    fingerprints (boilerplate/template corpora) concentrate it and
+    the within-bucket join goes quadratic exactly like the
+    pre-r7 fuzzy blocking did.  Buckets over the cap are dropped
+    whole (deterministic, oracle-mirrored) — a bucket that hot is an
+    exact-dup-like cluster that belongs to dedup_exact's digest pass
+    first.  No cap triggers at the test SFs (buckets there hold a
+    handful of docs), so small-scale results are unchanged.
     """
     docs = ensure_parallelism(docs)
     sh = docs.select("doc_id", _shingles(F.col("text"), shingle_k).alias("sh"))
@@ -301,6 +313,10 @@ def dedup_simhash(docs: DataFrame, bits: int = 60, hamming_max: int = 3,
         F.posexplode(F.array(*[
             F.shiftright("simhash", block_bits * q).bitwiseAND(F.lit(mask))
             for q in range(4)])).alias("block_id", "block"))
+    if max_bucket is not None:
+        w = Window.partitionBy("block_id", "block")
+        blocks = (blocks.withColumn("__bsz", F.count("*").over(w))
+                  .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     cand = (blocks.alias("l")
             .join(blocks.alias("r"), ["block_id", "block"])
             .filter(F.col("l.doc_id") < F.col("r.doc_id"))
@@ -317,30 +333,54 @@ def dedup_simhash(docs: DataFrame, bits: int = 60, hamming_max: int = 3,
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.4,
                         length_band: int = 32,
-                        token_bands: int = 16) -> DataFrame:
+                        token_bands: int | None = None,
+                        max_block: int | None = 256) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Blocking: documents are bucketed by (length band, first-token
+    Blocking: documents are bucketed by (length band, first-two-token
     hash band) to avoid the quadratic all-pairs join; within-bucket
     pairs get exact Jaccard via array_intersect/array_union sizes.
     The two-key block matters at scale: a length band alone holds
     O(corpus/1000) docs at 100 TB and the within-band self-join goes
-    quadratic; length × first-token-hash divides that by another
-    ``token_bands`` while near-identical docs (same opening words,
-    similar length) still collide.
+    quadratic.  ``token_bands=None`` (r7 — the fixed 16-band version
+    shares the quadratic failure the one-decade test measured on
+    fuzzy_pairs) derives ``max(16, n_docs div 256)`` from one corpus
+    count, keeping expected block population constant as the corpus
+    grows; the oracle embeds the same formula as a scalar subquery.
+    ``max_block`` drops over-populated blocks whole (template/length
+    skew — the residual deterministic guard, mirrored exactly).
+
+    The candidate join ships ONLY ids and block keys; the distinct
+    gram arrays re-attach by doc id after the pair set is known —
+    shuffling the gram sets through the band join would move the
+    whole shingle corpus per band side (the fuzzy_pairs slim-key
+    lesson).
     """
-    first_tok = F.element_at(F.split(normalize_text(F.col("text")), " "), 1)
-    grams = ensure_parallelism(docs).select(
-        "doc_id",
-        F.array_distinct(_shingles(F.col("text"), n)).alias("g"),
-        (F.length(normalize_text(F.col("text"))) / length_band)
-        .cast("int").alias("lb"),
-        F.pmod(h60(first_tok), F.lit(token_bands)).alias("tb"))
-    left = grams.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"),
-                        "lb", "tb")
-    right = grams.select(F.col("doc_id").alias("b"), F.col("g").alias("gb"),
-                         "lb", "tb")
-    pairs = (left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b")))
+    if token_bands is None:
+        token_bands = max(16, docs.count() // 256)
+    prefix2 = F.concat_ws(" ", F.slice(F.split(F.col("nt"), " "), 1, 2))
+    grams = (ensure_parallelism(docs)
+             .select("doc_id",
+                     F.array_distinct(_shingles(F.col("text"), n)).alias("g"),
+                     normalize_text(F.col("text")).alias("nt"))
+             .select("doc_id", "g",
+                     (F.length("nt") / length_band).cast("int").alias("lb"),
+                     F.pmod(h60(prefix2), F.lit(token_bands)).alias("tb")))
+    if max_block is not None:
+        w = Window.partitionBy("lb", "tb")
+        grams = (grams.withColumn("__bsz", F.count("*").over(w))
+                 .filter(F.col("__bsz") <= max_block).drop("__bsz"))
+    grams = _pin(grams)
+    grams.count()
+    left = grams.select(F.col("doc_id").alias("a"), "lb", "tb")
+    right = grams.select(F.col("doc_id").alias("b"), "lb", "tb")
+    cand = (left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b"))
+    pairs = (cand
+             .join(grams.select(F.col("doc_id").alias("a"),
+                                F.col("g").alias("ga")), "a")
+             .join(grams.select(F.col("doc_id").alias("b"),
+                                F.col("g").alias("gb")), "b"))
     sim = pairs.withColumn(
         "jaccard",
         F.size(F.array_intersect("ga", "gb")) /

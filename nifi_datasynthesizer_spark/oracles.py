@@ -64,8 +64,10 @@ WHERE est_jaccard >= {jaccard_threshold} ORDER BY a, b"""
 
 
 def simhash_pairs_sql(bits: int = 60, hamming_max: int = 3,
-                      shingle_k: int = 2, table: str = "documents") -> str:
-    """Mirror of dedup.dedup_simhash."""
+                      shingle_k: int = 2, max_bucket: int | None = 1024,
+                      table: str = "documents") -> str:
+    """Mirror of dedup.dedup_simhash (incl. the r7 max_bucket cap:
+    over-populated (block_id, block) buckets drop whole)."""
     block_bits = bits // 4
     mask = (1 << block_bits) - 1
     bit_terms = " + ".join(
@@ -73,13 +75,19 @@ def simhash_pairs_sql(bits: int = 60, hamming_max: int = 3,
         f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
         for b in range(bits))
+    cap = ("" if max_bucket is None else f"""
+bsz AS (SELECT block_id, block, COUNT(*) AS n FROM blocks0
+        GROUP BY block_id, block),
+blocks AS (SELECT blocks0.* FROM blocks0 JOIN bsz USING (block_id, block)
+           WHERE bsz.n <= {max_bucket}),""")
+    blocks0_name = "blocks" if max_bucket is None else "blocks0"
     return f"""
 WITH {_shingles_cte(shingle_k, table)},
 hashed AS (SELECT doc_id, list_transform(sh, s -> {h60_sql('s')}) AS hs FROM sh),
 fp AS (SELECT doc_id, ({bit_terms}) AS simhash FROM hashed),
-blocks AS (SELECT doc_id, simhash, q AS block_id,
+{blocks0_name} AS (SELECT doc_id, simhash, q AS block_id,
                   (simhash >> ({block_bits} * q)) & {mask} AS block
-           FROM fp, (SELECT unnest(range(0, 4)) AS q)),
+           FROM fp, (SELECT unnest(range(0, 4)) AS q)),{cap}
 cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                 l.simhash AS ha, r.simhash AS hb
          FROM blocks l JOIN blocks r
@@ -89,19 +97,30 @@ SELECT a, b, hamming FROM ham WHERE hamming <= {hamming_max} ORDER BY a, b"""
 
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.4,
-                      length_band: int = 32, token_bands: int = 16,
+                      length_band: int = 32,
+                      token_bands: int | None = None,
+                      max_block: int | None = 256,
                       table: str = "documents") -> str:
     """Mirror of dedup.ngram_jaccard_pairs (|A∩B| / (|A|+|B|-|A∩B|)
     over distinct shingle sets — equals Spark's intersect/union sizes;
-    blocking on (length band, first-token h60 band) exactly as the
+    blocking on (length band, first-two-token h60 band) with the
+    corpus-scaled band count and per-block cap exactly as the
     operator does)."""
-    first_tok = f"string_split({_NORM}, ' ')[1]"
+    prefix2 = (f"array_to_string(list_slice(string_split({_NORM}, ' '),"
+               f" 1, 2), ' ')")
+    tb_bands = (str(token_bands) if token_bands is not None else
+                f"(SELECT GREATEST(16, COUNT(*) // 256) FROM {table})")
+    cap = ("" if max_block is None else f"""
+gsz AS (SELECT lb, tb, COUNT(*) AS n FROM g0 GROUP BY lb, tb),
+g AS (SELECT g0.* FROM g0 JOIN gsz USING (lb, tb)
+      WHERE gsz.n <= {max_block}),""")
+    g0_name = "g" if max_block is None else "g0"
     return f"""
 WITH {_shingles_cte(n, table)},
-g AS (SELECT doc_id, list_distinct(sh) AS g,
+{g0_name} AS (SELECT doc_id, list_distinct(sh) AS g,
              CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
-             {h60_sql(first_tok)} % {token_bands} AS tb
-      FROM sh),
+             {h60_sql(prefix2)} % {tb_bands} AS tb
+      FROM sh),{cap}
 pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, l.g AS ga, r.g AS gb
           FROM g l JOIN g r ON l.lb = r.lb AND l.tb = r.tb
                            AND l.doc_id < r.doc_id),
