@@ -1263,7 +1263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_fuzzy"] = dedup_fuzzy
 
     def dedup_embedding(spark, sf):
-        return (DD.dedup_embedding(_t(spark, sf, "embeddings"), threshold=0.95)
+        """bits pinned to 8: the oracle's hyperplane matrix is a
+        structural SQL literal; the production default (bits=None)
+        derives max(8, lg(n/64)) — equal to 8 at every test SF."""
+        return (DD.dedup_embedding(_t(spark, sf, "embeddings"),
+                                   threshold=0.95, bucket_bits=8)
                 .orderBy("a", "b"))
     q["dedup_embedding"] = dedup_embedding
 

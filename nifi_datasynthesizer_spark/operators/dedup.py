@@ -593,23 +593,48 @@ def threshold_sweep(docs: DataFrame, num_hashes: int = 64,
 # --------------------------------------------------- embedding near-dup
 
 def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
-                    bucket_bits: int = 8, seed: int = 7) -> DataFrame:
+                    bucket_bits: int | None = None,
+                    seed: int = 7) -> DataFrame:
     """Embedding cosine near-dup via random-hyperplane LSH buckets.
 
     Vectors sharing all `bucket_bits` hyperplane signs land in one
     bucket; cosine is computed exactly (zip_with dot product over
     L2-normalized vectors) within buckets only.  Shuffle key is the
     sign-pattern bucket — 2^bits buckets, balanced for isotropic data.
+
+    ``bucket_bits=None`` (r7 — same fixed-cardinality audit that
+    caught fuzzy/ngram/simhash): a FIXED bit count means bucket
+    population grows linearly with corpus and the within-bucket join
+    quadratically; the derived ``max(8, (n div 64).bit_length())``
+    adds a hyperplane per corpus doubling, holding expected bucket
+    population ~constant (each hyperplane is one more dot-sign in the
+    same narrow projection — cost grows log n, candidates stay
+    linear).  Derivation equals 8 at every test SF, so entry results
+    are unchanged; the entry pins bits=8 because the oracle's
+    hyperplane matrix is a structural literal.  The candidate join
+    ships ids+bucket only; normalized vectors re-attach by id after
+    the pair set is known (the slim-key lesson — shuffling two
+    256-byte vectors per candidate is the dominant byte cost).
     """
     from .similarity import l2_normalize, random_hyperplane_bucket
 
+    if bucket_bits is None:
+        bucket_bits = max(8, (emb.count() // 64).bit_length())
     normed = emb.select(F.col("vec_id"),
                         l2_normalize(F.col("embedding")).alias("v"))
-    bucketed = normed.withColumn(
-        "bucket", random_hyperplane_bucket(F.col("v"), bucket_bits, seed))
-    left = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket")
-    right = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket")
-    pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    bucketed = _pin(normed.withColumn(
+        "bucket", random_hyperplane_bucket(F.col("v"), bucket_bits, seed)))
+    bucketed.count()
+    cand = (bucketed.select(F.col("vec_id").alias("a"), "bucket")
+            .join(bucketed.select(F.col("vec_id").alias("b"), "bucket"),
+                  "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b"))
+    pairs = (cand
+             .join(bucketed.select(F.col("vec_id").alias("a"),
+                                   F.col("v").alias("va")), "a")
+             .join(bucketed.select(F.col("vec_id").alias("b"),
+                                   F.col("v").alias("vb")), "b"))
     cos = pairs.withColumn(
         "cosine",
         F.round(F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
