@@ -89,14 +89,48 @@ def test_minhash_band_join_ships_ids_only(spark):
 
 
 def test_ngram_jaccard_blocks_on_token_band(spark):
-    """The candidate join key must be (length band, first-token band) —
-    length alone goes quadratic within a band at 100 TB."""
+    """The candidate join key must be (length band, token band) —
+    length alone goes quadratic within a band at 100 TB.  The r7
+    slim-key shape additionally requires that the band join itself
+    never carries the gram arrays: grams re-attach by doc id after
+    the pair set is known."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
     df = entrymod.queries()["dedup_ngram_jaccard"](spark, SF)
-    p = _plan(df)
+    p = _plan(df, "simple")     # tree mode: scan columns inline
+    release_caches()
     key_lines = [ln for ln in p.splitlines()
-                 if "keys" in ln.lower() and "lb#" in ln]
+                 if "Join" in ln and "lb#" in ln]
     assert key_lines, "no join keyed on the length band found"
     assert all("tb#" in ln for ln in key_lines), key_lines
+    # the band-join sides read ids+keys from the pinned frame — the
+    # gram array column must not ride the candidate join (it
+    # re-attaches by doc id)
+    import re
+    scans = [ln for ln in p.splitlines()
+             if "InMemoryTableScan" in ln and "lb#" in ln and "tb#" in ln]
+    assert scans, "candidate sides do not read the pinned slim frame"
+    for ln in scans:
+        assert not re.search(r"[\[, ]g#\d", ln), \
+            f"gram array rides the band join: {ln.strip()[:120]}"
+
+
+def test_dedup_embedding_slim_candidate_join(spark):
+    """The r7 slim-key shape for the hyperplane-bucket self-join:
+    the candidate join sides read ids+bucket only from the pinned
+    frame; normalized vectors re-attach by id (two 256-byte vectors
+    per candidate would be the dominant shuffle byte cost at
+    100 TB)."""
+    import re
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    df = entrymod.queries()["dedup_embedding"](spark, SF)
+    p = _plan(df, "simple")     # tree mode: scan columns inline
+    release_caches()
+    scans = [ln for ln in p.splitlines()
+             if "InMemoryTableScan" in ln and "bucket#" in ln]
+    assert scans, "candidate sides do not read the pinned slim frame"
+    for ln in scans:
+        assert not re.search(r"[\[, ]va?#\d", ln), \
+            f"vector rides the bucket join: {ln.strip()[:120]}"
 
 
 def test_sketch_merge_reads_cached_registers(spark):
