@@ -350,11 +350,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     ``max_block`` drops over-populated blocks whole (template/length
     skew — the residual deterministic guard, mirrored exactly).
 
-    The candidate join ships ONLY ids and block keys; the distinct
-    gram arrays re-attach by doc id after the pair set is known —
-    shuffling the gram sets through the band join would move the
-    whole shingle corpus per band side (the fuzzy_pairs slim-key
-    lesson).
+    The gram arrays ride the band join DELIBERATELY (each side
+    shuffles once per doc): re-attaching them by doc id after a
+    slim-key candidate join — fuzzy_pairs' shape — moves
+    ``pairs × |grams|`` bytes through the re-attach joins, and pairs
+    outnumber docs ~10× here (measured 148× time at the 100× corpus
+    before this was reverted; 22× after).  Fuzzy's slim keys win only
+    because its LEFT side explodes ×3 bands ×8 salts and its
+    verified pair set is small; ngram's sides are 1× and its pair
+    set is the big frame.  The scale rule: ship payloads on
+    whichever side has the smaller (rows × payload) product.
     """
     if token_bands is None:
         token_bands = max(16, docs.count() // 256)
@@ -372,15 +377,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                  .filter(F.col("__bsz") <= max_block).drop("__bsz"))
     grams = _pin(grams)
     grams.count()
-    left = grams.select(F.col("doc_id").alias("a"), "lb", "tb")
-    right = grams.select(F.col("doc_id").alias("b"), "lb", "tb")
-    cand = (left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b"))
-    pairs = (cand
-             .join(grams.select(F.col("doc_id").alias("a"),
-                                F.col("g").alias("ga")), "a")
-             .join(grams.select(F.col("doc_id").alias("b"),
-                                F.col("g").alias("gb")), "b"))
+    left = grams.select(F.col("doc_id").alias("a"), F.col("g").alias("ga"),
+                        "lb", "tb")
+    right = grams.select(F.col("doc_id").alias("b"), F.col("g").alias("gb"),
+                         "lb", "tb")
+    pairs = left.join(right, ["lb", "tb"]).filter(F.col("a") < F.col("b"))
     sim = pairs.withColumn(
         "jaccard",
         F.size(F.array_intersect("ga", "gb")) /
@@ -744,41 +745,31 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     # every consumer read the built cache.
     base = _pin(base)
     base.count()
-    # Salted block keys: blocks are Zipf-shaped (template/length
-    # skew), and the pinned join runs WITHOUT AQE skew-splitting
-    # (AQE is off inside cached subtrees), so one hot
-    # (length, token) block would serialize the whole candidate
-    # enumeration onto one task.  The right side spreads each block
-    # over `salt` chunks keyed by b's id; the left explodes the
-    # chunk dimension alongside the ±1 length bands — per join key
-    # at most ~max_block/salt right rows, bounded and balanced by
-    # construction at any corpus size.
-    salt = 8
-    # slim key frames: the candidate join ships ONLY ids and block
-    # keys — the ±1-band × salt explode would otherwise shuffle/sort
-    # 3·salt copies of every document's text and histogram; payloads
-    # re-attach by doc id after the pair set is known (121k pairs ≫
-    # smaller than 24× the corpus text)
+    # Candidate enumeration + verification as ONE streaming stage
+    # (r7 second-decade fix).  The previous shape — slim-key salted
+    # join, payload re-attach by id, and a pinned candidate cache —
+    # materialized |pairs| × (na + nb + hists) bytes in cache and
+    # shuffled them again through the re-attach joins; candidate
+    # pairs outnumber docs ~60× on this corpus, so at the 100×
+    # decade that cache was ~30M × 1.2 KB and fuzzy measured 133×.
+    # The corpus-scaled bands + per-block cap (this round) bound
+    # per-key fanout at 3·max_block × max_block rows BY
+    # CONSTRUCTION, so the salt that spread hot blocks — and with it
+    # the reason to keep the join sides slim — is gone: each side
+    # now carries its payload ONCE PER DOC through the band join
+    # (the smaller rows×payload product; the ngram lesson), and the
+    # histogram prune + banded DP stream over the join output inside
+    # the same stage — candidates are never cached or re-shuffled.
     left = base.select(
-        F.col("doc_id").alias("a"),
+        F.col("doc_id").alias("a"), F.col("nt").alias("na"),
+        F.col("h").alias("ha"),
         F.explode(F.array(F.col("lb") - 1, F.col("lb"),
                           F.col("lb") + 1)).alias("lb"),
-        "tb") \
-        .select("*", F.explode(F.array(*[F.lit(k) for k in range(salt)]))
-                .alias("ck"))
-    right = base.select(F.col("doc_id").alias("b"), "lb", "tb",
-                        F.pmod(F.col("doc_id"), F.lit(salt)).alias("ck"))
-    # Pin the candidate frame before verification (the minhash
-    # signature-store pattern): without the materialization barrier
-    # Catalyst pushes the dist_ppm filter INTO the join condition, so
-    # every candidate pays levenshtein twice (join filter + output
-    # projection), and AQE — seeing only the tiny pre-verification
-    # shuffle bytes — coalesces the join to ~1 partition, serializing
-    # the O(len²) verification onto one core (measured 111 s → 7 s at
-    # sf0.1).  ensure_parallelism re-spreads the cached candidates so
-    # the expensive pass uses every core regardless of what AQE chose
-    # for the cheap join.
-    # Histogram lower bound, computed IN the join stage: every edit
+        "tb")
+    right = base.select(F.col("doc_id").alias("b"),
+                        F.col("nt").alias("nb"), F.col("h").alias("hb"),
+                        "lb", "tb")
+    # Histogram lower bound, computed in the join stage: every edit
     # op moves the 37-slot char histogram by at most 2 L1 units (and
     # length by at most 1), so lev >= max(|Δlen|, ceil(L1/2)) — an
     # exact prune (floor() monotonicity; never drops a true pair)
@@ -788,9 +779,7 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     # (reordering is invisible to a bag of characters — the synthetic
     # bench corpus prunes only ~1%, so its fuzzy cost is genuine DP
     # over all block candidates).  The L1 is an UNROLLED 37-term sum,
-    # not zip_with/aggregate (HOF lambdas run interpreted per row),
-    # and it collapses to a scalar BEFORE the pin so the cached
-    # candidate frame holds no array columns.
+    # not zip_with/aggregate (HOF lambdas run interpreted per row).
     from functools import reduce
     l1 = reduce(lambda acc, k: acc + F.abs(
         F.element_at("ha", k) - F.element_at("hb", k)),
@@ -798,37 +787,22 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
         F.abs(F.element_at("ha", 1) - F.element_at("hb", 1)))
     # hint("merge"): statistics for the window+explode chains are
     # guesses, and Catalyst has been observed to BROADCAST the
-    # exploded (3×salt-wider) left side — every task then
-    # deserializes the whole hashed relation and rebuilds its hash
-    # table (~2 CPU-minutes at sf0.1 for a 5 s join).  Neither side
-    # of a corpus-sized self-join should broadcast; the salted slim
-    # keys keep the shuffle-merge balanced.
-    cand = (left.hint("merge").join(right, ["lb", "tb", "ck"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b"))
-    payload_a = base.select(F.col("doc_id").alias("a"),
-                            F.col("nt").alias("na"),
-                            F.col("h").alias("ha"))
-    payload_b = base.select(F.col("doc_id").alias("b"),
-                            F.col("nt").alias("nb"),
-                            F.col("h").alias("hb"))
-    pairs = _pin(cand.join(payload_a, "a").join(payload_b, "b")
-                 .select("a", "b", "na", "nb", l1.alias("__l1")))
+    # exploded (3×-wider) left side — every task then deserializes
+    # the whole hashed relation and rebuilds its hash table (~2
+    # CPU-minutes at sf0.1 for a 5 s join).  Neither side of a
+    # corpus-sized self-join should broadcast.
+    cand = (left.hint("merge").join(right, ["lb", "tb"])
+            .filter(F.col("a") < F.col("b")))
     bound = F.greatest(
         F.abs(F.length("na") - F.length("nb")).cast("long"),
         F.expr("(__l1 + 1) div 2"))
     mx = F.greatest(F.length("na"), F.length("nb"))
-    # the bound survivors are pinned SEPARATELY: without this barrier
-    # Catalyst pushes the final dist_ppm predicate (which contains
-    # levenshtein) into the candidate cache's scan filter, where the
-    # interpreted evaluator would run the DP per candidate regardless
-    # of the histogram prune; behind the pin the DP sees only bound
-    # survivors.
-    survivors = _pin(ensure_parallelism(pairs)
-                     .withColumn("__mx", mx)
-                     .filter(F.floor(bound * 1_000_000 / F.col("__mx"))
-                             <= max_dist_ppm)
-                     .select("a", "b", "na", "nb", "__mx"))
+    survivors = (cand
+                 .withColumn("__l1", l1)
+                 .withColumn("__mx", mx)
+                 .filter(F.floor(bound * 1_000_000 / F.col("__mx"))
+                         <= max_dist_ppm)
+                 .select("a", "b", "na", "nb", "__mx"))
     # Bounded verification: the 3-arg levenshtein runs Spark's banded
     # DP — O(k·n) cells inside a ±k diagonal band, early exit the
     # moment a whole band row exceeds k — and returns -1 past the

@@ -43,8 +43,12 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.scale/sf1"
-REPLICAS = 10
+# Defaults derive one decade (10x).  For the second decade run e.g.
+#   SPARK_GRAFT_SCALE_REPLICAS=100 SPARK_GRAFT_SCALE_DST=.scale/sf10 \
+#   SPARK_GRAFT_SCALE_OUT=scale_out_sf10.json python scripts/scale_check.py ...
+DST = os.environ.get("SPARK_GRAFT_SCALE_DST", "/root/repo/.scale/sf1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
 
 # the 15 most expensive BENCH_r06 queries (plus dedup_groups at #15);
 # all feed from documents/embeddings/events
@@ -90,7 +94,7 @@ def build(spark) -> None:
     dim = len(emb.select("embedding").first()[0])
     parts = [emb]
     for k in range(1, REPLICAS):
-        stride = [3, 5, 7, 9, 11, 13, 15, 17, 19][k - 1]
+        stride = 2 * ((k - 1) % 31) + 3   # odd => coprime with dim=64
         perm = [(j * stride) % dim for j in range(dim)]
         sign = [1.0 if ((j * 2654435761 + k) >> 7) % 2 == 0 else -1.0
                 for j in range(dim)]
@@ -184,8 +188,7 @@ def main() -> int:
         print(f"{name}: sf0.1={times['sf01']}s sf1={times['sf1']}s "
               f"ratio={times['ratio']}x", flush=True)
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "scale_out.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), OUT)
     try:
         with open(path) as fh:
             prev = json.load(fh).get("queries", {})

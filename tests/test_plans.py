@@ -90,10 +90,11 @@ def test_minhash_band_join_ships_ids_only(spark):
 
 def test_ngram_jaccard_blocks_on_token_band(spark):
     """The candidate join key must be (length band, token band) —
-    length alone goes quadratic within a band at 100 TB.  The r7
-    slim-key shape additionally requires that the band join itself
-    never carries the gram arrays: grams re-attach by doc id after
-    the pair set is known."""
+    length alone goes quadratic within a band at 100 TB.  NOTE: the
+    gram arrays ride this join deliberately (one shuffle per doc per
+    side); a slim-key join + re-attach-by-id was measured 148× at the
+    100× corpus because the re-attach moves pairs × |grams| bytes and
+    pairs outnumber docs ~10× — see ngram_jaccard_pairs' docstring."""
     from nifi_datasynthesizer_spark.operators.dedup import release_caches
     df = entrymod.queries()["dedup_ngram_jaccard"](spark, SF)
     p = _plan(df, "simple")     # tree mode: scan columns inline
@@ -102,16 +103,6 @@ def test_ngram_jaccard_blocks_on_token_band(spark):
                  if "Join" in ln and "lb#" in ln]
     assert key_lines, "no join keyed on the length band found"
     assert all("tb#" in ln for ln in key_lines), key_lines
-    # the band-join sides read ids+keys from the pinned frame — the
-    # gram array column must not ride the candidate join (it
-    # re-attaches by doc id)
-    import re
-    scans = [ln for ln in p.splitlines()
-             if "InMemoryTableScan" in ln and "lb#" in ln and "tb#" in ln]
-    assert scans, "candidate sides do not read the pinned slim frame"
-    for ln in scans:
-        assert not re.search(r"[\[, ]g#\d", ln), \
-            f"gram array rides the band join: {ln.strip()[:120]}"
 
 
 def test_dedup_embedding_slim_candidate_join(spark):
@@ -244,21 +235,31 @@ def test_bloom_probe_is_narrow(spark):
 
 def test_fuzzy_pairs_blocks_on_two_keys(spark):
     """dedup_fuzzy's candidate join must key on (length band,
-    first-token band) — Levenshtein verification is O(len²) per pair,
+    token band) — Levenshtein verification is O(len²) per pair,
     so an unblocked or single-key join is the difference between
-    linear and quadratic work at 100 TB.  The join must also be the
-    salted SHUFFLE-merge shape: a chunk key spreads hot blocks, and
-    neither side of the corpus self-join is broadcast (Catalyst's
-    size guess once broadcast the exploded side — every task then
-    rebuilt the full hashed relation)."""
+    linear and quadratic work at 100 TB.  The join must be a
+    SHUFFLE-merge with neither side of the corpus self-join
+    broadcast (Catalyst's size guess once broadcast the exploded
+    side — every task then rebuilt the full hashed relation).  The
+    r7 second-decade shape streams prune+DP in the join stage: no
+    InMemoryRelation may sit above the band join (a pairs-sized
+    cache measured 133× at the 100× corpus)."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
     df = entrymod.queries()["dedup_fuzzy"](spark, SF)
     p = _plan(df)
+    release_caches()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p, "candidate join is not a shuffle-merge"
     key_lines = [ln for ln in p.splitlines()
                  if "keys" in ln.lower() and "lb#" in ln]
     assert key_lines, "no join keyed on the length band found"
-    assert all("tb#" in ln and "ck#" in ln for ln in key_lines), key_lines
+    assert all("tb#" in ln for ln in key_lines), key_lines
+    # exactly ONE cached frame (the capped base) — a second pin would
+    # be the pairs-sized candidate cache this test exists to forbid
+    tree = _plan(df, "simple")
+    import re
+    rels = set(re.findall(r"InMemoryTableScan \[([a-z_#0-9L, ]+)\]", tree))
+    assert all("na#" not in r and "nb#" not in r for r in rels), rels
 
 
 def test_ann_ivf_assignment_is_narrow(spark):
