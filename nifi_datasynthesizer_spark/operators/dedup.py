@@ -337,7 +337,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         max_block: int | None = 256) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Blocking: documents are bucketed by (length band, first-two-token
+    Blocking: documents are bucketed by (length band, first-3-token
     hash band) to avoid the quadratic all-pairs join; within-bucket
     pairs get exact Jaccard via array_intersect/array_union sizes.
     The two-key block matters at scale: a length band alone holds
@@ -363,14 +363,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     """
     if token_bands is None:
         token_bands = max(16, docs.count() // 256)
-    prefix2 = F.concat_ws(" ", F.slice(F.split(F.col("nt"), " "), 1, 2))
+    prefix3 = F.concat_ws(" ", F.slice(F.split(F.col("nt"), " "), 1, 3))
     grams = (ensure_parallelism(docs)
              .select("doc_id",
                      F.array_distinct(_shingles(F.col("text"), n)).alias("g"),
                      normalize_text(F.col("text")).alias("nt"))
              .select("doc_id", "g",
                      (F.length("nt") / length_band).cast("int").alias("lb"),
-                     F.pmod(h60(prefix2), F.lit(token_bands)).alias("tb")))
+                     F.pmod(h60(prefix3), F.lit(token_bands)).alias("tb")))
     if max_block is not None:
         w = Window.partitionBy("lb", "tb")
         grams = (grams.withColumn("__bsz", F.count("*").over(w))
@@ -672,7 +672,7 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
       placement.  Each unordered pair still joins exactly once: the
       right side keeps its single home band and ``a < b`` fixes the
       orientation.  Known recall limit (documented, not fixed here):
-      an edit inside the *first two tokens* changes ``tb`` and the
+      an edit inside the *first three tokens* changes ``tb`` and the
       pair is missed — the standard single-pass blocking tradeoff;
       run a second pass blocked on the last tokens if that matters.
     * **Corpus-scaled band count** (r7 — the one-decade scale test
@@ -687,9 +687,14 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
       embeds the same formula as a scalar subquery), so expected
       block population stays CONSTANT as the corpus grows: candidate
       volume and recall are both stable at any scale.  The band hash
-      covers the first TWO tokens — one token's vocabulary saturates
-      the band space on word-salad or Zipf-headed corpora long
-      before the band count does.
+      covers the first THREE tokens: the effective band space is
+      min(token_bands, distinct prefixes), and the 100× decade test
+      measured the two-token prefix saturating on this synthetic
+      31-word vocabulary (961 prefixes < 1953 bands → block growth →
+      quadratic creep); three tokens give ~|vocab|³ values, and real
+      corpora's vocabularies make the ceiling unreachable.  If a
+      corpus ever saturates anyway, raise the prefix length — the
+      recall tradeoff note above moves with it.
     * **Per-block cap**: the residual guard for template/length skew
       within the scaled bands.  Docs whose home block exceeds
       ``max_block`` members are excluded from pairing (the
@@ -728,7 +733,7 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
             .select("doc_id", "nt",
                     (F.length("nt") / length_band).cast("int").alias("lb"),
                     F.pmod(h60(F.concat_ws(
-                        " ", F.slice(F.split("nt", " "), 1, 2))),
+                        " ", F.slice(F.split("nt", " "), 1, 3))),
                            F.lit(token_bands)).alias("tb"),
                     hist.alias("h")))
     if max_block is not None:

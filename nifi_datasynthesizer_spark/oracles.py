@@ -103,11 +103,11 @@ def ngram_jaccard_sql(n: int = 3, threshold: float = 0.4,
                       table: str = "documents") -> str:
     """Mirror of dedup.ngram_jaccard_pairs (|A∩B| / (|A|+|B|-|A∩B|)
     over distinct shingle sets — equals Spark's intersect/union sizes;
-    blocking on (length band, first-two-token h60 band) with the
+    blocking on (length band, first-three-token h60 band) with the
     corpus-scaled band count and per-block cap exactly as the
     operator does)."""
-    prefix2 = (f"array_to_string(list_slice(string_split({_NORM}, ' '),"
-               f" 1, 2), ' ')")
+    prefix3 = (f"array_to_string(list_slice(string_split({_NORM}, ' '),"
+               f" 1, 3), ' ')")
     tb_bands = (str(token_bands) if token_bands is not None else
                 f"(SELECT GREATEST(16, COUNT(*) // 256) FROM {table})")
     cap = ("" if max_block is None else f"""
@@ -119,7 +119,7 @@ g AS (SELECT g0.* FROM g0 JOIN gsz USING (lb, tb)
 WITH {_shingles_cte(n, table)},
 {g0_name} AS (SELECT doc_id, list_distinct(sh) AS g,
              CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
-             {h60_sql(prefix2)} % {tb_bands} AS tb
+             {h60_sql(prefix3)} % {tb_bands} AS tb
       FROM sh),{cap}
 pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, l.g AS ga, r.g AS gb
           FROM g l JOIN g r ON l.lb = r.lb AND l.tb = r.tb
@@ -141,14 +141,14 @@ def fuzzy_pairs_sql(max_dist_ppm: int = 300_000, length_band: int = 16,
     cap; DuckDB's levenshtein is the same unit-cost edit distance as
     Spark's).  token_bands=None mirrors the engine's
     max(16, n div 256) derivation as a scalar subquery."""
-    prefix2 = (f"array_to_string(list_slice(string_split({_NORM}, ' '),"
-               f" 1, 2), ' ')")
+    prefix3 = (f"array_to_string(list_slice(string_split({_NORM}, ' '),"
+               f" 1, 3), ' ')")
     tb_bands = (str(token_bands) if token_bands is not None else
                 f"(SELECT GREATEST(16, COUNT(*) // 256) FROM {table})")
     return f"""
 WITH g0 AS (SELECT doc_id, {_NORM} AS nt,
                    CAST(FLOOR(LENGTH({_NORM}) / {length_band}.0) AS INT) AS lb,
-                   {h60_sql(prefix2)} % {tb_bands} AS tb
+                   {h60_sql(prefix3)} % {tb_bands} AS tb
             FROM {table}),
 sz AS (SELECT lb, tb, COUNT(*) AS n FROM g0 GROUP BY lb, tb),
 g AS (SELECT g0.* FROM g0 JOIN sz USING (lb, tb) WHERE sz.n <= {max_block}),

@@ -74,8 +74,8 @@ def test_fuzzy_pairs_band_boundary(spark):
     """Lengths straddling a length-band boundary (15 vs 17 with
     band=16 → bands 0 and 1) must still pair via the neighbor-band
     explode — the boundary-recall hole the exact-band join had."""
-    rows = [(0, "alpha beta gam"),        # normalized length 14 → band 0
-            (1, "alpha beta gamma x")]    # normalized length 18 → band 1
+    rows = [(0, "alpha beta ga"),         # normalized length 13 → band 0
+            (1, "alpha beta ga xx zz")]   # normalized length 19 → band 1
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {(r.a, r.b) for r in
            DD.fuzzy_pairs(docs, max_dist_ppm=500_000).collect()}
