@@ -223,7 +223,7 @@ SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
 _WINDOW_R7_HEAD = [
     # results changed this round — re-verify, not coast: ann_pq_rerank
     # raised its entry shortlist 4 -> 8; dedup_ngram_jaccard moved to
-    # corpus-scaled two-token blocking (the scale-study fix), and
+    # corpus-scaled three-token blocking (the scale-study fix), and
     # dedup_agreement composes it
     "ann_pq_rerank", "dedup_ngram_jaccard", "dedup_agreement",
     # r6 waves 3-5 overflow — never driver-checked (verdict item #1)

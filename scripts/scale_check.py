@@ -166,7 +166,16 @@ def main() -> int:
         return CL.semantic_dedup(read_table(spark, sf, "embeddings"),
                                  k=None, iters=2, threshold=0.4,
                                  fit_mod=2)
-    extra = {"dedup_semantic_scaledk": _semantic_scaledk}
+    # ... and the production derived-bits embedding near-dup (the
+    # entry pins bits=8 for the same structural-literal-oracle reason;
+    # bucket_bits=None adds a hyperplane per corpus doubling)
+    def _embedding_scaledbits(spark, sf):
+        from nifi_datasynthesizer_spark.io import read_table
+        from nifi_datasynthesizer_spark.operators import dedup as DD
+        return DD.dedup_embedding(read_table(spark, sf, "embeddings"),
+                                  bucket_bits=None)
+    extra = {"dedup_semantic_scaledk": _semantic_scaledk,
+             "dedup_embedding_scaledbits": _embedding_scaledbits}
 
     out = {}
     for name in names:
