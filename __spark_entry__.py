@@ -1279,9 +1279,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_bruteforce"] = ann_bruteforce
 
     def ann_ivf(spark, sf):
+        # n_centroids pinned to 16: the DuckDB oracle embeds the cell
+        # count as a structural literal, and 16 is the committed
+        # baseline every CORRECTNESS row was checked against.  The
+        # production default (n_centroids=None) derives
+        # max(16, isqrt(n)); the derived path is scale-measured in
+        # scripts/scale_out_sf10.json (ann_ivf_scaledc).
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
-        return SIM.ann_ivf(emb, queries_df, k=10).orderBy("query_id", "rank")
+        return (SIM.ann_ivf(emb, queries_df, k=10, n_centroids=16)
+                .orderBy("query_id", "rank"))
     q["ann_ivf"] = ann_ivf
 
     def ann_lsh(spark, sf):

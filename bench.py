@@ -179,8 +179,11 @@ def main() -> None:
                                  iters=5)
     recall = {}
     for probe in (4, 8):
+        # n_centroids pinned: this A/B compares stratified-vs-kmeans
+        # cells at a FIXED probe fraction; the derived-√n default would
+        # move the fraction with corpus size and change the metric.
         got_strat = {(r.query_id, r.cand_id)
-                     for r in SIM.ann_ivf(emb, qdf, k=10,
+                     for r in SIM.ann_ivf(emb, qdf, k=10, n_centroids=16,
                                           n_probe=probe).collect()}
         got_km = {(r.query_id, r.cand_id)
                   for r in SIM.ann_ivf(emb, qdf, k=10, n_probe=probe,

@@ -8,6 +8,8 @@ expressions — JVM-side, no Python, no UDF.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,7 +95,7 @@ def stratified_centroid_ids(n_total: int, n_centroids: int) -> list[int]:
 
 
 def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
-            n_centroids: int = 16, n_probe: int = 4,
+            n_centroids: int | None = None, n_probe: int = 4,
             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN: coarse quantization to centroid cells, queries
     probe only their `n_probe` nearest cells, exact cosine re-rank
@@ -107,6 +109,20 @@ def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
     once and only (cell-pruned) candidate rows ever move.  Queries
     broadcast; the only exchange keyed on data is the final per-query
     top-k window over pruned candidates.
+
+    ``n_centroids=None`` (the production default) derives
+    ``max(16, isqrt(n))`` from one corpus count: a FIXED cell count
+    means each probe sweeps a constant fraction (n_probe/cells) of the
+    corpus — linear probe work per query forever — while √n cells hold
+    per-cell population at √n, so per-query candidate work is
+    O(n_probe·√n) and assignment O(n·√n) (the classic IVF balance
+    point).  Callers that need a structural-literal oracle (the entry
+    query's unrolled DuckDB mirror) or a fixed probe fraction (the
+    bench recall A/B) pin n_centroids=16 explicitly.
+    At n ≳ 10⁸ (√n ≳ 10⁴ centroids) the single-row packed-array argmax
+    still broadcasts fine (~5 MB at dim 64) but per-row assign cost
+    grows with √n — switch to kmeans_centroids + a two-level coarse
+    quantizer there, same plan shape.
     """
     if centroids is not None:
         # explicit (e.g. kmeans_centroids) cells: cell id = list index
@@ -115,6 +131,8 @@ def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                                  "cell long, cv array<double>"))
     else:
         n_total = emb.count()  # parquet footer count — cheap at any scale
+        if n_centroids is None:
+            n_centroids = max(16, math.isqrt(n_total))
         cent_ids = stratified_centroid_ids(n_total, n_centroids)
         cent = (emb.filter(F.col("vec_id").isin(cent_ids))
                 .select(F.col("vec_id").alias("cell"),

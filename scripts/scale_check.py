@@ -174,8 +174,18 @@ def main() -> int:
         from nifi_datasynthesizer_spark.operators import dedup as DD
         return DD.dedup_embedding(read_table(spark, sf, "embeddings"),
                                   bucket_bits=None)
+    # ... and the production derived-√n IVF cell count (the entry pins
+    # n_centroids=16 for the structural-literal oracle; None derives
+    # max(16, isqrt(n)) so probe work is O(n_probe·√n) per query)
+    def _ivf_scaledc(spark, sf):
+        from nifi_datasynthesizer_spark.io import read_table
+        from nifi_datasynthesizer_spark.operators import similarity as SM
+        emb = read_table(spark, sf, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < 5)
+        return SM.ann_ivf(emb, qdf, k=10, n_centroids=None)
     extra = {"dedup_semantic_scaledk": _semantic_scaledk,
-             "dedup_embedding_scaledbits": _embedding_scaledbits}
+             "dedup_embedding_scaledbits": _embedding_scaledbits,
+             "ann_ivf_scaledc": _ivf_scaledc}
 
     out = {}
     for name in names:

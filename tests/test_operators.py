@@ -450,6 +450,28 @@ def test_stratified_centroid_ids():
     assert SIM.stratified_centroid_ids(3, 16) == [0, 1, 2]
 
 
+def test_ann_ivf_derived_cells(spark):
+    # n_centroids=None derives max(16, isqrt(n)): for this 400-row
+    # corpus isqrt(400)=20, so the derived run must equal an explicit
+    # n_centroids=20 run row-for-row (same cells, same probes), and a
+    # tiny corpus (n<256) must fall back to the 16-cell floor.
+    rows = [(i, [float((i * 7 + j * 13) % 10) for j in range(8)])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qdf = emb.filter(F.col("vec_id") < 3)
+    derived = sorted(map(tuple, SIM.ann_ivf(emb, qdf, k=5,
+                                            n_centroids=None).collect()))
+    pinned = sorted(map(tuple, SIM.ann_ivf(emb, qdf, k=5,
+                                           n_centroids=20).collect()))
+    assert derived == pinned and len(derived) == 15
+    small = emb.filter(F.col("vec_id") < 100)
+    floor = sorted(map(tuple, SIM.ann_ivf(small, qdf, k=5,
+                                          n_centroids=None).collect()))
+    floor16 = sorted(map(tuple, SIM.ann_ivf(small, qdf, k=5,
+                                            n_centroids=16).collect()))
+    assert floor == floor16
+
+
 def test_kmeans_centroids_deterministic(spark):
     import math
     rows = [(i, [float((i * 7 + j * 13) % 10) for j in range(8)])
