@@ -132,6 +132,25 @@ def _fit_sample(quant: DataFrame, fit_mod: int | None) -> DataFrame:
     return samp
 
 
+def fit_mod_for_cap(emb: DataFrame, cap: int = 100_000) -> int | None:
+    """Modulus that bounds the Lloyd-family fit sample to ~``cap``
+    rows: pass the result as ``fit_mod`` to any trainer here.  A fixed
+    FRACTION (fit_mod=2) keeps training linear in corpus size — at
+    100 TB the fit sample is 50 TB — while codebook/centroid quality
+    saturates at a fixed SIZE (the classic PQ practice is 10⁵–10⁶
+    training vectors regardless of corpus).  ceil(n/cap) as the
+    modulus holds the expected sample at ~cap rows forever, so fit
+    cost is O(1) in corpus size and only the single encode/assign pass
+    stays linear.  Returns None (no sampling) when the corpus already
+    fits under cap.  One count() against the source — parquet footer
+    metadata, cheap at any scale.
+    """
+    n = emb.count()
+    if n <= cap:
+        return None
+    return -(-n // cap)
+
+
 def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
                        vec_col: str = "embedding",
                        fit_mod: int | None = None) -> DataFrame:

@@ -183,9 +183,19 @@ def main() -> int:
         emb = read_table(spark, sf, "embeddings")
         qdf = emb.filter(F.col("vec_id") < 5)
         return SM.ann_ivf(emb, qdf, k=10, n_centroids=None)
+    # ... and the capped-fit PQ encode: fit_mod_for_cap(20k) derives
+    # no sampling at sf0.1 (n=2000) but a 1/10 sample at the 100x
+    # corpus (n=200k), so codebook training cost is O(1) in corpus
+    # size and only the encode pass scales
+    def _embed_pq_fitcap(spark, sf):
+        from nifi_datasynthesizer_spark.io import read_table
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        emb = read_table(spark, sf, "embeddings")
+        return CL.pq_encode(emb, fit_mod=CL.fit_mod_for_cap(emb, 20_000))
     extra = {"dedup_semantic_scaledk": _semantic_scaledk,
              "dedup_embedding_scaledbits": _embedding_scaledbits,
-             "ann_ivf_scaledc": _ivf_scaledc}
+             "ann_ivf_scaledc": _ivf_scaledc,
+             "embed_pq_fitcap": _embed_pq_fitcap}
 
     out = {}
     for name in names:

@@ -472,6 +472,18 @@ def test_ann_ivf_derived_cells(spark):
     assert floor == floor16
 
 
+def test_fit_mod_for_cap(spark):
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    emb = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    # corpus under the cap: no sampling at all
+    assert CL.fit_mod_for_cap(emb, cap=1000) is None
+    # ceil(n/cap): 1000 rows at cap 300 -> keep ~1/4
+    assert CL.fit_mod_for_cap(emb, cap=300) == 4
+    assert CL.fit_mod_for_cap(emb, cap=999) == 2
+
+
 def test_kmeans_centroids_deterministic(spark):
     import math
     rows = [(i, [float((i * 7 + j * 13) % 10) for j in range(8)])
