@@ -69,14 +69,60 @@ def _argmin_sql(d_sql: str, k: int) -> str:
             f"(acc, e) -> IF(e.dist < acc.dist, e, acc))")
 
 
+# k·dim literal cells above which _assign switches from the SQL fold
+# to the Arrow path: higher-order functions are interpreted (never
+# whole-stage codegen), and the fold allocates one zip_with array per
+# centroid per row — fine at the oracle-replayed k ≤ 16, ruinous at
+# the derived k ≈ √n (measured: k=447 over 200k rows ran minutes-long
+# stages).  4096 cells = k ≤ 64 at dim 64 keeps every oracle-checked
+# plan on the literal path.
+_ASSIGN_LITERAL_MAX_CELLS = 4096
+
+
 def _assign(quant: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """(vec_id, xi) + centroid literals -> (vec_id, xi, cluster, dist_q).
-    Narrow: single-pass fold argmin over the k distance expressions."""
-    am = _argmin_sql(_dists_sql("xi", centroids), len(centroids))
-    return (quant.select("vec_id", "xi", F.expr(am).alias("__m"))
-            .select("vec_id", "xi",
-                    F.expr("CAST(__m.j AS INT)").alias("cluster"),
-                    F.col("__m.dist").alias("dist_q")))
+
+    Small k: narrow single-pass fold argmin over the k distance
+    expressions (plan literals, no join, no shuffle).  Large k (the
+    derived k≈√n SemDeDup path): Arrow-batched mapInPandas carrying
+    the centroid matrix as a task closure — exact int64 micro-unit
+    arithmetic (x² − 2x·C + C², values ≤ ~6e15 ≪ 2⁶³) and argmin's
+    first-minimum tie-break, so both paths are bit-identical; row
+    chunking bounds the distance block at ~2²² cells so executor
+    memory is flat in k.  Still a narrow map: no shuffle either way.
+    """
+    k, dim = len(centroids), len(centroids[0])
+    if k * dim <= _ASSIGN_LITERAL_MAX_CELLS:
+        am = _argmin_sql(_dists_sql("xi", centroids), k)
+        return (quant.select("vec_id", "xi", F.expr(am).alias("__m"))
+                .select("vec_id", "xi",
+                        F.expr("CAST(__m.j AS INT)").alias("cluster"),
+                        F.col("__m.dist").alias("dist_q")))
+
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+    row_step = max(1, (1 << 22) // k)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            X = np.asarray(pdf["xi"].tolist(), dtype=np.int64)
+            cl = np.empty(len(X), dtype=np.int32)
+            dq = np.empty(len(X), dtype=np.int64)
+            for lo in range(0, len(X), row_step):
+                x = X[lo:lo + row_step]
+                d = ((x * x).sum(axis=1, keepdims=True)
+                     - 2 * (x @ C.T) + c2[None, :])
+                j = d.argmin(axis=1)   # first min — same tie-break as the fold
+                cl[lo:lo + len(x)] = j
+                dq[lo:lo + len(x)] = d[np.arange(len(x)), j]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "xi": pdf["xi"],
+                                "cluster": cl, "dist_q": dq})
+
+    return quant.mapInPandas(
+        gen, schema="vec_id long, xi array<bigint>, cluster int, dist_q long")
 
 
 def _update(assigned: DataFrame, vec_col: str,

@@ -472,6 +472,26 @@ def test_ann_ivf_derived_cells(spark):
     assert floor == floor16
 
 
+def test_assign_arrow_matches_literal(spark, monkeypatch):
+    # the large-k Arrow assignment must be bit-identical to the SQL
+    # fold — exact int64 micro-unit distances AND first-minimum
+    # tie-break (centroid 3 duplicates centroid 1: ties go to index 1)
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    rows = [(i, [float(((i * 13 + j * 7) % 21) - 10) / 3 for j in range(8)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    quant = emb.select("vec_id", CL._quantize(F.col("embedding")).alias("xi"))
+    cents = [list(r.xi) for r in quant.orderBy("vec_id").limit(5).collect()]
+    cents[3] = list(cents[1])
+    lit = sorted((r.vec_id, r.cluster, r.dist_q)
+                 for r in CL._assign(quant, cents).collect())
+    monkeypatch.setattr(CL, "_ASSIGN_LITERAL_MAX_CELLS", 0)
+    arw = sorted((r.vec_id, r.cluster, r.dist_q)
+                 for r in CL._assign(quant, cents).collect())
+    assert lit == arw and len(lit) == 300
+    assert not any(c == 3 for _, c, _ in arw)   # dup centroid never wins
+
+
 def test_fit_mod_for_cap(spark):
     from nifi_datasynthesizer_spark.operators import clustering as CL
     emb = spark.range(1000).select(
