@@ -94,6 +94,12 @@ def stratified_centroid_ids(n_total: int, n_centroids: int) -> list[int]:
     return sorted({(j * n_total) // n_centroids for j in range(n_centroids)})
 
 
+# cell count above which ann_ivf's per-row assignment switches from the
+# packed-array HOF argmax to the Arrow path (HOFs are interpreted; see
+# clustering._ASSIGN_LITERAL_MAX_CELLS for the same trap and numbers)
+_CELL_ASSIGN_LITERAL_MAX = 64
+
+
 def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
             n_centroids: int | None = None, n_probe: int = 4,
             centroids: list[list[float]] | None = None) -> DataFrame:
@@ -139,17 +145,49 @@ def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                         l2_normalize(F.col("embedding")).alias("cv")))
     corpus = emb.select(F.col("vec_id").alias("cand_id"),
                         l2_normalize(F.col("embedding")).alias("v"))
-    # pack all centroids into ONE row; broadcast-nested-loop join of a
-    # 1-row build side = a narrow map with the array in scope
-    cent_arr = cent.agg(F.collect_list(F.struct("cell", "cv")).alias("cents"))
-    best = F.array_max(F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.round(dot(F.col("v"), c["cv"]), 6).alias("sim"),
-            (-c["cell"]).alias("negcell"),   # ties → smallest cell
-            c["cell"].alias("cell"))))
-    assigned = (corpus.join(F.broadcast(cent_arr))
-                .select("cand_id", "v", best["cell"].alias("cell")))
+    k_cells = len(centroids) if centroids is not None else len(cent_ids)
+    if k_cells <= _CELL_ASSIGN_LITERAL_MAX:
+        # pack all centroids into ONE row; broadcast-nested-loop join of
+        # a 1-row build side = a narrow map with the array in scope
+        cent_arr = cent.agg(
+            F.collect_list(F.struct("cell", "cv")).alias("cents"))
+        best = F.array_max(F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(dot(F.col("v"), c["cv"]), 6).alias("sim"),
+                (-c["cell"]).alias("negcell"),   # ties → smallest cell
+                c["cell"].alias("cell"))))
+        assigned = (corpus.join(F.broadcast(cent_arr))
+                    .select("cand_id", "v", best["cell"].alias("cell")))
+    else:
+        # derived √n cells: the packed-array argmax is a higher-order
+        # function — interpreted, never codegen'd — and k·dim interpreted
+        # ops/row stops scaling around k ≈ 10² (measured on the 100×
+        # corpus).  Arrow-batched argmax instead: the centroid matrix is
+        # a task closure (k ≤ √n rows collected — cells, not data), rows
+        # stream through numpy, still a narrow shuffle-free map.  Same
+        # argmax + smallest-cell tie-break (C sorted by cell, first-max
+        # argmax); sims differ from the fold only in float summation
+        # order below the round(·,6) quantum, and this path is never the
+        # structural-literal-oracle one (entries pin n_centroids=16).
+        import numpy as np
+        crows = sorted(cent.collect(), key=lambda r: r.cell)
+        cells_arr = [int(r.cell) for r in crows]
+        C = np.asarray([list(r.cv) for r in crows], dtype=np.float64)
+
+        def gen(batches):
+            import pandas as pd
+            cells_np = np.asarray(cells_arr, dtype=np.int64)
+            for pdf in batches:
+                V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                sims = np.round(V @ C.T, 6)
+                j = sims.argmax(axis=1)   # first max → smallest cell
+                yield pd.DataFrame({"cand_id": pdf["cand_id"],
+                                    "v": pdf["v"],
+                                    "cell": cells_np[j]})
+
+        assigned = corpus.mapInPandas(
+            gen, schema="cand_id long, v array<double>, cell long")
     q = queries.select(F.col("vec_id").alias("query_id"),
                        l2_normalize(F.col("embedding")).alias("qv"))
     q_cells = (q.crossJoin(F.broadcast(cent))

@@ -472,6 +472,21 @@ def test_ann_ivf_derived_cells(spark):
     assert floor == floor16
 
 
+def test_ann_ivf_arrow_cells_match_hof(spark, monkeypatch):
+    # the large-k Arrow cell assignment must reproduce the packed-array
+    # HOF argmax (same cells probed, same top-k) on the same corpus
+    rows = [(i, [float(((i * 11 + j * 5) % 17) - 8) for j in range(8)])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qdf = emb.filter(F.col("vec_id") < 3)
+    hof = sorted(map(tuple, SIM.ann_ivf(emb, qdf, k=5,
+                                        n_centroids=20).collect()))
+    monkeypatch.setattr(SIM, "_CELL_ASSIGN_LITERAL_MAX", 0)
+    arw = sorted(map(tuple, SIM.ann_ivf(emb, qdf, k=5,
+                                        n_centroids=20).collect()))
+    assert hof == arw and len(arw) == 15
+
+
 def test_assign_arrow_matches_literal(spark, monkeypatch):
     # the large-k Arrow assignment must be bit-identical to the SQL
     # fold — exact int64 micro-unit distances AND first-minimum
