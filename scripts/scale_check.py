@@ -42,10 +42,13 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-SRC = "/root/testdata/sf0.1"
 # Defaults derive one decade (10x).  For the second decade run e.g.
 #   SPARK_GRAFT_SCALE_REPLICAS=100 SPARK_GRAFT_SCALE_DST=.scale/sf10 \
 #   SPARK_GRAFT_SCALE_OUT=scale_out_sf10.json python scripts/scale_check.py ...
+# For a third decade, derive 10x FROM the second-decade corpus (the
+# replica transforms are source-agnostic):
+#   SPARK_GRAFT_SCALE_SRC=/root/repo/.scale/sf10 ... REPLICAS=10 DST=.scale/sf100
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SCALE_DST", "/root/repo/.scale/sf1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
