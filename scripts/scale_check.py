@@ -132,7 +132,16 @@ def _write_one(parts, path, spark) -> None:
     files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     import pyarrow as pa
     tables = [pq.read_table(os.path.join(tmp, f)) for f in files]
-    pq.write_table(pa.concat_tables(tables), path)
+    # Fine row groups, or the scan can't parallelize: pyarrow's
+    # default row-group sizing produced FIVE 1M-row groups for the 5M-
+    # doc third-decade corpus, capping every downstream scan stage at
+    # 5 tasks on a 32-core host (parquet splits by row group).  That
+    # harness artifact — not the operator — made dedup_minhash's
+    # signature pass measure 25x per 10x data (711 s as-read vs 247 s
+    # after a repartition(32), including the forced 2 GB shuffle).
+    # 64k-row groups keep single-file corpora scan-parallel at any
+    # derived scale, matching the many-files layout of real data.
+    pq.write_table(pa.concat_tables(tables), path, row_group_size=65536)
     shutil.rmtree(tmp)
 
 
