@@ -102,6 +102,45 @@ def test_fuzzy_pairs_hot_block_capped(spark):
     assert any(a < 100 for a, _ in uncapped)
 
 
+def test_simhash_bucket_cap(spark):
+    """The r7 max_bucket cap drops degenerate simhash buckets whole
+    (identical fingerprints concentrate the FIXED 4x2^15 band space,
+    so the within-bucket join goes quadratic without it).  Docs in
+    small buckets still pair; the hot bucket produces zero pairs."""
+    hot = [(i, "the exact same boilerplate text repeated endlessly")
+           for i in range(50)]
+    cool = [(100, "rare unique sentence here"),
+            (101, "rare unique sentence here")]
+    docs = spark.createDataFrame(hot + cool, "doc_id long, text string")
+    capped = {(r.a, r.b) for r in
+              DD.dedup_simhash(docs, hamming_max=3,
+                               max_bucket=10).collect()}
+    assert capped == {(100, 101)}
+    uncapped = {(r.a, r.b) for r in
+                DD.dedup_simhash(docs, hamming_max=3,
+                                 max_bucket=None).collect()}
+    assert len(uncapped) == 50 * 49 // 2 + 1  # quadratic without the cap
+
+
+def test_ngram_jaccard_hot_block_capped(spark):
+    """ngram_jaccard_pairs' max_block drops over-populated (length x
+    token-band) blocks whole — the linear-candidate guarantee the r7
+    scale study added alongside the corpus-scaled band count."""
+    hot = [(i, "common prefix words shared by every template document")
+           for i in range(40)]
+    cool = [(100, "rare unique sentence occurs here twice exactly"),
+            (101, "rare unique sentence occurs here twice exactly")]
+    docs = spark.createDataFrame(hot + cool, "doc_id long, text string")
+    capped = {(r.a, r.b) for r in
+              DD.ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                     max_block=8).collect()}
+    assert capped == {(100, 101)}
+    uncapped = {(r.a, r.b) for r in
+                DD.ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                       max_block=None).collect()}
+    assert len(uncapped) == 40 * 39 // 2 + 1
+
+
 def test_fuzzy_pairs_levenshtein_matches_duckdb(spark):
     """Spark's levenshtein and DuckDB's must agree cell-for-cell —
     the oracle contract for dedup_fuzzy."""
