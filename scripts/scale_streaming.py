@@ -50,7 +50,7 @@ N_FILES = 16
 # e.g. SPARK_GRAFT_SCALE_STREAM_SCALES=1,10,100 for a second decade
 SCALES = [int(s) for s in os.environ.get(
     "SPARK_GRAFT_SCALE_STREAM_SCALES", "1,10").split(",")]
-RUNS = 2
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_STREAM_RUNS", "2"))
 # past the 30-day event span: no row is ever late under unordered replay
 WM = "40 days"
 
@@ -148,6 +148,18 @@ def op_key_counts(spark, ev_dir):
     return ST.key_counts(ev, "user_id", "event_type"), "update", "noop"
 
 
+def op_key_counts_native(spark, ev_dir):
+    # the JVM-native twin of op_key_counts: when the state IS a plain
+    # aggregate, streaming groupBy.count() in update mode keeps it in
+    # the JVM state store with no Arrow boundary — the measured gap vs
+    # key_counts is the price of applyInPandasWithState, which buys
+    # arbitrary custom state (keep it for state Spark can't express)
+    ev = _src(spark, ev_dir)
+    agg = (ev.groupBy("user_id", "event_type")
+           .agg(F.count("*").alias("n")))
+    return agg, "update", "noop"
+
+
 def op_cdc_state(spark, ev_dir):
     # latest-change-wins CDC: state = O(keys), four scalars per key
     from nifi_datasynthesizer_spark import streaming as ST
@@ -194,6 +206,7 @@ OPS = {
     "streaming_sessionized": op_sessionized,
     "streaming_running_totals": op_running_totals,
     "streaming_key_counts": op_key_counts,
+    "streaming_key_counts_native": op_key_counts_native,
     "streaming_cdc_state": op_cdc_state,
     "streaming_dedup_horizon": op_dedup_horizon,
     "streaming_enrich_static": op_enrich_static,
