@@ -32,7 +32,6 @@ Writes scripts/scale_out_streaming.json.
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -59,13 +58,14 @@ def build(spark, replicas: int, dst: str) -> None:
     ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
     n_ev = ev.count()
     n_users = ev.agg(F.max("user_id")).first()[0] + 1
-    parts = [ev]
-    for k in range(1, replicas):
-        parts.append(ev.select(
-            (F.col("event_id") + k * n_ev).alias("event_id"), "ts",
-            (F.col("user_id") + k * n_users).alias("user_id"),
-            "event_type", "value", "props"))
-    df = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    # replicate via a broadcast crossJoin with the replica index — ONE
+    # 3-node plan at any replica count (an R-way union is R plan nodes
+    # and minutes of analysis at R=1000), fully parallel
+    rep = F.broadcast(spark.range(replicas).withColumnRenamed("id", "k"))
+    df = ev.crossJoin(rep).select(
+        (F.col("event_id") + F.col("k") * n_ev).alias("event_id"), "ts",
+        (F.col("user_id") + F.col("k") * n_users).alias("user_id"),
+        "event_type", "value", "props")
     df.repartition(N_FILES).write.mode("overwrite").parquet(dst)
 
 
@@ -218,6 +218,15 @@ def main() -> int:
     names = sys.argv[1:] or list(OPS)
     spark = get_spark(app="scale_streaming")
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_STATE_STORE=rocksdb switches the per-query state
+    # store provider (read at query START, so a session conf set here
+    # applies to every drain): RocksDB keeps state off-heap/on-disk —
+    # the provider for state that outgrows executor memory at 100 TB.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
 
     dirs = {}
     for r in SCALES:
