@@ -204,3 +204,32 @@ def test_checkpoint_restart_dedup_remembers_keys(spark, tmp_path):
     # a/b/c remembered from run 1: only the genuinely new key emits,
     # so the sink holds exactly four rows, each key once
     assert sorted(out) == ["a", "b", "c", "d"]
+
+
+def test_state_store_provider_rocksdb(spark, tmp_path):
+    """A stateful drain under the RocksDB provider produces the same
+    result as the heap store (provider changes WHERE state lives, not
+    semantics), and the context manager restores the session conf."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rows = spark.createDataFrame(
+        [(i, f"k{i % 4}") for i in range(200)], "i long, key string")
+    src = str(tmp_path / "src")
+    rows.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(name):
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .groupBy("key").agg(F.count("*").alias("n"),
+                                 F.sum("i").alias("s")))
+        q = ST.run_to_memory(s, name, output_mode="complete")
+        q.awaitTermination()
+        q.stop()
+        return {(r.key, r.n, r.s) for r in spark.table(name).collect()}
+
+    base = drain("prov_heap")
+    with ST.state_store_provider(spark, "rocksdb"):
+        assert "RocksDB" in spark.conf.get(key)
+        got = drain("prov_rocks")
+    assert got == base
+    assert spark.conf.get(key, None) is None  # restored
