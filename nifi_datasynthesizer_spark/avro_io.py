@@ -1,0 +1,397 @@
+"""Avro Object Container Files without the spark-avro DataSource.
+
+Why this exists: the reference's NiFi processors write records through
+an AvroRecordSetWriter (reference: nifi-datasynthesizer processors'
+record-writer configuration); Spark's equivalent is the external
+``spark-avro`` module, which :func:`io.write` gates on and which an
+offline environment cannot fetch (documented in SURVEY §6).  The Avro
+1.x container format itself is a small, public specification — magic
+``Obj\\x01``, a string→bytes metadata map carrying the schema JSON and
+codec, then sync-marked blocks of zigzag-varint-encoded records — so
+this module implements it directly for FLAT record schemas (the shape
+every reference writer emits): primitives ``long int double float
+string boolean bytes`` plus the ``timestamp-micros`` and ``date``
+logical types, with nullable columns as ``["null", T]`` unions.
+
+Spec compliance is proven against the OFFICIAL Java implementation
+bundled with pyspark (``avro-1.12.1.jar``): tests write files here and
+read them back with ``org.apache.avro.file.DataFileReader``, and write
+files with ``DataFileWriter`` and read them back here — both
+directions byte-level interoperable (tests/test_io.py).
+
+Scale shape: :func:`write_avro` runs one encoder per partition inside
+``mapInPandas`` (Arrow batches in, one container file per partition,
+records never gathered to the driver); :func:`read_avro` distributes
+decode over the ``binaryFile`` source.  On a real cluster with the
+spark-avro package available, prefer :func:`io.write` — this module is
+the spec-parity path that keeps the avro surface exercised where the
+DataSource cannot be installed, and files are interchangeable between
+the two.
+"""
+from __future__ import annotations
+
+import hashlib
+import io as _io
+import json
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVE = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+# ------------------------------------------------------------ encoding
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _enc_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def enc_long(n: int) -> bytes:
+    return _enc_varint(_zigzag(int(n)))
+
+
+def enc_bytes(b: bytes) -> bytes:
+    return enc_long(len(b)) + b
+
+
+def enc_str(s: str) -> bytes:
+    return enc_bytes(s.encode("utf-8"))
+
+
+def _dec_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, pos
+        shift += 7
+
+
+def dec_long(buf: memoryview, pos: int) -> tuple[int, int]:
+    n, pos = _dec_varint(buf, pos)
+    return _unzigzag(n), pos
+
+
+# ---------------------------------------------------- schema translation
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "record") -> dict:
+    """Translate a FLAT Spark schema to an Avro record schema dict.
+    Nullable columns become ``["null", T]`` unions (null branch 0 —
+    the conventional order both implementations expect)."""
+    fields = []
+    for f in schema.fields:
+        dt = type(f.dataType)
+        if dt in _PRIMITIVE:
+            at: object = _PRIMITIVE[dt]
+        elif dt is T.TimestampType:
+            at = {"type": "long", "logicalType": "timestamp-micros"}
+        elif dt is T.DateType:
+            at = {"type": "int", "logicalType": "date"}
+        else:
+            raise TypeError(f"avro_io supports flat primitive schemas; "
+                            f"column {f.name!r} is {f.dataType}")
+        fields.append({"name": f.name,
+                       "type": ["null", at] if f.nullable else at})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def avro_to_spark_schema(avro: dict) -> T.StructType:
+    back = {v: k for k, v in _PRIMITIVE.items()}
+    out = []
+    for f in avro["fields"]:
+        at = f["type"]
+        nullable = isinstance(at, list)
+        if nullable:
+            at = [t for t in at if t != "null"][0]
+        if isinstance(at, dict) and at.get("logicalType") == "timestamp-micros":
+            dt: T.DataType = T.TimestampType()
+        elif isinstance(at, dict) and at.get("logicalType") == "date":
+            dt = T.DateType()
+        elif isinstance(at, str) and at in back:
+            dt = back[at]()
+        else:
+            raise TypeError(f"unsupported avro field type: {f['type']!r}")
+        out.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(out)
+
+
+def _field_coders(avro: dict):
+    """Per-field (kind, nullable) for the encode/decode loops."""
+    coders = []
+    for f in avro["fields"]:
+        at = f["type"]
+        nullable = isinstance(at, list)
+        if nullable:
+            at = [t for t in at if t != "null"][0]
+        kind = at["type"] if isinstance(at, dict) else at
+        coders.append((f["name"], kind, nullable))
+    return coders
+
+
+# ------------------------------------------------------- container file
+
+def _sync_marker(seed: str) -> bytes:
+    # spec wants 16 bytes unique-ish per file; deterministic for replay
+    return hashlib.md5(("sync:" + seed).encode()).digest()
+
+
+def _enc_value(kind: str, v) -> bytes:
+    if kind in ("long", "int"):
+        return enc_long(v)
+    if kind == "double":
+        return struct.pack("<d", float(v))
+    if kind == "float":
+        return struct.pack("<f", float(v))
+    if kind == "string":
+        return enc_str(v)
+    if kind == "bytes":
+        return enc_bytes(bytes(v))
+    if kind == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise TypeError(kind)
+
+
+def write_container(fh, avro_schema: dict, row_lists: list[list],
+                    sync_seed: str, block_records: int = 4096) -> int:
+    """Write one Avro container file: ``row_lists`` is a list of
+    per-FIELD value lists (column-major, already avro-typed: ints for
+    long/int/timestamp-micros/date, None for nulls)."""
+    sync = _sync_marker(sync_seed)
+    fh.write(MAGIC)
+    meta = {"avro.schema": json.dumps(avro_schema).encode(),
+            "avro.codec": b"null"}
+    fh.write(enc_long(len(meta)))
+    for k, v in meta.items():
+        fh.write(enc_str(k))
+        fh.write(enc_bytes(v))
+    fh.write(enc_long(0))
+    fh.write(sync)
+
+    coders = _field_coders(avro_schema)
+    n = len(row_lists[0]) if row_lists else 0
+    total = 0
+    for start in range(0, n, block_records):
+        stop = min(start + block_records, n)
+        buf = _io.BytesIO()
+        for i in range(start, stop):
+            for (name, kind, nullable), col in zip(coders, row_lists):
+                v = col[i]
+                if nullable:
+                    if v is None:
+                        buf.write(enc_long(0))
+                        continue
+                    buf.write(enc_long(1))
+                elif v is None:
+                    raise ValueError(f"null in non-nullable field {name}")
+                buf.write(_enc_value(kind, v))
+        payload = buf.getvalue()
+        fh.write(enc_long(stop - start))
+        fh.write(enc_long(len(payload)))
+        fh.write(payload)
+        fh.write(sync)
+        total += stop - start
+    return total
+
+
+def read_container(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode one container file → (avro schema dict, list of row
+    dicts with avro-typed values)."""
+    buf = memoryview(data)
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("not an avro container file")
+    pos = 4
+    meta = {}
+    while True:
+        cnt, pos = dec_long(buf, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:  # negative-count map block: abs count + byte size
+            cnt = -cnt
+            _, pos = dec_long(buf, pos)
+        for _ in range(cnt):
+            klen, pos = dec_long(buf, pos)
+            key = bytes(buf[pos:pos + klen]).decode()
+            pos += klen
+            vlen, pos = dec_long(buf, pos)
+            meta[key] = bytes(buf[pos:pos + vlen])
+            pos += vlen
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    sync = bytes(buf[pos:pos + 16])
+    pos += 16
+
+    coders = _field_coders(schema)
+    rows = []
+    end = len(buf)
+    while pos < end:
+        cnt, pos = dec_long(buf, pos)
+        _blen, pos = dec_long(buf, pos)
+        for _ in range(cnt):
+            row = {}
+            for name, kind, nullable in coders:
+                if nullable:
+                    branch, pos = dec_long(buf, pos)
+                    if branch == 0:
+                        row[name] = None
+                        continue
+                if kind in ("long", "int"):
+                    row[name], pos = dec_long(buf, pos)
+                elif kind == "double":
+                    row[name] = struct.unpack("<d", buf[pos:pos + 8])[0]
+                    pos += 8
+                elif kind == "float":
+                    row[name] = struct.unpack("<f", buf[pos:pos + 4])[0]
+                    pos += 4
+                elif kind in ("string", "bytes"):
+                    ln, pos = dec_long(buf, pos)
+                    raw = bytes(buf[pos:pos + ln])
+                    pos += ln
+                    row[name] = raw.decode() if kind == "string" else raw
+                elif kind == "boolean":
+                    row[name] = buf[pos] == 1
+                    pos += 1
+                else:
+                    raise TypeError(kind)
+            rows.append(row)
+        if bytes(buf[pos:pos + 16]) != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+    return schema, rows
+
+
+# --------------------------------------------------------- spark plumbing
+
+def _cols_to_avro(pdf, coders, types):
+    """pandas batch → column-major avro-typed value lists."""
+    import pandas as pd
+    cols = []
+    for (name, kind, _nullable), dt in zip(coders, types):
+        s = pdf[name]
+        if isinstance(dt, T.TimestampType):
+            vals = [None if pd.isna(v) else int(v.value // 1000)
+                    for v in s]
+        elif isinstance(dt, T.DateType):
+            vals = [None if pd.isna(v) else (v.toordinal() - 719163)
+                    for v in s]
+        elif kind in ("long", "int"):
+            vals = [None if pd.isna(v) else int(v) for v in s]
+        elif kind in ("double", "float"):
+            vals = [None if pd.isna(v) else float(v) for v in s]
+        elif kind == "boolean":
+            vals = [None if pd.isna(v) else bool(v) for v in s]
+        elif kind == "bytes":
+            vals = [None if v is None else bytes(v) for v in s]
+        else:  # string
+            vals = [None if v is None else str(v) for v in s]
+        cols.append(vals)
+    return cols
+
+
+def write_avro(df: DataFrame, path: str, name: str = "record",
+               block_records: int = 4096) -> int:
+    """Write ``df`` as a directory of Avro container files, one per
+    partition, encoded inside ``mapInPandas`` (no driver gather).
+    Returns the total row count written.  Requires a POSIX path
+    reachable from the executors (local mode / shared filesystem); on
+    a cluster with spark-avro installed, use :func:`io.write`."""
+    avro = spark_to_avro_schema(df.schema, name=name)
+    coders = _field_coders(avro)
+    types = [f.dataType for f in df.schema.fields]
+    os.makedirs(path, exist_ok=True)
+
+    def part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        cols = [[] for _ in coders]
+        for pdf in batches:
+            for acc, vals in zip(cols, _cols_to_avro(pdf, coders, types)):
+                acc.extend(vals)
+        n = 0
+        if cols and cols[0]:
+            with open(fname, "wb") as fh:
+                n = write_container(fh, avro, cols, sync_seed=fname,
+                                    block_records=block_records)
+        yield pd.DataFrame({"file": [fname], "n": [n]})
+
+    stats = df.mapInPandas(part, "file string, n long").collect()
+    return int(sum(r.n for r in stats))
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory (or glob) of Avro container files written by
+    any spec-compliant implementation, restricted to flat primitive
+    schemas.  Decode is distributed over the ``binaryFile`` source;
+    the schema comes from the first file's embedded header."""
+    # pathGlobFilter, not a glob-in-path: Spark tries the literal path
+    # first and logs a FileNotFoundException before falling back
+    bf = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.avro").load(path))
+    head = bf.select("content").limit(1).collect()
+    if not head:
+        raise ValueError(f"no avro files under {path}")
+    avro, _ = read_container(bytes(head[0].content))
+    sschema = avro_to_spark_schema(avro)
+    coders = _field_coders(avro)
+
+    def dec(batches):
+        import pandas as pd
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, rows = read_container(bytes(content))
+                cols = {}
+                for name, kind, _n in coders:
+                    vals = [r[name] for r in rows]
+                    f = avro["fields"][[c[0] for c in coders].index(name)]
+                    at = f["type"]
+                    if isinstance(at, list):
+                        at = [t for t in at if t != "null"][0]
+                    if isinstance(at, dict) and \
+                            at.get("logicalType") == "timestamp-micros":
+                        vals = pd.to_datetime(
+                            pd.Series(vals, dtype="object").astype("Int64"),
+                            unit="us")
+                    elif isinstance(at, dict) and \
+                            at.get("logicalType") == "date":
+                        import datetime as _dt
+                        vals = [None if v is None
+                                else _dt.date.fromordinal(v + 719163)
+                                for v in vals]
+                    cols[name] = vals
+                yield pd.DataFrame(cols, columns=[c[0] for c in coders])
+
+    return bf.select("content").mapInPandas(dec, sschema)

@@ -153,3 +153,109 @@ def test_zorder_locality(spark):
     assert z_spans["ys"] <= 4
     assert z_spans["xs"] <= 4
     assert z_spans["ys"] * 2 < lex_spans["ys"]
+
+
+# ------------------------------------------------- pure-python avro
+
+def _wide_df(spark):
+    from pyspark.sql import functions as F
+    return spark.range(0, 100, 1, 3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("int").alias("i"),
+        (F.col("id") / 7.0).alias("x"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        F.when(F.col("id") % 3 == 0, F.col("id")).alias("maybe"))
+
+
+def test_avro_python_roundtrip(spark, tmp_path):
+    """write_avro → read_avro is exact across every supported type
+    (long/int/double/string/boolean/timestamp/date + nullable union),
+    encoded per-partition in mapInPandas and decoded distributed."""
+    from nifi_datasynthesizer_spark import avro_io as AV
+    df = _wide_df(spark)
+    path = str(tmp_path / "avro")
+    n = AV.write_avro(df, path)
+    assert n == 100
+    back = AV.read_avro(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+
+def test_avro_python_writer_read_by_java(spark, tmp_path):
+    """Cross-implementation proof: files written by the pure-Python
+    encoder are read by the OFFICIAL Apache Avro Java implementation
+    bundled with pyspark (org.apache.avro.file.DataFileReader) with
+    identical values — the container framing, varint/zigzag coding,
+    union branches, and logical-type raws all spec-exact."""
+    import glob
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    df = _wide_df(spark)
+    path = str(tmp_path / "avro")
+    AV.write_avro(df, path)
+    jvm = spark._jvm
+    got = []
+    for fname in sorted(glob.glob(path + "/*.avro")):
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(fname), rdr)
+        while dfr.hasNext():
+            rec = dfr.next()
+            got.append((rec.get("k"), rec.get("i"), rec.get("x"),
+                        str(rec.get("s")), rec.get("b"), rec.get("ts"),
+                        rec.get("d"), rec.get("maybe")))
+        dfr.close()
+    import datetime
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    want = sorted(
+        (r.k, r.i, r.x, r.s, r.b,
+         int(r.ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+             * 1_000_000),
+         r.d.toordinal() - epoch, r.maybe)
+        for r in df.collect())
+    assert sorted(got) == want
+
+
+def test_avro_java_writer_read_by_python(spark, tmp_path):
+    """...and the reverse: a container file written by the Java
+    implementation (records built Java-side via JsonDecoder, so py4j
+    boxing can't distort types) decodes exactly with read_container
+    and loads through the distributed read_avro path."""
+    import json as _json
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    schema = {"type": "record", "name": "jrec", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "x", "type": "double"},
+        {"name": "maybe", "type": ["null", "long"]},
+    ]}
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+    gdr = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    gdw = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(gdw)
+    d = tmp_path / "javro"
+    d.mkdir()
+    fname = str(d / "part-0.avro")
+    dfw.create(sch, jvm.java.io.File(fname))
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for i in range(10):
+        payload = {"k": i, "s": f"java-{i}", "x": i / 3.0,
+                   "maybe": {"long": i * 10} if i % 2 == 0 else None}
+        dfw.append(gdr.read(None, fac.jsonDecoder(sch, _json.dumps(payload))))
+    dfw.close()
+
+    _, rows = AV.read_container(open(fname, "rb").read())
+    assert [(r["k"], r["s"], r["x"], r["maybe"]) for r in rows] == \
+        [(i, f"java-{i}", i / 3.0, i * 10 if i % 2 == 0 else None)
+         for i in range(10)]
+    df = AV.read_avro(spark, str(d))
+    assert df.count() == 10
+    assert df.schema.simpleString() == \
+        "struct<k:bigint,s:string,x:double,maybe:bigint>"
