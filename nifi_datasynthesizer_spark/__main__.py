@@ -10,8 +10,10 @@ Ours::
         --schema schema.json --count 1M --format json --output out/
 
 - ``--count`` accepts the reference's G/M/K suffixes.
-- ``--format``: json | csv | tsv | parquet | orc  (XML has no Spark
-  writer; the reference's TSV is csv with a tab separator).
+- ``--format``: json | csv | tsv | parquet | orc | avro  (XML has no
+  Spark writer; the reference's TSV is csv with a tab separator; avro
+  uses spark-avro when on the classpath, else the avro_io pure-Python
+  container encoder for flat schemas).
 - ``--threads`` maps to local[] parallelism (on a cluster, submit with
   spark-submit and the flag is ignored in favor of the cluster's
   executors — generation parallelism follows partitions either way).
@@ -55,7 +57,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--count", type=_parse_count, default=1000,
                     help="row count, K/M/G suffixes accepted (default 1K)")
     ap.add_argument("--format", default="json",
-                    choices=["json", "csv", "tsv", "parquet", "orc"])
+                    choices=["json", "csv", "tsv", "parquet", "orc",
+                             "avro"])
     ap.add_argument("--output", default=None,
                     help="output directory (omit to print --show rows)")
     ap.add_argument("--threads", type=_parse_threads, default=None,
@@ -82,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         d = df
         d.write.mode("overwrite").option("sep", "\t") \
             .option("header", "true").csv(args.output)
+    elif args.format == "avro" and not nio._has_avro(spark):
+        # no spark-avro DataSource on the classpath: flat schemas go
+        # through the spec-compliant pure-Python container encoder
+        # (avro_io; cross-validated against Java avro in tests)
+        from . import avro_io as av
+        av.write_avro(df, args.output)
     else:
         nio.write(df, args.output, fmt=args.format)
     spark.stop()

@@ -259,3 +259,30 @@ def test_avro_java_writer_read_by_python(spark, tmp_path):
     assert df.count() == 10
     assert df.schema.simpleString() == \
         "struct<k:bigint,s:string,x:double,maybe:bigint>"
+
+
+def test_cli_avro_output(spark, tmp_path):
+    """End-to-end CLI run with --format avro in this classpath-less
+    environment: the avro_io fallback writes container files a
+    separate process, and the host session reads them back."""
+    import json as _json
+    import subprocess
+    import sys
+
+    schema = [{"name": "rec_id", "class": "id"},
+              {"name": "qty", "class": "int", "min": 1, "max": 9},
+              {"name": "who", "class": "name"}]
+    sfile = tmp_path / "schema.json"
+    sfile.write_text(_json.dumps(schema))
+    out = str(tmp_path / "avro_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "nifi_datasynthesizer_spark",
+         "--schema", str(sfile), "--count", "200", "--format", "avro",
+         "--output", out, "--threads", "2"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    from nifi_datasynthesizer_spark import avro_io as AV
+    back = AV.read_avro(spark, out)
+    assert back.count() == 200
+    assert [f.name for f in back.schema.fields] == ["rec_id", "qty", "who"]
+    assert back.agg({"qty": "min"}).collect()[0][0] >= 1
