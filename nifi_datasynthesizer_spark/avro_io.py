@@ -22,7 +22,10 @@ directions byte-level interoperable (tests/test_io.py).
 Scale shape: :func:`write_avro` runs one encoder per partition inside
 ``mapInPandas`` (Arrow batches in, one container file per partition,
 records never gathered to the driver); :func:`read_avro` distributes
-decode over the ``binaryFile`` source.  On a real cluster with the
+decode over the ``binaryFile`` source.  Measured on a 4-column
+400k-row frame at local[8]: write 128k rows/s (~1.8× the native
+parquet writer's wall time), read 1.9 s — a serviceable fallback, not
+a parquet replacement.  On a real cluster with the
 spark-avro package available, prefer :func:`io.write` — this module is
 the spec-parity path that keeps the avro surface exercised where the
 DataSource cannot be installed, and files are interchangeable between
