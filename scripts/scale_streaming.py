@@ -185,6 +185,26 @@ def op_dedup_horizon(spark, ev_dir):
             .select("digest"), "append", "noop")
 
 
+def op_interval_join(spark, ev_dir):
+    # stream-stream attribution join: each side's state is bounded by
+    # the join-window watermark (rows within the horizon), evicted as
+    # the watermark advances — the only stateful shape where state is
+    # O(rows-in-horizon) on BOTH sides rather than O(keys)
+    from nifi_datasynthesizer_spark import streaming as ST
+    ev = _src(spark, ev_dir)
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "ts", "user_id")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id")
+    # second source instance: stream-stream joins need distinct plans
+    ev2 = _src(spark, ev_dir)
+    buys = ev2.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id")
+    j = ST.interval_join(views, buys, key="user_id", ts_col="ts",
+                         within="12 hours")
+    return j.select("l_event_id", "r_event_id"), "append", "noop"
+
+
 def op_enrich_static(spark, ev_dir):
     # stream-static broadcast join + agg: join itself carries NO state
     # (only the downstream agg does — O(nations))
@@ -209,6 +229,7 @@ OPS = {
     "streaming_key_counts_native": op_key_counts_native,
     "streaming_cdc_state": op_cdc_state,
     "streaming_dedup_horizon": op_dedup_horizon,
+    "streaming_interval_join": op_interval_join,
     "streaming_enrich_static": op_enrich_static,
 }
 
