@@ -194,8 +194,6 @@ def op_interval_join(spark, ev_dir):
     ev = _src(spark, ev_dir)
     views = ev.filter(F.col("event_type") == "view") \
         .select("event_id", "ts", "user_id")
-    buys = ev.filter(F.col("event_type") == "purchase") \
-        .select("event_id", "ts", "user_id")
     # second source instance: stream-stream joins need distinct plans
     ev2 = _src(spark, ev_dir)
     buys = ev2.filter(F.col("event_type") == "purchase") \
