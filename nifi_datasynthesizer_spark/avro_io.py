@@ -8,10 +8,12 @@ offline environment cannot fetch (documented in SURVEY §6).  The Avro
 1.x container format itself is a small, public specification — magic
 ``Obj\\x01``, a string→bytes metadata map carrying the schema JSON and
 codec, then sync-marked blocks of zigzag-varint-encoded records — so
-this module implements it directly for FLAT record schemas (the shape
-every reference writer emits): primitives ``long int double float
-string boolean bytes`` plus the ``timestamp-micros`` and ``date``
-logical types, with nullable columns as ``["null", T]`` unions.
+this module implements it directly: primitives ``long int double
+float string boolean bytes``, the ``timestamp-micros`` and ``date``
+logical types (top level), nested ``record`` / ``array`` /
+string-keyed ``map`` columns (the shapes the reference's map /
+sequence / join samplers emit), and nullable columns as
+``["null", T]`` unions with the null branch at either index.
 
 Spec compliance is proven against the OFFICIAL Java implementation
 bundled with pyspark (``avro-1.12.1.jar``): tests write files here and
@@ -20,7 +22,8 @@ files with ``DataFileWriter`` and read them back here — both
 directions byte-level interoperable (tests/test_io.py).
 
 Scale shape: :func:`write_avro` runs one encoder per partition inside
-``mapInPandas`` (Arrow batches in, one container file per partition,
+``mapInArrow`` (values read straight off the Arrow arrays — exact
+int64, true-UTC timestamp micros — one container file per partition,
 records never gathered to the driver); :func:`read_avro` distributes
 decode over the ``binaryFile`` source.  Measured on a 4-column
 400k-row frame at local[8]: write 128k rows/s (~1.8× the native
@@ -108,58 +111,103 @@ def dec_long(buf: memoryview, pos: int) -> tuple[int, int]:
 
 # ---------------------------------------------------- schema translation
 
+def _spark_type_to_avro(dt: T.DataType, name: str, top: bool) -> object:
+    """Recursive Spark → Avro type translation.  Structs become named
+    records, arrays become avro arrays, string-keyed maps become avro
+    maps; nullability at any level becomes a ``["null", T]`` union.
+    Timestamp/date stay top-level-only: their exact encoding rides the
+    Arrow column casts in :func:`_arrow_cols_to_avro`, which have no
+    equivalent once the value is inside a ``to_pylist`` composite."""
+    cls = type(dt)
+    if cls in _PRIMITIVE:
+        return _PRIMITIVE[cls]
+    if cls is T.TimestampType:
+        if not top:
+            raise TypeError("avro_io supports timestamp columns at the "
+                            "top level only (nested timestamps lose the "
+                            "exact-micros arrow cast)")
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if cls is T.DateType:
+        if not top:
+            raise TypeError("avro_io supports date columns at the top "
+                            "level only")
+        return {"type": "int", "logicalType": "date"}
+    if cls is T.StructType:
+        fields = []
+        for f in dt.fields:
+            at = _spark_type_to_avro(f.dataType, f"{name}_{f.name}", False)
+            fields.append({"name": f.name,
+                           "type": ["null", at] if f.nullable else at})
+        return {"type": "record", "name": name, "fields": fields}
+    if cls is T.ArrayType:
+        it = _spark_type_to_avro(dt.elementType, name + "_item", False)
+        return {"type": "array",
+                "items": ["null", it] if dt.containsNull else it}
+    if cls is T.MapType:
+        if type(dt.keyType) is not T.StringType:
+            raise TypeError("avro maps require string keys; got "
+                            f"{dt.keyType}")
+        vt = _spark_type_to_avro(dt.valueType, name + "_value", False)
+        return {"type": "map",
+                "values": ["null", vt] if dt.valueContainsNull else vt}
+    raise TypeError(f"avro_io cannot encode {dt}")
+
+
 def spark_to_avro_schema(schema: T.StructType, name: str = "record") -> dict:
-    """Translate a FLAT Spark schema to an Avro record schema dict.
-    Nullable columns become ``["null", T]`` unions (null branch 0 —
-    the conventional order both implementations expect)."""
+    """Translate a Spark schema to an Avro record schema dict:
+    primitives, timestamp/date logical types (top level), and nested
+    struct / array / string-keyed map columns (mirroring the
+    reference's nested writers — its map / sequence / join samplers
+    emit exactly these shapes).  Nullable columns become
+    ``["null", T]`` unions."""
     fields = []
     for f in schema.fields:
-        dt = type(f.dataType)
-        if dt in _PRIMITIVE:
-            at: object = _PRIMITIVE[dt]
-        elif dt is T.TimestampType:
-            at = {"type": "long", "logicalType": "timestamp-micros"}
-        elif dt is T.DateType:
-            at = {"type": "int", "logicalType": "date"}
-        else:
-            raise TypeError(f"avro_io supports flat primitive schemas; "
-                            f"column {f.name!r} is {f.dataType}")
+        at = _spark_type_to_avro(f.dataType, f"{name}_{f.name}", True)
         fields.append({"name": f.name,
                        "type": ["null", at] if f.nullable else at})
     return {"type": "record", "name": name, "fields": fields}
 
 
+_BACK = {v: k for k, v in _PRIMITIVE.items()}
+
+
+def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
+    nullable = isinstance(at, list)
+    if nullable:
+        at = [t for t in at if t != "null"][0]
+    if isinstance(at, str):
+        if at in _BACK:
+            return _BACK[at](), nullable
+        raise TypeError(f"unsupported avro type: {at!r}")
+    lt = at.get("logicalType")
+    if lt == "timestamp-micros":
+        return T.TimestampType(), nullable
+    if lt == "date":
+        return T.DateType(), nullable
+    t = at["type"]
+    if t == "record":
+        fields = []
+        for f in at["fields"]:
+            fdt, fn = _avro_type_to_spark(f["type"])
+            fields.append(T.StructField(f["name"], fdt, fn))
+        return T.StructType(fields), nullable
+    if t == "array":
+        et, en = _avro_type_to_spark(at["items"])
+        return T.ArrayType(et, en), nullable
+    if t == "map":
+        vt, vn = _avro_type_to_spark(at["values"])
+        return T.MapType(T.StringType(), vt, vn), nullable
+    if t in _BACK:  # unknown logical type over a primitive: raw value
+        return _BACK[t](), nullable
+    raise TypeError(f"unsupported avro field type: {at!r}")
+
+
 def avro_to_spark_schema(avro: dict) -> T.StructType:
-    back = {v: k for k, v in _PRIMITIVE.items()}
     out = []
     for f in avro["fields"]:
-        at = f["type"]
-        nullable = isinstance(at, list)
-        if nullable:
-            at = [t for t in at if t != "null"][0]
-        if isinstance(at, dict) and at.get("logicalType") == "timestamp-micros":
-            dt: T.DataType = T.TimestampType()
-        elif isinstance(at, dict) and at.get("logicalType") == "date":
-            dt = T.DateType()
-        elif isinstance(at, str) and at in back:
-            dt = back[at]()
-        else:
-            raise TypeError(f"unsupported avro field type: {f['type']!r}")
+        dt, nullable = _avro_type_to_spark(f["type"])
         out.append(T.StructField(f["name"], dt, nullable))
     return T.StructType(out)
-
-
-def _field_coders(avro: dict):
-    """Per-field (kind, nullable) for the encode/decode loops."""
-    coders = []
-    for f in avro["fields"]:
-        at = f["type"]
-        nullable = isinstance(at, list)
-        if nullable:
-            at = [t for t in at if t != "null"][0]
-        kind = at["type"] if isinstance(at, dict) else at
-        coders.append((f["name"], kind, nullable))
-    return coders
 
 
 # ------------------------------------------------------- container file
@@ -169,20 +217,145 @@ def _sync_marker(seed: str) -> bytes:
     return hashlib.md5(("sync:" + seed).encode()).digest()
 
 
-def _enc_value(kind: str, v) -> bytes:
-    if kind in ("long", "int"):
-        return enc_long(v)
-    if kind == "double":
-        return struct.pack("<d", float(v))
-    if kind == "float":
-        return struct.pack("<f", float(v))
-    if kind == "string":
-        return enc_str(v)
-    if kind == "bytes":
-        return enc_bytes(bytes(v))
-    if kind == "boolean":
-        return b"\x01" if v else b"\x00"
-    raise TypeError(kind)
+_ENC_PRIM = {
+    "long": lambda v: enc_long(v),
+    "int": lambda v: enc_long(v),
+    "double": lambda v: struct.pack("<d", float(v)),
+    "float": lambda v: struct.pack("<f", float(v)),
+    "string": lambda v: enc_str(v),
+    "bytes": lambda v: enc_bytes(bytes(v)),
+    "boolean": lambda v: b"\x01" if v else b"\x00",
+}
+
+
+def _make_encoder(at):
+    """Compile an avro type (possibly nested) into ``fn(value) ->
+    bytes``.  Compiled once per schema, so the per-value hot loop pays
+    no type dispatch; unions write the computed branch index (the spec
+    permits ``[T, "null"]`` as well as ``["null", T]``)."""
+    if isinstance(at, list):
+        nb = at.index("null")
+        inner = _make_encoder([t for t in at if t != "null"][0])
+        nb_b, vb_b = enc_long(nb), enc_long(1 - nb)
+
+        def enc_union(v):
+            return nb_b if v is None else vb_b + inner(v)
+        return enc_union
+    if isinstance(at, dict):
+        t = at["type"]
+        if t == "record":
+            fencs = [(f["name"], _make_encoder(f["type"]))
+                     for f in at["fields"]]
+
+            def enc_record(v):
+                return b"".join(fe(v[n]) for n, fe in fencs)
+            return enc_record
+        if t == "array":
+            ie = _make_encoder(at["items"])
+
+            def enc_array(v):
+                if v:
+                    return (enc_long(len(v)) +
+                            b"".join(ie(x) for x in v) + b"\x00")
+                return b"\x00"
+            return enc_array
+        if t == "map":
+            ve = _make_encoder(at["values"])
+
+            def enc_map(v):
+                if v:
+                    return (enc_long(len(v)) +
+                            b"".join(enc_str(k) + ve(x)
+                                     for k, x in v.items()) + b"\x00")
+                return b"\x00"
+            return enc_map
+        return _ENC_PRIM[t]  # logical-type wrapper over a primitive
+    return _ENC_PRIM[at]
+
+
+def _dec_str(buf, pos):
+    ln, pos = dec_long(buf, pos)
+    return bytes(buf[pos:pos + ln]).decode(), pos + ln
+
+
+def _dec_bytes(buf, pos):
+    ln, pos = dec_long(buf, pos)
+    return bytes(buf[pos:pos + ln]), pos + ln
+
+
+_DEC_PRIM = {
+    "long": dec_long,
+    "int": dec_long,
+    "double": lambda buf, pos: (struct.unpack("<d", buf[pos:pos + 8])[0],
+                                pos + 8),
+    "float": lambda buf, pos: (struct.unpack("<f", buf[pos:pos + 4])[0],
+                               pos + 4),
+    "boolean": lambda buf, pos: (buf[pos] == 1, pos + 1),
+    "string": _dec_str,
+    "bytes": _dec_bytes,
+}
+
+
+def _make_decoder(at):
+    """Compile an avro type into ``fn(buf, pos) -> (value, pos)``.
+    Array/map blocks honour the spec's negative-count form (abs count
+    followed by a byte size)."""
+    if isinstance(at, list):
+        nb = at.index("null")
+        inner = _make_decoder([t for t in at if t != "null"][0])
+
+        def dec_union(buf, pos):
+            br, pos = dec_long(buf, pos)
+            if br == nb:
+                return None, pos
+            return inner(buf, pos)
+        return dec_union
+    if isinstance(at, dict):
+        t = at["type"]
+        if t == "record":
+            fdecs = [(f["name"], _make_decoder(f["type"]))
+                     for f in at["fields"]]
+
+            def dec_record(buf, pos):
+                row = {}
+                for n, fd in fdecs:
+                    row[n], pos = fd(buf, pos)
+                return row, pos
+            return dec_record
+        if t == "array":
+            idec = _make_decoder(at["items"])
+
+            def dec_array(buf, pos):
+                out = []
+                while True:
+                    cnt, pos = dec_long(buf, pos)
+                    if cnt == 0:
+                        return out, pos
+                    if cnt < 0:
+                        cnt = -cnt
+                        _, pos = dec_long(buf, pos)
+                    for _ in range(cnt):
+                        v, pos = idec(buf, pos)
+                        out.append(v)
+            return dec_array
+        if t == "map":
+            vdec = _make_decoder(at["values"])
+
+            def dec_map(buf, pos):
+                out = {}
+                while True:
+                    cnt, pos = dec_long(buf, pos)
+                    if cnt == 0:
+                        return out, pos
+                    if cnt < 0:
+                        cnt = -cnt
+                        _, pos = dec_long(buf, pos)
+                    for _ in range(cnt):
+                        k, pos = _dec_str(buf, pos)
+                        out[k], pos = vdec(buf, pos)
+            return dec_map
+        return _DEC_PRIM[t]
+    return _DEC_PRIM[at]
 
 
 def write_container(fh, avro_schema: dict, row_lists: list[list],
@@ -201,24 +374,20 @@ def write_container(fh, avro_schema: dict, row_lists: list[list],
     fh.write(enc_long(0))
     fh.write(sync)
 
-    coders = _field_coders(avro_schema)
+    fencs = [(f["name"], isinstance(f["type"], list),
+              _make_encoder(f["type"])) for f in avro_schema["fields"]]
     n = len(row_lists[0]) if row_lists else 0
     total = 0
     for start in range(0, n, block_records):
         stop = min(start + block_records, n)
-        buf = _io.BytesIO()
+        parts = []
         for i in range(start, stop):
-            for (name, kind, nullable), col in zip(coders, row_lists):
+            for (name, nullable, fe), col in zip(fencs, row_lists):
                 v = col[i]
-                if nullable:
-                    if v is None:
-                        buf.write(enc_long(0))
-                        continue
-                    buf.write(enc_long(1))
-                elif v is None:
+                if v is None and not nullable:
                     raise ValueError(f"null in non-nullable field {name}")
-                buf.write(_enc_value(kind, v))
-        payload = buf.getvalue()
+                parts.append(fe(v))
+        payload = b"".join(parts)
         fh.write(enc_long(stop - start))
         fh.write(enc_long(len(payload)))
         fh.write(payload)
@@ -256,7 +425,8 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
     sync = bytes(buf[pos:pos + 16])
     pos += 16
 
-    coders = _field_coders(schema)
+    fdecs = [(f["name"], _make_decoder(f["type"]))
+             for f in schema["fields"]]
     rows = []
     end = len(buf)
     while pos < end:
@@ -264,30 +434,8 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
         _blen, pos = dec_long(buf, pos)
         for _ in range(cnt):
             row = {}
-            for name, kind, nullable in coders:
-                if nullable:
-                    branch, pos = dec_long(buf, pos)
-                    if branch == 0:
-                        row[name] = None
-                        continue
-                if kind in ("long", "int"):
-                    row[name], pos = dec_long(buf, pos)
-                elif kind == "double":
-                    row[name] = struct.unpack("<d", buf[pos:pos + 8])[0]
-                    pos += 8
-                elif kind == "float":
-                    row[name] = struct.unpack("<f", buf[pos:pos + 4])[0]
-                    pos += 4
-                elif kind in ("string", "bytes"):
-                    ln, pos = dec_long(buf, pos)
-                    raw = bytes(buf[pos:pos + ln])
-                    pos += ln
-                    row[name] = raw.decode() if kind == "string" else raw
-                elif kind == "boolean":
-                    row[name] = buf[pos] == 1
-                    pos += 1
-                else:
-                    raise TypeError(kind)
+            for name, fd in fdecs:
+                row[name], pos = fd(buf, pos)
             rows.append(row)
         if bytes(buf[pos:pos + 16]) != sync:
             raise ValueError("sync marker mismatch")
@@ -297,28 +445,65 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
 
 # --------------------------------------------------------- spark plumbing
 
-def _cols_to_avro(pdf, coders, types):
-    """pandas batch → column-major avro-typed value lists."""
-    import pandas as pd
+def _needs_map_fix(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _needs_map_fix(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_needs_map_fix(f.dataType) for f in dt.fields)
+    return False
+
+
+def _map_fixer(dt: T.DataType):
+    """Arrow ``to_pylist`` renders map values as ``[(k, v), ...]`` at
+    every nesting level; the avro encoder wants dicts.  Compile a
+    recursive fixer for the type shape once per column."""
+    if isinstance(dt, T.MapType):
+        vf = _map_fixer(dt.valueType)
+        return lambda v: None if v is None else {k: vf(x) for k, x in v}
+    if isinstance(dt, T.ArrayType):
+        ef = _map_fixer(dt.elementType)
+        return lambda v: None if v is None else [ef(x) for x in v]
+    if isinstance(dt, T.StructType):
+        ffs = [(f.name, _map_fixer(f.dataType)) for f in dt.fields]
+        return (lambda v: None if v is None
+                else {n: ff(v[n]) for n, ff in ffs})
+    return lambda v: v
+
+
+def _arrow_cols_to_avro(batch, names, types, tz: str):
+    """Arrow RecordBatch → column-major avro-typed value lists.
+
+    Values are read from the Arrow arrays directly, never through a
+    pandas coercion: nullable int64 columns stay exact (a pandas
+    round-trip coerces them to float64, silently rounding |v| > 2^53),
+    and timestamps come out as true epoch micros via the int64 cast of
+    the tz-aware arrow array (Spark stamps the session timezone on the
+    arrow field; the underlying representation is UTC micros, so this
+    is zone-correct even in a non-UTC session).  ``tz`` covers the
+    defensive tz-naive case only.  Struct/array/map columns come out
+    of ``to_pylist`` as dicts/lists (maps as tuple lists, fixed up)."""
+    import pyarrow as pa
     cols = []
-    for (name, kind, _nullable), dt in zip(coders, types):
-        s = pdf[name]
+    for name, dt in zip(names, types):
+        idx = batch.schema.get_field_index(name)
+        col = batch.column(idx)
         if isinstance(dt, T.TimestampType):
-            vals = [None if pd.isna(v) else int(v.value // 1000)
-                    for v in s]
+            if col.type.tz is None:
+                # wall-clock micros: interpret in the session timezone
+                col = col.cast(pa.timestamp("us")) \
+                         .cast(pa.timestamp("us", tz=tz))
+            vals = col.cast(pa.int64()).to_pylist()
         elif isinstance(dt, T.DateType):
-            vals = [None if pd.isna(v) else (v.toordinal() - 719163)
-                    for v in s]
-        elif kind in ("long", "int"):
-            vals = [None if pd.isna(v) else int(v) for v in s]
-        elif kind in ("double", "float"):
-            vals = [None if pd.isna(v) else float(v) for v in s]
-        elif kind == "boolean":
-            vals = [None if pd.isna(v) else bool(v) for v in s]
-        elif kind == "bytes":
-            vals = [None if v is None else bytes(v) for v in s]
-        else:  # string
-            vals = [None if v is None else str(v) for v in s]
+            vals = col.cast(pa.int32()).to_pylist()
+        else:
+            # to_pylist is exact and null-preserving for every arrow
+            # primitive and composite
+            vals = col.to_pylist()
+            if _needs_map_fix(dt):
+                fix = _map_fixer(dt)
+                vals = [fix(v) for v in vals]
         cols.append(vals)
     return cols
 
@@ -326,40 +511,50 @@ def _cols_to_avro(pdf, coders, types):
 def write_avro(df: DataFrame, path: str, name: str = "record",
                block_records: int = 4096) -> int:
     """Write ``df`` as a directory of Avro container files, one per
-    partition, encoded inside ``mapInPandas`` (no driver gather).
+    partition, encoded inside ``mapInArrow`` (no driver gather).
     Returns the total row count written.  Requires a POSIX path
     reachable from the executors (local mode / shared filesystem); on
     a cluster with spark-avro installed, use :func:`io.write`."""
     avro = spark_to_avro_schema(df.schema, name=name)
-    coders = _field_coders(avro)
+    names = [f.name for f in df.schema.fields]
     types = [f.dataType for f in df.schema.fields]
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics, matching the other CLI format branches:
+    # stale part files from a previous (possibly wider) run would
+    # otherwise be silently mixed into read_avro results
+    for old in os.listdir(path):
+        if old.endswith(".avro"):
+            os.unlink(os.path.join(path, old))
 
     def part(batches):
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.avro")
-        cols = [[] for _ in coders]
-        for pdf in batches:
-            for acc, vals in zip(cols, _cols_to_avro(pdf, coders, types)):
+        cols = [[] for _ in names]
+        for batch in batches:
+            for acc, vals in zip(cols,
+                                 _arrow_cols_to_avro(batch, names,
+                                                     types, tz)):
                 acc.extend(vals)
         n = 0
         if cols and cols[0]:
             with open(fname, "wb") as fh:
                 n = write_container(fh, avro, cols, sync_seed=fname,
                                     block_records=block_records)
-        yield pd.DataFrame({"file": [fname], "n": [n]})
+        yield pa.RecordBatch.from_pydict({"file": [fname], "n": [n]})
 
-    stats = df.mapInPandas(part, "file string, n long").collect()
+    stats = df.mapInArrow(part, "file string, n long").collect()
     return int(sum(r.n for r in stats))
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory (or glob) of Avro container files written by
-    any spec-compliant implementation, restricted to flat primitive
-    schemas.  Decode is distributed over the ``binaryFile`` source;
-    the schema comes from the first file's embedded header."""
+    any spec-compliant implementation (primitive, nullable-union,
+    record/array/map, and timestamp-micros/date logical types).
+    Decode is distributed over the ``binaryFile`` source; the schema
+    comes from the first file's embedded header."""
     # pathGlobFilter, not a glob-in-path: Spark tries the literal path
     # first and logs a FileNotFoundException before falling back
     bf = (spark.read.format("binaryFile")
@@ -369,32 +564,56 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         raise ValueError(f"no avro files under {path}")
     avro, _ = read_container(bytes(head[0].content))
     sschema = avro_to_spark_schema(avro)
-    coders = _field_coders(avro)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+
+    # avro type → arrow type, declared explicitly so nullable integer
+    # columns round-trip exact (a pandas DataFrame would coerce an
+    # [int, None] list to float64, rounding |v| > 2^53)
+    def _arrow_type(at):
+        import pyarrow as pa
+        if isinstance(at, list):
+            at = [t for t in at if t != "null"][0]
+        if isinstance(at, dict):
+            lt = at.get("logicalType")
+            if lt == "timestamp-micros":
+                return pa.timestamp("us", tz=tz)
+            if lt == "date":
+                return pa.date32()
+            t = at["type"]
+            if t == "record":
+                return pa.struct([pa.field(f["name"],
+                                           _arrow_type(f["type"]))
+                                  for f in at["fields"]])
+            if t == "array":
+                return pa.list_(_arrow_type(at["items"]))
+            if t == "map":
+                return pa.map_(pa.string(), _arrow_type(at["values"]))
+            at = t
+        return {"long": pa.int64(), "int": pa.int32(),
+                "double": pa.float64(), "float": pa.float32(),
+                "string": pa.string(), "boolean": pa.bool_(),
+                "bytes": pa.binary()}[at]
 
     def dec(batches):
-        import pandas as pd
-        for pdf in batches:
-            for content in pdf["content"]:
+        import pyarrow as pa
+        for batch in batches:
+            for content in batch.column(0).to_pylist():
                 _, rows = read_container(bytes(content))
-                cols = {}
-                for name, kind, _n in coders:
+                arrays, names = [], []
+                for f in avro["fields"]:
+                    name = f["name"]
                     vals = [r[name] for r in rows]
-                    f = avro["fields"][[c[0] for c in coders].index(name)]
-                    at = f["type"]
-                    if isinstance(at, list):
-                        at = [t for t in at if t != "null"][0]
-                    if isinstance(at, dict) and \
-                            at.get("logicalType") == "timestamp-micros":
-                        vals = pd.to_datetime(
-                            pd.Series(vals, dtype="object").astype("Int64"),
-                            unit="us")
-                    elif isinstance(at, dict) and \
-                            at.get("logicalType") == "date":
-                        import datetime as _dt
-                        vals = [None if v is None
-                                else _dt.date.fromordinal(v + 719163)
-                                for v in vals]
-                    cols[name] = vals
-                yield pd.DataFrame(cols, columns=[c[0] for c in coders])
+                    atype = _arrow_type(f["type"])
+                    if pa.types.is_timestamp(atype):
+                        # avro micros are UTC epoch; an int64→timestamp
+                        # cast on a tz-aware type reinterprets exactly
+                        arr = pa.array(vals, pa.int64()).cast(atype)
+                    elif pa.types.is_date32(atype):
+                        arr = pa.array(vals, pa.int32()).cast(atype)
+                    else:
+                        arr = pa.array(vals, atype)
+                    arrays.append(arr)
+                    names.append(name)
+                yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return bf.select("content").mapInPandas(dec, sschema)
+    return bf.select("content").mapInArrow(dec, sschema)

@@ -261,6 +261,217 @@ def test_avro_java_writer_read_by_python(spark, tmp_path):
         "struct<k:bigint,s:string,x:double,maybe:bigint>"
 
 
+def test_avro_nested_roundtrip(spark, tmp_path):
+    """Nested struct / array / string-keyed map columns round-trip
+    exactly through write_avro → read_avro (avro record/array/map
+    types — the shapes the reference's map / sequence / join samplers
+    emit; reference: nifi-datasynthesizer-generators' MapSampler /
+    SequenceSampler nested record output)."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    df = spark.range(0, 40, 1, 2).select(
+        F.col("id").alias("k"),
+        F.struct(F.col("id").alias("a"),
+                 F.concat(F.lit("s"), F.col("id")).alias("b"),
+                 F.struct((F.col("id") * 2).alias("deep")).alias("c")
+                 ).alias("rec"),
+        F.array(F.col("id"), F.col("id") + 1, F.col("id") + 2).alias("xs"),
+        F.when(F.col("id") % 3 != 0,
+               F.array(F.concat(F.lit("t"), F.col("id")))).alias("maybe_xs"),
+        F.create_map(F.lit("one"), F.col("id"),
+                     F.lit("two"), F.col("id") * 10).alias("m"))
+    path = str(tmp_path / "nested")
+    assert AV.write_avro(df, path) == 40
+    back = AV.read_avro(spark, path)
+    assert back.schema == df.schema
+    want = sorted(df.toJSON().collect())
+    got = sorted(back.toJSON().collect())
+    assert got == want
+
+
+def test_avro_nested_read_by_java(spark, tmp_path):
+    """Nested containers written here are read value-exact by the
+    official Java avro implementation (records, arrays, maps)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    df = spark.range(0, 10, 1, 1).select(
+        F.col("id").alias("k"),
+        F.struct(F.col("id").alias("a"),
+                 F.concat(F.lit("s"), F.col("id")).alias("b")).alias("rec"),
+        F.array(F.col("id"), F.col("id") * 3).alias("xs"),
+        F.create_map(F.lit("w"), F.col("id")).alias("m"))
+    path = str(tmp_path / "njava")
+    AV.write_avro(df, path)
+    jvm = spark._jvm
+    got = []
+    for fname in sorted(glob.glob(path + "/*.avro")):
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(fname), rdr)
+        while dfr.hasNext():
+            rec = dfr.next()
+            r = rec.get("rec")
+            xs = rec.get("xs")
+            m = rec.get("m")
+            got.append((rec.get("k"), r.get("a"), str(r.get("b")),
+                        [xs.get(i) for i in range(xs.size())],
+                        {str(k): m.get(k) for k in m.keySet()}))
+        dfr.close()
+    want = [(i, i, f"s{i}", [i, i * 3], {"w": i}) for i in range(10)]
+    assert sorted(got) == want
+
+
+def test_avro_nested_written_by_java(spark, tmp_path):
+    """...and the reverse: a Java-written container with nested
+    record/array/map fields decodes exactly and loads through
+    read_avro with the right Spark schema."""
+    import json as _json
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    schema = {"type": "record", "name": "jn", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "rec", "type": {"type": "record", "name": "jn_rec",
+                                 "fields": [
+                                     {"name": "a", "type": "long"},
+                                     {"name": "b", "type": "string"}]}},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+    gdr = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    gdw = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(gdw)
+    d = tmp_path / "jn"
+    d.mkdir()
+    fname = str(d / "part-0.avro")
+    dfw.create(sch, jvm.java.io.File(fname))
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for i in range(6):
+        payload = {"k": i, "rec": {"a": i * 2, "b": f"j{i}"},
+                   "xs": [i, i + 1], "m": {"q": i * 5}}
+        dfw.append(gdr.read(None, fac.jsonDecoder(sch, _json.dumps(payload))))
+    dfw.close()
+    _, rows = AV.read_container(open(fname, "rb").read())
+    assert [(r["k"], r["rec"], r["xs"], r["m"]) for r in rows] == \
+        [(i, {"a": i * 2, "b": f"j{i}"}, [i, i + 1], {"q": i * 5})
+         for i in range(6)]
+    df = AV.read_avro(spark, str(d))
+    assert df.schema.simpleString() == \
+        ("struct<k:bigint,rec:struct<a:bigint,b:string>,"
+         "xs:array<bigint>,m:map<string,bigint>>")
+    r3 = df.filter("k = 3").collect()[0]
+    assert (r3.rec.a, r3.rec.b, list(r3.xs), dict(r3.m)) == \
+        (6, "j3", [3, 4], {"q": 15})
+
+
+def test_avro_overwrite(spark, tmp_path):
+    """Re-running write_avro into an existing directory replaces the
+    previous files (mode("overwrite") parity with the other CLI format
+    branches): a narrower second run must not leave stale wide-run
+    part files for read_avro to silently mix in."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    path = str(tmp_path / "avro")
+    wide = spark.range(0, 90, 1, 6).select(F.col("id").alias("k"))
+    assert AV.write_avro(wide, path) == 90
+    narrow = spark.range(0, 10, 1, 1).select(F.col("id").alias("k"))
+    assert AV.write_avro(narrow, path) == 10
+    back = AV.read_avro(spark, path)
+    assert back.count() == 10
+    assert sorted(r.k for r in back.collect()) == list(range(10))
+
+
+def test_avro_null_second_union(spark, tmp_path):
+    """The spec permits [T, "null"] as well as ["null", T]; the null
+    branch index must be computed from the union, not assumed 0.  A
+    Java-written file with a null-SECOND union decodes value-exact."""
+    import json as _json
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    schema = {"type": "record", "name": "ns", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "maybe", "type": ["long", "null"]},
+    ]}
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+    gdr = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    gdw = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(gdw)
+    d = tmp_path / "ns"
+    d.mkdir()
+    fname = str(d / "part-0.avro")
+    dfw.create(sch, jvm.java.io.File(fname))
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for i in range(8):
+        payload = {"k": i,
+                   "maybe": {"long": i * 7} if i % 2 == 0 else None}
+        dfw.append(gdr.read(None, fac.jsonDecoder(sch, _json.dumps(payload))))
+    dfw.close()
+    _, rows = AV.read_container(open(fname, "rb").read())
+    assert [(r["k"], r["maybe"]) for r in rows] == \
+        [(i, i * 7 if i % 2 == 0 else None) for i in range(8)]
+    # and the symmetric write path emits the branch indices the Java
+    # reader expects for the same null-second schema
+    import io as _bio
+    buf = _bio.BytesIO()
+    AV.write_container(buf, schema, [[1, 2], [None, 99]], sync_seed="t")
+    _, back = AV.read_container(buf.getvalue())
+    assert [(r["k"], r["maybe"]) for r in back] == [(1, None), (2, 99)]
+
+
+def test_avro_non_utc_session_timezone(spark, tmp_path):
+    """Timestamps are absolute: with a non-UTC session timezone the
+    container must still carry true epoch micros (localize-then-value
+    on write, the symmetric convert on read).  Checks the raw micros
+    in the file against the known instant AND the Spark roundtrip."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    micros = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.range(0, 5, 1, 1).select(
+            F.col("id").alias("k"),
+            F.timestamp_micros(F.lit(micros) + F.col("id")).alias("ts"))
+        path = str(tmp_path / "tz")
+        AV.write_avro(df, path)
+        import glob
+        _, rows = AV.read_container(
+            open(sorted(glob.glob(path + "/*.avro"))[0], "rb").read())
+        assert sorted(r["ts"] for r in rows) == \
+            [micros + i for i in range(5)]
+        back = AV.read_avro(spark, path)
+        assert sorted(map(tuple, back.collect())) == \
+            sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_avro_nullable_bigint_precision(spark, tmp_path):
+    """Nullable long columns arrive in pandas as float64; values above
+    2^53 must survive exactly (Int64 extension recast, not int(float))."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    big = 9_007_199_254_740_993  # 2^53 + 1, not float64-representable
+    df = spark.range(0, 6, 1, 1).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0,
+               F.lit(big) + F.col("id")).alias("maybe_big"))
+    path = str(tmp_path / "big")
+    AV.write_avro(df, path)
+    back = AV.read_avro(spark, path)
+    got = sorted((r.k, r.maybe_big) for r in back.collect())
+    assert got == [(i, big + i if i % 2 == 0 else None) for i in range(6)]
+
+
 def test_cli_avro_output(spark, tmp_path):
     """End-to-end CLI run with --format avro in this classpath-less
     environment: the avro_io fallback writes container files a
