@@ -263,9 +263,55 @@ assert len(set(_WINDOW_R7_HEAD)) == 50, "duplicate in window head"
 _WINDOW_R7 = _WINDOW_R7_HEAD + _WINDOW_R7_TAIL
 assert len(set(_WINDOW_R7)) == len(_WINDOW_R7), "duplicate in window"
 
+# Round-8 window, per the r7 verdict's prescription: the freeze lifts
+# at window-slack rate — SIX new/changed entries lead (all six
+# pre-validated against DuckDB at sf0.01 AND sf0.1 before this window
+# was declared): streaming_running_totals' entry migrated to the
+# native streaming aggregate (results identical, implementation
+# changed → re-verify, not coast), its applyInPandasWithState twin
+# kept as the custom-state template, the io_rowgroup_audit layout
+# governance operator, and the three derived-config twins that close
+# the r7 verdict's pinned-vs-production gap (dedup_embedding derived
+# bits, ann_ivf derived √n cells, ann_ivf through the >64-cell Arrow
+# assignment kernel).  Then the 28 r4-stale greens _WINDOW_R7_TAIL
+# queued, then the oldest r5 greens to the 50-slot budget.  The
+# remaining r5 greens queue in _WINDOW_R8_TAIL to lead r9.
+_WINDOW_R8_HEAD = [
+    # new/changed this round — never driver-checked (or impl changed)
+    "streaming_running_totals", "streaming_running_totals_pandas",
+    "io_rowgroup_audit", "dedup_embedding_derived",
+    "ann_ivf_derived", "ann_ivf_arrow",
+    # the 28 r4-stale greens, in the order the r7 tail queued them
+    *_WINDOW_R7_TAIL,
+    # oldest r5 greens, registry order, to the 50-slot budget
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "events_daily", "events_retention", "events_asof_balance",
+    "events_range_windows", "events_salted_join", "media_resize",
+    "streaming_events_daily", "streaming_sessionize",
+    "streaming_enrich_nation", "streaming_dedup_docs",
+    "synth_basic", "synth_identifiers", "synth_phone_numbers",
+]
+# r5 greens that did not fit the 50-slot budget — lead the r9 window;
+# r6/r7-green queries are fresher and follow in registry order
+_WINDOW_R8_TAIL = [
+    "synth_text_messages", "synth_text_blocks", "remove_path",
+    "synth_markov_text", "synth_markov_sms", "synth_exotic_nested",
+    "synth_vehicle_commuter", "synth_net", "synth_purchases",
+    "synth_weblog_lines", "dedup_minhash", "dedup_groups",
+    "dedup_cross", "dedup_containment", "ann_ivf", "text_embed",
+    "corpus_stats", "corpus_bpe", "corpus_pack", "corpus_mix",
+    "corpus_clean", "media_frames", "text_oov",
+    "text_train_classifier", "corpus_split_groups", "corpus_tokenize",
+    "corpus_dsir", "sketch_hll", "sketch_kmv", "events_transitions",
+]
+assert len(_WINDOW_R8_HEAD) == 50, len(_WINDOW_R8_HEAD)
+assert len(set(_WINDOW_R8_HEAD)) == 50, "duplicate in window head"
+_WINDOW_R8 = _WINDOW_R8_HEAD + _WINDOW_R8_TAIL
+assert len(set(_WINDOW_R8)) == len(_WINDOW_R8), "duplicate in window"
+
 
 def _rotate(q: dict) -> dict:
-    head = [n for n in _WINDOW_R7 if n in q]
+    head = [n for n in _WINDOW_R8 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in head]}
 
 
@@ -491,6 +537,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(d, ignore_errors=True)
         return spark.createDataFrame(rows, out.schema)
     q["io_compaction"] = io_compaction
+
+    def io_rowgroup_audit(spark, sf):
+        """Parquet row-group layout audit (io.rowgroup_audit) over a
+        deterministic three-shape fixture — the operator that encodes
+        the r7 scale study's third-decade lesson (scan parallelism is
+        capped by row-group count; the 100 TB failure mode is the
+        unsplittable file).  Fixture: the corpus keyed into 8
+        ``bucket=N`` partition files (one row group each), one
+        ``solid`` single-file export (the pathology: every row in one
+        row group → ``oversized``), and one ``hot.parquet`` written
+        with row_group_size=100 (a healthy multi-row-group layout —
+        pyarrow writer, so the group boundaries are exact and the
+        oracle computes them as ceil/mod arithmetic).  Audit runs
+        distributed: binaryFile listing (paths only, content column
+        pruned) + one footer decode task per file."""
+        import shutil
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        docs = _t(spark, sf, "documents").select("doc_id")
+        d = tempfile.mkdtemp(prefix="rgaudit_")
+        try:
+            (docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(8)))
+             .repartition(8, "bucket")
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(d + "/buckets"))
+            docs.coalesce(1).write.mode("overwrite").parquet(d + "/solid")
+            # bounded fixture write (≤ 800 ids), not a data path
+            hot_ids = [r.doc_id for r in
+                       docs.filter(F.col("doc_id") < 800)
+                       .orderBy("doc_id").collect()]
+            pq.write_table(
+                pa.table({"doc_id": pa.array(hot_ids, pa.int64())}),
+                d + "/hot.parquet", row_group_size=100)
+            audit = IO.rowgroup_audit(spark, d, target_rows=500)
+            out = (audit.withColumn(
+                "file",
+                F.when(F.col("path").rlike("bucket="),
+                       F.regexp_extract("path", r"(bucket=\d+)", 1))
+                .when(F.col("path").contains("/solid/"), F.lit("solid"))
+                .otherwise(F.lit("hot")))
+                .select("file", "n_rowgroups", "n_rows", "min_rg_rows",
+                        "max_rg_rows", "oversized")
+                .orderBy("file"))
+            rows = out.collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, out.schema)
+    q["io_rowgroup_audit"] = io_rowgroup_audit
 
     def io_partition_prune(spark, sf):
         """Partition-pruned layout: events written partitioned by
@@ -894,14 +990,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_topk"] = _stream_tuned(streaming_topk)
 
     def streaming_running_totals(spark, sf):
-        """Custom stateful operator (applyInPandasWithState) under the
-        oracle gate: per-user running sum/count over the replayed
-        events stream.  Values are quantized to integer cents BEFORE
-        the stateful sum so the Python-side accumulation is exact and
-        order-independent (float sums drift across engines); the final
-        state per key equals the batch aggregate.  Update-mode output
-        may hold one row per key per micro-batch — the final state is
-        the row with the largest n (n is monotone per key)."""
+        """Per-user running sum/count over the replayed events stream
+        as a JVM-NATIVE streaming aggregate (r8 migration, per the
+        measured 18.5× rule in streaming.running_totals_native's
+        docstring: sums/counts are native aggregates — state in the
+        JVM store, no Arrow boundary).  Values are quantized to
+        integer cents BEFORE the stateful sum so accumulation is
+        exact and order-independent; update-mode output may hold one
+        row per key per micro-batch — the final state is the row with
+        the largest n (n is monotone per key)."""
         from nifi_datasynthesizer_spark import streaming as ST
         _ = _t(spark, sf, "events")  # sets read/timezone confs
         raw = spark.read.parquet(f"{sf}/events.parquet")
@@ -910,7 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = src.select(
             F.col("user_id").cast("string").alias("user_id"),
             F.floor(F.col("value") * 100).cast("double").alias("cents"))
-        out = ST.running_totals(ev, "user_id", "cents")
+        out = ST.running_totals_native(ev, "user_id", "cents")
         q_ = ST.run_to_memory(out, "stream_running_totals",
                               output_mode="update")
         try:
@@ -926,6 +1023,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .alias("total_value"))
                 .orderBy("user_id"))
     q["streaming_running_totals"] = _stream_tuned(streaming_running_totals)
+
+    def streaming_running_totals_pandas(spark, sf):
+        """The applyInPandasWithState twin of streaming_running_totals
+        — kept as the registry's custom-state TEMPLATE (the shape for
+        per-key transitions Spark cannot express as a native
+        aggregate), under the same oracle.  Same quantize-to-cents
+        exactness contract; same max-n final-state selection."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        ev = src.select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.floor(F.col("value") * 100).cast("double").alias("cents"))
+        out = ST.running_totals(ev, "user_id", "cents")
+        q_ = ST.run_to_memory(out, "stream_running_totals_pd",
+                              output_mode="update")
+        try:
+            q_.awaitTermination()
+        finally:
+            q_.stop()
+        tbl = spark.table("stream_running_totals_pd")
+        final = tbl.groupBy("key").agg(
+            F.max(F.struct("n", "total")).alias("s"))
+        return (final.select(F.col("key").alias("user_id"),
+                             F.col("s.n").alias("n_events"),
+                             (F.col("s.total") / F.lit(100.0))
+                             .alias("total_value"))
+                .orderBy("user_id"))
+    q["streaming_running_totals_pandas"] = _stream_tuned(
+        streaming_running_totals_pandas)
 
     # ---- schema-driven synthesis (the reference's core capability)
     def synth_basic(spark, sf):
@@ -1271,6 +1400,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a", "b"))
     q["dedup_embedding"] = dedup_embedding
 
+    def dedup_embedding_derived(spark, sf):
+        """The PRODUCTION configuration (bucket_bits=None →
+        max(8, bit_length(n div 64)) from one corpus count) under the
+        oracle gate — closing the pinned-vs-production gap the r7
+        verdict flagged.  The oracle mirrors the derivation as a
+        scalar subquery gating how many of its (max-bits) literal
+        hyperplane terms participate, so the same SQL replays at any
+        SF (nb = 8 at every test SF; 9 from 16k vectors up)."""
+        return (DD.dedup_embedding(_t(spark, sf, "embeddings"),
+                                   threshold=0.95, bucket_bits=None)
+                .orderBy("a", "b"))
+    q["dedup_embedding_derived"] = dedup_embedding_derived
+
     # ---- similarity search
     def ann_bruteforce(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -1290,6 +1432,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (SIM.ann_ivf(emb, queries_df, k=10, n_centroids=16)
                 .orderBy("query_id", "rank"))
     q["ann_ivf"] = ann_ivf
+
+    def ann_ivf_derived(spark, sf):
+        """The PRODUCTION configuration (n_centroids=None →
+        max(16, isqrt(n)) cells from one corpus count) under the
+        oracle gate: the oracle computes the same cell count in SQL
+        (corrected floor-sqrt = isqrt) and unrolls the stratified
+        centroid ids through a lateral range over it — the derivation
+        itself is what this row verifies (22 cells at the sf0.01 gate,
+        44 at sf0.1, √n forever)."""
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return (SIM.ann_ivf(emb, queries_df, k=10, n_centroids=None)
+                .orderBy("query_id", "rank"))
+    q["ann_ivf_derived"] = ann_ivf_derived
+
+    def ann_ivf_arrow(spark, sf):
+        """ann_ivf pinned ABOVE the literal-argmax ceiling
+        (n_centroids=80 > _CELL_ASSIGN_LITERAL_MAX=64), so the driver
+        row runs the Arrow-batched mapInPandas assignment kernel —
+        the path the derived √n config takes at scale — against the
+        fully relational DuckDB mirror.  Together with
+        ann_ivf_derived this puts BOTH halves of the production plan
+        (the derivation and the Arrow kernel) under CORRECTNESS."""
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return (SIM.ann_ivf(emb, queries_df, k=10, n_centroids=80)
+                .orderBy("query_id", "rank"))
+    q["ann_ivf_arrow"] = ann_ivf_arrow
 
     def ann_lsh(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -2607,6 +2777,8 @@ FROM r WHERE rank <= 5 ORDER BY event_type, rank"""
 SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS n_events,
        SUM(CAST(FLOOR(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY user_id ORDER BY user_id"""
+    # the pandas-state template twin computes the identical totals
+    o["streaming_running_totals_pandas"] = o["streaming_running_totals"]
 
     o["events_retention"] = """
 WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -2800,6 +2972,28 @@ SELECT CAST(64 AS BIGINT) AS n_files_before,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor({_csig}) AS BIGINT) AS digest
 FROM documents"""
+    # the fixture's layout is fully determined by the corpus: bucket
+    # files are one row group of their pmod population, the solid
+    # export is one row group of the whole corpus, hot.parquet splits
+    # every 100 rows (pyarrow row_group_size) with the remainder last
+    o["io_rowgroup_audit"] = """
+WITH b AS (SELECT doc_id % 8 AS bucket, COUNT(*) AS n
+           FROM documents GROUP BY 1),
+hot AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 800),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+shapes AS (
+  SELECT 'bucket=' || bucket AS file, CAST(1 AS BIGINT) AS n_rowgroups,
+         n AS n_rows, n AS min_rg_rows, n AS max_rg_rows FROM b
+  UNION ALL
+  SELECT 'hot', CAST(CEIL(n / 100.0) AS BIGINT), n,
+         CASE WHEN n % 100 = 0 THEN LEAST(n, 100) ELSE n % 100 END,
+         LEAST(n, 100)
+  FROM hot
+  UNION ALL
+  SELECT 'solid', CAST(1 AS BIGINT), n, n, n FROM tot)
+SELECT file, n_rowgroups, n_rows, min_rg_rows, max_rg_rows,
+       max_rg_rows > 500 AS oversized
+FROM shapes ORDER BY file"""
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()
     o["text_readability"] = OR.readability_sql()
@@ -2819,6 +3013,10 @@ SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
          AS share_of_true_ppm
 FROM c ORDER BY lang, pred_lang"""
     o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)
+    o["ann_ivf_derived"] = OR.ann_ivf_derived_sql(k=10, n_probe=4)
+    o["ann_ivf_arrow"] = OR.ann_ivf_sql(k=10, n_centroids=80, n_probe=4)
+    o["dedup_embedding_derived"] = OR.dedup_embedding_derived_sql(
+        threshold=0.95, seed=7)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["media_segments"] = OR.media_segments_sql(n=200, win_ms=5000,
                                                 hop_ms=2500)

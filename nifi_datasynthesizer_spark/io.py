@@ -221,3 +221,54 @@ def zorder_key_sql(x: str, y: str, bits: int = 8) -> str:
         f"((({x}) // {1 << i}) % 2 + 2 * ((({y}) // {1 << i}) % 2))"
         f" * {4 ** i}" for i in range(bits))
     return f"CAST({terms} AS BIGINT)"
+
+
+def rowgroup_audit(spark: SparkSession, path: str,
+                   target_rows: int = 64_000) -> DataFrame:
+    """Parquet layout audit: one row per file with its row-group
+    population — the governance read BEFORE any 100 TB scan.
+
+    The row group is Spark's parquet split unit: a dataset whose rows
+    sit in few oversized row groups (or one, the classic single-file
+    export) caps scan parallelism at the row-group count no matter how
+    many executors exist.  The r7 scale study hit exactly this at the
+    1000× decade (SURVEY §6: 64k-row row groups restored scan
+    parallelism); this operator turns that lesson into a check that
+    runs BEFORE the job, not after the stall.
+
+    Scale shape: file listing rides the ``binaryFile`` source
+    (path/length only — column pruning keeps file CONTENT unread),
+    and footer decodes fan out one task per file via ``mapInArrow``
+    (a footer is KBs regardless of file size; 100k files = 100k tiny
+    tasks, never a driver loop).  ``oversized`` flags files whose
+    largest row group exceeds ``target_rows`` — the unsplittable-file
+    signal.
+    """
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.parquet")
+             .option("recursiveFileLookup", "true").load(path)
+             .select("path"))
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        for batch in batches:
+            out = {"path": [], "n_rowgroups": [], "n_rows": [],
+                   "min_rg_rows": [], "max_rg_rows": []}
+            for p in batch.column(0).to_pylist():
+                local = p.removeprefix("file:")
+                md = pq.ParquetFile(local).metadata
+                rgs = [md.row_group(i).num_rows
+                       for i in range(md.num_row_groups)] or [0]
+                out["path"].append(p)
+                out["n_rowgroups"].append(md.num_row_groups)
+                out["n_rows"].append(md.num_rows)
+                out["min_rg_rows"].append(min(rgs))
+                out["max_rg_rows"].append(max(rgs))
+            yield pa.RecordBatch.from_pydict(out)
+
+    audited = files.mapInArrow(
+        gen, "path string, n_rowgroups long, n_rows long, "
+             "min_rg_rows long, max_rg_rows long")
+    return audited.withColumn(
+        "oversized", F.col("max_rg_rows") > F.lit(int(target_rows)))

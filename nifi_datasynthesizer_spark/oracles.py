@@ -417,6 +417,83 @@ cos AS (SELECT a, b,
 SELECT a, b, cosine FROM cos WHERE cosine >= {threshold} ORDER BY a, b"""
 
 
+def dedup_embedding_derived_sql(threshold: float = 0.95, seed: int = 7,
+                                dim: int = 64, max_bits: int = 16) -> str:
+    """Mirror of dedup.dedup_embedding with ``bucket_bits=None`` (the
+    production default): the derivation ``max(8, bit_length(n // 64))``
+    rides a scalar subquery (``nb`` — bit_length computed as the
+    length of the binary rendering, exact for any positive integer),
+    and hyperplane ``j`` contributes its sign term iff ``j < nb``.
+    The SAME SQL therefore replays at any SF with n ≤ 64·2^max_bits
+    (4.2M vectors at the default) — no structural re-generation."""
+    ws = hyperplane_weights(max_bits, dim, seed)
+    terms = []
+    for j in range(max_bits):
+        lit = "[" + ", ".join(str(w) for w in ws[j]) + "]"
+        terms.append(
+            f"(CASE WHEN {j} < nb AND "
+            f"list_sum(list_transform(list_zip(v, "
+            f"list_slice({lit}, 1, len(v))), q -> q[1] * q[2])) >= 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH {_NORMED},
+p AS (SELECT GREATEST(8, LENGTH(FORMAT('{{:b}}',
+             (SELECT COUNT(*) FROM embeddings) // 64))) AS nb),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM normed, p),
+pairs AS (SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+cos AS (SELECT a, b,
+               ROUND(list_sum(list_transform(list_zip(va, vb), q -> q[1] * q[2])), 6)
+                 AS cosine
+        FROM pairs)
+SELECT a, b, cosine FROM cos WHERE cosine >= {threshold} ORDER BY a, b"""
+
+
+def ann_ivf_derived_sql(k: int = 10, n_probe: int = 4,
+                        query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.ann_ivf with ``n_centroids=None`` (the
+    production default): the cell count ``max(16, isqrt(n))`` is
+    computed IN SQL (floor(sqrt) with an exactness correction, so it
+    equals Python's isqrt at perfect-square boundaries) and the
+    stratified centroid ids unroll through a lateral range over that
+    derived count — the whole derivation replays at any SF."""
+    dotp = "ROUND(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), 6)"
+    return f"""
+WITH {_NORMED},
+p AS (SELECT n, GREATEST(16, CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                                  WHEN s * s > n THEN s - 1
+                                  ELSE s END) AS kc
+      FROM (SELECT COUNT(*) AS n,
+                   CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS s
+            FROM embeddings)),
+cent AS (SELECT vec_id AS cell, v AS cv FROM normed
+         WHERE vec_id IN (
+           SELECT DISTINCT (j * n) // kc
+           FROM (SELECT n, kc, unnest(range(0, kc)) AS j FROM p))),
+scored AS (SELECT c.vec_id AS cand_id, c.v AS v, ct.cell,
+                  {dotp.format(a='c.v', b='ct.cv')} AS sim
+           FROM normed c CROSS JOIN cent ct),
+assigned AS (SELECT cand_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id
+                                 ORDER BY sim DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM normed WHERE {query_pred}),
+qcell AS (SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {dotp.format(a='q.qv', b='ct.cv')} DESC,
+                                       ct.cell ASC) AS rn
+    FROM qs q CROSS JOIN cent ct) WHERE rn <= {n_probe}),
+cand AS (SELECT query_id, cand_id, {dotp.format(a='qv', b='a.v')} AS cosine
+         FROM assigned a JOIN qcell USING (cell)
+         WHERE cand_id <> query_id)
+SELECT query_id, cand_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, cand_id) AS rank
+FROM cand QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 def ann_lsh_sql(k: int = 10, bucket_bits: int = 6, seed: int = 7,
                 dim: int = 64, query_pred: str = "vec_id < 5") -> str:
     """Mirror of similarity.ann_lsh (queries = rows matching query_pred)."""

@@ -138,6 +138,26 @@ def running_totals(stream: DataFrame, key_col: str, value_col: str,
                                     RUNNING_TOTAL_STATE, "update", timeout))
 
 
+def running_totals_native(stream: DataFrame, key_col: str,
+                          value_col: str) -> DataFrame:
+    """JVM-native twin of :func:`running_totals`: per-key running
+    sum/count as a streaming ``groupBy().agg()`` in update mode.  Sums
+    and counts ARE native streaming aggregates, so state lives in the
+    JVM state store with map-side partial aggregation and no
+    Python/Arrow boundary — measured 18.5× faster than the
+    applyInPandasWithState twin at 10M events
+    (scripts/scale_out_streaming_sf100.json).  This is the production
+    shape for accumulating counters; reach for
+    :func:`running_totals`'s pandas state only when the per-key
+    transition is something Spark cannot express as an aggregate."""
+    return (stream
+            .select(F.col(key_col).cast("string").alias("key"),
+                    F.col(value_col))
+            .groupBy("key")
+            .agg(F.sum(value_col).cast("double").alias("total"),
+                 F.count("*").alias("n")))
+
+
 # ----------------------------------------------------------- sinks
 
 def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append",
