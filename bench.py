@@ -82,7 +82,13 @@ def main() -> None:
              "embed_outliers", "events_funnel_windowed",
              "events_cohort_ltv", "corpus_tokenizer_fertility",
              "corpus_build", "ann_lsh_multiprobe", "text_langid_eval",
-             "events_ab_assign", "sketch_cms_eval"]
+             "events_ab_assign", "sketch_cms_eval",
+             # r8 additions: the derived-config twins, the layout
+             # audit, and the native-vs-pandas streaming-totals pair
+             # (the measured Arrow-boundary price, now in the artifact)
+             "io_rowgroup_audit", "dedup_embedding_derived",
+             "ann_ivf_derived", "ann_ivf_arrow",
+             "streaming_running_totals", "streaming_running_totals_pandas"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

@@ -155,6 +155,35 @@ def test_zorder_locality(spark):
     assert z_spans["ys"] * 2 < lex_spans["ys"]
 
 
+def test_rowgroup_audit(spark, tmp_path):
+    """rowgroup_audit reads footers distributed and reports exact
+    row-group populations: a pyarrow file with forced 100-row groups,
+    a healthy spark-written file, and the oversized flag against
+    target_rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "audit"
+    d.mkdir()
+    pq.write_table(pa.table({"x": pa.array(range(250), pa.int64())}),
+                   str(d / "multi.parquet"), row_group_size=100)
+    spark.range(0, 40, 1, 1).toDF("x") \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "solid"))
+    out = nio.rowgroup_audit(spark, str(d), target_rows=120).collect()
+    by = {("multi" if "multi" in r.path else "solid"): r for r in out}
+    assert len(out) == 2
+    m = by["multi"]
+    assert (m.n_rowgroups, m.n_rows, m.min_rg_rows, m.max_rg_rows,
+            m.oversized) == (3, 250, 50, 100, False)
+    s = by["solid"]
+    assert (s.n_rowgroups, s.n_rows, s.max_rg_rows, s.oversized) == \
+        (1, 40, 40, False)
+    # oversized trips when the largest row group exceeds the target
+    flagged = nio.rowgroup_audit(spark, str(d), target_rows=80).collect()
+    assert {("multi" if "multi" in r.path else "solid"): r.oversized
+            for r in flagged} == {"multi": True, "solid": False}
+
+
 # ------------------------------------------------- pure-python avro
 
 def _wide_df(spark):
