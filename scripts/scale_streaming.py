@@ -91,13 +91,22 @@ def drain(stream, mode: str, sink: str = "noop", name: str = "scale_sink"):
     input_rows = sum(int(p.get("numInputRows", 0)) for p in progs)
     batches = sum(1 for p in progs if int(p.get("numInputRows", 0)) > 0)
     state_rows = 0
+    state_bytes = 0
     for p in progs:
         for so in (p.get("stateOperators") or []):
             state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
+            # bytes/state-row is the provider sizing rule: heap
+            # provider reports memoryUsedBytes; RocksDB additionally
+            # reports its on-disk SST footprint in customMetrics
+            b = int(so.get("memoryUsedBytes", 0) or 0)
+            cm = so.get("customMetrics") or {}
+            b = max(b, int(cm.get("rocksdbSstFileSize", 0) or 0))
+            state_bytes = max(state_bytes, b)
     out_rows = (stream.sparkSession.table(name).count()
                 if sink == "memory" else None)
     return {"input_rows": input_rows, "batches": batches,
-            "state_rows": state_rows, "out_rows": out_rows}
+            "state_rows": state_rows, "state_bytes": state_bytes,
+            "out_rows": out_rows}
 
 
 def _src(spark, ev_dir: str):
