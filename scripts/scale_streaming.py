@@ -62,6 +62,12 @@ def build(spark, replicas: int, dst: str) -> None:
     # 3-node plan at any replica count (an R-way union is R plan nodes
     # and minutes of analysis at R=1000), fully parallel
     rep = F.broadcast(spark.range(replicas).withColumnRenamed("id", "k"))
+    # spread the source BEFORE the multiplying crossJoin: the testdata
+    # events file is one row group, so without this the entire
+    # replicas× row generation runs in ONE scan task (the row-group
+    # scan-parallelism lesson, harness edition — at 3000 replicas the
+    # single task writes the whole multi-GB shuffle alone)
+    ev = ev.repartition(32)
     df = ev.crossJoin(rep).select(
         (F.col("event_id") + F.col("k") * n_ev).alias("event_id"), "ts",
         (F.col("user_id") + F.col("k") * n_users).alias("user_id"),
