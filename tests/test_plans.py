@@ -626,3 +626,20 @@ def test_wave4_operators_scan_counts(spark):
         scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
         assert len(scans) <= want, (name, scans)
         release_caches()
+
+
+def test_rowgroup_audit_prunes_content(spark, tmp_path):
+    """The layout audit must list files WITHOUT reading them: the
+    binaryFile scan's ReadSchema must carry only the path column —
+    pulling `content` would read every byte of a 100 TB dataset just
+    to audit its footers."""
+    from nifi_datasynthesizer_spark import io as nio
+    spark.range(10).write.mode("overwrite") \
+        .parquet(str(tmp_path / "t"))
+    df = nio.rowgroup_audit(spark, str(tmp_path), target_rows=100)
+    p = _plan(df)
+    seg = p.split("Scan binaryFile", 1)
+    assert len(seg) == 2, "no binaryFile scan in plan"
+    rs = seg[1].split("ReadSchema", 1)[1].splitlines()[0]
+    assert "path:string" in rs
+    assert "content" not in rs
