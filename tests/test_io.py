@@ -398,6 +398,27 @@ def test_avro_nested_written_by_java(spark, tmp_path):
         (6, "j3", [3, 4], {"q": 15})
 
 
+def test_avro_nested_edge_cases():
+    """Container-codec edge cases: empty arrays/maps (zero-count block
+    only), a null nested record (union at record level), and a
+    null-second union INSIDE a nested record — all round-trip exact."""
+    import io as _bio
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    schema = {"type": "record", "name": "e", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "rec", "type": ["null", {"type": "record", "name": "r",
+            "fields": [{"name": "a", "type": ["long", "null"]}]}]},
+    ]}
+    rows = [[[], [1, 2]], [{}, {"k": "v"}], [None, {"a": None}]]
+    buf = _bio.BytesIO()
+    AV.write_container(buf, schema, rows, sync_seed="t")
+    _, back = AV.read_container(buf.getvalue())
+    assert back == [{"xs": [], "m": {}, "rec": None},
+                    {"xs": [1, 2], "m": {"k": "v"}, "rec": {"a": None}}]
+
+
 def test_avro_overwrite(spark, tmp_path):
     """Re-running write_avro into an existing directory replaces the
     previous files (mode("overwrite") parity with the other CLI format
