@@ -10,10 +10,11 @@ offline environment cannot fetch (documented in SURVEY §6).  The Avro
 codec, then sync-marked blocks of zigzag-varint-encoded records — so
 this module implements it directly: primitives ``long int double
 float string boolean bytes``, the ``timestamp-micros`` and ``date``
-logical types (top level), nested ``record`` / ``array`` /
-string-keyed ``map`` columns (the shapes the reference's map /
-sequence / join samplers emit), and nullable columns as
-``["null", T]`` unions with the null branch at either index.
+logical types (top level) plus ``decimal`` (nestable — exact unscaled
+big-endian bytes), nested ``record`` / ``array`` / string-keyed
+``map`` columns (the shapes the reference's map / sequence / join
+samplers emit), and nullable columns as ``["null", T]`` unions with
+the null branch at either index.
 
 Spec compliance is proven against the OFFICIAL Java implementation
 bundled with pyspark (``avro-1.12.1.jar``): tests write files here and
@@ -121,6 +122,12 @@ def _spark_type_to_avro(dt: T.DataType, name: str, top: bool) -> object:
     cls = type(dt)
     if cls in _PRIMITIVE:
         return _PRIMITIVE[cls]
+    if cls is T.DecimalType:
+        # avro decimal: bytes carrying the big-endian two's-complement
+        # unscaled integer (exact at any precision, nestable — the
+        # encoder consumes decimal.Decimal values directly)
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": dt.precision, "scale": dt.scale}
     if cls is T.TimestampType:
         if not top:
             raise TypeError("avro_io supports timestamp columns at the "
@@ -184,6 +191,8 @@ def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
         return T.TimestampType(), nullable
     if lt == "date":
         return T.DateType(), nullable
+    if lt == "decimal":
+        return T.DecimalType(at["precision"], at["scale"]), nullable
     t = at["type"]
     if t == "record":
         fields = []
@@ -269,6 +278,14 @@ def _make_encoder(at):
                                      for k, x in v.items()) + b"\x00")
                 return b"\x00"
             return enc_map
+        if at.get("logicalType") == "decimal":
+            s = at["scale"]
+
+            def enc_decimal(v):
+                unscaled = int(v.scaleb(s))
+                return enc_bytes(unscaled.to_bytes(
+                    unscaled.bit_length() // 8 + 1, "big", signed=True))
+            return enc_decimal
         return _ENC_PRIM[t]  # logical-type wrapper over a primitive
     return _ENC_PRIM[at]
 
@@ -354,6 +371,15 @@ def _make_decoder(at):
                         k, pos = _dec_str(buf, pos)
                         out[k], pos = vdec(buf, pos)
             return dec_map
+        if at.get("logicalType") == "decimal":
+            s = at["scale"]
+
+            def dec_decimal(buf, pos):
+                from decimal import Decimal
+                raw, pos = _dec_bytes(buf, pos)
+                return (Decimal(int.from_bytes(raw, "big", signed=True))
+                        .scaleb(-s), pos)
+            return dec_decimal
         return _DEC_PRIM[t]
     return _DEC_PRIM[at]
 
@@ -579,6 +605,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 return pa.timestamp("us", tz=tz)
             if lt == "date":
                 return pa.date32()
+            if lt == "decimal":
+                return pa.decimal128(at["precision"], at["scale"])
             t = at["type"]
             if t == "record":
                 return pa.struct([pa.field(f["name"],

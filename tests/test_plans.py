@@ -643,3 +643,25 @@ def test_rowgroup_audit_prunes_content(spark, tmp_path):
     rs = seg[1].split("ReadSchema", 1)[1].splitlines()[0]
     assert "path:string" in rs
     assert "content" not in rs
+
+
+def test_r8_operators_scan_counts(spark):
+    """Rescan audit for the r8 entries.  ann_ivf_derived: corpus +
+    centroid + query scans plus the literal-path assignment read (4);
+    ann_ivf_arrow: the Arrow-kernel path folds assignment into the
+    corpus pass (3); dedup_embedding_derived reads the corpus once
+    into the pinned bucketed frame (1 — the candidate join and both
+    payload re-attaches reuse it); exchanges stay bounded (per-query
+    top-k windows and the bucket join — never a second corpus-sized
+    shuffle)."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    expect = {"ann_ivf_derived": (4, 4), "ann_ivf_arrow": (3, 3),
+              "dedup_embedding_derived": (1, 1)}
+    for name, (want_scans, want_exch) in expect.items():
+        df = entrymod.queries()[name](spark, SF)
+        p = _plan(df)
+        scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+        exch = [ln for ln in p.splitlines() if ") Exchange" in ln]
+        assert len(scans) <= want_scans, (name, scans)
+        assert len(exch) <= want_exch, (name, exch)
+        release_caches()
