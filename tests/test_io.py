@@ -440,6 +440,61 @@ def test_avro_decimal_roundtrip(spark, tmp_path):
     assert got == want
 
 
+def test_avro_container_property_roundtrip():
+    """Property test (hypothesis): arbitrary values for a nested
+    schema — nullable longs/strings/doubles, arrays, string maps, a
+    nullable nested record with a decimal — survive
+    write_container → read_container exactly.  Exercises varint edge
+    widths, negative zigzags, empty/long composites, and both union
+    branch orders under one fuzzer."""
+    import io as _bio
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+
+    schema = {"type": "record", "name": "p", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "x", "type": ["double", "null"]},
+        {"name": "xs", "type": {"type": "array",
+                                "items": ["null", "long"]}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "rec", "type": ["null", {
+            "type": "record", "name": "p_rec", "fields": [
+                {"name": "d", "type": {"type": "bytes",
+                                       "logicalType": "decimal",
+                                       "precision": 20, "scale": 3}},
+                {"name": "b", "type": "boolean"}]}]},
+    ]}
+    longs = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
+    text = st.text(max_size=40)
+    finite = st.floats(allow_nan=False, allow_infinity=False)
+    decimals = st.integers(min_value=-(10 ** 18),
+                           max_value=10 ** 18).map(
+        lambda u: Decimal(u).scaleb(-3))
+    row = st.tuples(
+        longs, st.none() | text, st.none() | finite,
+        st.lists(st.none() | longs, max_size=6),
+        st.dictionaries(text, text, max_size=4),
+        st.none() | st.tuples(decimals, st.booleans()).map(
+            lambda t: {"d": t[0], "b": t[1]}))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=8))
+    def check(rows):
+        cols = [list(c) for c in zip(*rows)]
+        buf = _bio.BytesIO()
+        AV.write_container(buf, schema, cols, sync_seed="prop")
+        _, back = AV.read_container(buf.getvalue())
+        names = [f["name"] for f in schema["fields"]]
+        assert [tuple(r[n] for n in names) for r in back] == rows
+
+    check()
+
+
 def test_avro_nested_edge_cases():
     """Container-codec edge cases: empty arrays/maps (zero-count block
     only), a null nested record (union at record level), and a
