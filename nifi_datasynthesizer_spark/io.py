@@ -272,3 +272,27 @@ def rowgroup_audit(spark: SparkSession, path: str,
              "min_rg_rows long, max_rg_rows long")
     return audited.withColumn(
         "oversized", F.col("max_rg_rows") > F.lit(int(target_rows)))
+
+
+def rowgroup_summary(audit: DataFrame, cores: int) -> DataFrame:
+    """One-row effective-parallelism readout over a
+    :func:`rowgroup_audit` frame — the go/no-go number before a big
+    scan: ``n_rowgroups`` is the dataset's maximum scan parallelism
+    (parquet splits by row group), ``scan_waves`` is how many task
+    waves a ``cores``-slot cluster needs, and
+    ``parallelism_limited`` says the layout (not the cluster) is the
+    bottleneck.  ``max_file_share_ppm`` flags single-file hot spots
+    (one file holding most rows ⇒ one task reads most data even when
+    the group count looks healthy)."""
+    return audit.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rowgroups").alias("n_rowgroups"),
+        F.sum("n_rows").alias("n_rows"),
+        F.ceil(F.sum("n_rowgroups") / F.lit(int(cores)))
+        .cast("long").alias("scan_waves"),
+        (F.sum("n_rowgroups") < F.lit(int(cores)))
+        .alias("parallelism_limited"),
+        (F.max("n_rows") * 1_000_000 / F.greatest(F.sum("n_rows"),
+                                                  F.lit(1)))
+        .cast("long").alias("max_file_share_ppm"),
+        F.sum(F.col("oversized").cast("long")).alias("n_oversized"))

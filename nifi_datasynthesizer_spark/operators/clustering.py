@@ -125,6 +125,89 @@ def _assign(quant: DataFrame, centroids: list[list[int]]) -> DataFrame:
         gen, schema="vec_id long, xi array<bigint>, cluster int, dist_q long")
 
 
+def assign_two_level(quant: DataFrame, centroids: list[list[int]],
+                     probe_supers: int = 8) -> DataFrame:
+    """Hierarchical (two-level) cell assignment — the documented
+    escape hatch for k ≫ 10⁴ centroids (n ≳ 10⁸ with k=√n), where
+    even the Arrow flat argmin's n·k distance grid stops scaling.
+
+    The k centroids are themselves clustered driver-side into
+    g = isqrt(k) super-cells (k rows of int64 — small data, 3 Lloyd
+    passes in numpy); each corpus row then scans the g super-cells
+    (n·√k work) and computes EXACT int64 distances only against the
+    members of its ``probe_supers`` nearest supers (expected
+    n·probe·√k) — total n·√k·(1+probe) vs the flat path's n·k.
+    Same narrow shuffle-free map shape as :func:`_assign`; the
+    centroid matrix and super-cell index ride the task closure.
+
+    Semantics: member distances use the flat path's exact micro-unit²
+    int64 arithmetic and its first-minimum tie-break (smallest
+    centroid index wins), so with ``probe_supers >= g`` the output is
+    IDENTICAL to :func:`_assign` (every member set is scanned —
+    unit-tested); at smaller probe widths assignment is approximate
+    exactly like IVF probing, and the probe width is the
+    recall-vs-cost lever (the IMI / hierarchical-IVF construction).
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    k, dim = C.shape
+    g = max(2, math.isqrt(k))
+    w = min(probe_supers, g)
+    # deterministic strided init over the centroid list, then 3 Lloyd
+    # passes on the centroids themselves (floats fine: selection only)
+    init = sorted({(j * k) // g for j in range(g)})
+    S = C[init].astype(np.float64)
+    Cf = C.astype(np.float64)
+    c2f = (Cf * Cf).sum(axis=1)
+    labels = np.zeros(k, dtype=np.int64)
+    for _ in range(3):
+        d = c2f[:, None] - 2 * (Cf @ S.T) + (S * S).sum(axis=1)[None, :]
+        labels = d.argmin(axis=1)
+        for j in range(len(S)):
+            m = Cf[labels == j]
+            if len(m):
+                S[j] = m.mean(axis=0)
+    members = [np.flatnonzero(labels == j) for j in range(len(S))]
+    c2 = (C * C).sum(axis=1)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            X = np.asarray(pdf["xi"].tolist(), dtype=np.int64)
+            n = len(X)
+            Xf = X.astype(np.float64)
+            ds = ((Xf * Xf).sum(axis=1, keepdims=True)
+                  - 2 * (Xf @ S.T) + (S * S).sum(axis=1)[None, :])
+            probe = np.argsort(ds, axis=1)[:, :w]
+            best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            cell = np.full(n, -1, dtype=np.int64)
+            x2 = (X * X).sum(axis=1)
+            for j in range(len(S)):
+                rows = np.flatnonzero((probe == j).any(axis=1))
+                mem = members[j]
+                if not len(rows) or not len(mem):
+                    continue
+                d = (x2[rows, None] - 2 * (X[rows] @ C[mem].T)
+                     + c2[None, mem])
+                a = d.argmin(axis=1)   # first min within this super
+                dj = d[np.arange(len(rows)), a]
+                cj = mem[a]
+                # lexicographic (dist, centroid-index) update — the
+                # flat argmin's smallest-index tie-break across supers
+                upd = (dj < best[rows]) | ((dj == best[rows])
+                                           & (cj < cell[rows]))
+                ridx = rows[upd]
+                best[ridx] = dj[upd]
+                cell[ridx] = cj[upd]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "xi": pdf["xi"],
+                                "cluster": cell.astype(np.int32),
+                                "dist_q": best})
+
+    return quant.mapInPandas(
+        gen, schema="vec_id long, xi array<bigint>, cluster int, dist_q long")
+
+
 def _update(assigned: DataFrame, vec_col: str,
             centroids: list[list[int]], dim: int) -> list[list[int]]:
     """Centroid refresh: ONE aggregation to k×dim rows via posexplode

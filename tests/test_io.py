@@ -182,6 +182,15 @@ def test_rowgroup_audit(spark, tmp_path):
     flagged = nio.rowgroup_audit(spark, str(d), target_rows=80).collect()
     assert {("multi" if "multi" in r.path else "solid"): r.oversized
             for r in flagged} == {"multi": True, "solid": False}
+    # the one-row parallelism readout: 4 row groups on a 16-core
+    # cluster = layout-limited, one wave; multi holds 250/290 rows
+    s = nio.rowgroup_summary(
+        nio.rowgroup_audit(spark, str(d), target_rows=80), cores=16
+    ).collect()[0]
+    assert (s.n_files, s.n_rowgroups, s.n_rows) == (2, 4, 290)
+    assert (s.scan_waves, s.parallelism_limited, s.n_oversized) == \
+        (1, True, 1)
+    assert s.max_file_share_ppm == 250 * 1_000_000 // 290
 
 
 # ------------------------------------------------- pure-python avro

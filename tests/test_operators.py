@@ -546,6 +546,39 @@ def test_assign_arrow_matches_literal(spark, monkeypatch):
     assert not any(c == 3 for _, c, _ in arw)   # dup centroid never wins
 
 
+def test_assign_two_level_exhaustive_equals_flat(spark):
+    """The k>>10^4 escape hatch: with probe_supers >= g every member
+    set is scanned, so the hierarchical assignment must equal the
+    flat argmin EXACTLY — same int64 distances, same smallest-index
+    tie-break (centroid 7 duplicates centroid 2)."""
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    rows = [(i, [float(((i * 17 + j * 5) % 23) - 11) / 4 for j in range(8)])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    quant = emb.select("vec_id", CL._quantize(F.col("embedding")).alias("xi"))
+    cents = [list(r.xi)
+             for r in quant.orderBy("vec_id").limit(36).collect()]
+    cents[7] = list(cents[2])
+    flat = sorted((r.vec_id, r.cluster, r.dist_q)
+                  for r in CL._assign(quant, cents).collect())
+    two = sorted((r.vec_id, r.cluster, r.dist_q)
+                 for r in CL.assign_two_level(quant, cents,
+                                              probe_supers=36).collect())
+    assert flat == two and len(two) == 400
+    assert not any(c == 7 for _, c, _ in two)   # dup centroid never wins
+    # narrow probing stays approximate-but-close: identical cluster on
+    # a large majority of rows, and dist_q is never better than flat
+    # (it searches a candidate subset)
+    n2 = {v: (c, d) for v, c, d in sorted(
+        (r.vec_id, r.cluster, r.dist_q)
+        for r in CL.assign_two_level(quant, cents,
+                                     probe_supers=2).collect())}
+    fl = {v: (c, d) for v, c, d in flat}
+    agree = sum(1 for v in fl if n2[v][0] == fl[v][0])
+    assert agree >= 300, agree
+    assert all(n2[v][1] >= fl[v][1] for v in fl)
+
+
 def test_fit_mod_for_cap(spark):
     from nifi_datasynthesizer_spark.operators import clustering as CL
     emb = spark.range(1000).select(
