@@ -385,14 +385,19 @@ def _make_decoder(at):
 
 
 def write_container(fh, avro_schema: dict, row_lists: list[list],
-                    sync_seed: str, block_records: int = 4096) -> int:
+                    sync_seed: str, block_records: int = 4096,
+                    codec: str = "null") -> int:
     """Write one Avro container file: ``row_lists`` is a list of
     per-FIELD value lists (column-major, already avro-typed: ints for
-    long/int/timestamp-micros/date, None for nulls)."""
+    long/int/timestamp-micros/date, None for nulls).  ``codec`` is
+    ``"null"`` or ``"deflate"`` (raw RFC-1951 stream per the spec —
+    no zlib header/checksum)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
     sync = _sync_marker(sync_seed)
     fh.write(MAGIC)
     meta = {"avro.schema": json.dumps(avro_schema).encode(),
-            "avro.codec": b"null"}
+            "avro.codec": codec.encode()}
     fh.write(enc_long(len(meta)))
     for k, v in meta.items():
         fh.write(enc_str(k))
@@ -414,6 +419,10 @@ def write_container(fh, avro_schema: dict, row_lists: list[list],
                     raise ValueError(f"null in non-nullable field {name}")
                 parts.append(fe(v))
         payload = b"".join(parts)
+        if codec == "deflate":
+            import zlib
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = c.compress(payload) + c.flush()
         fh.write(enc_long(stop - start))
         fh.write(enc_long(len(payload)))
         fh.write(payload)
@@ -446,7 +455,7 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             pos += vlen
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b""):
+    if codec not in (b"null", b"", b"deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     sync = bytes(buf[pos:pos + 16])
     pos += 16
@@ -457,11 +466,18 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
     end = len(buf)
     while pos < end:
         cnt, pos = dec_long(buf, pos)
-        _blen, pos = dec_long(buf, pos)
+        blen, pos = dec_long(buf, pos)
+        block = buf[pos:pos + blen]
+        pos += blen
+        if codec == b"deflate":
+            import zlib
+            # spec: raw RFC-1951 stream, no zlib header/checksum
+            block = memoryview(zlib.decompress(bytes(block), -15))
+        bpos = 0
         for _ in range(cnt):
             row = {}
             for name, fd in fdecs:
-                row[name], pos = fd(buf, pos)
+                row[name], bpos = fd(block, bpos)
             rows.append(row)
         if bytes(buf[pos:pos + 16]) != sync:
             raise ValueError("sync marker mismatch")
@@ -535,7 +551,7 @@ def _arrow_cols_to_avro(batch, names, types, tz: str):
 
 
 def write_avro(df: DataFrame, path: str, name: str = "record",
-               block_records: int = 4096) -> int:
+               block_records: int = 4096, codec: str = "null") -> int:
     """Write ``df`` as a directory of Avro container files, one per
     partition, encoded inside ``mapInArrow`` (no driver gather).
     Returns the total row count written.  Requires a POSIX path
@@ -568,7 +584,8 @@ def write_avro(df: DataFrame, path: str, name: str = "record",
         if cols and cols[0]:
             with open(fname, "wb") as fh:
                 n = write_container(fh, avro, cols, sync_seed=fname,
-                                    block_records=block_records)
+                                    block_records=block_records,
+                                    codec=codec)
         yield pa.RecordBatch.from_pydict({"file": [fname], "n": [n]})
 
     stats = df.mapInArrow(part, "file string, n long").collect()

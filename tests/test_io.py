@@ -407,6 +407,67 @@ def test_avro_nested_written_by_java(spark, tmp_path):
         (6, "j3", [3, 4], {"q": 15})
 
 
+def test_avro_deflate_roundtrip_and_java_interop(spark, tmp_path):
+    """The deflate codec (raw RFC-1951 block bodies per the spec):
+    our writer's deflate files round-trip through read_avro AND are
+    read value-exact by the Java DataFileReader; a Java-written
+    deflate file decodes exactly here."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    df = spark.range(0, 300, 1, 1).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("text-"), F.col("id") % 7).alias("s"))
+    path = str(tmp_path / "defl")
+    assert AV.write_avro(df, path, codec="deflate", block_records=64) == 300
+    back = AV.read_avro(spark, path)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+    # repetitive text must actually compress (sanity that deflate is on)
+    import os as _os
+    fname = sorted(glob.glob(path + "/*.avro"))[0]
+    plain = str(tmp_path / "plain")
+    AV.write_avro(df, plain, codec="null", block_records=64)
+    pname = sorted(glob.glob(plain + "/*.avro"))[0]
+    assert _os.path.getsize(fname) < _os.path.getsize(pname)
+    # Java reads our deflate file
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(fname), rdr)
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        got.append((rec.get("k"), str(rec.get("s"))))
+    dfr.close()
+    assert sorted(got) == [(i, f"text-{i % 7}") for i in range(300)]
+    # ...and we read a Java-written deflate file
+    schema = {"type": "record", "name": "jd", "fields": [
+        {"name": "k", "type": "long"}, {"name": "s", "type": "string"}]}
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+    gdr = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    gdw = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(gdw)
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    d = tmp_path / "jdefl"
+    d.mkdir()
+    jf = str(d / "part-0.avro")
+    dfw.create(sch, jvm.java.io.File(jf))
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    for i in range(50):
+        payload = {"k": i, "s": f"jv-{i % 5}"}
+        dfw.append(gdr.read(None, fac.jsonDecoder(sch, _json.dumps(payload))))
+    dfw.close()
+    _, rows = AV.read_container(open(jf, "rb").read())
+    assert [(r["k"], r["s"]) for r in rows] == \
+        [(i, f"jv-{i % 5}") for i in range(50)]
+    jback = AV.read_avro(spark, str(d))
+    assert jback.count() == 50
+
+
 def test_avro_decimal_roundtrip(spark, tmp_path):
     """DecimalType columns ride the avro decimal logical type (bytes
     carrying the big-endian two's-complement unscaled integer): exact
