@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--threads", type=_parse_threads, default=None,
                     help="local[] parallelism (default: all cores)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--avro-codec", default="null",
+                    choices=["null", "deflate"],
+                    help="container codec for --format avro on the "
+                         "pure-Python writer path")
     ap.add_argument("--show", type=int, default=20,
                     help="rows to print when no --output is given")
     args = ap.parse_args(argv)
@@ -90,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         # through the spec-compliant pure-Python container encoder
         # (avro_io; cross-validated against Java avro in tests)
         from . import avro_io as av
-        av.write_avro(df, args.output)
+        av.write_avro(df, args.output, codec=args.avro_codec)
     else:
         nio.write(df, args.output, fmt=args.format)
     spark.stop()
