@@ -178,10 +178,29 @@ def spark_to_avro_schema(schema: T.StructType, name: str = "record") -> dict:
 _BACK = {v: k for k, v in _PRIMITIVE.items()}
 
 
+def _union_branch(at: list):
+    """Validate a union as the nullable form this codec supports and
+    return ``(non_null_branch, null_index)`` (``null_index`` is -1 when
+    the union has no null branch, i.e. the degenerate ``[T]`` form).
+
+    The Avro spec allows arbitrary N-branch unions; mapping one onto a
+    single Spark column type is only well-defined for ``["null", T]`` /
+    ``[T, "null"]`` / ``[T]``.  Anything wider used to decode every
+    non-null branch as the FIRST non-null type — silently wrong values
+    on spec-compliant foreign files — so it now fails loudly instead.
+    """
+    non_null = [t for t in at if t != "null"]
+    if len(at) > 2 or len(non_null) != 1:
+        raise TypeError(
+            "unsupported avro union (only a nullable 2-branch union "
+            f"maps to one Spark type): {at!r}")
+    return non_null[0], (at.index("null") if "null" in at else -1)
+
+
 def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
     nullable = isinstance(at, list)
     if nullable:
-        at = [t for t in at if t != "null"][0]
+        at, _ = _union_branch(at)
     if isinstance(at, str):
         if at in _BACK:
             return _BACK[at](), nullable
@@ -243,8 +262,11 @@ def _make_encoder(at):
     no type dispatch; unions write the computed branch index (the spec
     permits ``[T, "null"]`` as well as ``["null", T]``)."""
     if isinstance(at, list):
-        nb = at.index("null")
-        inner = _make_encoder([t for t in at if t != "null"][0])
+        branch, nb = _union_branch(at)
+        inner = _make_encoder(branch)
+        if nb < 0:  # degenerate [T] union: no null branch to select
+            vb_b = enc_long(0)
+            return lambda v: vb_b + inner(v)
         nb_b, vb_b = enc_long(nb), enc_long(1 - nb)
 
         def enc_union(v):
@@ -282,7 +304,16 @@ def _make_encoder(at):
             s = at["scale"]
 
             def enc_decimal(v):
-                unscaled = int(v.scaleb(s))
+                # exact at ANY precision: scaleb under the ambient
+                # decimal context (prec=28) silently ROUNDS values with
+                # more than 28 significant digits (Spark decimals go to
+                # 38), so the shift runs under a context wide enough to
+                # hold every digit; int() then truncates-toward-zero any
+                # fraction deeper than the schema scale, as before
+                import decimal
+                with decimal.localcontext() as ctx:
+                    ctx.prec = len(v.as_tuple().digits) + abs(s) + 2
+                    unscaled = int(v.scaleb(s))
                 return enc_bytes(unscaled.to_bytes(
                     unscaled.bit_length() // 8 + 1, "big", signed=True))
             return enc_decimal
@@ -318,8 +349,8 @@ def _make_decoder(at):
     Array/map blocks honour the spec's negative-count form (abs count
     followed by a byte size)."""
     if isinstance(at, list):
-        nb = at.index("null")
-        inner = _make_decoder([t for t in at if t != "null"][0])
+        branch, nb = _union_branch(at)
+        inner = _make_decoder(branch)
 
         def dec_union(buf, pos):
             br, pos = dec_long(buf, pos)
@@ -375,10 +406,16 @@ def _make_decoder(at):
             s = at["scale"]
 
             def dec_decimal(buf, pos):
-                from decimal import Decimal
+                # the Decimal(int) constructor is context-exempt but
+                # .scaleb is an OPERATION — rounded to the ambient
+                # prec=28; widen the context so >28-digit unscaled
+                # values (Spark precision up to 38) survive exactly
+                import decimal
                 raw, pos = _dec_bytes(buf, pos)
-                return (Decimal(int.from_bytes(raw, "big", signed=True))
-                        .scaleb(-s), pos)
+                unscaled = int.from_bytes(raw, "big", signed=True)
+                with decimal.localcontext() as ctx:
+                    ctx.prec = len(str(abs(unscaled))) + abs(s) + 2
+                    return decimal.Decimal(unscaled).scaleb(-s), pos
             return dec_decimal
         return _DEC_PRIM[t]
     return _DEC_PRIM[at]

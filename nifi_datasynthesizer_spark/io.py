@@ -250,13 +250,23 @@ def rowgroup_audit(spark: SparkSession, path: str,
              .select("path"))
 
     def gen(batches):
+        from urllib.parse import unquote, urlparse
+
         import pyarrow as pa
         import pyarrow.parquet as pq
         for batch in batches:
             out = {"path": [], "n_rowgroups": [], "n_rows": [],
                    "min_rg_rows": [], "max_rg_rows": []}
             for p in batch.column(0).to_pylist():
-                local = p.removeprefix("file:")
+                # binaryFile paths are Hadoop URIs — percent-encoded
+                # (spaces, '=' values in partition dirs), so a plain
+                # prefix strip hands pq.ParquetFile a broken path
+                u = urlparse(p)
+                if u.scheme not in ("", "file"):
+                    raise ValueError(
+                        "rowgroup_audit reads local/file: paths only; "
+                        f"got scheme {u.scheme!r} in {p!r}")
+                local = unquote(u.path) if u.scheme else p
                 md = pq.ParquetFile(local).metadata
                 rgs = [md.row_group(i).num_rows
                        for i in range(md.num_row_groups)] or [0]

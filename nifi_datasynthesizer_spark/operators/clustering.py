@@ -169,6 +169,12 @@ def assign_two_level(quant: DataFrame, centroids: list[list[int]],
             if len(m):
                 S[j] = m.mean(axis=0)
     members = [np.flatnonzero(labels == j) for j in range(len(S))]
+    # Lloyd passes can empty a super; probing an empty super wastes a
+    # probe slot and — if EVERY probed super were empty — would emit
+    # cluster=-1 instead of an assignment.  Rank empty supers at +inf
+    # so the w probes always land on populated supers (there is at
+    # least one: k centroids have labels).
+    empty = np.asarray([len(m) == 0 for m in members], dtype=bool)
     c2 = (C * C).sum(axis=1)
 
     def gen(batches):
@@ -179,6 +185,7 @@ def assign_two_level(quant: DataFrame, centroids: list[list[int]],
             Xf = X.astype(np.float64)
             ds = ((Xf * Xf).sum(axis=1, keepdims=True)
                   - 2 * (Xf @ S.T) + (S * S).sum(axis=1)[None, :])
+            ds[:, empty] = np.inf
             probe = np.argsort(ds, axis=1)[:, :w]
             best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
             cell = np.full(n, -1, dtype=np.int64)

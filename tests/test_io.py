@@ -193,6 +193,23 @@ def test_rowgroup_audit(spark, tmp_path):
     assert s.max_file_share_ppm == 250 * 1_000_000 // 290
 
 
+def test_rowgroup_audit_percent_encoded_paths(spark, tmp_path):
+    """Hadoop percent-encodes URIs: partition dirs with spaces (e.g.
+    ``bucket=a b``) arrive as ``bucket=a%20b`` from binaryFile, so the
+    footer decode must urlparse+unquote instead of prefix-stripping
+    (r8 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "audit sp" / "bucket=a b"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"x": pa.array(range(30), pa.int64())}),
+                   str(d / "part.parquet"))
+    out = nio.rowgroup_audit(spark, str(tmp_path / "audit sp"),
+                             target_rows=100).collect()
+    assert len(out) == 1 and out[0].n_rows == 30
+
+
 # ------------------------------------------------- pure-python avro
 
 def _wide_df(spark):
@@ -536,15 +553,20 @@ def test_avro_container_property_roundtrip():
             "type": "record", "name": "p_rec", "fields": [
                 {"name": "d", "type": {"type": "bytes",
                                        "logicalType": "decimal",
-                                       "precision": 20, "scale": 3}},
+                                       "precision": 38, "scale": 3}},
                 {"name": "b", "type": "boolean"}]}]},
     ]}
+    import decimal as _dec
     longs = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
     text = st.text(max_size=40)
     finite = st.floats(allow_nan=False, allow_infinity=False)
-    decimals = st.integers(min_value=-(10 ** 18),
-                           max_value=10 ** 18).map(
-        lambda u: Decimal(u).scaleb(-3))
+    # full Spark precision range (38 digits) — the codec must not lose
+    # digits past Python's default decimal context (prec=28); the
+    # strategy's own scaleb rides an explicit wide context for the
+    # same reason
+    decimals = st.integers(min_value=-(10 ** 38 - 1),
+                           max_value=10 ** 38 - 1).map(
+        lambda u: Decimal(u).scaleb(-3, _dec.Context(prec=60)))
     row = st.tuples(
         longs, st.none() | text, st.none() | finite,
         st.lists(st.none() | longs, max_size=6),

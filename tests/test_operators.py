@@ -579,6 +579,70 @@ def test_assign_two_level_exhaustive_equals_flat(spark):
     assert all(n2[v][1] >= fl[v][1] for v in fl)
 
 
+def test_assign_two_level_empty_super_still_assigns(spark):
+    """Lloyd passes over the centroids can leave a super-cell EMPTY
+    while its stale position stays strictly closest to some data row;
+    probing that super used to emit cluster=-1 / dist_q=int64-max
+    (r8 ADVICE).  Empty supers are now ranked at +inf, so narrow
+    probing always lands on populated supers and every row gets a
+    valid assignment.  The centroid set below is a found-by-search
+    configuration that reproduced the -1 under the old ranking."""
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    cents = [[-16], [-17], [1], [16], [-16], [-19], [-16], [0], [7]]
+    quant = spark.createDataFrame(
+        [(i, [v]) for i, v in enumerate(range(-25, 26))],
+        "vec_id long, xi array<bigint>")
+    got = {r.vec_id: (r.cluster, r.dist_q)
+           for r in CL.assign_two_level(quant, cents,
+                                        probe_supers=1).collect()}
+    assert len(got) == 51
+    assert all(c >= 0 for c, _ in got.values())
+    # a valid (member-scanned) distance, never the int64-max sentinel
+    assert all(d < (1 << 62) for _, d in got.values())
+    # full probe still bit-identical to the flat path with the fix in
+    flat = {r.vec_id: (r.cluster, r.dist_q)
+            for r in CL._assign(quant, cents).collect()}
+    two = {r.vec_id: (r.cluster, r.dist_q)
+           for r in CL.assign_two_level(quant, cents,
+                                        probe_supers=9).collect()}
+    assert two == flat
+
+
+def test_avro_union_multibranch_rejected():
+    """A spec-compliant 3-branch union cannot map onto one Spark
+    column type — the codec must refuse loudly instead of decoding
+    every non-null branch as the first non-null type (r8 ADVICE)."""
+    import pytest
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    for bad in (["null", "long", "string"], ["long", "string"],
+                ["null", "long", "null"]):
+        with pytest.raises(TypeError):
+            AV._make_decoder(bad)
+        with pytest.raises(TypeError):
+            AV._make_encoder(bad)
+        with pytest.raises(TypeError):
+            AV._avro_type_to_spark(bad)
+
+
+def test_avro_decimal_full_precision():
+    """38-significant-digit decimals (Spark's max precision) survive
+    encode/decode exactly — the default decimal context (prec=28)
+    must not round the unscaled-int shift (r8 ADVICE)."""
+    from decimal import Decimal
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    at = {"type": "bytes", "logicalType": "decimal",
+          "precision": 38, "scale": 3}
+    enc, dec = AV._make_encoder(at), AV._make_decoder(at)
+    for s in ("12345678901234567890123456789012345.678",
+              "-99999999999999999999999999999999999.999",
+              "0.001", "0"):
+        v = Decimal(s)
+        out, _ = dec(memoryview(enc(v)), 0)
+        assert out == v, (s, out)
+
+
 def test_fit_mod_for_cap(spark):
     from nifi_datasynthesizer_spark.operators import clustering as CL
     emb = spark.range(1000).select(
