@@ -1391,25 +1391,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a", "b"))
     q["dedup_fuzzy"] = dedup_fuzzy
 
+    def _emb_planted(spark, sf):
+        """Embeddings corpus + 10 planted near-duplicates (oracle
+        mirror: oracles.PLANTED_EMBEDDINGS): the 10 lowest vec_ids
+        re-enter shifted +1,000,000 with every component DOUBLED —
+        a power-of-two scale is exact in binary FP and commutes with
+        L2 normalization, so each planted row normalizes bit-identical
+        to its source (cosine exactly 1.0, same hyperplane signature,
+        same bucket at any bit count).  The isotropic synthetic corpus
+        has no organic pairs at 0.95, so without planting the
+        embedding-dedup driver rows matched on 0==0 rows every round
+        (r8 verdict #1); with it they verify real detected pairs."""
+        emb = _t(spark, sf, "embeddings")
+        planted = (emb.filter(F.col("vec_id") < 10)
+                   .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                           F.transform("embedding",
+                                       lambda x: (x * F.lit(2.0))
+                                       .cast("float")).alias("embedding")))
+        return emb.select("vec_id", "embedding").unionByName(planted)
+
     def dedup_embedding(spark, sf):
         """bits pinned to 8: the oracle's hyperplane matrix is a
         structural SQL literal; the production default (bits=None)
-        derives max(8, lg(n/64)) — equal to 8 at every test SF."""
-        return (DD.dedup_embedding(_t(spark, sf, "embeddings"),
+        derives the count — see dedup_embedding_derived.  Runs over
+        the planted corpus so the driver row verifies the full
+        bucket → candidate → exact-cosine pipeline on real pairs."""
+        return (DD.dedup_embedding(_emb_planted(spark, sf),
                                    threshold=0.95, bucket_bits=8)
                 .orderBy("a", "b"))
     q["dedup_embedding"] = dedup_embedding
 
     def dedup_embedding_derived(spark, sf):
-        """The PRODUCTION configuration (bucket_bits=None →
-        max(8, bit_length(n div 64)) from one corpus count) under the
-        oracle gate — closing the pinned-vs-production gap the r7
-        verdict flagged.  The oracle mirrors the derivation as a
-        scalar subquery gating how many of its (max-bits) literal
-        hyperplane terms participate, so the same SQL replays at any
-        SF (nb = 8 at every test SF; 9 from 16k vectors up)."""
-        return (DD.dedup_embedding(_t(spark, sf, "embeddings"),
-                                   threshold=0.95, bucket_bits=None)
+        """The PRODUCTION configuration (bucket_bits=None → one
+        corpus count drives the bit-count derivation) under the
+        oracle gate.  ``derive_div=1`` makes the derivation leave the
+        floor of 8 AT FIXTURE SCALE (510 rows → 9 bits at sf0.01,
+        2,010 → 11 at sf0.1), so the scalar-subquery-gated hyperplane
+        terms in the oracle are exercised at non-floor values — and
+        the planted corpus makes the verified result non-empty.  The
+        oracle mirrors the derivation as a scalar subquery gating how
+        many of its max-bits literal hyperplane terms participate, so
+        the same SQL replays at any SF."""
+        return (DD.dedup_embedding(_emb_planted(spark, sf),
+                                   threshold=0.95, bucket_bits=None,
+                                   derive_div=1)
                 .orderBy("a", "b"))
     q["dedup_embedding_derived"] = dedup_embedding_derived
 
@@ -3000,7 +3025,9 @@ FROM shapes ORDER BY file"""
     o["text_quality_calibration"] = OR.classifier_calibration_sql()
     o["text_embed"] = OR.hash_embed_sql(dim=16)
     o["corpus_stats"] = OR.corpus_stats_sql()
-    o["dedup_embedding"] = OR.dedup_embedding_sql(threshold=0.95, bucket_bits=8, seed=7)
+    o["dedup_embedding"] = OR.dedup_embedding_sql(
+        threshold=0.95, bucket_bits=8, seed=7,
+        src=OR.PLANTED_EMBEDDINGS)
     o["ann_lsh"] = OR.ann_lsh_sql(k=10, bucket_bits=6, seed=7)
     o["ann_lsh_multiprobe"] = OR.ann_lsh_multiprobe_sql(
         k=10, bucket_bits=6, seed=7)
@@ -3016,7 +3043,7 @@ FROM c ORDER BY lang, pred_lang"""
     o["ann_ivf_derived"] = OR.ann_ivf_derived_sql(k=10, n_probe=4)
     o["ann_ivf_arrow"] = OR.ann_ivf_sql(k=10, n_centroids=80, n_probe=4)
     o["dedup_embedding_derived"] = OR.dedup_embedding_derived_sql(
-        threshold=0.95, seed=7)
+        threshold=0.95, seed=7, src=OR.PLANTED_EMBEDDINGS, derive_div=1)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["media_segments"] = OR.media_segments_sql(n=200, win_ms=5000,
                                                 hop_ms=2500)

@@ -595,7 +595,7 @@ def threshold_sweep(docs: DataFrame, num_hashes: int = 64,
 
 def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
                     bucket_bits: int | None = None,
-                    seed: int = 7) -> DataFrame:
+                    seed: int = 7, derive_div: int = 64) -> DataFrame:
     """Embedding cosine near-dup via random-hyperplane LSH buckets.
 
     Vectors sharing all `bucket_bits` hyperplane signs land in one
@@ -610,9 +610,13 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
     adds a hyperplane per corpus doubling, holding expected bucket
     population ~constant (each hyperplane is one more dot-sign in the
     same narrow projection — cost grows log n, candidates stay
-    linear).  Derivation equals 8 at every test SF, so entry results
-    are unchanged; the entry pins bits=8 because the oracle's
-    hyperplane matrix is a structural literal.  The candidate join
+    linear).  ``derive_div`` is the corpus-rows-per-bucket constant in
+    that derivation (64 in production: expected bucket population
+    2^-bits·n stays ~64); test entries shrink it so the derived bit
+    count departs from the floor of 8 at fixture scale and the
+    derivation itself is oracle-verified at a non-floor value.  The
+    entry twin pins bits=8 because the oracle's hyperplane matrix is
+    a structural literal.  The candidate join
     ships ids+bucket only; normalized vectors re-attach by id after
     the pair set is known (the slim-key lesson — shuffling two
     256-byte vectors per candidate is the dominant byte cost).
@@ -620,7 +624,7 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
     from .similarity import l2_normalize, random_hyperplane_bucket
 
     if bucket_bits is None:
-        bucket_bits = max(8, (emb.count() // 64).bit_length())
+        bucket_bits = max(8, (emb.count() // derive_div).bit_length())
     normed = emb.select(F.col("vec_id"),
                         l2_normalize(F.col("embedding")).alias("v"))
     bucketed = _pin(normed.withColumn(

@@ -382,12 +382,30 @@ FROM sh ORDER BY doc_id"""
 
 # ------------------------------------------------------- embeddings
 
-_NORMED = """normed AS (
+def _normed_cte(src: str = "embeddings") -> str:
+    return f"""normed AS (
   SELECT vec_id,
     list_transform(embedding, x -> CAST(x AS DOUBLE) /
       SQRT(list_sum(list_transform(embedding,
            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v
-  FROM embeddings)"""
+  FROM {src})"""
+
+
+_NORMED = _normed_cte()
+
+# Planted near-duplicate augmentation (mirror of the entries' Spark
+# union): the 10 lowest vec_ids re-enter shifted by +1,000,000 with
+# every component doubled — scaling by a power of two is EXACT in
+# binary floating point and commutes with L2 normalization, so each
+# planted row is bit-identical to its source after normalization
+# (cosine exactly 1.0, identical hyperplane signature → same bucket).
+# This is what makes the embedding-dedup driver rows verify REAL
+# pairs instead of matching on an empty result set (r8 verdict #1).
+PLANTED_EMBEDDINGS = """(SELECT vec_id, embedding FROM embeddings
+ UNION ALL
+ SELECT vec_id + 1000000 AS vec_id,
+        list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+ FROM embeddings WHERE vec_id < 10)"""
 
 
 def _bucket_terms(bits: int, seed: int, dim: int, vcol: str = "v") -> str:
@@ -403,10 +421,11 @@ def _bucket_terms(bits: int, seed: int, dim: int, vcol: str = "v") -> str:
 
 
 def dedup_embedding_sql(threshold: float = 0.95, bucket_bits: int = 8,
-                        seed: int = 7, dim: int = 64) -> str:
+                        seed: int = 7, dim: int = 64,
+                        src: str = "embeddings") -> str:
     """Mirror of dedup.dedup_embedding."""
     return f"""
-WITH {_NORMED},
+WITH {_normed_cte(src)},
 b AS (SELECT vec_id, v, ({_bucket_terms(bucket_bits, seed, dim)}) AS bucket FROM normed),
 pairs AS (SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
           FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
@@ -418,14 +437,19 @@ SELECT a, b, cosine FROM cos WHERE cosine >= {threshold} ORDER BY a, b"""
 
 
 def dedup_embedding_derived_sql(threshold: float = 0.95, seed: int = 7,
-                                dim: int = 64, max_bits: int = 16) -> str:
+                                dim: int = 64, max_bits: int = 16,
+                                src: str = "embeddings",
+                                derive_div: int = 64) -> str:
     """Mirror of dedup.dedup_embedding with ``bucket_bits=None`` (the
-    production default): the derivation ``max(8, bit_length(n // 64))``
-    rides a scalar subquery (``nb`` — bit_length computed as the
-    length of the binary rendering, exact for any positive integer),
-    and hyperplane ``j`` contributes its sign term iff ``j < nb``.
-    The SAME SQL therefore replays at any SF with n ≤ 64·2^max_bits
-    (4.2M vectors at the default) — no structural re-generation."""
+    production default): the derivation
+    ``max(8, bit_length(n // derive_div))`` rides a scalar subquery
+    (``nb`` — bit_length computed as the length of the binary
+    rendering, exact for any positive integer), and hyperplane ``j``
+    contributes its sign term iff ``j < nb``.  The SAME SQL therefore
+    replays at any SF with n ≤ derive_div·2^max_bits — no structural
+    re-generation.  The entry passes ``derive_div=1`` so ``nb``
+    departs from the floor of 8 at fixture scale (510 rows → 9 bits,
+    2,010 → 11) and the gate verifies the derivation doing work."""
     ws = hyperplane_weights(max_bits, dim, seed)
     terms = []
     for j in range(max_bits):
@@ -437,9 +461,9 @@ def dedup_embedding_derived_sql(threshold: float = 0.95, seed: int = 7,
             f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)")
     bucket = " + ".join(terms)
     return f"""
-WITH {_NORMED},
+WITH {_normed_cte(src)},
 p AS (SELECT GREATEST(8, LENGTH(FORMAT('{{:b}}',
-             (SELECT COUNT(*) FROM embeddings) // 64))) AS nb),
+             (SELECT COUNT(*) FROM {src}) // {derive_div}))) AS nb),
 b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM normed, p),
 pairs AS (SELECT l.vec_id AS a, r.vec_id AS b, l.v AS va, r.v AS vb
           FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
