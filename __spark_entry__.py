@@ -538,20 +538,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, out.schema)
     q["io_compaction"] = io_compaction
 
-    def io_rowgroup_audit(spark, sf):
-        """Parquet row-group layout audit (io.rowgroup_audit) over a
-        deterministic three-shape fixture — the operator that encodes
-        the r7 scale study's third-decade lesson (scan parallelism is
-        capped by row-group count; the 100 TB failure mode is the
-        unsplittable file).  Fixture: the corpus keyed into 8
-        ``bucket=N`` partition files (one row group each), one
-        ``solid`` single-file export (the pathology: every row in one
-        row group → ``oversized``), and one ``hot.parquet`` written
-        with row_group_size=100 (a healthy multi-row-group layout —
-        pyarrow writer, so the group boundaries are exact and the
-        oracle computes them as ceil/mod arithmetic).  Audit runs
-        distributed: binaryFile listing (paths only, content column
-        pruned) + one footer decode task per file."""
+    def _rg_fixture_run(spark, sf, fn):
+        """Build the deterministic three-shape row-group fixture, run
+        ``fn(audit_df)`` over its io.rowgroup_audit frame, and return
+        the collected result rebuilt as a local DataFrame (the temp
+        fixture is gone by the time the driver collects).  Fixture:
+        the corpus keyed into 8 ``bucket=N`` partition files (one row
+        group each), one ``solid`` single-file export (the pathology:
+        every row in one row group → ``oversized``), and one
+        ``hot.parquet`` written with row_group_size=100 (pyarrow
+        writer, so group boundaries are exact and the oracle computes
+        them as ceil/mod arithmetic).  Audit runs distributed:
+        binaryFile listing (paths only, content column pruned) + one
+        footer decode task per file."""
         import shutil
         import tempfile
 
@@ -572,8 +571,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pq.write_table(
                 pa.table({"doc_id": pa.array(hot_ids, pa.int64())}),
                 d + "/hot.parquet", row_group_size=100)
-            audit = IO.rowgroup_audit(spark, d, target_rows=500)
-            out = (audit.withColumn(
+            out = fn(IO.rowgroup_audit(spark, d, target_rows=500))
+            rows = out.collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, out.schema)
+
+    def io_rowgroup_audit(spark, sf):
+        """Parquet row-group layout audit (io.rowgroup_audit) over the
+        three-shape fixture — the operator that encodes the r7 scale
+        study's third-decade lesson (scan parallelism is capped by
+        row-group count; the 100 TB failure mode is the unsplittable
+        file)."""
+        def fmt(audit):
+            return (audit.withColumn(
                 "file",
                 F.when(F.col("path").rlike("bucket="),
                        F.regexp_extract("path", r"(bucket=\d+)", 1))
@@ -582,11 +593,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("file", "n_rowgroups", "n_rows", "min_rg_rows",
                         "max_rg_rows", "oversized")
                 .orderBy("file"))
-            rows = out.collect()
-        finally:
-            shutil.rmtree(d, ignore_errors=True)
-        return spark.createDataFrame(rows, out.schema)
+        return _rg_fixture_run(spark, sf, fmt)
     q["io_rowgroup_audit"] = io_rowgroup_audit
+
+    def io_rowgroup_summary(spark, sf):
+        """The ONE-ROW effective-parallelism readout
+        (io.rowgroup_summary) over the same fixture — the go/no-go
+        number a 1000-executor scan reads first: total row groups =
+        max scan parallelism, task waves on a 32-slot cluster, the
+        single-file hot-spot share, and the oversized-file count.
+        Oracle-exact: every aggregate is arithmetic over the
+        fixture's deterministic layout."""
+        return _rg_fixture_run(
+            spark, sf, lambda audit: IO.rowgroup_summary(audit, cores=32))
+    q["io_rowgroup_summary"] = io_rowgroup_summary
 
     def io_partition_prune(spark, sf):
         """Partition-pruned layout: events written partitioned by
@@ -620,6 +640,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the same schema for the driver's collect
         return spark.createDataFrame(rows, out.schema)
     q["io_partition_prune"] = io_partition_prune
+
+    def io_column_stats(spark, sf):
+        """ANALYZE-style exact per-column statistics (io.column_stats)
+        over events in ONE pass: n/nulls/ndv/min/max per column — the
+        table a planner (or a human sizing a join) reads before
+        touching 100 TB.  Floats quantize to cents first (the repo's
+        engine-exactness contract); min/max render as strings so one
+        narrow schema covers heterogeneous types."""
+        ev = _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        return (IO.column_stats(
+            ev, ["event_id", "user_id", "event_type", "cents"])
+            .orderBy("col"))
+    q["io_column_stats"] = io_column_stats
 
     def events_wau(spark, sf):
         """Rolling 7-day active users: distinct (user, day) pairs
@@ -703,6 +738,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "p50_cents", "p90_cents")
                 .orderBy("arm"))
     q["events_ab_assign"] = events_ab_assign
+
+    def events_ab_metrics(spark, sf):
+        """The OUTCOME readout on top of events_ab_assign's sticky
+        hash arms: per-arm user counts, converter counts (users with
+        >= 1 purchase), integer-ppm conversion and events-per-user —
+        the lift table every experiment review reads.  One narrow
+        pass + two tiny aggregates (user-grain, then arm-grain); the
+        arm hash is recomputed per event (stateless — no assignment
+        table to join at 100 TB)."""
+        from nifi_datasynthesizer_spark.phash import h60
+        ev = _t(spark, sf, "events")
+        staged = ev.select(
+            F.pmod(h60(F.concat(F.col("user_id").cast("string"),
+                                F.lit(":ab7"))), F.lit(2)).alias("arm"),
+            F.col("user_id").alias("u"),
+            (F.col("event_type") == "purchase").cast("long").alias("pur"),
+            F.when(F.col("event_type") == "purchase",
+                   F.floor(F.col("value") * 100).cast("long"))
+            .otherwise(F.lit(0)).alias("pur_cents"))
+        per_user = (staged.groupBy("arm", "u")
+                    .agg(F.count("*").alias("n_ev"),
+                         F.sum("pur").alias("n_pur"),
+                         F.sum("pur_cents").alias("cents")))
+        return (per_user.groupBy("arm")
+                .agg(F.sum("n_ev").alias("n_events"),
+                     F.count("*").alias("n_users"),
+                     F.sum((F.col("n_pur") > 0).cast("long"))
+                     .alias("n_converters"),
+                     F.sum("cents").alias("purchase_cents"))
+                .select("arm", "n_events", "n_users", "n_converters",
+                        F.expr("n_converters * 1000000 div n_users")
+                        .cast("long").alias("conversion_ppm"),
+                        F.expr("n_events * 1000000 div n_users")
+                        .cast("long").alias("events_per_user_ppm"),
+                        "purchase_cents")
+                .orderBy("arm"))
+    q["events_ab_metrics"] = events_ab_metrics
 
     def events_cohort_ltv(spark, sf):
         """Cohort LTV matrix: day-0 cohorts × days-since-signup
@@ -988,6 +1060,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n").alias("n_events"), "rank")
                 .orderBy("event_type", "rank"))
     q["streaming_topk"] = _stream_tuned(streaming_topk)
+
+    def streaming_key_counts_native(spark, sf):
+        """Per-(event_type, user) exact counters as a JVM-NATIVE
+        streaming aggregate (streaming.key_counts_native) — the
+        production shape for plain counters per the measured
+        3.8-18.5× Arrow-boundary rule; streaming_topk keeps the
+        applyInPandasWithState twin as the custom-state template.
+        Update-mode output may hold one row per key per micro-batch;
+        n is monotone per key, so the final state is the max-n row —
+        which is what lets the drained stream carry the batch
+        GROUP BY oracle."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")  # sets read/timezone confs
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        src = ST.file_stream(spark, sf, raw.schema,
+                             glob_filter="events.parquet")
+        out = ST.key_counts_native(src, "event_type", "user_id")
+        q_ = ST.run_to_memory(out, "stream_key_counts_native",
+                              output_mode="update")
+        try:
+            q_.awaitTermination()
+        finally:
+            q_.stop()
+        tbl = spark.table("stream_key_counts_native")
+        final = tbl.groupBy("k1", "k2").agg(F.max("n").alias("n"))
+        return (final.select(F.col("k1").alias("event_type"),
+                             F.col("k2").alias("user_id"),
+                             F.col("n").alias("n_events"))
+                .orderBy("event_type", "user_id"))
+    q["streaming_key_counts_native"] = _stream_tuned(
+        streaming_key_counts_native)
 
     def streaming_running_totals(spark, sf):
         """Per-user running sum/count over the replayed events stream
@@ -1486,6 +1589,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("query_id", "rank"))
     q["ann_ivf_arrow"] = ann_ivf_arrow
 
+    def ann_ivf_two_level(spark, sf):
+        """The k ≫ 10⁴ ESCAPE HATCH itself under the driver gate
+        (r8 verdict #3): clustering.assign_two_level — hierarchical
+        coarse quantization, measured 3.67× over the flat Arrow
+        argmin at 2M×1414 (scripts/scale_out_assign2l.json) — run at
+        80 cells with probe_supers ≥ g, where it is bit-identical to
+        the flat path by construction (every member set scanned, same
+        int64 micro-unit distances, same smallest-index tie-break).
+        The oracle is the fully relational nearest-cell mirror, so
+        the CORRECTNESS row replays the hierarchical kernel's exact
+        output, not a weaker rows-only check.  Cells are the first 80
+        corpus rows by vec_id (same deterministic choice both sides).
+        """
+        from nifi_datasynthesizer_spark.operators import clustering as CL
+        emb = _t(spark, sf, "embeddings")
+        quant = emb.select("vec_id",
+                           CL._quantize(F.col("embedding")).alias("xi"))
+        cents = [list(r.xi)
+                 for r in quant.orderBy("vec_id").limit(80).collect()]
+        return (CL.assign_two_level(quant, cents, probe_supers=9)
+                .select("vec_id", "cluster", "dist_q")
+                .orderBy("vec_id"))
+    q["ann_ivf_two_level"] = ann_ivf_two_level
+
+    def ann_range_search(spark, sf):
+        """Thresholded exact cosine retrieval (top-k's sibling for
+        contamination / pull-everything-similar curation): broadcast
+        query set, one corpus scan, NO per-query top-k shuffle — the
+        qualifying rows are the only thing that leaves the scan."""
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return (SIM.ann_range(emb, queries_df, min_cosine=0.2)
+                .orderBy("query_id", "cand_id"))
+    q["ann_range_search"] = ann_range_search
+
     def ann_lsh(spark, sf):
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -1681,6 +1819,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (CU.repetition_stats(_t(spark, sf, "documents"))
                 .orderBy("doc_id"))
     q["text_repetition"] = text_repetition
+
+    def text_boilerplate(spark, sf):
+        """Corpus-frequent-bigram share per document (integer ppm) —
+        the templated-text / navigation-chrome signal: two shuffles,
+        both keyed on the bigram, bounded by token count."""
+        from nifi_datasynthesizer_spark.operators.text import \
+            bigram_boilerplate
+        return (bigram_boilerplate(_t(spark, sf, "documents"), min_df=3)
+                .orderBy("doc_id"))
+    q["text_boilerplate"] = text_boilerplate
 
     def corpus_shuffle(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
@@ -1987,6 +2135,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(pairs, iters=3).orderBy("node")
     q["graph_label_prop"] = graph_label_prop
 
+    def graph_kcore(spark, sf):
+        """Bounded 2-core peel over the minhash near-dup graph: the
+        dense-nucleus extractor (mirror farms survive, borderline
+        near-dup chains peel away).  Fixed round budget so the DuckDB
+        oracle unrolls the same peels as a CTE chain; each round is a
+        degree aggregate + two semijoins on the node key."""
+        from nifi_datasynthesizer_spark.operators.graph import kcore
+        pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
+                                 num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        return kcore(pairs, k=2, rounds=3).orderBy("node")
+    q["graph_kcore"] = graph_kcore
+
     def geo_near(spark, sf):
         """Grid-blocked spatial self-join: generated continental-US
         points paired within ~5.5 km via cell blocking + 3×3 neighbor
@@ -1999,6 +2160,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                lon_col="longitude")
                 .orderBy("a", "b"))
     q["geo_near"] = geo_near
+
+    def geo_grid_density(spark, sf):
+        """Per-cell density over the SAME integer grid geo_near
+        blocks on — the pre-join governance read (candidate volume =
+        Σ n_c², dense tail = the cells that need salting).  One
+        aggregation on the cell key, no joins, no explode."""
+        from nifi_datasynthesizer_spark.operators import geo as GEO
+        pts = compile_schema(GEO_SCHEMA, seed=31).dataframe(spark, GEO_N)
+        return (GEO.grid_density(pts, cell_udeg=GEO_RADIUS_UDEG,
+                                 lat_col="latitude",
+                                 lon_col="longitude", min_points=2)
+                .orderBy("cx", "cy"))
+    q["geo_grid_density"] = geo_grid_density
 
     def graph_triangles(spark, sf):
         """Triangle enumeration over the minhash near-dup graph
@@ -3019,6 +3193,69 @@ shapes AS (
 SELECT file, n_rowgroups, n_rows, min_rg_rows, max_rg_rows,
        max_rg_rows > 500 AS oversized
 FROM shapes ORDER BY file"""
+    # the one-row summary over the same deterministic layout; the
+    # share divide mirrors Spark's double-divide + cast-truncation
+    # (FLOOR before CAST — DuckDB's double→BIGINT cast rounds)
+    o["io_rowgroup_summary"] = """
+WITH b AS (SELECT doc_id % 8 AS bucket, COUNT(*) AS n
+           FROM documents GROUP BY 1),
+hot AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 800),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+shapes AS (
+  SELECT CAST(1 AS BIGINT) AS n_rowgroups, n AS n_rows,
+         n AS max_rg FROM b
+  UNION ALL
+  SELECT CAST(CEIL(n / 100.0) AS BIGINT), n, LEAST(n, 100) FROM hot
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), n, n FROM tot)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rowgroups) AS BIGINT) AS n_rowgroups,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(CEIL(SUM(n_rowgroups) / 32.0) AS BIGINT) AS scan_waves,
+       SUM(n_rowgroups) < 32 AS parallelism_limited,
+       CAST(FLOOR(MAX(n_rows) * 1000000.0
+                  / GREATEST(SUM(n_rows), 1)) AS BIGINT)
+         AS max_file_share_ppm,
+       CAST(SUM(CASE WHEN max_rg > 500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversized
+FROM shapes"""
+    o["io_column_stats"] = OR.column_stats_sql(
+        ["event_id", "user_id", "event_type", "cents"],
+        table="(SELECT event_id, user_id, event_type, "
+              "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)")
+    o["ann_range_search"] = OR.ann_range_sql(min_cosine=0.2)
+    o["text_boilerplate"] = OR.bigram_boilerplate_sql(min_df=3)
+    o["graph_kcore"] = OR.kcore_sql(OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5),
+        k=2, rounds=3)
+    o["geo_grid_density"] = OR.grid_density_sql(
+        compile_schema(GEO_SCHEMA, seed=31).duckdb_sql(GEO_N),
+        cell_udeg=GEO_RADIUS_UDEG, min_points=2)
+    _abarm = ("(" + OR.h60_sql("CAST(user_id AS VARCHAR) || ':ab7'")
+              + ") % 2")
+    o["events_ab_metrics"] = f"""
+WITH pu AS (SELECT {_abarm} AS arm, user_id,
+                   COUNT(*) AS n_ev,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS n_pur,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 100) AS BIGINT)
+                            ELSE 0 END) AS cents
+            FROM events GROUP BY 1, 2)
+SELECT arm, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_pur > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converters,
+       CAST(SUM(CASE WHEN n_pur > 0 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS conversion_ppm,
+       CAST(SUM(n_ev) * 1000000 // COUNT(*) AS BIGINT)
+         AS events_per_user_ppm,
+       CAST(SUM(cents) AS BIGINT) AS purchase_cents
+FROM pu GROUP BY arm ORDER BY arm"""
+    o["streaming_key_counts_native"] = """
+SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY event_type, user_id"""
     o["text_fingerprint"] = OR.fingerprint_sql(ngram=8)
     o["text_entropy"] = OR.word_entropy_sql()
     o["text_readability"] = OR.readability_sql()
@@ -3042,6 +3279,7 @@ FROM c ORDER BY lang, pred_lang"""
     o["ann_ivf"] = OR.ann_ivf_sql(k=10, n_centroids=16, n_probe=4)
     o["ann_ivf_derived"] = OR.ann_ivf_derived_sql(k=10, n_probe=4)
     o["ann_ivf_arrow"] = OR.ann_ivf_sql(k=10, n_centroids=80, n_probe=4)
+    o["ann_ivf_two_level"] = OR.assign_cells_sql(n_cells=80)
     o["dedup_embedding_derived"] = OR.dedup_embedding_derived_sql(
         threshold=0.95, seed=7, src=OR.PLANTED_EMBEDDINGS, derive_div=1)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)

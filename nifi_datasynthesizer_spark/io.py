@@ -306,3 +306,37 @@ def rowgroup_summary(audit: DataFrame, cores: int) -> DataFrame:
                                                   F.lit(1)))
         .cast("long").alias("max_file_share_ppm"),
         F.sum(F.col("oversized").cast("long")).alias("n_oversized"))
+
+
+def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style exact per-column statistics in ONE corpus pass:
+    (col, n_non_null, n_null, ndv, min_s, max_s) — the table a
+    cost-based planner (or a human sizing a join) reads before
+    touching 100 TB: ndv bounds the shuffle key space, min/max bound
+    partition pruning, null counts bound skew from null-keyed joins.
+
+    All requested columns aggregate in a single pass over the scan
+    (count/min/max are map-side partial; the exact distincts ride
+    Spark's expand — one extra shuffle total, not one per column);
+    the wide one-row result is then unpivoted driver-free with
+    ``stack``.  min/max render as strings so one narrow schema covers
+    heterogeneous column types; integer and string columns render
+    engine-identically (floats should be quantized by the caller
+    first — the same contract every oracle-exact operator here uses).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__ndv`, `{c}__min`, `{c}__max`"
+        for c in cols)
+    return wide.select(F.expr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col, n_non_null, n_null, ndv, min_s, max_s)"))

@@ -195,3 +195,43 @@ def label_propagation(pairs: DataFrame, iters: int = 3,
         if (i + 1) % pin_every == 0 and i + 1 < iters:
             labels = _cut_lineage(labels)
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling over the undirected pair graph: drop
+    every node of degree < k, recompute degrees, repeat ``rounds``
+    times.  Where components answer "what is linked" and LPA "where
+    are the dense communities", the k-core answers "which nodes
+    survive in a subgraph where EVERYONE has >= k neighbors" — the
+    standard dense-nucleus extractor (template-spam blobs and mirror
+    farms are high-core; chains of borderline near-dup links peel
+    away at k=2).
+
+    A fixed round budget instead of a fixpoint loop: each peel is one
+    degree aggregation + one semi-join per edge endpoint (two key
+    shuffles), and the DuckDB oracle unrolls the same rounds as a CTE
+    chain — run-to-fixpoint would make the oracle width data-
+    dependent.  Peeling converges monotonically, so extra rounds only
+    remove more; at production scale pick rounds ~ log(peel depth)
+    (each round strictly shrinks the frontier).  Edges are pinned per
+    round (release with dedup.release_caches); at 100 TB each round
+    is degree-agg + semijoin on the node key — no row blowup, edge
+    set only ever shrinks.
+
+    Returns (node, deg) for surviving nodes with their degree inside
+    the surviving subgraph.
+    """
+    a, b = F.col("a"), F.col("b")
+    sym = (pairs.select(a.alias("src"), b.alias("dst"))
+           .union(pairs.select(b.alias("src"), a.alias("dst"))).distinct())
+    edges = _pin(sym)
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        edges = _pin(edges
+                     .join(keep, "src")
+                     .join(keep.select(F.col("src").alias("dst")), "dst")
+                     .select("src", "dst"))
+    return (edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k))

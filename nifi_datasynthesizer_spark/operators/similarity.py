@@ -483,3 +483,30 @@ def ann_lsh_multiprobe(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "cand_id", "cosine", "rank"))
+
+
+def ann_range(emb: DataFrame, queries: DataFrame,
+              min_cosine: float = 0.2) -> DataFrame:
+    """Exact cosine RANGE search: every candidate with cosine >=
+    ``min_cosine`` per query — top-k's sibling for thresholded
+    retrieval (contamination checks, "pull everything similar enough"
+    curation passes), where the answer set size is data-dependent
+    rather than fixed.
+
+    Same 100 TB plan shape as :func:`ann_bruteforce`: the query set
+    broadcasts, the corpus is scanned once and never shuffled, and
+    only qualifying (query_id, cand_id, cosine) rows leave the scan —
+    for a selective threshold the output is tiny even when the scan
+    is huge, and there is no per-query window/top-k shuffle at all
+    (range search is embarrassingly parallel; top-k is not).
+    """
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       l2_normalize(F.col("embedding")).alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cand_id"),
+                   l2_normalize(F.col("embedding")).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("qv"), F.col("cv")), 6)))
+    return (scored.filter(F.col("cosine") >= min_cosine)
+            .select("query_id", "cand_id", "cosine"))

@@ -641,3 +641,40 @@ def classifier_calibration(docs: DataFrame, dim: int = 64,
             .select("bucket", "n", "n_pos",
                     F.expr("n_pos * 1000000 div n").cast("long")
                     .alias("pos_rate_ppm")))
+
+
+def bigram_boilerplate(docs: DataFrame, min_df: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """Boilerplate scoring by corpus-frequent word bigrams: for every
+    document, the ppm share of its bigram OCCURRENCES whose bigram
+    appears in >= ``min_df`` distinct documents — the
+    templated-text / navigation-chrome signal (CCNet-style corpora
+    drop or downweight documents dominated by bigrams everyone else
+    also has; high-novelty bigram mass marks original prose).
+
+    Scale shape: explode to (doc_id, bigram) once; document frequency
+    is one map-side-combinable aggregate keyed on the bigram; the
+    per-doc readout joins occurrences back on the same bigram key
+    (two shuffles total, both on the bigram — co-partitioned, and
+    bounded by corpus token count, never corpus²).  No vocabulary is
+    collected to the driver.  All-integer output: (doc_id, n_bigrams,
+    n_common, common_ppm) for every document with >= 1 bigram.
+    """
+    from .dedup import normalize_text
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    bi = (docs.select("doc_id", toks.alias("w"))
+          .select("doc_id", F.expr(
+              "transform(slice(w, 1, greatest(size(w) - 1, 0)), "
+              "(x, i) -> concat(x, ' ', w[i + 1]))").alias("bgs"))
+          .select("doc_id", F.explode("bgs").alias("bg")))
+    df_counts = (bi.groupBy("bg")
+                 .agg(F.countDistinct("doc_id").alias("df")))
+    scored = (bi.join(df_counts, "bg")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum((F.col("df") >= min_df).cast("long"))
+                   .alias("n_common")))
+    return scored.select(
+        "doc_id", "n_bigrams", "n_common",
+        F.expr("n_common * 1000000 div n_bigrams").cast("long")
+        .alias("common_ppm"))

@@ -993,6 +993,30 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
 WHERE rn = 1 ORDER BY vec_id"""
 
 
+def assign_cells_sql(n_cells: int = 80, table: str = "embeddings") -> str:
+    """Mirror of clustering._assign — and therefore of
+    clustering.assign_two_level at full probe width, which is
+    bit-identical to it by construction: nearest of the first
+    ``n_cells`` corpus rows (ordered by vec_id, cell index = rank-1)
+    under exact int64 micro-unit squared L2 with the first-minimum
+    (smallest cell index) tie-break.  Fully relational — no Lloyd CTE
+    chain — so the driver gate replays the hierarchical assignment
+    kernel itself."""
+    return f"""
+WITH {_x_part(table)},
+cent AS (SELECT xi AS ci, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+         FROM x ORDER BY vec_id LIMIT {n_cells}),
+d AS (SELECT x.vec_id, cent.j,
+             list_sum(list_transform(list_zip(x.xi, cent.ci),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2])))
+               AS dist
+      FROM x CROSS JOIN cent)
+SELECT vec_id, CAST(j AS INT) AS cluster, CAST(dist AS BIGINT) AS dist_q
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, j) AS rn FROM d)
+WHERE rn = 1 ORDER BY vec_id"""
+
+
 def semantic_dedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.8,
                        dim: int = 64, table: str = "embeddings",
                        fit_mod: int | None = None) -> str:
@@ -1759,6 +1783,99 @@ r{i} AS (SELECT dst AS node,
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node AS doc_id, r AS pr_ppm FROM {prev} "
               "ORDER BY doc_id")
+
+
+def kcore_sql(pairs_sql: str, k: int = 2, rounds: int = 3) -> str:
+    """Mirror of graph.kcore — the bounded peel unrolls into one CTE
+    chain per round (degree → keep → restricted edges), then the
+    final surviving-degree readout."""
+    parts = [f"pairs AS ({pairs_sql})",
+             """e0 AS (SELECT a AS src, b AS dst FROM pairs
+       UNION SELECT b AS src, a AS dst FROM pairs)"""]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS (SELECT src, COUNT(*) AS deg
+        FROM {prev} GROUP BY src),
+k{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
+e{i} AS (SELECT e.src, e.dst FROM {prev} e
+         JOIN k{i} s ON e.src = s.src
+         JOIN k{i} t ON e.dst = t.src)""")
+        prev = f"e{i}"
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM {prev} GROUP BY src HAVING COUNT(*) >= {k} ORDER BY node""")
+
+
+def bigram_boilerplate_sql(min_df: int = 3,
+                           table: str = "documents") -> str:
+    """Mirror of text.bigram_boilerplate: word bigrams of normalized
+    text (DuckDB lists are 1-based; bigram i = W[i] || ' ' || W[i+1]),
+    document frequency per bigram, per-doc common-occurrence ppm."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS W FROM {table}),
+bi AS (SELECT doc_id, W[i] || ' ' || W[i + 1] AS bg
+       FROM (SELECT doc_id, W, unnest(range(1, len(W))) AS i FROM w)),
+dfc AS (SELECT bg, COUNT(DISTINCT doc_id) AS df FROM bi GROUP BY bg)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       CAST(SUM(CASE WHEN df >= {min_df} THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS common_ppm
+FROM bi JOIN dfc USING (bg)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def ann_range_sql(min_cosine: float = 0.2,
+                  query_pred: str = "vec_id < 5") -> str:
+    """Mirror of similarity.ann_range (thresholded exact cosine)."""
+    return f"""
+WITH {_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv FROM normed WHERE {query_pred}),
+scored AS (SELECT query_id, c.vec_id AS cand_id,
+                  ROUND(list_sum(list_transform(list_zip(qv, c.v),
+                                                p -> p[1] * p[2])), 6)
+                    AS cosine
+           FROM normed c CROSS JOIN q WHERE c.vec_id <> query_id)
+SELECT query_id, cand_id, cosine FROM scored
+WHERE cosine >= {min_cosine} ORDER BY query_id, cand_id"""
+
+
+def grid_density_sql(points_sql: str, cell_udeg: int = 50_000,
+                     lat_col: str = "latitude",
+                     lon_col: str = "longitude",
+                     min_points: int = 1) -> str:
+    """Mirror of geo.grid_density over a generated point set."""
+    from .operators.geo import UDEG
+    return f"""
+WITH pts AS ({points_sql}),
+cells AS (SELECT
+    CAST(FLOOR(CAST(FLOOR({lon_col} * {UDEG}) AS BIGINT) / {cell_udeg})
+         AS BIGINT) AS cx,
+    CAST(FLOOR(CAST(FLOOR({lat_col} * {UDEG}) AS BIGINT) / {cell_udeg})
+         AS BIGINT) AS cy
+  FROM pts)
+SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM cells GROUP BY cx, cy
+HAVING COUNT(*) >= {min_points} ORDER BY cx, cy"""
+
+
+def column_stats_sql(cols: list[str], table: str = "events") -> str:
+    """Mirror of io.column_stats: one UNION ALL branch per column
+    (DuckDB has no stack); min/max rendered as VARCHAR."""
+    branches = []
+    for c in cols:
+        branches.append(f"""SELECT '{c}' AS col,
+       CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM {table}""")
+    return ("SELECT * FROM (" + " UNION ALL ".join(branches)
+            + ") ORDER BY col")
 
 
 def bloom_semi_join_sql(segment: str = "BUILDING", m_bits: int = 8192,

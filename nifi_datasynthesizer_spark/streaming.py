@@ -257,6 +257,17 @@ def state_store_provider(spark, provider: str = "rocksdb"):
     the heap store while peak state per executor fits comfortably in
     memory, RocksDB the moment it doesn't — guessing wrong is a hard
     OOM, not degradation.
+
+    RocksDB disk sizing, measured at 300M state rows
+    (scripts/scale_out_streaming_sf3000.json): **42.3 bytes of SST
+    per state row** for digest-keyed dedup state, i.e.::
+
+        state_disk_bytes ≈ event_rate × watermark_horizon × 42.3
+
+    A 1B-row horizon is ~42 GB of SST per query — budget executor
+    local disk (not heap) accordingly, and note the constant is the
+    compacted steady-state figure, so transient compaction overhead
+    peaks above it.
     """
     key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(key, None)
@@ -350,6 +361,25 @@ def key_counts(stream: DataFrame, key1: str, key2: str,
             .groupBy("k1", "k2")
             .applyInPandasWithState(update, KEY_COUNT_OUT,
                                     KEY_COUNT_STATE, "update", timeout))
+
+
+def key_counts_native(stream: DataFrame, key1: str,
+                      key2: str) -> DataFrame:
+    """JVM-native twin of :func:`key_counts`: per-(key1, key2) exact
+    counts as a streaming ``groupBy().count()`` in update mode —
+    state lives in the JVM state store with map-side partial
+    aggregation and no Python/Arrow boundary.  Measured 3.8× (1M
+    events) to 18.5× (10M) faster drains than the
+    applyInPandasWithState twin
+    (scripts/scale_out_streaming_sf100.json); this is the production
+    shape for plain counters — reach for :func:`key_counts` only when
+    the per-key transition is state Spark cannot express as an
+    aggregate.  Same output contract: (k1, k2, n) per micro-batch,
+    n monotone per key, final state = max-n row per key."""
+    return (stream.select(F.col(key1).cast("string").alias("k1"),
+                          F.col(key2).cast("string").alias("k2"))
+            .groupBy("k1", "k2")
+            .agg(F.count("*").alias("n")))
 
 
 # ------------------------------------------------------------ CDC state
