@@ -309,9 +309,57 @@ assert len(set(_WINDOW_R8_HEAD)) == 50, "duplicate in window head"
 _WINDOW_R8 = _WINDOW_R8_HEAD + _WINDOW_R8_TAIL
 assert len(set(_WINDOW_R8)) == len(_WINDOW_R8), "duplicate in window"
 
+# Round-9 window, per the r8 verdict's prescription: ELEVEN new/
+# changed entries lead (all pre-validated against DuckDB at sf0.01
+# before this window was declared) — the two embedding-dedup entries
+# re-verify because their inputs changed (planted near-dup pairs +
+# the non-floor derive_div=1 derivation, closing r8 "What's wrong"
+# #1), then the nine operators registered this round (ann_ivf_
+# two_level puts the k>>10^4 escape hatch itself under the gate —
+# verdict item 3; streaming_key_counts_native and io_rowgroup_summary
+# are the verdict-item-4 candidates; the rest are production-shaped
+# additions at slack rate).  Then the 30 r5-stale greens
+# _WINDOW_R8_TAIL queued, then the oldest r6 greens to the 50-slot
+# budget.  After this round no query's last driver green predates r6
+# (verdict item 2); the remaining r6 greens queue in _WINDOW_R9_TAIL
+# to lead r10.
+_WINDOW_R9_HEAD = [
+    # new/changed this round — never driver-checked (or input changed)
+    "dedup_embedding", "dedup_embedding_derived", "ann_ivf_two_level",
+    "ann_range_search", "text_boilerplate", "graph_kcore",
+    "geo_grid_density", "io_column_stats", "io_rowgroup_summary",
+    "events_ab_metrics", "streaming_key_counts_native",
+    # the 30 r5-stale greens, in the order the r8 tail queued them
+    *_WINDOW_R8_TAIL,
+    # oldest r6 greens, registry order, to the 50-slot budget
+    "q6_forecast_revenue", "io_bucketed_join", "corpus_filter_report",
+    "io_partition_prune", "events_wau", "streaming_topk",
+    "synth_transactions", "synth_iot", "synth_exotic_scalar",
+]
+# r6 greens that did not fit the 50-slot budget — lead the r10
+# window; r7/r8/r9-green queries are fresher and follow in registry
+# order
+_WINDOW_R9_TAIL = [
+    "synth_registry", "synth_cpoc", "synth_correlate",
+    "synth_correlate_pair", "dedup_exact", "dedup_exact_keep",
+    "dedup_simhash", "ann_bruteforce", "ann_lsh", "text_langid",
+    "text_quality", "text_tokens", "text_fingerprint", "text_entropy",
+    "embed_cluster", "dedup_semantic", "embed_pq", "ann_pq",
+    "ann_ivfpq", "ann_ivfpq_rerank", "corpus_diff", "corpus_balance",
+    "corpus_pack_pairs", "media_segments", "sketch_topk",
+    "events_parse_lines", "events_cdc_apply", "events_attribution",
+    "corpus_token_budget", "corpus_overlap", "graph_components",
+    "events_sequences", "sketch_ams", "corpus_curriculum",
+    "events_dwell", "embed_knn_graph", "streaming_cdc_apply",
+]
+assert len(_WINDOW_R9_HEAD) == 50, len(_WINDOW_R9_HEAD)
+assert len(set(_WINDOW_R9_HEAD)) == 50, "duplicate in window head"
+_WINDOW_R9 = _WINDOW_R9_HEAD + _WINDOW_R9_TAIL
+assert len(set(_WINDOW_R9)) == len(_WINDOW_R9), "duplicate in window"
+
 
 def _rotate(q: dict) -> dict:
-    head = [n for n in _WINDOW_R8 if n in q]
+    head = [n for n in _WINDOW_R9 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in head]}
 
 
