@@ -2308,3 +2308,89 @@ def test_multiprobe_dominates_single_probe(spark):
     r2 = len(truth & multi)
     assert r2 >= r1
     assert r2 > r1  # 6 extra probes must recover some lost neighbors
+
+
+def test_kcore_planted(spark):
+    """Bounded k-core peel on a hand-built graph: a 4-clique (every
+    node degree 3) survives a 2-core peel intact; a pendant chain
+    hanging off it peels away completely within the round budget."""
+    from nifi_datasynthesizer_spark.operators.graph import kcore
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(clique + chain, ["a", "b"])
+    got = {r.node: r.deg for r in kcore(pairs, k=2, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above the clique degree empties the graph
+    assert kcore(pairs, k=4, rounds=3).count() == 0
+
+
+def test_grid_density_matches_near_pairs_grid(spark):
+    """grid_density counts on EXACTLY near_pairs' cell function: a
+    cell of n co-located points implies C(n,2) within-cell candidate
+    pairs, and points straddling a cell edge land in different
+    cells."""
+    from nifi_datasynthesizer_spark.operators import geo as GEO
+    pts = spark.createDataFrame(
+        [(1, 10.0001, 20.0001), (2, 10.0002, 20.0002),
+         (3, 10.0003, 20.0003),           # 3 points in one 0.05° cell
+         (4, 10.0601, 20.0001),           # next cell north
+         (5, -10.0001, -20.0001)],        # negative coords floor down
+        ["pid", "lat", "lon"])
+    got = {(r.cx, r.cy): r.n_points
+           for r in GEO.grid_density(pts, cell_udeg=50_000).collect()}
+    assert got[(400, 200)] == 3
+    assert got[(400, 201)] == 1
+    # floor(-20000100 / 50000) = -401 (floored, not truncated)
+    assert got[(-401, -201)] == 1
+    assert GEO.grid_density(pts, cell_udeg=50_000,
+                            min_points=2).count() == 1
+
+
+def test_column_stats_exact(spark):
+    """One-pass stats: exact ndv/nulls/min/max per column, string
+    rendering, stack unpivot row per column."""
+    from nifi_datasynthesizer_spark.io import column_stats
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (2, "a")],
+        "k long, s string")
+    got = {r.col: r for r in column_stats(df, ["k", "s"]).collect()}
+    k, s = got["k"], got["s"]
+    assert (k.n_non_null, k.n_null, k.ndv, k.min_s, k.max_s) == \
+        (4, 0, 3, "1", "3")
+    assert (s.n_non_null, s.n_null, s.ndv, s.min_s, s.max_s) == \
+        (3, 1, 2, "a", "b")
+
+
+def test_ann_range_threshold_and_bruteforce_consistency(spark):
+    """Range search at threshold t must return exactly the brute-force
+    pairs with cosine >= t (same rounding, same exclusion of self)."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8)
+    rng = {(r.query_id, r.cand_id, r.cosine)
+           for r in SIM.ann_range(emb, qs, min_cosine=0.2).collect()}
+    # brute force with a huge k = the full scored set
+    full = {(r.query_id, r.cand_id, r.cosine)
+            for r in SIM.ann_bruteforce(emb, qs, k=10**6).collect()
+            if r.cosine >= 0.2}
+    assert rng == full and len(rng) > 0
+
+
+def test_bigram_boilerplate_planted(spark):
+    """Three docs sharing one bigram ('alpha beta'), each with two
+    unique bigrams: at min_df=3 only the shared bigram is 'common',
+    so every doc scores 1 common of 3 bigrams = 333333 ppm; at
+    min_df=4 nothing is common."""
+    from nifi_datasynthesizer_spark.operators.text import \
+        bigram_boilerplate
+    docs = spark.createDataFrame(
+        [(1, "alpha beta one two"), (2, "alpha beta three four"),
+         (3, "alpha beta five six")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.n_common, r.common_ppm)
+           for r in bigram_boilerplate(docs, min_df=3).collect()}
+    assert got == {1: (3, 1, 333333), 2: (3, 1, 333333),
+                   3: (3, 1, 333333)}
+    none = bigram_boilerplate(docs, min_df=4)
+    assert all(r.n_common == 0 for r in none.collect())
