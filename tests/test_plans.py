@@ -650,13 +650,15 @@ def test_r8_operators_scan_counts(spark):
     centroid + query scans plus the literal-path assignment read (4);
     ann_ivf_arrow: the Arrow-kernel path folds assignment into the
     corpus pass (3); dedup_embedding_derived reads the corpus once
-    into the pinned bucketed frame (1 — the candidate join and both
-    payload re-attaches reuse it); exchanges stay bounded (per-query
-    top-k windows and the bucket join — never a second corpus-sized
-    shuffle)."""
+    into the pinned bucketed frame plus the r9 planted-pair branch —
+    a SECOND scan whose vec_id < 10 filter is pushed to parquet, so
+    it reads 10 rows regardless of corpus size (2 total; the
+    candidate join and both payload re-attaches reuse the pin);
+    exchanges stay bounded (per-query top-k windows and the bucket
+    join — never a second corpus-sized shuffle)."""
     from nifi_datasynthesizer_spark.operators.dedup import release_caches
     expect = {"ann_ivf_derived": (4, 4), "ann_ivf_arrow": (3, 3),
-              "dedup_embedding_derived": (1, 1)}
+              "dedup_embedding_derived": (2, 1)}
     for name, (want_scans, want_exch) in expect.items():
         df = entrymod.queries()[name](spark, SF)
         p = _plan(df)
@@ -665,3 +667,33 @@ def test_r8_operators_scan_counts(spark):
         assert len(scans) <= want_scans, (name, scans)
         assert len(exch) <= want_exch, (name, exch)
         release_caches()
+
+
+def test_r9_operators_plan_audit(spark):
+    """Plan audit for the r9 entries.  ann_range_search: queries ride
+    a BroadcastNestedLoopJoin and the corpus is never shuffled (no
+    Exchange at all — range search has no per-query top-k window).
+    io_column_stats: ONE parquet scan feeds every per-column
+    aggregate (the expand-based exact distincts shuffle partials, not
+    the corpus).  text_boilerplate: bigram extraction is whole-array
+    collection functions — no per-element LambdaFunction in the plan
+    (the interpreted-HOF trap measured 20× here)."""
+    q = entrymod.queries()
+
+    p = _plan(q["ann_range_search"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    body = p.split("== Physical Plan ==")[-1]
+    assert ") Exchange" not in body or "rangepartitioning" in body.lower()
+
+    p = _plan(q["io_column_stats"](spark, SF))
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) == 1, scans
+
+    p = _plan(q["text_boilerplate"](spark, SF))
+    assert "lambdafunction" not in p.lower(), "interpreted HOF crept back"
+
+    # the planted branch of the embedding-dedup entries reads 10 rows
+    # regardless of corpus size: its vec_id filter reaches parquet
+    p = _plan(q["dedup_embedding"](spark, SF))
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in p \
+        or "LessThan(vec_id,10)" in p, "planted-branch filter not pushed"
