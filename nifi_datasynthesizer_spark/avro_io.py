@@ -11,10 +11,14 @@ codec, then sync-marked blocks of zigzag-varint-encoded records — so
 this module implements it directly: primitives ``long int double
 float string boolean bytes``, the ``timestamp-micros`` and ``date``
 logical types (top level) plus ``decimal`` (nestable — exact unscaled
-big-endian bytes), nested ``record`` / ``array`` / string-keyed
-``map`` columns (the shapes the reference's map / sequence / join
-samplers emit), and nullable columns as ``["null", T]`` unions with
-the null branch at either index.
+big-endian bytes over ``bytes`` OR ``fixed``, exact at any precision
+up to the context widening in the codec), nested ``record`` /
+``array`` / string-keyed ``map`` columns (the shapes the reference's
+map / sequence / join samplers emit), ``enum`` (symbol-index ↔ string)
+and ``fixed`` (raw width bytes ↔ binary) for foreign-written files,
+and nullable columns as ``["null", T]`` unions with the null branch
+at either index.  Unions wider than the nullable 2-branch form raise
+``TypeError`` — they cannot map onto one Spark column type.
 
 Spec compliance is proven against the OFFICIAL Java implementation
 bundled with pyspark (``avro-1.12.1.jar``): tests write files here and
@@ -225,6 +229,10 @@ def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
     if t == "map":
         vt, vn = _avro_type_to_spark(at["values"])
         return T.MapType(T.StringType(), vt, vn), nullable
+    if t == "enum":      # symbol name as a plain string column
+        return T.StringType(), nullable
+    if t == "fixed":     # fixed-width opaque bytes
+        return T.BinaryType(), nullable
     if t in _BACK:  # unknown logical type over a primitive: raw value
         return _BACK[t](), nullable
     raise TypeError(f"unsupported avro field type: {at!r}")
@@ -300,8 +308,38 @@ def _make_encoder(at):
                                      for k, x in v.items()) + b"\x00")
                 return b"\x00"
             return enc_map
+        if t == "enum":
+            # spec: an enum is written as the zigzag-long INDEX of the
+            # symbol; values arrive as the symbol string
+            idx = {sym: i for i, sym in enumerate(at["symbols"])}
+
+            def enc_enum(v):
+                return enc_long(idx[v])
+            return enc_enum
+        if t == "fixed" and at.get("logicalType") != "decimal":
+            size = at["size"]
+
+            def enc_fixed(v):
+                b = bytes(v)
+                if len(b) != size:
+                    raise ValueError(
+                        f"fixed({size}) value has {len(b)} bytes")
+                return b
+            return enc_fixed
         if at.get("logicalType") == "decimal":
             s = at["scale"]
+            if t == "fixed":
+                # decimal-over-fixed: unscaled two's-complement int in
+                # EXACTLY size bytes, no length prefix
+                size = at["size"]
+
+                def enc_decimal_fixed(v):
+                    import decimal
+                    with decimal.localcontext() as ctx:
+                        ctx.prec = len(v.as_tuple().digits) + abs(s) + 2
+                        unscaled = int(v.scaleb(s))
+                    return unscaled.to_bytes(size, "big", signed=True)
+                return enc_decimal_fixed
 
             def enc_decimal(v):
                 # exact at ANY precision: scaleb under the ambient
@@ -402,8 +440,33 @@ def _make_decoder(at):
                         k, pos = _dec_str(buf, pos)
                         out[k], pos = vdec(buf, pos)
             return dec_map
+        if t == "enum":
+            syms = at["symbols"]
+
+            def dec_enum(buf, pos):
+                i, pos = dec_long(buf, pos)
+                return syms[i], pos
+            return dec_enum
+        if t == "fixed" and at.get("logicalType") != "decimal":
+            size = at["size"]
+
+            def dec_fixed(buf, pos):
+                return bytes(buf[pos:pos + size]), pos + size
+            return dec_fixed
         if at.get("logicalType") == "decimal":
             s = at["scale"]
+            if t == "fixed":
+                size = at["size"]
+
+                def dec_decimal_fixed(buf, pos):
+                    import decimal
+                    unscaled = int.from_bytes(buf[pos:pos + size],
+                                              "big", signed=True)
+                    with decimal.localcontext() as ctx:
+                        ctx.prec = len(str(abs(unscaled))) + abs(s) + 2
+                        return (decimal.Decimal(unscaled).scaleb(-s),
+                                pos + size)
+                return dec_decimal_fixed
 
             def dec_decimal(buf, pos):
                 # the Decimal(int) constructor is context-exempt but

@@ -736,3 +736,106 @@ def test_cli_avro_output(spark, tmp_path):
     assert back.count() == 200
     assert [f.name for f in back.schema.fields] == ["rec_id", "qty", "who"]
     assert back.agg({"qty": "min"}).collect()[0][0] >= 1
+
+
+def test_avro_enum_fixed_decimal_fixed():
+    """Spec coverage for foreign writers: enum (zigzag symbol index),
+    fixed (raw width bytes, no length prefix), and decimal-over-fixed
+    (unscaled two's-complement in exactly `size` bytes) round-trip
+    through the container codec, and map to string/binary/decimal
+    Spark columns."""
+    import io as _bio
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    schema = {"type": "record", "name": "f", "fields": [
+        {"name": "color", "type": {"type": "enum", "name": "c",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "mac", "type": {"type": "fixed", "name": "m",
+                                 "size": 6}},
+        {"name": "amt", "type": {"type": "fixed", "name": "d",
+                                 "size": 16, "logicalType": "decimal",
+                                 "precision": 38, "scale": 2}},
+        {"name": "maybe", "type": ["null", {"type": "enum", "name": "e2",
+                                            "symbols": ["A", "B"]}]},
+    ]}
+    rows = [
+        ["GREEN", "RED", "BLUE"],
+        [b"\x00\x1b\x44\x11\x3a\xff", b"\xde\xad\xbe\xef\x00\x01",
+         b"\x01\x02\x03\x04\x05\x06"],
+        [Decimal("12345678901234567890123456789012345.67"),
+         Decimal("-0.01"), Decimal("0")],
+        [None, "A", "B"],
+    ]
+    buf = _bio.BytesIO()
+    AV.write_container(buf, schema, rows, sync_seed="ef")
+    _, back = AV.read_container(buf.getvalue())
+    for j, name in enumerate(["color", "mac", "amt", "maybe"]):
+        assert [r[name] for r in back] == rows[j], name
+    st = AV.avro_to_spark_schema(schema)
+    assert st["color"].dataType == T.StringType()
+    assert st["mac"].dataType == T.BinaryType()
+    assert st["amt"].dataType == T.DecimalType(38, 2)
+    assert st["maybe"].dataType == T.StringType() and st["maybe"].nullable
+
+
+def test_avro_enum_fixed_java_interop(spark, tmp_path):
+    """enum / fixed / decimal-over-fixed written by the pure-Python
+    encoder decode value-exact in the OFFICIAL Java implementation,
+    and a Java-written file with the same shapes decodes here — the
+    symbol-index coding and prefix-free fixed width are spec-exact in
+    both directions."""
+    import glob
+    import json as _json
+    from decimal import Decimal
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    schema = {"type": "record", "name": "ef", "fields": [
+        {"name": "color", "type": {"type": "enum", "name": "c",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "tag", "type": {"type": "fixed", "name": "m",
+                                 "size": 4}},
+        {"name": "amt", "type": {"type": "fixed", "name": "d",
+                                 "size": 8, "logicalType": "decimal",
+                                 "precision": 18, "scale": 2}},
+    ]}
+    rows = [["BLUE", "RED"], [b"abcd", b"wxyz"],
+            [Decimal("12345.67"), Decimal("-0.02")]]
+    import io as _bio
+    d = tmp_path / "ef"
+    d.mkdir()
+    fname = str(d / "part-0.avro")
+    with open(fname, "wb") as fh:
+        AV.write_container(fh, schema, rows, sync_seed="ef")
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(fname), rdr)
+    got = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        got.append((str(rec.get("color")),
+                    bytes(rec.get("tag").bytes()),
+                    int.from_bytes(bytes(rec.get("amt").bytes()),
+                                   "big", signed=True)))
+    dfr.close()
+    assert got == [("BLUE", b"abcd", 1234567), ("RED", b"wxyz", -2)]
+
+    # reverse: Java writes the same schema via JsonDecoder (fixed is
+    # JSON-encoded as ISO-8859-1 text, so printable bytes)
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+    gdr = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    gdw = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(gdw)
+    fname2 = str(d / "java-0.avro")
+    dfw.create(sch, jvm.java.io.File(fname2))
+    fac = jvm.org.apache.avro.io.DecoderFactory.get()
+    amt = int.to_bytes(999999999999999999, 8, "big").decode("latin-1")
+    payload = {"color": "GREEN", "tag": "PQRS", "amt": amt}
+    dfw.append(gdr.read(None, fac.jsonDecoder(sch, _json.dumps(payload))))
+    dfw.close()
+    _, back = AV.read_container(open(fname2, "rb").read())
+    assert back == [{"color": "GREEN", "tag": b"PQRS",
+                     "amt": Decimal("9999999999999999.99")}]
