@@ -2394,3 +2394,39 @@ def test_bigram_boilerplate_planted(spark):
                    3: (3, 1, 333333)}
     none = bigram_boilerplate(docs, min_df=4)
     assert all(r.n_common == 0 for r in none.collect())
+
+
+@pytest.mark.parametrize("seed", [11, 29, 83])
+def test_assign_two_level_random_configs(spark, seed):
+    """Randomized robustness across centroid geometries (seeded, not
+    hypothesis — each example is a Spark job): full probe is always
+    bit-identical to the flat argmin, and NARROW probe always yields
+    a valid member assignment (cluster >= 0, dist_q from a scanned
+    member — never the int64-max sentinel), empty supers or not."""
+    import random
+
+    from nifi_datasynthesizer_spark.operators import clustering as CL
+    rng = random.Random(seed)
+    k = rng.choice([9, 12, 16])
+    dim = rng.choice([2, 4])
+    # clumpy centroids (duplicates + near-duplicates) maximize the
+    # chance of empty supers after the internal Lloyd passes
+    base = [[rng.randint(-30, 30) for _ in range(dim)]
+            for _ in range(max(2, k // 3))]
+    cents = [list(rng.choice(base)) for _ in range(k)]
+    rows = [(i, [rng.randint(-40, 40) for _ in range(dim)])
+            for i in range(120)]
+    quant = spark.createDataFrame(rows, "vec_id long, xi array<bigint>")
+    flat = {r.vec_id: (r.cluster, r.dist_q)
+            for r in CL._assign(quant, cents).collect()}
+    full = {r.vec_id: (r.cluster, r.dist_q)
+            for r in CL.assign_two_level(quant, cents,
+                                         probe_supers=k).collect()}
+    assert full == flat
+    narrow = {r.vec_id: (r.cluster, r.dist_q)
+              for r in CL.assign_two_level(quant, cents,
+                                           probe_supers=1).collect()}
+    assert len(narrow) == 120
+    assert all(c >= 0 and d < (1 << 62) for c, d in narrow.values())
+    # narrow probing searches a subset: never better than flat
+    assert all(narrow[v][1] >= flat[v][1] for v in flat)
