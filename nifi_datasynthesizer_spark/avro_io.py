@@ -16,8 +16,12 @@ up to the context widening in the codec), nested ``record`` /
 ``array`` / string-keyed ``map`` columns (the shapes the reference's
 map / sequence / join samplers emit), ``enum`` (symbol-index ↔ string)
 and ``fixed`` (raw width bytes ↔ binary) for foreign-written files,
-and nullable columns as ``["null", T]`` unions with the null branch
-at either index.  Unions wider than the nullable 2-branch form raise
+named-type REFERENCES with spec namespace resolution (bare names
+resolve against the enclosing namespace, dotted names are absolute;
+union-guarded recursive records decode via lazy codecs — their Spark
+schema mapping raises, since no finite schema exists), and nullable
+columns as ``["null", T]`` unions with the null branch at either
+index.  Unions wider than the nullable 2-branch form raise
 ``TypeError`` — they cannot map onto one Spark column type.
 
 Spec compliance is proven against the OFFICIAL Java implementation
@@ -201,14 +205,38 @@ def _union_branch(at: list):
     return non_null[0], (at.index("null") if "null" in at else -1)
 
 
-def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
+def _avro_type_to_spark(at, names: dict | None = None, ns: str = "",
+                        _stack: frozenset = frozenset()
+                        ) -> tuple[T.DataType, bool]:
+    if names is None:
+        names = {}
     nullable = isinstance(at, list)
     if nullable:
         at, _ = _union_branch(at)
     if isinstance(at, str):
         if at in _BACK:
             return _BACK[at](), nullable
+        target = _resolve_named(at, names, ns)
+        if target is not None:   # named-type reference
+            full = (at if "." in at else
+                    (f"{ns}.{at}" if ns and f"{ns}.{at}" in names
+                     else at))
+            if full in _stack:
+                # a RECURSIVE record decodes fine (container codec is
+                # lazy) but has no finite Spark schema
+                raise TypeError(
+                    f"recursive avro type {at!r} cannot map to a "
+                    "Spark schema")
+            dt, _ = _avro_type_to_spark(target, names, ns,
+                                        _stack | {full})
+            return dt, nullable
         raise TypeError(f"unsupported avro type: {at!r}")
+    if isinstance(at, dict) and at.get("type") in ("record", "enum",
+                                                   "fixed"):
+        ns = _register_named(at, names, ns)
+        nm = at.get("name")
+        if nm:
+            _stack = _stack | {f"{ns}.{nm}" if ns else nm}
     lt = at.get("logicalType")
     if lt == "timestamp-micros":
         return T.TimestampType(), nullable
@@ -220,14 +248,14 @@ def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
     if t == "record":
         fields = []
         for f in at["fields"]:
-            fdt, fn = _avro_type_to_spark(f["type"])
+            fdt, fn = _avro_type_to_spark(f["type"], names, ns, _stack)
             fields.append(T.StructField(f["name"], fdt, fn))
         return T.StructType(fields), nullable
     if t == "array":
-        et, en = _avro_type_to_spark(at["items"])
+        et, en = _avro_type_to_spark(at["items"], names, ns, _stack)
         return T.ArrayType(et, en), nullable
     if t == "map":
-        vt, vn = _avro_type_to_spark(at["values"])
+        vt, vn = _avro_type_to_spark(at["values"], names, ns, _stack)
         return T.MapType(T.StringType(), vt, vn), nullable
     if t == "enum":      # symbol name as a plain string column
         return T.StringType(), nullable
@@ -239,9 +267,11 @@ def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
 
 
 def avro_to_spark_schema(avro: dict) -> T.StructType:
+    names: dict = {}
+    _register_named(avro, names)
     out = []
     for f in avro["fields"]:
-        dt, nullable = _avro_type_to_spark(f["type"])
+        dt, nullable = _avro_type_to_spark(f["type"], names)
         out.append(T.StructField(f["name"], dt, nullable))
     return T.StructType(out)
 
@@ -264,14 +294,56 @@ _ENC_PRIM = {
 }
 
 
-def _make_encoder(at):
+def _register_named(at: dict, names: dict, ns: str = "") -> str:
+    """Record a named type (record/enum/fixed) under its FULL name —
+    the declared namespace, else the inherited enclosing one — and
+    return the effective namespace for the type's children (spec name
+    resolution: nested definitions inherit the enclosing namespace
+    unless they declare their own)."""
+    nm = at.get("name")
+    eff = at.get("namespace", ns)
+    if nm:
+        names[f"{eff}.{nm}" if eff else nm] = at
+    return eff
+
+
+def _resolve_named(at: str, names: dict, ns: str):
+    """Resolve a named-type reference per the spec: a dotted name is
+    absolute; a bare name resolves against the enclosing namespace
+    first, then the null namespace."""
+    if "." in at:
+        return names.get(at)
+    if ns and f"{ns}.{at}" in names:
+        return names[f"{ns}.{at}"]
+    return names.get(at)
+
+
+def _named_ref(target: dict, names: dict, ns: str, compile_fn):
+    """Lazy codec for a named-type REFERENCE: resolution is deferred
+    to first use so self-referential records (linked lists, trees —
+    legal in the spec when the recursion is union-guarded) compile
+    without infinite regress."""
+    cell: dict = {}
+
+    def ref(*args):
+        if "fn" not in cell:
+            cell["fn"] = compile_fn(target, names, ns)
+        return cell["fn"](*args)
+    return ref
+
+
+def _make_encoder(at, names: dict | None = None, ns: str = ""):
     """Compile an avro type (possibly nested) into ``fn(value) ->
     bytes``.  Compiled once per schema, so the per-value hot loop pays
     no type dispatch; unions write the computed branch index (the spec
-    permits ``[T, "null"]`` as well as ``["null", T]``)."""
+    permits ``[T, "null"]`` as well as ``["null", T]``); named types
+    register in ``names`` as defined and may be referenced by name
+    afterwards."""
+    if names is None:
+        names = {}
     if isinstance(at, list):
         branch, nb = _union_branch(at)
-        inner = _make_encoder(branch)
+        inner = _make_encoder(branch, names, ns)
         if nb < 0:  # degenerate [T] union: no null branch to select
             vb_b = enc_long(0)
             return lambda v: vb_b + inner(v)
@@ -282,15 +354,17 @@ def _make_encoder(at):
         return enc_union
     if isinstance(at, dict):
         t = at["type"]
+        if t in ("record", "enum", "fixed"):
+            ns = _register_named(at, names, ns)
         if t == "record":
-            fencs = [(f["name"], _make_encoder(f["type"]))
+            fencs = [(f["name"], _make_encoder(f["type"], names, ns))
                      for f in at["fields"]]
 
             def enc_record(v):
                 return b"".join(fe(v[n]) for n, fe in fencs)
             return enc_record
         if t == "array":
-            ie = _make_encoder(at["items"])
+            ie = _make_encoder(at["items"], names, ns)
 
             def enc_array(v):
                 if v:
@@ -299,7 +373,7 @@ def _make_encoder(at):
                 return b"\x00"
             return enc_array
         if t == "map":
-            ve = _make_encoder(at["values"])
+            ve = _make_encoder(at["values"], names, ns)
 
             def enc_map(v):
                 if v:
@@ -356,7 +430,12 @@ def _make_encoder(at):
                     unscaled.bit_length() // 8 + 1, "big", signed=True))
             return enc_decimal
         return _ENC_PRIM[t]  # logical-type wrapper over a primitive
-    return _ENC_PRIM[at]
+    if at in _ENC_PRIM:
+        return _ENC_PRIM[at]
+    target = _resolve_named(at, names, ns)
+    if target is not None:  # reference to a defined named type
+        return _named_ref(target, names, ns, _make_encoder)
+    raise TypeError(f"unsupported avro type: {at!r}")
 
 
 def _dec_str(buf, pos):
@@ -382,13 +461,16 @@ _DEC_PRIM = {
 }
 
 
-def _make_decoder(at):
+def _make_decoder(at, names: dict | None = None, ns: str = ""):
     """Compile an avro type into ``fn(buf, pos) -> (value, pos)``.
     Array/map blocks honour the spec's negative-count form (abs count
-    followed by a byte size)."""
+    followed by a byte size); named types register in ``names`` as
+    defined and may be referenced by name afterwards."""
+    if names is None:
+        names = {}
     if isinstance(at, list):
         branch, nb = _union_branch(at)
-        inner = _make_decoder(branch)
+        inner = _make_decoder(branch, names, ns)
 
         def dec_union(buf, pos):
             br, pos = dec_long(buf, pos)
@@ -398,8 +480,10 @@ def _make_decoder(at):
         return dec_union
     if isinstance(at, dict):
         t = at["type"]
+        if t in ("record", "enum", "fixed"):
+            ns = _register_named(at, names, ns)
         if t == "record":
-            fdecs = [(f["name"], _make_decoder(f["type"]))
+            fdecs = [(f["name"], _make_decoder(f["type"], names, ns))
                      for f in at["fields"]]
 
             def dec_record(buf, pos):
@@ -409,7 +493,7 @@ def _make_decoder(at):
                 return row, pos
             return dec_record
         if t == "array":
-            idec = _make_decoder(at["items"])
+            idec = _make_decoder(at["items"], names, ns)
 
             def dec_array(buf, pos):
                 out = []
@@ -425,7 +509,7 @@ def _make_decoder(at):
                         out.append(v)
             return dec_array
         if t == "map":
-            vdec = _make_decoder(at["values"])
+            vdec = _make_decoder(at["values"], names, ns)
 
             def dec_map(buf, pos):
                 out = {}
@@ -481,7 +565,12 @@ def _make_decoder(at):
                     return decimal.Decimal(unscaled).scaleb(-s), pos
             return dec_decimal
         return _DEC_PRIM[t]
-    return _DEC_PRIM[at]
+    if at in _DEC_PRIM:
+        return _DEC_PRIM[at]
+    target = _resolve_named(at, names, ns)
+    if target is not None:  # reference to a defined named type
+        return _named_ref(target, names, ns, _make_decoder)
+    raise TypeError(f"unsupported avro type: {at!r}")
 
 
 def write_container(fh, avro_schema: dict, row_lists: list[list],
@@ -505,8 +594,11 @@ def write_container(fh, avro_schema: dict, row_lists: list[list],
     fh.write(enc_long(0))
     fh.write(sync)
 
+    enc_names: dict = {}
+    _register_named(avro_schema, enc_names)
     fencs = [(f["name"], isinstance(f["type"], list),
-              _make_encoder(f["type"])) for f in avro_schema["fields"]]
+              _make_encoder(f["type"], enc_names))
+             for f in avro_schema["fields"]]
     n = len(row_lists[0]) if row_lists else 0
     total = 0
     for start in range(0, n, block_records):
@@ -560,7 +652,9 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
     sync = bytes(buf[pos:pos + 16])
     pos += 16
 
-    fdecs = [(f["name"], _make_decoder(f["type"]))
+    dec_names: dict = {}
+    _register_named(schema, dec_names)
+    fdecs = [(f["name"], _make_decoder(f["type"], dec_names))
              for f in schema["fields"]]
     rows = []
     end = len(buf)

@@ -839,3 +839,87 @@ def test_avro_enum_fixed_java_interop(spark, tmp_path):
     _, back = AV.read_container(open(fname2, "rb").read())
     assert back == [{"color": "GREEN", "tag": b"PQRS",
                      "amt": Decimal("9999999999999999.99")}]
+
+
+def test_avro_named_type_references(spark):
+    """Spec named-type reuse: later fields may reference an earlier
+    record/enum/fixed by name — bare within the null namespace,
+    namespace-qualified across namespaces, and bare WITHIN an
+    enclosing namespace (inherited per the spec's resolution rules;
+    the Java parser enforces exactly this, rejecting bare refs to
+    namespaced types from outside).  A union-guarded self-referential
+    record decodes (lazy codec) while its Spark-schema mapping raises
+    cleanly (no finite schema).  The reference-bearing file is ALSO
+    read back by the official Java implementation."""
+    import io as _bio
+
+    import pytest as _pt
+    from pyspark.sql import types as T
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+    schema = {"type": "record", "name": "top", "fields": [
+        {"name": "a", "type": {"type": "enum", "name": "col",
+                               "symbols": ["X", "Y"]}},
+        {"name": "b", "type": "col"},              # bare ref, null ns
+        {"name": "pt", "type": {
+            "type": "record", "name": "pair",
+            "namespace": "com.example", "fields": [
+                {"name": "u", "type": {"type": "fixed", "name": "tag4",
+                                       "size": 2}},
+                {"name": "v", "type": "tag4"}]}},  # bare ref INSIDE ns
+        {"name": "pt2", "type": "com.example.pair"},   # qualified ref
+    ]}
+    rows = [["X", "Y"], ["Y", "X"],
+            [{"u": b"ab", "v": b"cd"}, {"u": b"ef", "v": b"gh"}],
+            [{"u": b"ij", "v": b"kl"}, {"u": b"mn", "v": b"op"}]]
+    buf = _bio.BytesIO()
+    AV.write_container(buf, schema, rows, sync_seed="nref")
+    _, back = AV.read_container(buf.getvalue())
+    assert [r["b"] for r in back] == ["Y", "X"]
+    assert [r["pt"] for r in back] == [{"u": b"ab", "v": b"cd"},
+                                       {"u": b"ef", "v": b"gh"}]
+    assert [r["pt2"] for r in back] == [{"u": b"ij", "v": b"kl"},
+                                        {"u": b"mn", "v": b"op"}]
+    st = AV.avro_to_spark_schema(schema)
+    assert st["b"].dataType == T.StringType()
+    assert st["pt2"].dataType == st["pt"].dataType
+
+    # Java cross-check: bare, in-namespace, and qualified references
+    # all resolve to the same values under DataFileReader
+    import os as _os
+    import tempfile
+    fd, fname = tempfile.mkstemp(suffix=".avro")
+    try:
+        with _os.fdopen(fd, "wb") as fh:
+            AV.write_container(fh, schema, rows, sync_seed="nref")
+        jvm = spark._jvm
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(fname), rdr)
+        jgot = []
+        while dfr.hasNext():
+            rec = dfr.next()
+            jgot.append((str(rec.get("b")),
+                         bytes(rec.get("pt").get("v").bytes()),
+                         bytes(rec.get("pt2").get("u").bytes())))
+        dfr.close()
+        assert jgot == [("Y", b"cd", b"ij"), ("X", b"gh", b"mn")]
+    finally:
+        _os.unlink(fname)
+
+    # union-guarded recursion: a linked list decodes at the container
+    # level; the Spark mapping refuses (infinite schema)
+    rec = {"type": "record", "name": "node", "fields": [
+        {"name": "val", "type": "long"},
+        {"name": "next", "type": ["null", "node"]}]}
+    lschema = {"type": "record", "name": "l", "fields": [
+        {"name": "head", "type": rec}]}
+    chain = {"val": 1, "next": {"val": 2, "next": {"val": 3,
+                                                   "next": None}}}
+    buf = _bio.BytesIO()
+    AV.write_container(buf, lschema, [[chain]], sync_seed="rec")
+    _, back = AV.read_container(buf.getvalue())
+    assert back == [{"head": chain}]
+    with _pt.raises(TypeError, match="recursive"):
+        AV.avro_to_spark_schema(lschema)
+
