@@ -704,6 +704,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("col"))
     q["io_column_stats"] = io_column_stats
 
+    def io_column_stats_sketch(spark, sf):
+        """The wide-audit twin of io_column_stats (r9 verdict "What's
+        wrong" #3): ndv via the repo's engine-exact HLL registers
+        instead of Spark's expand — the m MAX(CASE) register
+        aggregates are map-side partial-combinable, so the whole
+        audit is one scan + one single-row shuffle with ZERO row
+        multiplication (the exact mode pays #cols× rows inside its
+        expand).  DuckDB replays the registers bit-identically, so
+        the approximate ndv is still hash-gated, not rows-only."""
+        ev = _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        return (IO.column_stats(
+            ev, ["event_id", "user_id", "event_type", "cents"],
+            ndv_mode="sketch")
+            .orderBy("col"))
+    q["io_column_stats_sketch"] = io_column_stats_sketch
+
     def events_wau(spark, sf):
         """Rolling 7-day active users: distinct (user, day) pairs
         exploded to contribution days and re-distincted — the
@@ -3271,6 +3289,10 @@ FROM shapes"""
         ["event_id", "user_id", "event_type", "cents"],
         table="(SELECT event_id, user_id, event_type, "
               "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)")
+    o["io_column_stats_sketch"] = OR.column_stats_sketch_sql(
+        ["event_id", "user_id", "event_type", "cents"],
+        table="(SELECT event_id, user_id, event_type, "
+              "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)")
     o["ann_range_search"] = OR.ann_range_sql(min_cosine=0.2)
     o["text_boilerplate"] = OR.bigram_boilerplate_sql(min_df=3)
     o["graph_kcore"] = OR.kcore_sql(OR.minhash_pairs_sql(
@@ -3328,8 +3350,12 @@ FROM c ORDER BY lang, pred_lang"""
     o["ann_ivf_derived"] = OR.ann_ivf_derived_sql(k=10, n_probe=4)
     o["ann_ivf_arrow"] = OR.ann_ivf_sql(k=10, n_centroids=80, n_probe=4)
     o["ann_ivf_two_level"] = OR.assign_cells_sql(n_cells=80)
+    # max_bits=24 keeps the oracle's literal-hyperplane headroom at
+    # 16.7M vectors for the derive_div=1 derivation (r9 ADVICE: at 16
+    # bits Spark out-derives the oracle above ~65k rows ≈ sf3)
     o["dedup_embedding_derived"] = OR.dedup_embedding_derived_sql(
-        threshold=0.95, seed=7, src=OR.PLANTED_EMBEDDINGS, derive_div=1)
+        threshold=0.95, seed=7, src=OR.PLANTED_EMBEDDINGS, derive_div=1,
+        max_bits=24)
     o["media_frames"] = OR.media_frames_sql(n=200, every_ms=5000)
     o["media_segments"] = OR.media_segments_sql(n=200, win_ms=5000,
                                                 hop_ms=2500)

@@ -216,18 +216,15 @@ def _avro_type_to_spark(at, names: dict | None = None, ns: str = "",
     if isinstance(at, str):
         if at in _BACK:
             return _BACK[at](), nullable
-        target = _resolve_named(at, names, ns)
+        target, full = _resolve_named(at, names, ns)
         if target is not None:   # named-type reference
-            full = (at if "." in at else
-                    (f"{ns}.{at}" if ns and f"{ns}.{at}" in names
-                     else at))
             if full in _stack:
                 # a RECURSIVE record decodes fine (container codec is
                 # lazy) but has no finite Spark schema
                 raise TypeError(
                     f"recursive avro type {at!r} cannot map to a "
                     "Spark schema")
-            dt, _ = _avro_type_to_spark(target, names, ns,
+            dt, _ = _avro_type_to_spark(target, names, _ns_of(full),
                                         _stack | {full})
             return dt, nullable
         raise TypeError(f"unsupported avro type: {at!r}")
@@ -268,10 +265,10 @@ def _avro_type_to_spark(at, names: dict | None = None, ns: str = "",
 
 def avro_to_spark_schema(avro: dict) -> T.StructType:
     names: dict = {}
-    _register_named(avro, names)
+    ns = _register_named(avro, names)
     out = []
     for f in avro["fields"]:
-        dt, nullable = _avro_type_to_spark(f["type"], names)
+        dt, nullable = _avro_type_to_spark(f["type"], names, ns)
         out.append(T.StructField(f["name"], dt, nullable))
     return T.StructType(out)
 
@@ -310,24 +307,36 @@ def _register_named(at: dict, names: dict, ns: str = "") -> str:
 def _resolve_named(at: str, names: dict, ns: str):
     """Resolve a named-type reference per the spec: a dotted name is
     absolute; a bare name resolves against the enclosing namespace
-    first, then the null namespace."""
-    if "." in at:
-        return names.get(at)
-    if ns and f"{ns}.{at}" in names:
-        return names[f"{ns}.{at}"]
-    return names.get(at)
+    first, then the null namespace.  Returns ``(target, fullname)`` —
+    the fullname's namespace component is the namespace the TARGET was
+    declared under, which (per the spec) is what its own children
+    resolve against, regardless of where the reference appears."""
+    if "." not in at:
+        if ns and f"{ns}.{at}" in names:
+            at = f"{ns}.{at}"
+    t = names.get(at)
+    if t is None:
+        return None, None
+    return t, at
 
 
-def _named_ref(target: dict, names: dict, ns: str, compile_fn):
+def _ns_of(full: str) -> str:
+    return full.rsplit(".", 1)[0] if "." in full else ""
+
+
+def _named_ref(target: dict, names: dict, target_ns: str, compile_fn):
     """Lazy codec for a named-type REFERENCE: resolution is deferred
     to first use so self-referential records (linked lists, trees —
     legal in the spec when the recursion is union-guarded) compile
-    without infinite regress."""
+    without infinite regress.  ``target_ns`` is the namespace of the
+    target's DECLARED fullname (not the reference site's) so bare refs
+    inside a cross-namespace target resolve in the target's namespace,
+    as Java does."""
     cell: dict = {}
 
     def ref(*args):
         if "fn" not in cell:
-            cell["fn"] = compile_fn(target, names, ns)
+            cell["fn"] = compile_fn(target, names, target_ns)
         return cell["fn"](*args)
     return ref
 
@@ -432,9 +441,9 @@ def _make_encoder(at, names: dict | None = None, ns: str = ""):
         return _ENC_PRIM[t]  # logical-type wrapper over a primitive
     if at in _ENC_PRIM:
         return _ENC_PRIM[at]
-    target = _resolve_named(at, names, ns)
+    target, full = _resolve_named(at, names, ns)
     if target is not None:  # reference to a defined named type
-        return _named_ref(target, names, ns, _make_encoder)
+        return _named_ref(target, names, _ns_of(full), _make_encoder)
     raise TypeError(f"unsupported avro type: {at!r}")
 
 
@@ -567,9 +576,9 @@ def _make_decoder(at, names: dict | None = None, ns: str = ""):
         return _DEC_PRIM[t]
     if at in _DEC_PRIM:
         return _DEC_PRIM[at]
-    target = _resolve_named(at, names, ns)
+    target, full = _resolve_named(at, names, ns)
     if target is not None:  # reference to a defined named type
-        return _named_ref(target, names, ns, _make_decoder)
+        return _named_ref(target, names, _ns_of(full), _make_decoder)
     raise TypeError(f"unsupported avro type: {at!r}")
 
 
@@ -595,9 +604,9 @@ def write_container(fh, avro_schema: dict, row_lists: list[list],
     fh.write(sync)
 
     enc_names: dict = {}
-    _register_named(avro_schema, enc_names)
+    top_ns = _register_named(avro_schema, enc_names)
     fencs = [(f["name"], isinstance(f["type"], list),
-              _make_encoder(f["type"], enc_names))
+              _make_encoder(f["type"], enc_names, top_ns))
              for f in avro_schema["fields"]]
     n = len(row_lists[0]) if row_lists else 0
     total = 0
@@ -653,8 +662,8 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
     pos += 16
 
     dec_names: dict = {}
-    _register_named(schema, dec_names)
-    fdecs = [(f["name"], _make_decoder(f["type"], dec_names))
+    top_ns = _register_named(schema, dec_names)
+    fdecs = [(f["name"], _make_decoder(f["type"], dec_names, top_ns))
              for f in schema["fields"]]
     rows = []
     end = len(buf)

@@ -308,32 +308,120 @@ def rowgroup_summary(audit: DataFrame, cores: int) -> DataFrame:
         F.sum(F.col("oversized").cast("long")).alias("n_oversized"))
 
 
-def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """ANALYZE-style exact per-column statistics in ONE corpus pass:
+def column_stats(df: DataFrame, cols: list[str],
+                 ndv_mode: str = "exact", m: int = 64) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE corpus pass:
     (col, n_non_null, n_null, ndv, min_s, max_s) — the table a
     cost-based planner (or a human sizing a join) reads before
     touching 100 TB: ndv bounds the shuffle key space, min/max bound
     partition pruning, null counts bound skew from null-keyed joins.
 
-    All requested columns aggregate in a single pass over the scan
-    (count/min/max are map-side partial; the exact distincts ride
-    Spark's expand — one extra shuffle total, not one per column);
-    the wide one-row result is then unpivoted driver-free with
-    ``stack``.  min/max render as strings so one narrow schema covers
+    ``ndv_mode='exact'``: all requested columns aggregate in a single
+    pass over the scan (count/min/max are map-side partial; the exact
+    distincts ride Spark's expand — one extra shuffle total, not one
+    per column, but a #cols× row multiplication inside it — the
+    honest ANALYZE cost for wide audits).
+
+    ``ndv_mode='sketch'``: the expand factor disappears — each
+    column's ndv is estimated with the repo's engine-exact HyperLogLog
+    (the ``sketch_hll`` register layout: portable h60 hash, ``m``
+    MAX-combinable registers, scaled-integer harmonic mean, literal
+    linear-counting table — no transcendentals, so DuckDB replays it
+    bit-identically).  The m registers per column are plain
+    ``MAX(CASE)`` aggregates, all map-side partial-combinable: the
+    whole audit stays one scan + one single-row shuffle with ZERO row
+    multiplication, at ~1.04/√m relative ndv error.  At 100 TB × many
+    columns this is the mode to run.
+
+    The wide one-row result is unpivoted driver-free with ``stack``.
+    min/max render as strings so one narrow schema covers
     heterogeneous column types; integer and string columns render
     engine-identically (floats should be quantized by the caller
     first — the same contract every oracle-exact operator here uses).
+    Column names must be plain identifiers (``[A-Za-z0-9_]+``) — they
+    are interpolated into the ``stack`` expression, so anything else
+    is rejected up front rather than parsed as SQL.
     """
+    import re
+
+    from .operators.sketches import _HLL_S, _RHO_CAP, _hll_lc_table
+    from .phash import h60
+
+    for c in cols:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", c):
+            raise ValueError(
+                f"column_stats requires identifier column names "
+                f"([A-Za-z0-9_]+); rename {c!r} first")
+    if ndv_mode not in ("exact", "sketch"):
+        raise ValueError(f"unknown ndv_mode {ndv_mode!r}")
+
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    wide = df.agg(*aggs)
+    if ndv_mode == "exact":
+        aggs += [F.countDistinct(F.col(c)).alias(f"{c}__ndv")
+                 for c in cols]
+        wide = df.agg(*aggs)
+    else:
+        # per-column HLL registers: b/rho derived once per row, then
+        # m MAX(CASE) register aggregates per column — constant-width
+        # map-side state, no expand
+        proj = list(df.columns)
+        for c in cols:
+            proj.append(h60(F.col(c).cast("string")).alias(f"{c}__h"))
+        hashed = df.select(*proj)
+        proj2 = []
+        for c in cols:
+            proj2 += [
+                F.expr(f"pmod({c}__h, {m})").alias(f"{c}__b"),
+                F.expr(
+                    f"LEAST(CASE WHEN {c}__h div {m} = 0 THEN {_RHO_CAP} "
+                    f"ELSE bit_count((({c}__h div {m}) & "
+                    f"-({c}__h div {m})) - 1) + 1 END, {_HLL_S})"
+                ).alias(f"{c}__rho"),
+                F.col(c),
+            ]
+        binned = hashed.select(*proj2)
+        for c in cols:
+            for j in range(m):
+                aggs.append(
+                    F.max(F.when(F.col(f"{c}__b") == j,
+                                 F.col(f"{c}__rho")))
+                    .alias(f"{c}__r{j}"))
+        wide = binned.agg(*aggs)
+        # estimate on the ONE-row frame: harmonic sum over the m
+        # register columns (HOF lambdas here touch a single row)
+        lc_items = ",".join(str(v) for v in _hll_lc_table(m))
+        for c in cols:
+            regs = ", ".join(f"{c}__r{j}" for j in range(m))
+            wide = wide.withColumn(
+                f"{c}__hits",
+                F.expr(f"size(filter(array({regs}), x -> x IS NOT NULL))"))
+            wide = wide.withColumn(
+                f"{c}__z",
+                F.expr(
+                    f"aggregate(filter(array({regs}), "
+                    f"x -> x IS NOT NULL), CAST(0 AS BIGINT), "
+                    f"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), "
+                    f"{_HLL_S} - x)) + (({m} - {c}__hits) * "
+                    f"shiftleft(CAST(1 AS BIGINT), {_HLL_S}))"))
+            wide = wide.withColumn(
+                f"{c}__raw",
+                F.expr(f"(709 * (({m * m} * shiftleft(CAST(1 AS BIGINT), "
+                       f"{_HLL_S})) div {c}__z)) div 1000"))
+            wide = wide.withColumn(
+                f"{c}__ndv",
+                F.expr(
+                    f"CAST(CASE WHEN {c}__hits = 0 THEN 0 "
+                    f"WHEN {c}__hits < {m} AND {c}__raw <= {int(2.5 * m)} "
+                    f"THEN element_at(array({lc_items}), "
+                    f"CAST({m} - {c}__hits AS INT) + 1) "
+                    f"ELSE {c}__raw END AS BIGINT)"))
     stacked = ", ".join(
         f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__ndv`, `{c}__min`, `{c}__max`"
         for c in cols)

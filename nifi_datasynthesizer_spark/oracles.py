@@ -449,7 +449,9 @@ def dedup_embedding_derived_sql(threshold: float = 0.95, seed: int = 7,
     replays at any SF with n ≤ derive_div·2^max_bits — no structural
     re-generation.  The entry passes ``derive_div=1`` so ``nb``
     departs from the floor of 8 at fixture scale (510 rows → 9 bits,
-    2,010 → 11) and the gate verifies the derivation doing work."""
+    2,010 → 11) and the gate verifies the derivation doing work; it
+    also passes ``max_bits=24`` so the replay headroom at derive_div=1
+    is 16.7M vectors (~sf800), not 65,536 (r9 ADVICE)."""
     ws = hyperplane_weights(max_bits, dim, seed)
     terms = []
     for j in range(max_bits):
@@ -1876,6 +1878,55 @@ def column_stats_sql(cols: list[str], table: str = "events") -> str:
 FROM {table}""")
     return ("SELECT * FROM (" + " UNION ALL ".join(branches)
             + ") ORDER BY col")
+
+
+def column_stats_sketch_sql(cols: list[str], table: str = "events",
+                            m: int = 64) -> str:
+    """Mirror of io.column_stats(ndv_mode='sketch'): per column the
+    SAME engine-exact HLL register pipeline as hll_distinct_sql
+    (portable h60, scaled-integer harmonic sum, literal
+    linear-counting table), one UNION ALL branch per column (DuckDB
+    has no stack).  Bit-identical to the Spark side by construction."""
+    from .operators.sketches import _HLL_S, _RHO_CAP, _hll_lc_table
+    lc_items = ",".join(str(v) for v in _hll_lc_table(m))
+    ctes, branches = [], []
+    for c in cols:
+        h = h60_sql(f"CAST({c} AS VARCHAR)")
+        ctes.append(f"""{c}_regs AS (
+  SELECT h % {m} AS b,
+         MAX(LEAST(CASE WHEN h // {m} = 0 THEN {_RHO_CAP}
+                        ELSE bit_count(((h // {m}) & -(h // {m})) - 1) + 1
+                   END, {_HLL_S})) AS reg
+  FROM (SELECT {h} AS h FROM {table} WHERE {c} IS NOT NULL)
+  GROUP BY b)""")
+        ctes.append(f"""{c}_nd AS (
+  SELECT CAST(CASE WHEN hits = 0 THEN 0
+                   WHEN hits < {m} AND raw <= {int(2.5 * m)}
+                   THEN [{lc_items}][CAST({m} - hits AS INT) + 1]
+                   ELSE raw END AS BIGINT) AS ndv
+  FROM (SELECT hits,
+               (709 * (({m * m} * (CAST(1 AS BIGINT) << {_HLL_S}))
+                       // z_scaled)) // 1000 AS raw
+        FROM (SELECT hits,
+                     z_num + (({m} - hits) *
+                              (CAST(1 AS BIGINT) << {_HLL_S})) AS z_scaled
+              FROM (SELECT COUNT(*) AS hits,
+                           CAST(COALESCE(SUM(CAST(1 AS BIGINT)
+                                             << ({_HLL_S} - reg)), 0)
+                                AS BIGINT) AS z_num
+                    FROM {c}_regs))))""")
+        ctes.append(f"""{c}_base AS (
+  SELECT CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(MIN({c}) AS VARCHAR) AS min_s,
+         CAST(MAX({c}) AS VARCHAR) AS max_s
+  FROM {table})""")
+        branches.append(
+            f"SELECT '{c}' AS col, n_non_null, n_null, ndv, min_s, max_s "
+            f"FROM {c}_base, {c}_nd")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM ("
+            + " UNION ALL ".join(branches) + ") ORDER BY col")
 
 
 def bloom_semi_join_sql(segment: str = "BUILDING", m_bits: int = 8192,

@@ -923,3 +923,99 @@ def test_avro_named_type_references(spark):
     with _pt.raises(TypeError, match="recursive"):
         AV.avro_to_spark_schema(lschema)
 
+
+def test_avro_top_level_namespace_resolution(spark):
+    """Spec namespace resolution with a NAMESPACED top-level record
+    (r9 ADVICE): (a) a nested type declaring the same namespace
+    explicitly + a bare reference to it; (b) a nested type INHERITING
+    the top-level namespace, referenced by its qualified name; (c) a
+    cross-namespace reference whose target contains a bare ref that
+    must resolve in the TARGET's declaring namespace, not the
+    reference site's (where a same-named decoy exists).  Each is
+    round-tripped here and (c) is cross-checked against the official
+    Java implementation, which accepts all three."""
+    import io as _bio
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+
+    # (a) explicit same-namespace nested type + bare ref
+    sa = {"type": "record", "name": "top", "namespace": "org.x",
+          "fields": [
+              {"name": "a", "type": {"type": "fixed", "name": "f2",
+                                     "namespace": "org.x", "size": 2}},
+              {"name": "b", "type": "f2"}]}
+    rows = [[b"ab", b"cd"], [b"ef", b"gh"]]
+    buf = _bio.BytesIO()
+    AV.write_container(buf, sa, rows, sync_seed="nsa")
+    _, back = AV.read_container(buf.getvalue())
+    assert [r["b"] for r in back] == [b"ef", b"gh"]
+    st = AV.avro_to_spark_schema(sa)
+    assert st["b"].dataType == T.BinaryType()
+
+    # (b) inherited namespace, qualified reference
+    sb = {"type": "record", "name": "top", "namespace": "org.x",
+          "fields": [
+              {"name": "a", "type": {"type": "enum", "name": "col",
+                                     "symbols": ["R", "G"]}},
+              {"name": "b", "type": "org.x.col"}]}
+    buf = _bio.BytesIO()
+    AV.write_container(buf, sb, [["R", "G"], ["G", "R"]],
+                       sync_seed="nsb")
+    _, back = AV.read_container(buf.getvalue())
+    assert [r["b"] for r in back] == ["G", "R"]
+    assert AV.avro_to_spark_schema(sb)["b"].dataType == T.StringType()
+
+    # (c) cross-namespace target with an inner bare ref + a same-named
+    # decoy in the referencing namespace: "tag" inside com.a.pair must
+    # stay com.a.tag (size 2), never com.b.tag (size 4)
+    sc = {"type": "record", "name": "top", "namespace": "com.a",
+          "fields": [
+              {"name": "deftag", "type": {"type": "fixed",
+                                          "name": "tag", "size": 2}},
+              {"name": "p", "type": {
+                  "type": "record", "name": "pair", "fields": [
+                      {"name": "t", "type": "tag"}]}},
+              {"name": "q", "type": {
+                  "type": "record", "name": "wrap",
+                  "namespace": "com.b", "fields": [
+                      {"name": "decoy", "type": {"type": "fixed",
+                                                 "name": "tag",
+                                                 "size": 4}},
+                      {"name": "inner", "type": "com.a.pair"}]}}]}
+    rows = [[b"xy"], [{"t": b"ab"}],
+            [{"decoy": b"wxyz", "inner": {"t": b"cd"}}]]
+    buf = _bio.BytesIO()
+    AV.write_container(buf, sc, rows, sync_seed="nsc")
+    _, back = AV.read_container(buf.getvalue())
+    assert back == [{"deftag": b"xy", "p": {"t": b"ab"},
+                     "q": {"decoy": b"wxyz", "inner": {"t": b"cd"}}}]
+    stc = AV.avro_to_spark_schema(sc)
+    assert stc["p"].dataType["t"].dataType == T.BinaryType()
+
+    # Java cross-check on (c): parse our schema, read our file, and
+    # confirm the inner tag decodes as the 2-byte com.a.tag
+    fd, fname = tempfile.mkstemp(suffix=".avro")
+    try:
+        with _os.fdopen(fd, "wb") as fh:
+            AV.write_container(fh, sc, rows, sync_seed="nsc")
+        jvm = spark._jvm
+        jsch = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(sc))
+        itag = (jsch.getField("q").schema().getField("inner").schema()
+                .getField("t").schema())
+        assert itag.getFullName() == "com.a.tag"
+        assert itag.getFixedSize() == 2
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(fname), rdr)
+        rec = dfr.next()
+        got = bytes(rec.get("q").get("inner").get("t").bytes())
+        dfr.close()
+        assert got == b"cd"
+    finally:
+        _os.unlink(fname)
+
