@@ -2091,6 +2091,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["dedup_spans"] = dedup_spans_q
 
+    def dedup_substring(spark, sf):
+        """Exact repeated-substring inventory (Lee et al. 2022,
+        r9 verdict 3b): every stride-1 8-token window of normalized
+        text occurring in >= 2 distinct documents — the arbitrary-
+        position repeated-span primitive dedup_spans' non-overlapping
+        chunks cannot see.  Two co-keyed map-side-combinable
+        aggregations; window extraction via arrays_zip of shifted
+        slices (the measured 20x interpreted-HOF fix)."""
+        return (DD.repeated_substrings(_t(spark, sf, "documents"),
+                                       w=8, min_docs=2)
+                .orderBy("span"))
+    q["dedup_substring"] = dedup_substring
+
     def text_pii_scrub(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         base = compile_schema(SYNTH_PII_SCHEMA, seed=17).dataframe(spark, SYNTH_N)
@@ -2866,6 +2879,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("view_id", "purchase_id")
     q["streaming_stream_join"] = _stream_tuned(streaming_stream_join)
 
+    def streaming_stream_join_left(spark, sf):
+        """Stream-stream LEFT OUTER interval join (r9 verdict 3a — the
+        one Structured Streaming join shape the registry lacked):
+        views matched to same-user purchases within 12 h; views the
+        watermark has proven unmatched emit with null right columns at
+        state eviction.  COALESCE(-1) replaces the nulls so the
+        compare never depends on engine null-ordering.  The oracle is
+        the batch LEFT JOIN restricted by the final-watermark rule:
+        an unmatched view reports iff ``l_ts + within`` is below the
+        final watermark ``min(floor_ms(max view ts), floor_ms(max
+        purchase ts)) - within`` — the min because each side's
+        watermark node sees only its own filtered subtype
+        (multipleWatermarkPolicy=min); exactly the rows whose state a
+        bounded drain evicts (streaming.interval_join docstring)."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        views = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "view") \
+            .select("event_id", "ts", "user_id")
+        buys = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "purchase") \
+            .select("event_id", "ts", "user_id")
+        j = ST.interval_join(views, buys, key="user_id", ts_col="ts",
+                             within="12 hours", how="left_outer")
+        out = ST.run_bounded(j.select(
+            F.col("l_event_id").alias("view_id"),
+            F.coalesce(F.col("r_event_id"), F.lit(-1))
+            .alias("purchase_id"),
+            F.coalesce(F.unix_micros("r_ts") - F.unix_micros("l_ts"),
+                       F.lit(-1)).alias("gap_us")),
+            "stream_interval_join_left", output_mode="append")
+        return out.orderBy("view_id", "purchase_id")
+    q["streaming_stream_join_left"] = _stream_tuned(
+        streaming_stream_join_left)
+
     return _rotate(q)
 
 
@@ -3383,6 +3436,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
         ngram=8, eval_pred="doc_id % 101 = 0")
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
+    o["dedup_substring"] = OR.repeated_substrings_sql(w=8, min_docs=2)
     o["corpus_shuffle"] = OR.corpus_shuffle_sql(shards=8, salt=1)
     o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64,
                                                    fit_mod=2)
@@ -3834,6 +3888,32 @@ FROM events v JOIN events p
   ON v.user_id = p.user_id
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+ORDER BY view_id, purchase_id"""
+
+    # left-outer twin: unmatched views report iff the final watermark
+    # (floor_ms(max ts) - 12h) passed their eviction time (l_ts + 12h)
+    # — the deterministic bounded-drain rule derived in
+    # streaming.interval_join's docstring
+    o["streaming_stream_join_left"] = """
+WITH mx AS (SELECT LEAST(
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events
+               WHERE event_type = 'view'),
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events
+               WHERE event_type = 'purchase')) AS wm_base_us),
+v AS (SELECT event_id AS view_id, ts AS vts, user_id FROM events
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS pts, user_id FROM events
+      WHERE event_type = 'purchase'),
+lj AS (SELECT v.view_id, p.purchase_id, v.vts,
+              epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
+       FROM v LEFT JOIN p
+         ON v.user_id = p.user_id
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 12 HOUR)
+SELECT view_id, COALESCE(purchase_id, -1) AS purchase_id,
+       COALESCE(gap_us, -1) AS gap_us
+FROM lj, mx
+WHERE purchase_id IS NOT NULL
+   OR epoch_us(vts) + 43200000000 < wm_base_us - 43200000000
 ORDER BY view_id, purchase_id"""
 
     # synth_commuter: the sim's RNG-free invariants, computed from

@@ -391,6 +391,52 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 # ------------------------------------------------- duplicate grouping
 
+def repeated_substrings(docs: DataFrame, w: int = 8, min_docs: int = 2,
+                        text_col: str = "text") -> DataFrame:
+    """Exact repeated-substring inventory (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    primitive, adapted from suffix arrays to a shuffle): every
+    ``w``-token window of normalized text — at EVERY position, stride
+    1, unlike :func:`curation.dedup_spans`' non-overlapping chunks —
+    that occurs in ≥ ``min_docs`` distinct documents.  This is the
+    repeated-span detector for memorization-prone training data:
+    boilerplate, licenses, quoted chain letters.
+
+    Scale shape: the corpus explodes to ~token-count rows (the honest
+    cost of the sliding-window primitive; the scalable alternative is
+    a distributed suffix array, which trades this shuffle for global
+    sorts).  Window extraction is ``arrays_zip`` of ``w`` shifted
+    slices of the word array — whole-array collection functions, NOT a
+    per-element lambda indexing the outer array (the measured 20×
+    interpreted-HOF trap, see text.bigram_boilerplate).  Aggregation
+    is two-stage, both map-side combinable: per (span, doc) counts
+    first — which bounds a hot boilerplate span's reduce-side rows by
+    n_docs, not by total occurrences — then per span.
+
+    Returns (span, n_docs, n_occ, first_doc) for qualifying spans.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = (docs.select("doc_id", toks.alias("w"))
+            .filter(F.size("w") >= w))
+    nw = F.size("w") - F.lit(w - 1)
+    slices = [F.slice(F.col("w"), i + 1, nw) for i in range(w)]
+    spans = (base.select("doc_id",
+                         F.explode(F.arrays_zip(*slices)).alias("z"))
+             .select("doc_id",
+                     F.concat_ws(" ", *[F.col(f"z.{i}")
+                                        for i in range(w)]).alias("span")))
+    per_doc = (spans.groupBy("span", "doc_id")
+               .agg(F.count("*").alias("n_in_doc")))
+    return (per_doc.groupBy("span")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_in_doc").alias("n_occ"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("span", "n_docs",
+                    F.col("n_occ").cast("long").alias("n_occ"),
+                    "first_doc"))
+
+
 def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs: every document in a
     transitive duplicate cluster gets the cluster's min doc_id as

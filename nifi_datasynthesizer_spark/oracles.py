@@ -35,6 +35,28 @@ def _shingles_cte(k: int, table: str = "documents") -> str:
   FROM (SELECT doc_id, text, string_split({_NORM}, ' ') AS W FROM {table}))"""
 
 
+def repeated_substrings_sql(w: int = 8, min_docs: int = 2,
+                            table: str = "documents") -> str:
+    """Mirror of dedup.repeated_substrings: stride-1 w-token windows
+    of normalized text, kept when they occur in >= min_docs distinct
+    documents."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {table}),
+sp AS (SELECT doc_id,
+              unnest(list_transform(range(0, len(w) - {w} + 1),
+                s -> array_to_string(list_slice(w, s + 1, s + {w}), ' ')))
+                AS span
+       FROM t WHERE len(w) >= {w}),
+pd AS (SELECT span, doc_id, COUNT(*) AS n_in_doc
+       FROM sp GROUP BY span, doc_id)
+SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_in_doc) AS BIGINT) AS n_occ,
+       MIN(doc_id) AS first_doc
+FROM pd GROUP BY span
+HAVING COUNT(*) >= {min_docs}
+ORDER BY span"""
+
+
 def minhash_pairs_sql(num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_threshold: float = 0.5,
                       table: str = "documents") -> str:

@@ -207,9 +207,10 @@ def file_stream(spark: SparkSession, path: str, schema,
 
 
 def interval_join(left: DataFrame, right: DataFrame, key: str,
-                  ts_col: str = "ts", within: str = "12 hours") -> DataFrame:
-    """Watermarked stream-stream inner join: each left event matches
-    right events of the same ``key`` with ``right.ts`` in
+                  ts_col: str = "ts", within: str = "12 hours",
+                  how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join: each left event matches right
+    events of the same ``key`` with ``right.ts`` in
     ``[left.ts, left.ts + within]`` — the attribution-join shape
     (view→purchase, impression→click) Spark supports natively and most
     engines cannot express incrementally.
@@ -222,6 +223,23 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
     history.  Inner-join results emit as matches arrive (append mode),
     so a bounded drain produces exactly the batch join's rows.
 
+    ``how="left_outer"`` additionally emits each UNMATCHED left row
+    (right columns null) at the moment its state is evicted — i.e.
+    when the watermark passes ``left.ts + within``.  That timing is
+    the semantic difference from a batch LEFT JOIN: a left row the
+    watermark never passes (within ``2·within`` of the stream's max
+    event time on a bounded drain) stays in state and is NOT reported
+    unmatched — the stream cannot yet prove no match will arrive.
+    The emitted set is still deterministic for a bounded replay:
+    matched rows equal the batch inner join; unmatched rows are
+    exactly those with ``l_ts + within < final watermark``, where the
+    final watermark is ``floor_ms(max event time) - within`` taken as
+    the MIN across the two watermarked inputs
+    (``spark.sql.streaming.multipleWatermarkPolicy`` defaults to
+    ``min`` — each side's watermark tracks only the events that reach
+    its own withWatermark node, so pre-watermark filters change the
+    per-side maxima).
+
     Columns are prefixed ``l_``/``r_`` BEFORE the watermark is applied
     (renaming after would detach the event-time column).
     """
@@ -233,7 +251,7 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
             & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
             & (F.col(f"r_{ts_col}")
                <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {within}")))
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)
 
 
 _ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
