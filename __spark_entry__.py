@@ -842,6 +842,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("arm"))
     q["events_ab_metrics"] = events_ab_metrics
 
+    def events_ab_srm(spark, sf):
+        """Sample-ratio-mismatch guardrail (the FIRST check any
+        experiment readout runs: a skewed assignment invalidates the
+        whole A/B test): users hash into 4 arms, per-arm distinct-user
+        counts against the uniform expectation, chi-square computed in
+        PURE INTEGER arithmetic — with a uniform split the statistic
+        is sum((k*n_i - N)^2) / (k*N), one exact integer ratio floored
+        at 1e-6, so both engines agree bit-for-bit (no doubles, no
+        libm).  srm_flag fires above the df=3, p=0.001 critical value
+        (16.266).  Overflow bound documented: sum((k*n_i - N)^2)*1e6
+        must fit int64 — holds to ~N = 10^9 users per the worst-case
+        single-arm deviation; at larger N, pre-divide N or widen to
+        decimal."""
+        from nifi_datasynthesizer_spark.phash import h60
+        k = 4
+        users = (_t(spark, sf, "events")
+                 .select("user_id").distinct()
+                 .select(F.pmod(h60(F.concat(
+                     F.col("user_id").cast("string"),
+                     F.lit(":srm"))), F.lit(k)).alias("arm")))
+        counts = users.groupBy("arm").agg(F.count("*").alias("n_arm"))
+        tot = counts.agg(F.sum("n_arm").alias("n_total"))
+        per = (counts.crossJoin(F.broadcast(tot))
+               .withColumn(
+                   "dev_q6",
+                   F.expr(f"((({k} * n_arm - n_total) * "
+                          f"({k} * n_arm - n_total)) * 1000000) "
+                          f"div ({k} * n_total)").cast("long")))
+        chi = per.agg(F.sum(
+            F.expr(f"({k} * n_arm - n_total) * ({k} * n_arm - n_total)"))
+            .alias("s"))
+        return (per.crossJoin(F.broadcast(chi))
+                .select("arm",
+                        F.col("n_arm").cast("long").alias("n_arm"),
+                        F.col("n_total").cast("long").alias("n_total"),
+                        "dev_q6",
+                        F.expr(f"(s * 1000000) div ({k} * n_total)")
+                        .cast("long").alias("chi2_q6"),
+                        (F.expr(f"(s * 1000000) div ({k} * n_total)")
+                         > F.lit(16_266_000)).alias("srm_flag"))
+                .orderBy("arm"))
+    q["events_ab_srm"] = events_ab_srm
+
     def events_cohort_ltv(spark, sf):
         """Cohort LTV matrix: day-0 cohorts × days-since-signup
         revenue with cumulative per-user value — the monetary twin
@@ -1301,9 +1344,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["synth_commuter"] = synth_commuter
 
     def synth_commuter_trace(spark, sf):
+        """The full RNG-valued trace stays rows-only (numpy PCG64 is
+        not SQL-expressible) — its hash-level coverage is the digest
+        twin below plus the vectorization-bit-exactness unit tests."""
         return SZ.commuter_data(spark, n_drivers=20, trips=4,
                                 points_per_trip=30, seed=7)
     q["synth_commuter_trace"] = synth_commuter_trace
+
+    def synth_commuter_digest(spark, sf):
+        """Hash-level gate for the RNG-valued trace (r9 verdict item
+        4): per-(driver, trip) digest — row count, first/last GPS
+        point at 1e-6 quantization, integer mph sum — compared against
+        the SAME numpy kernel run once single-process at oracle-
+        generation time (oracles.commuter_digest_sql).  The gate
+        verifies the distributed path reproduces the local run
+        bit-exactly: grouping completeness, bucket-invariant RNG
+        streams, Arrow round-trip fidelity.  All projections are
+        order-free integers, so shuffle order cannot flip a bit."""
+        sim = SZ.commuter_data(spark, n_drivers=20, trips=4,
+                               points_per_trip=30, seed=7)
+        agg = (sim.groupBy("driver_id", "trip").agg(
+            F.count("*").alias("n_points"),
+            F.min(F.struct("t_offset_s", "lat", "lon")).alias("f"),
+            F.max(F.struct("t_offset_s", "lat", "lon")).alias("l"),
+            F.sum(F.round(F.col("mph") * 1000).cast("long"))
+            .alias("sum_mph_milli")))
+        return (agg.select(
+            F.col("driver_id").cast("long").alias("driver_id"),
+            F.col("trip").cast("long").alias("trip"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.floor(F.col("f.lat") * 1e6).cast("long")
+            .alias("first_lat_u"),
+            F.floor(F.col("f.lon") * 1e6).cast("long")
+            .alias("first_lon_u"),
+            F.floor(F.col("l.lat") * 1e6).cast("long")
+            .alias("last_lat_u"),
+            F.floor(F.col("l.lon") * 1e6).cast("long")
+            .alias("last_lon_u"),
+            F.col("sum_mph_milli").cast("long").alias("sum_mph_milli"))
+            .orderBy("driver_id", "trip"))
+    q["synth_commuter_digest"] = synth_commuter_digest
 
     def synth_exotic_scalar(spark, sf):
         return compile_schema(SYNTH_EXOTIC_SCALAR_SCHEMA,
@@ -2104,6 +2184,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("span"))
     q["dedup_substring"] = dedup_substring
 
+    def text_ngram_lm(spark, sf):
+        """Bigram-LM perplexity scoring (the CCNet quality-filter
+        recipe): the corpus hash-splits into train/holdout, an
+        add-one bigram LM trains as two map-side aggregations, and
+        the holdout scores via two co-keyed joins — model never
+        leaves the cluster.  All-integer NLL output (per-bigram 1e-4
+        ln quantization, the bm25 contract)."""
+        from nifi_datasynthesizer_spark.operators import text as TX
+        return (TX.ngram_lm_score(_t(spark, sf, "documents"),
+                                  holdout_mod=5)
+                .orderBy("doc_id"))
+    q["text_ngram_lm"] = text_ngram_lm
+
     def text_pii_scrub(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
         base = compile_schema(SYNTH_PII_SCHEMA, seed=17).dataframe(spark, SYNTH_N)
@@ -2226,6 +2319,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  jaccard_threshold=0.5)
         return kcore(pairs, k=2, rounds=3).orderBy("node")
     q["graph_kcore"] = graph_kcore
+
+    def graph_jaccard(spark, sf):
+        """Neighbor-set Jaccard over the minhash near-dup graph —
+        link prediction for cluster siblings that lack a direct edge.
+        Wedge join on the shared neighbor (Σdeg² — hub caveat and its
+        degree-cap mitigation documented in the operator), then one
+        count aggregate + two degree joins, all integer output."""
+        from nifi_datasynthesizer_spark.operators.graph import \
+            neighbor_jaccard
+        pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
+                                 num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        return neighbor_jaccard(pairs).orderBy("a", "b")
+    q["graph_jaccard"] = graph_jaccard
 
     def geo_near(spark, sf):
         """Grid-blocked spatial self-join: generated continental-US
@@ -3351,6 +3458,8 @@ FROM shapes"""
     o["graph_kcore"] = OR.kcore_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5),
         k=2, rounds=3)
+    o["graph_jaccard"] = OR.neighbor_jaccard_sql(OR.minhash_pairs_sql(
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
     o["geo_grid_density"] = OR.grid_density_sql(
         compile_schema(GEO_SCHEMA, seed=31).duckdb_sql(GEO_N),
         cell_udeg=GEO_RADIUS_UDEG, min_points=2)
@@ -3375,6 +3484,22 @@ SELECT arm, CAST(SUM(n_ev) AS BIGINT) AS n_events,
          AS events_per_user_ppm,
        CAST(SUM(cents) AS BIGINT) AS purchase_cents
 FROM pu GROUP BY arm ORDER BY arm"""
+    _srmarm = ("(" + OR.h60_sql("CAST(user_id AS VARCHAR) || ':srm'")
+               + ") % 4")
+    o["events_ab_srm"] = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+c AS (SELECT {_srmarm} AS arm, COUNT(*) AS n_arm FROM u GROUP BY 1),
+t AS (SELECT SUM(n_arm) AS n_total,
+             SUM((4 * n_arm - (SELECT SUM(n_arm) FROM c))
+                 * (4 * n_arm - (SELECT SUM(n_arm) FROM c))) AS s
+      FROM c)
+SELECT arm, CAST(n_arm AS BIGINT) AS n_arm,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(((4 * n_arm - n_total) * (4 * n_arm - n_total) * 1000000)
+            // (4 * n_total) AS BIGINT) AS dev_q6,
+       CAST((s * 1000000) // (4 * n_total) AS BIGINT) AS chi2_q6,
+       (s * 1000000) // (4 * n_total) > 16266000 AS srm_flag
+FROM c, t ORDER BY arm"""
     o["streaming_key_counts_native"] = """
 SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
@@ -3437,6 +3562,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
     o["dedup_substring"] = OR.repeated_substrings_sql(w=8, min_docs=2)
+    o["text_ngram_lm"] = OR.ngram_lm_score_sql(holdout_mod=5)
     o["corpus_shuffle"] = OR.corpus_shuffle_sql(shards=8, salt=1)
     o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64,
                                                    fit_mod=2)
@@ -3928,4 +4054,6 @@ SELECT d.range AS driver_id, t.range AS trip,
        CAST(1 AS BIGINT) AS n_zip
 FROM range(0, 20) d CROSS JOIN range(0, 4) t
 ORDER BY driver_id, trip"""
+    o["synth_commuter_digest"] = OR.commuter_digest_sql(
+        n_drivers=20, trips=4, points_per_trip=30, seed=7)
     return o

@@ -197,6 +197,52 @@ def label_propagation(pairs: DataFrame, iters: int = 3,
     return labels.select("node", F.col("lbl").alias("community"))
 
 
+def neighbor_jaccard(pairs: DataFrame,
+                     min_jaccard_ppm: int = 0) -> DataFrame:
+    """Structural node similarity by neighbor-set Jaccard — the
+    link-prediction / entity-resolution primitive: two nodes whose
+    NEIGHBORHOODS overlap are cluster siblings even without a direct
+    edge (a mirror pair each near-dup to the same originals, two user
+    ids touching the same devices).  Returns one row per co-neighbor
+    pair: (a, b, common, deg_a, deg_b, jaccard_ppm) with
+    ``jaccard_ppm = common·10⁶ div (deg_a + deg_b - common)`` —
+    integer, engine-exact.
+
+    Scale shape: the wedge join on the shared neighbor costs
+    Σ deg(n)² pair-candidates — the inherent cost of enumerating
+    co-neighbor pairs (unlike triangles there is no orientation trick:
+    every unordered pair must surface at each shared neighbor to be
+    counted).  Hubs therefore dominate; production mitigation is a
+    degree cap on the wedge CENTER (drop n with deg > D before the
+    join — a hub shared by everyone carries no similarity signal
+    anyway), which callers apply upstream.  After the wedge: one
+    map-side-combinable count per (a,b) and two node-keyed joins for
+    the degrees.  No cartesian, nothing driver-side.
+    """
+    a, b = F.col("a"), F.col("b")
+    sym = (pairs.select(a.alias("u"), b.alias("v"))
+           .union(pairs.select(b.alias("u"), a.alias("v"))).distinct())
+    l = sym.select(F.col("u").alias("n"), F.col("v").alias("x"))
+    r = sym.select(F.col("u").alias("n"), F.col("v").alias("y"))
+    common = (l.join(r, "n").filter(F.col("x") < F.col("y"))
+              .groupBy("x", "y").agg(F.count("*").alias("common")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    out = (common
+           .join(deg.select(F.col("u").alias("x"),
+                            F.col("deg").alias("deg_a")), "x")
+           .join(deg.select(F.col("u").alias("y"),
+                            F.col("deg").alias("deg_b")), "y")
+           .select(F.col("x").alias("a"), F.col("y").alias("b"),
+                   F.col("common").cast("long").alias("common"),
+                   F.col("deg_a").cast("long").alias("deg_a"),
+                   F.col("deg_b").cast("long").alias("deg_b"),
+                   F.expr("common * 1000000 div (deg_a + deg_b - common)")
+                   .cast("long").alias("jaccard_ppm")))
+    if min_jaccard_ppm > 0:
+        out = out.filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    return out
+
+
 def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     """Bounded k-core peeling over the undirected pair graph: drop
     every node of degree < k, recompute degrees, repeat ``rounds``

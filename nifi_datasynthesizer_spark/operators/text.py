@@ -643,6 +643,73 @@ def classifier_calibration(docs: DataFrame, dim: int = 64,
                     .alias("pos_rate_ppm")))
 
 
+def ngram_lm_score(docs: DataFrame, holdout_mod: int = 5,
+                   text_col: str = "text") -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained bigram
+    LM (the CCNet recipe: train a small LM on a reference slice,
+    score every document, filter/bucket by perplexity — the standard
+    pretraining-data quality gate).  Documents hash-split by doc_id:
+    ``pmod(h60(doc_id), holdout_mod) != 0`` trains add-one-smoothed
+    bigram counts; the held-out slice is scored with
+    ``log P(w2|w1) = ln((c(w1,w2)+1) / (c(w1)+V))``.
+
+    Engine-exactness: ln() is quantized per BIGRAM at 1e-4 (the same
+    contract as bm25_topk — ulp drift absorbed by the quantization)
+    and summed as integers, so aggregation order cannot flip a bit.
+    Output per scored doc: (doc_id, n_bigrams, sum_nll_q4,
+    avg_nll_q4) — the negative log likelihood and its per-bigram
+    rate, the perplexity surrogate (monotone in it), kept POSITIVE
+    and in integer space (integer division on negatives truncates
+    differently across engines; on positives it cannot).
+
+    Scale shape: the model IS a DataFrame (bigram → count — never
+    collected); scoring is two shuffles on the score slice's bigrams
+    (bigram-key left join to the model, w1-key left join to unigram
+    counts for unseen-bigram backoff), plus a broadcast 1-row vocab
+    size.  Training is two map-side-combinable aggregations over the
+    train slice.  No Python rows, no driver-side model.
+    """
+    from ..phash import h60
+    from .dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(
+        "doc_id", toks.alias("w"),
+        (F.pmod(h60(F.col("doc_id").cast("string")), holdout_mod) == 0)
+        .alias("is_holdout"))
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    bi = (base.select("doc_id", "is_holdout",
+                      F.explode(F.arrays_zip(
+                          F.slice("w", 1, n1),
+                          F.slice(F.col("w"), 2, n1))).alias("z"))
+          .select("doc_id", "is_holdout",
+                  F.col("z.0").alias("w1"),
+                  F.concat_ws(" ", "z.0", "z.1").alias("bg")))
+    train_bi = bi.filter(~F.col("is_holdout"))
+    c2 = train_bi.groupBy("bg").agg(F.count("*").alias("c12"))
+    uni = (base.filter(~F.col("is_holdout"))
+           .select(F.explode("w").alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c1")))
+    vocab = uni.agg(F.count("*").alias("v"))
+    scored = (bi.filter(F.col("is_holdout"))
+              .join(c2, "bg", "left")
+              .join(uni, "w1", "left")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      (-F.floor(F.log(
+                          (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+                          / (F.coalesce(F.col("c1"), F.lit(0))
+                             + F.col("v"))) * 1e4))
+                      .cast("long").alias("nll_q4")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("nll_q4").alias("sum_nll_q4"))
+            .select("doc_id", "n_bigrams",
+                    F.col("sum_nll_q4").cast("long").alias("sum_nll_q4"),
+                    F.expr("sum_nll_q4 div n_bigrams").cast("long")
+                    .alias("avg_nll_q4")))
+
+
 def bigram_boilerplate(docs: DataFrame, min_df: int = 3,
                        text_col: str = "text") -> DataFrame:
     """Boilerplate scoring by corpus-frequent word bigrams: for every

@@ -35,6 +35,94 @@ def _shingles_cte(k: int, table: str = "documents") -> str:
   FROM (SELECT doc_id, text, string_split({_NORM}, ' ') AS W FROM {table}))"""
 
 
+def commuter_digest_sql(n_drivers: int = 20, trips: int = 4,
+                        points_per_trip: int = 30, seed: int = 7) -> str:
+    """Hash-level gate for the RNG-valued commuter trace (r9 verdict
+    item 4): the oracle runs the SAME pure-numpy kernel
+    (synthesizers.simulate_commuters) ONCE, single-process, at
+    oracle-generation time, digests it per (driver, trip) — row count,
+    first/last GPS point quantized to 1e-6 degrees, integer mph sum —
+    and emits the digest as a VALUES literal.  What the gate then
+    verifies is the DISTRIBUTED path: Spark's bucketed applyInPandas
+    over the same kernel must reproduce the local run bit-exactly
+    (grouping completeness, bucket-invariant RNG streams, Arrow
+    round-trip fidelity).  Quantizations are order-free: floor(x*1e6)
+    on identical doubles, and the mph sum is summed AS integers (per
+    row round(mph*1000) — mph is pre-rounded to 3 decimals, so the
+    *1000 value is never near a rounding boundary), so aggregation
+    order cannot flip a bit."""
+    import numpy as np
+
+    from . import vocab as V
+    from .synthesizers import simulate_commuters
+
+    pdf = simulate_commuters(list(range(n_drivers)), V.ZIP_ROWS,
+                             trips, points_per_trip, seed)
+    rows = []
+    for (d, t), g in pdf.groupby(["driver_id", "trip"], sort=True):
+        g = g.sort_values("t_offset_s")
+        first, last = g.iloc[0], g.iloc[-1]
+
+        def q(x) -> int:
+            return int(np.floor(x * 1e6))
+        mph_milli = int(np.rint(np.asarray(g["mph"]) * 1000)
+                        .astype(np.int64).sum())
+        rows.append((int(d), int(t), len(g),
+                     q(first["lat"]), q(first["lon"]),
+                     q(last["lat"]), q(last["lon"]), mph_milli))
+    values = ",\n".join("(" + ", ".join(str(v) for v in r) + ")"
+                        for r in rows)
+    return f"""
+SELECT CAST(driver_id AS BIGINT) AS driver_id,
+       CAST(trip AS BIGINT) AS trip,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(first_lat_u AS BIGINT) AS first_lat_u,
+       CAST(first_lon_u AS BIGINT) AS first_lon_u,
+       CAST(last_lat_u AS BIGINT) AS last_lat_u,
+       CAST(last_lon_u AS BIGINT) AS last_lon_u,
+       CAST(sum_mph_milli AS BIGINT) AS sum_mph_milli
+FROM (VALUES
+{values}) AS t(driver_id, trip, n_points, first_lat_u, first_lon_u,
+               last_lat_u, last_lon_u, sum_mph_milli)
+ORDER BY driver_id, trip"""
+
+
+def ngram_lm_score_sql(holdout_mod: int = 5,
+                       table: str = "documents") -> str:
+    """Mirror of text.ngram_lm_score: identical hash split, add-one
+    bigram LM, per-bigram ln() quantized at 1e-4 (ulp drift absorbed,
+    the bm25_topk contract), integer sums — negated to positive NLL
+    before the integer divide."""
+    h = h60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w,
+                  ({h} % {holdout_mod}) = 0 AS is_holdout
+           FROM {table}),
+bi AS (SELECT doc_id, is_holdout,
+              unnest(list_transform(range(0, len(w) - 1),
+                s -> array_to_string(list_slice(w, s + 1, s + 2), ' ')))
+                AS bg
+       FROM t WHERE len(w) >= 2),
+bi2 AS (SELECT doc_id, is_holdout, bg, string_split(bg, ' ')[1] AS w1
+        FROM bi),
+c2 AS (SELECT bg, COUNT(*) AS c12 FROM bi2 WHERE NOT is_holdout
+       GROUP BY bg),
+uni AS (SELECT u AS w1, COUNT(*) AS c1
+        FROM (SELECT unnest(w) AS u FROM t WHERE NOT is_holdout)
+        GROUP BY u),
+v AS (SELECT COUNT(*) AS v FROM uni),
+sc AS (SELECT doc_id,
+              CAST(-FLOOR(LN((COALESCE(c12, 0) + 1.0)
+                             / (COALESCE(c1, 0) + v)) * 1e4) AS BIGINT)
+                AS nll_q4
+       FROM bi2 LEFT JOIN c2 USING (bg) LEFT JOIN uni USING (w1), v
+       WHERE is_holdout)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_q4) AS BIGINT) AS sum_nll_q4,
+       CAST(SUM(nll_q4) // COUNT(*) AS BIGINT) AS avg_nll_q4
+FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+
 def repeated_substrings_sql(w: int = 8, min_docs: int = 2,
                             table: str = "documents") -> str:
     """Mirror of dedup.repeated_substrings: stride-1 w-token windows
@@ -1807,6 +1895,27 @@ r{i} AS (SELECT dst AS node,
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node AS doc_id, r AS pr_ppm FROM {prev} "
               "ORDER BY doc_id")
+
+
+def neighbor_jaccard_sql(pairs_sql: str,
+                         min_jaccard_ppm: int = 0) -> str:
+    """Mirror of graph.neighbor_jaccard over the same pair source."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+sym AS (SELECT a AS u, b AS v FROM pairs
+        UNION SELECT b AS u, a AS v FROM pairs),
+co AS (SELECT l.v AS x, r.v AS y, COUNT(*) AS common
+       FROM sym l JOIN sym r ON l.u = r.u AND l.v < r.v
+       GROUP BY x, y),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)
+SELECT x AS a, y AS b, CAST(common AS BIGINT) AS common,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       CAST(common * 1000000 // (da.deg + db.deg - common) AS BIGINT)
+         AS jaccard_ppm
+FROM co JOIN deg da ON co.x = da.u JOIN deg db ON co.y = db.u
+{('WHERE common * 1000000 // (da.deg + db.deg - common) >= '
+  + str(min_jaccard_ppm)) if min_jaccard_ppm > 0 else ''}
+ORDER BY a, b"""
 
 
 def kcore_sql(pairs_sql: str, k: int = 2, rounds: int = 3) -> str:

@@ -473,6 +473,75 @@ COMMUTER_SCHEMA = ("driver_id long, home_zip string, home_lat double, "
                    "lat double, lon double, mph double, rpm double")
 
 
+def simulate_commuters(ids: list[int], base: list, T: int, P: int,
+                       seed: int):
+    """The pure-numpy commuter trace kernel, shared by the Spark
+    ``applyInPandas`` path and the driver-side oracle digest (the
+    latter is what lets the RNG-valued trace carry a hash-level gate:
+    same deterministic kernel, two independent execution paths —
+    distributed bucketed groups vs one local call).
+
+    Vectorized exactly: one batched standard-normal draw per trip
+    consumes the SAME bitstream as the reference per-point draws
+    (numpy fills C-order: point-major, then speed/lat/lon/rpm —
+    bit-identical values, ~10× less Python).  Per-driver Python is
+    only the RNG draws; the clipped speed recursion (nonlinear
+    first-order filter, no closed form) iterates P steps over a
+    width-(drivers×trips) numpy state, and the output frame is
+    assembled once per BUCKET of drivers, not per driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    D = len(ids)
+    cols = ["driver_id", "home_zip", "home_lat", "home_lon", "trip",
+            "t_offset_s", "lat", "lon", "mph", "rpm"]
+    if not D:
+        return pd.DataFrame(columns=cols)
+    frac = np.arange(P) / max(1, P - 1)
+    target = 45.0 * np.minimum(1.0, 4 * frac * (1 - frac) + 0.2)
+    out_f = np.where(np.arange(T)[:, None] % 2 == 0, frac, 1.0 - frac)
+    zips, lats, lons, dlats, dlons = [], [], [], [], []
+    noise = np.empty((D, T, P, 4))
+    for i, driver in enumerate(ids):
+        rng = np.random.default_rng(seed * 1_000_003 + driver)
+        z = base[int(rng.integers(0, len(base)))]
+        # work ~5 miles away (reference: "work": 5.0)
+        ang = rng.uniform(0, 2 * np.pi)
+        zips.append(z[0]); lats.append(z[3]); lons.append(z[4])
+        dlats.append(5.0 / 69.0 * np.cos(ang))
+        dlons.append(5.0 / 55.0 * np.sin(ang))
+        for t in range(T):          # per-trip draws keep stream order
+            noise[i, t] = rng.normal(size=(P, 4))
+    home_lat = np.array(lats)[:, None, None]
+    home_lon = np.array(lons)[:, None, None]
+    dlat = np.array(dlats)[:, None, None]
+    dlon = np.array(dlons)[:, None, None]
+    sn = noise[:, :, :, 0].reshape(D * T, P)
+    s = np.zeros(D * T)
+    speeds = np.empty((D * T, P))
+    for p in range(P):
+        s = np.clip(0.7 * s + 0.3 * target[p] + 2.0 * sn[:, p], 0.0, 90.0)
+        speeds[:, p] = s
+    speeds = speeds.reshape(D, T, P)
+    lat = home_lat + dlat * out_f + 1e-4 * noise[:, :, :, 1]
+    lon = home_lon + dlon * out_f + 1e-4 * noise[:, :, :, 2]
+    rpm = 700.0 + speeds * 35.0 + 50.0 * noise[:, :, :, 3]
+    return pd.DataFrame({
+        "driver_id": np.repeat(np.asarray(ids, dtype=np.int64), T * P),
+        "home_zip": np.repeat(np.asarray(zips, dtype=object), T * P),
+        "home_lat": np.repeat(np.asarray(lats), T * P),
+        "home_lon": np.repeat(np.asarray(lons), T * P),
+        "trip": np.tile(np.repeat(np.arange(T, dtype=np.int32), P), D),
+        "t_offset_s": np.tile(np.repeat(np.arange(T), P) * 43200
+                              + np.tile(np.arange(P), T) * 30, D),
+        "lat": lat.ravel(),
+        "lon": lon.ravel(),
+        "mph": np.round(speeds.ravel(), 3),
+        "rpm": np.round(rpm.ravel(), 3),
+    })
+
+
 def commuter_data(spark: SparkSession, n_drivers: int = 10,
                   home_zip: str | None = None, trips: int = 4,
                   points_per_trip: int = 60, seed: int = 0) -> DataFrame:
@@ -500,62 +569,8 @@ def commuter_data(spark: SparkSession, n_drivers: int = 10,
     T, P = trips, points_per_trip
 
     def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Vectorized exactly: one batched standard-normal draw per trip
-        # consumes the SAME bitstream as the reference per-point draws
-        # (numpy fills C-order: point-major, then speed/lat/lon/rpm —
-        # bit-identical values, ~10× less Python).  Per-driver Python
-        # is only the RNG draws; the clipped speed recursion (nonlinear
-        # first-order filter, no closed form) iterates P steps over a
-        # width-(drivers×trips) numpy state, and the output frame is
-        # assembled once per BUCKET of drivers, not per driver.
-        ids = [int(d) for d in pdf["id"]]
-        D = len(ids)
-        cols = ["driver_id", "home_zip", "home_lat", "home_lon", "trip",
-                "t_offset_s", "lat", "lon", "mph", "rpm"]
-        if not D:
-            return pd.DataFrame(columns=cols)
-        frac = np.arange(P) / max(1, P - 1)
-        target = 45.0 * np.minimum(1.0, 4 * frac * (1 - frac) + 0.2)
-        out_f = np.where(np.arange(T)[:, None] % 2 == 0, frac, 1.0 - frac)
-        zips, lats, lons, dlats, dlons = [], [], [], [], []
-        noise = np.empty((D, T, P, 4))
-        for i, driver in enumerate(ids):
-            rng = np.random.default_rng(seed * 1_000_003 + driver)
-            z = bbase.value[int(rng.integers(0, len(bbase.value)))]
-            # work ~5 miles away (reference: "work": 5.0)
-            ang = rng.uniform(0, 2 * np.pi)
-            zips.append(z[0]); lats.append(z[3]); lons.append(z[4])
-            dlats.append(5.0 / 69.0 * np.cos(ang))
-            dlons.append(5.0 / 55.0 * np.sin(ang))
-            for t in range(T):          # per-trip draws keep stream order
-                noise[i, t] = rng.normal(size=(P, 4))
-        home_lat = np.array(lats)[:, None, None]
-        home_lon = np.array(lons)[:, None, None]
-        dlat = np.array(dlats)[:, None, None]
-        dlon = np.array(dlons)[:, None, None]
-        sn = noise[:, :, :, 0].reshape(D * T, P)
-        s = np.zeros(D * T)
-        speeds = np.empty((D * T, P))
-        for p in range(P):
-            s = np.clip(0.7 * s + 0.3 * target[p] + 2.0 * sn[:, p], 0.0, 90.0)
-            speeds[:, p] = s
-        speeds = speeds.reshape(D, T, P)
-        lat = home_lat + dlat * out_f + 1e-4 * noise[:, :, :, 1]
-        lon = home_lon + dlon * out_f + 1e-4 * noise[:, :, :, 2]
-        rpm = 700.0 + speeds * 35.0 + 50.0 * noise[:, :, :, 3]
-        return pd.DataFrame({
-            "driver_id": np.repeat(np.asarray(ids, dtype=np.int64), T * P),
-            "home_zip": np.repeat(np.asarray(zips, dtype=object), T * P),
-            "home_lat": np.repeat(np.asarray(lats), T * P),
-            "home_lon": np.repeat(np.asarray(lons), T * P),
-            "trip": np.tile(np.repeat(np.arange(T, dtype=np.int32), P), D),
-            "t_offset_s": np.tile(np.repeat(np.arange(T), P) * 43200
-                                  + np.tile(np.arange(P), T) * 30, D),
-            "lat": lat.ravel(),
-            "lon": lon.ravel(),
-            "mph": np.round(speeds.ravel(), 3),
-            "rpm": np.round(rpm.ravel(), 3),
-        })
+        return simulate_commuters([int(d) for d in pdf["id"]],
+                                  bbase.value, T, P, seed)
 
     # bucket many drivers per group: one pandas frame per DRIVER (the
     # r1 shape) pays ~1 ms of Arrow/pandas overhead per driver; one per
