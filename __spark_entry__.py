@@ -187,6 +187,16 @@ SYNTH_PII_SCHEMA = [
     {"name": "ph", "class": "phone"},
 ]
 
+# messy-URL fixture for dedup_url: (site, page) pick the logical page,
+# t picks one of four spellings of it (clean / cased+default-port+
+# trailing-slash / tracking params / shuffled params + tracking)
+SYNTH_URL_SCHEMA = [
+    {"name": "rec_id", "class": "id"},
+    {"name": "d", "class": "int", "min": 0, "max": 20},
+    {"name": "p", "class": "int", "min": 0, "max": 10},
+    {"name": "t", "class": "int", "min": 0, "max": 4},
+]
+
 # training-mix rates for the corpus_sample query: each of the 20
 # sources keeps a different deterministic fraction
 SAMPLE_RATES = {f"src{i}": (100_000 + (i * 45_000) % 900_000) / 1_000_000
@@ -443,6 +453,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    * F.col("l_discount")), 2)
                      .alias("revenue"))
     q["q6_forecast_revenue"] = q6_forecast_revenue
+
+    def q4_order_priority(spark, sf):
+        """TPC-H Q4 shape (adapted to this schema: the EXISTS
+        condition is "has a returned line" — l_returnflag = 'R' —
+        since the testdata carries no commit/receipt dates): the
+        LEFT SEMI join showcase.  The semi join deduplicates the
+        probe side inside the join (no distinct needed), the
+        lineitem side prunes to ONE column (l_orderkey) after its
+        filter pushes to the scan, and the quarter predicate on
+        orders pushes down too — the plan every EXISTS subquery
+        should compile to at 100 TB."""
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01")))
+        returned = (_t(spark, sf, "lineitem")
+                    .filter(F.col("l_returnflag") == "R")
+                    .select("l_orderkey"))
+        return (orders.join(returned,
+                            orders.o_orderkey == returned.l_orderkey,
+                            "left_semi")
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("order_count"))
+                .orderBy("o_orderpriority"))
+    q["q4_order_priority"] = q4_order_priority
 
     def io_bucketed_join(spark, sf):
         """Co-located fact-fact join: both sides written as bucketed
@@ -2211,6 +2245,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("rec_id"))
     q["text_pii_scrub"] = text_pii_scrub
 
+    def dedup_url(spark, sf):
+        """URL canonicalization dedup — the stage-zero crawl dedup
+        (before any content hash): four spellings of the same logical
+        page (scheme/host case, default port, trailing slash,
+        tracking params, shuffled query order) must collapse to one
+        canonical key.  The fixture synthesizes the spellings from
+        the dual-backend int samplers, so the oracle rebuilds the
+        identical messy strings and mirrors the canonicalizer with
+        DuckDB list/regexp functions."""
+        from nifi_datasynthesizer_spark.operators import curation as CU
+        base = compile_schema(SYNTH_URL_SCHEMA,
+                              seed=29).dataframe(spark, SYNTH_N)
+        site = F.concat(F.lit("site"), F.col("d").cast("string"),
+                        F.lit(".example.com"))
+        page = F.concat(F.lit("page"), F.col("p").cast("string"))
+        url = (F.when(F.col("t") == 0, F.concat(
+                   F.lit("https://"), site, F.lit("/"), page))
+               .when(F.col("t") == 1, F.concat(
+                   F.lit("HTTPS://"), F.upper(site), F.lit(":443/"),
+                   page, F.lit("/")))
+               .when(F.col("t") == 2, F.concat(
+                   F.lit("https://"), site, F.lit("/"), page,
+                   F.lit("?utm_source=feed&utm_medium=social")))
+               .otherwise(F.concat(
+                   F.lit("https://"), site, F.lit("/"), page,
+                   F.lit("?b=2&a=1&utm_campaign=x"))))
+        return (CU.url_dedup(base.select("rec_id", url.alias("url")))
+                .orderBy("canonical_url"))
+    q["dedup_url"] = dedup_url
+
     # ---- composed corpus-hygiene pipeline
     def corpus_clean(spark, sf):
         from nifi_datasynthesizer_spark.operators.pipeline import corpus_clean as CC
@@ -3080,6 +3144,16 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24"""
 
+    o["q4_order_priority"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
     o["io_bucketed_join"] = """
 SELECT o_custkey, COUNT(*) AS n_items,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
@@ -3701,6 +3775,49 @@ FROM (SELECT rec_id,
                        'call', ph) AS text
       FROM ({compile_schema(SYNTH_PII_SCHEMA, seed=17).duckdb_sql(SYNTH_N)}))
 ORDER BY rec_id"""
+    _url_case = """CASE
+  WHEN t = 0 THEN 'https://site' || CAST(d AS VARCHAR)
+                  || '.example.com/page' || CAST(p AS VARCHAR)
+  WHEN t = 1 THEN 'HTTPS://' || upper('site' || CAST(d AS VARCHAR)
+                  || '.example.com') || ':443/page'
+                  || CAST(p AS VARCHAR) || '/'
+  WHEN t = 2 THEN 'https://site' || CAST(d AS VARCHAR)
+                  || '.example.com/page' || CAST(p AS VARCHAR)
+                  || '?utm_source=feed&utm_medium=social'
+  ELSE 'https://site' || CAST(d AS VARCHAR) || '.example.com/page'
+       || CAST(p AS VARCHAR) || '?b=2&a=1&utm_campaign=x' END"""
+    o["dedup_url"] = f"""
+WITH src AS (SELECT rec_id, d, p, t
+             FROM ({compile_schema(SYNTH_URL_SCHEMA,
+                                   seed=29).duckdb_sql(SYNTH_N)})),
+u AS (SELECT rec_id, {_url_case} AS url FROM src),
+c AS (SELECT rec_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+    AS scheme,
+  regexp_replace(lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':(80|443)$', '')
+    AS host,
+  regexp_replace(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '/$', '')
+    AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM u),
+k AS (SELECT rec_id, url, scheme || '://' || host || path ||
+             CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+               AS canonical_url
+      FROM (SELECT *, array_to_string(list_sort(list_filter(
+                string_split(qs, '&'),
+                x -> x <> '' AND NOT starts_with(x, 'utm_')
+                 AND NOT starts_with(x, 'fbclid=')
+                 AND NOT starts_with(x, 'gclid=')
+                 AND NOT starts_with(x, 'msclkid=')
+                 AND NOT starts_with(x, 'ref_src='))), '&') AS cq
+            FROM c))
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+       MIN(rec_id) AS first_rec
+FROM k GROUP BY canonical_url HAVING COUNT(*) >= 2
+ORDER BY canonical_url"""
     o["synth_correlate_pair"] = SZ.correlate_pair_sql(
         "(SELECT c_custkey, c_name, c_nationkey FROM customer)",
         [{"name": "risk_score", "class": "int", "min": 300, "max": 850}],

@@ -313,6 +313,71 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+# query params that never change page identity — dropped by the URL
+# canonicalizer (the CommonCrawl-style tracking blocklist)
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref_src")
+
+
+def canonical_url(col):
+    """Canonical form of a URL column — the key a crawl-dedup stage
+    groups on (the same page arrives as http/HTTPS, with default
+    ports, trailing slashes, tracking params, fragments, shuffled
+    query order):
+
+    - scheme and host lowercase; default ports (:80, :443) stripped;
+    - fragment dropped; trailing path slash dropped;
+    - tracking params (utm_*, fbclid, gclid, msclkid, ref_src)
+      removed, surviving params sorted bytewise.
+
+    Pure column expressions: regexp_extract for the parts, split /
+    filter / array_sort / array_join for the query — the filter
+    lambda touches only its own element (no outer-array indexing, so
+    no interpreted-HOF trap), and the arrays are per-URL tiny.
+    """
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    qs = F.regexp_extract(col, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith("fbclid=")
+        & ~p.startswith("gclid=") & ~p.startswith("msclkid=")
+        & ~p.startswith("ref_src=") & ~p.startswith("utm_"))
+    qcanon = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon))
+        .otherwise(F.lit("")))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "rec_id") -> DataFrame:
+    """URL-level dedup report — the first stage of every web-crawl
+    pipeline (CommonCrawl dedups by canonical URL before any content
+    hash runs): group on :func:`canonical_url`, report groups seen
+    more than once.
+
+    One shuffle on the canonical key with map-side partial
+    aggregation; n_variants counts distinct RAW spellings (how messy
+    the duplication is), first_rec is the keeper.  Returns
+    (canonical_url, n_occ, n_variants, first_rec), dup groups only.
+    """
+    c = df.select(F.col(id_col).alias("rid"),
+                  F.col(url_col).alias("raw"),
+                  canonical_url(F.col(url_col)).alias("canonical_url"))
+    return (c.groupBy("canonical_url")
+            .agg(F.count("*").alias("n_occ"),
+                 F.countDistinct("raw").alias("n_variants"),
+                 F.min("rid").alias("first_rec"))
+            .filter(F.col("n_occ") >= 2)
+            .select("canonical_url",
+                    F.col("n_occ").cast("long").alias("n_occ"),
+                    F.col("n_variants").cast("long").alias("n_variants"),
+                    "first_rec"))
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub common PII (emails, IPv4s, SSNs, US phone numbers) from a
     text column, appending per-kind match counts.
