@@ -367,9 +367,62 @@ assert len(set(_WINDOW_R9_HEAD)) == 50, "duplicate in window head"
 _WINDOW_R9 = _WINDOW_R9_HEAD + _WINDOW_R9_TAIL
 assert len(set(_WINDOW_R9)) == len(_WINDOW_R9), "duplicate in window"
 
+# Round-10 window, per the r9 verdict's prescription: TWELVE new/
+# changed entries lead (all pre-validated against DuckDB at sf0.001
+# and sf0.01 before this window was declared) — the nine operators
+# registered this round (streaming_stream_join_left and
+# dedup_substring are verdict items 3a/3b, synth_commuter_digest is
+# verdict item 4, io_column_stats_sketch is "What's wrong" #3), then
+# the three whose implementation or oracle changed this round
+# (io_column_stats: identifier validation + the ndv-mode refactor;
+# dedup_embedding_derived: oracle max_bits 16→24 per r9 ADVICE;
+# io_roundtrip: the avro_io namespace-resolution fixes sit under it).
+# Then the 37 r6-stale greens _WINDOW_R9_TAIL queued, then the oldest
+# r7 green to the 50-slot budget.  After this round no query's last
+# driver green predates r7 (verdict item 1); the remaining r7 greens
+# queue in _WINDOW_R10_TAIL to lead r11.
+_WINDOW_R10_HEAD = [
+    # new this round — never driver-checked
+    "streaming_stream_join_left", "dedup_substring",
+    "synth_commuter_digest", "text_ngram_lm", "events_ab_srm",
+    "graph_jaccard", "dedup_url", "q4_order_priority",
+    "io_column_stats_sketch",
+    # changed implementation/oracle this round — re-verify
+    "io_column_stats", "dedup_embedding_derived", "io_roundtrip",
+    # the 37 r6-stale greens, in the order the r9 tail queued them
+    *_WINDOW_R9_TAIL,
+    # oldest r7 green, registry order, to the 50-slot budget
+    "io_zorder",
+]
+# r7 greens that did not fit the 50-slot budget — lead the r11
+# window; r8/r9/r10-green queries are fresher and follow in registry
+# order
+_WINDOW_R10_TAIL = [
+    "io_schema_evolution", "io_compaction", "events_histogram",
+    "events_markov_stationary", "sketch_cms_eval", "events_ab_assign",
+    "events_cohort_ltv", "events_rfm", "corpus_upsample",
+    "dedup_ngram_jaccard", "dedup_agreement", "dedup_threshold_sweep",
+    "dedup_minhash_eval", "corpus_interleave", "corpus_span_corruption",
+    "corpus_fim", "corpus_weighted_sample", "corpus_dedup_report",
+    "dedup_fuzzy", "ann_lsh_multiprobe", "ann_filtered",
+    "embed_group_drift", "embed_outliers", "ann_recall_eval",
+    "text_langid_eval", "text_readability", "text_quality_calibration",
+    "corpus_sample", "corpus_sample_k", "corpus_decontaminate",
+    "text_chunks", "text_repetition", "corpus_shuffle", "ann_pq_rerank",
+    "embed_pca", "text_bm25", "corpus_ngrams", "dedup_spans",
+    "text_pii_scrub", "corpus_build", "media_phash_dedup",
+    "graph_label_prop", "text_keywords", "text_fluency", "text_classify",
+    "corpus_tokenizer_fertility", "embed_quantize", "search_rrf",
+    "events_funnel_windowed",
+]
+assert len(_WINDOW_R10_HEAD) == 50, len(_WINDOW_R10_HEAD)
+assert len(set(_WINDOW_R10_HEAD)) == 50, "duplicate in window head"
+_WINDOW_R10 = _WINDOW_R10_HEAD + _WINDOW_R10_TAIL
+assert len(set(_WINDOW_R10)) == len(_WINDOW_R10), "duplicate in window"
+
 
 def _rotate(q: dict) -> dict:
-    head = [n for n in _WINDOW_R9 if n in q]
+    head = [n for n in _WINDOW_R10 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in head]}
 
 
