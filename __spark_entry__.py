@@ -942,34 +942,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         must fit int64 — holds to ~N = 10^9 users per the worst-case
         single-arm deviation; at larger N, pre-divide N or widen to
         decimal."""
+        from pyspark.sql import Window
         from nifi_datasynthesizer_spark.phash import h60
         k = 4
-        users = (_t(spark, sf, "events")
-                 .select("user_id").distinct()
-                 .select(F.pmod(h60(F.concat(
-                     F.col("user_id").cast("string"),
-                     F.lit(":srm"))), F.lit(k)).alias("arm")))
-        counts = users.groupBy("arm").agg(F.count("*").alias("n_arm"))
-        tot = counts.agg(F.sum("n_arm").alias("n_total"))
-        per = (counts.crossJoin(F.broadcast(tot))
-               .withColumn(
-                   "dev_q6",
-                   F.expr(f"((({k} * n_arm - n_total) * "
-                          f"({k} * n_arm - n_total)) * 1000000) "
-                          f"div ({k} * n_total)").cast("long")))
-        chi = per.agg(F.sum(
-            F.expr(f"({k} * n_arm - n_total) * ({k} * n_arm - n_total)"))
-            .alias("s"))
-        return (per.crossJoin(F.broadcast(chi))
-                .select("arm",
-                        F.col("n_arm").cast("long").alias("n_arm"),
-                        F.col("n_total").cast("long").alias("n_total"),
-                        "dev_q6",
-                        F.expr(f"(s * 1000000) div ({k} * n_total)")
-                        .cast("long").alias("chi2_q6"),
-                        (F.expr(f"(s * 1000000) div ({k} * n_total)")
-                         > F.lit(16_266_000)).alias("srm_flag"))
-                .orderBy("arm"))
+        counts = (_t(spark, sf, "events")
+                  .select("user_id").distinct()
+                  .select(F.pmod(h60(F.concat(
+                      F.col("user_id").cast("string"),
+                      F.lit(":srm"))), F.lit(k)).alias("arm"))
+                  .groupBy("arm").agg(F.count("*").alias("n_arm")))
+        # the totals ride unpartitioned windows over the k-row arm
+        # frame (k=4 rows on one partition — not a data-sized window),
+        # so the distinct-users aggregation runs exactly once
+        w = Window.partitionBy()
+        per = (counts
+               .withColumn("n_total", F.sum("n_arm").over(w))
+               .withColumn("dev2", F.expr(
+                   f"({k} * n_arm - n_total) * ({k} * n_arm - n_total)"))
+               .withColumn("s", F.sum("dev2").over(w)))
+        return (per.select(
+            "arm",
+            F.col("n_arm").cast("long").alias("n_arm"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.expr(f"(dev2 * 1000000) div ({k} * n_total)")
+            .cast("long").alias("dev_q6"),
+            F.expr(f"(s * 1000000) div ({k} * n_total)")
+            .cast("long").alias("chi2_q6"),
+            (F.expr(f"(s * 1000000) div ({k} * n_total)")
+             > F.lit(16_266_000)).alias("srm_flag"))
+            .orderBy("arm"))
     q["events_ab_srm"] = events_ab_srm
 
     def events_cohort_ltv(spark, sf):

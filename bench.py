@@ -95,7 +95,15 @@ def main() -> None:
              "ann_ivf_two_level", "ann_range_search", "text_boilerplate",
              "graph_kcore", "geo_grid_density", "io_column_stats",
              "io_rowgroup_summary", "events_ab_metrics",
-             "streaming_key_counts_native"]
+             "streaming_key_counts_native",
+             # r10 additions: left-outer stream join, repeated-span
+             # dedup, commuter digest gate, bigram-LM scoring, SRM
+             # guardrail, neighbor Jaccard, URL dedup, Q4 semi-join,
+             # sketch-ndv column stats
+             "streaming_stream_join_left", "dedup_substring",
+             "synth_commuter_digest", "text_ngram_lm", "events_ab_srm",
+             "graph_jaccard", "dedup_url", "q4_order_priority",
+             "io_column_stats_sketch"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation

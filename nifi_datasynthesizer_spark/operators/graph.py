@@ -220,8 +220,12 @@ def neighbor_jaccard(pairs: DataFrame,
     the degrees.  No cartesian, nothing driver-side.
     """
     a, b = F.col("a"), F.col("b")
-    sym = (pairs.select(a.alias("u"), b.alias("v"))
-           .union(pairs.select(b.alias("u"), a.alias("v"))).distinct())
+    # pinned: sym feeds the wedge join twice plus the degree agg —
+    # unpersisted, Spark would recompute the upstream pair pipeline
+    # (e.g. the whole minhash LSH) three times
+    sym = _pin(pairs.select(a.alias("u"), b.alias("v"))
+               .union(pairs.select(b.alias("u"), a.alias("v")))
+               .distinct())
     l = sym.select(F.col("u").alias("n"), F.col("v").alias("x"))
     r = sym.select(F.col("u").alias("n"), F.col("v").alias("y"))
     common = (l.join(r, "n").filter(F.col("x") < F.col("y"))

@@ -670,13 +670,17 @@ def ngram_lm_score(docs: DataFrame, holdout_mod: int = 5,
     train slice.  No Python rows, no driver-side model.
     """
     from ..phash import h60
-    from .dedup import normalize_text
+    from .dedup import _pin, normalize_text
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    base = docs.select(
+    # pinned: the tokenized corpus feeds the bigram explode twice
+    # (train counts, holdout scoring) plus the unigram counts —
+    # unpersisted, the source would rescan three times.  Release via
+    # dedup.release_caches().
+    base = _pin(docs.select(
         "doc_id", toks.alias("w"),
         (F.pmod(h60(F.col("doc_id").cast("string")), holdout_mod) == 0)
-        .alias("is_holdout"))
+        .alias("is_holdout")))
     n1 = F.greatest(F.size("w") - 1, F.lit(0))
     bi = (base.select("doc_id", "is_holdout",
                       F.explode(F.arrays_zip(
