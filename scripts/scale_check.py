@@ -119,6 +119,23 @@ def build(spark) -> None:
             "event_type", "value", "props"))
     _write_one(parts, os.path.join(DST, "events.parquet"), spark)
 
+    # orders/lineitem x REPLICAS by order-key shift (r10): per-order
+    # line counts, dates, priorities and the join key distribution are
+    # preserved exactly; replicas join only within themselves (key
+    # ranges are disjoint), so selectivities match the original.
+    # Overwrites the as-is copies made above.
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    n_ok = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    oparts, lparts = [orders], [li]
+    for k in range(1, REPLICAS):
+        oparts.append(orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + k * n_ok))
+        lparts.append(li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + k * n_ok))
+    _write_one(oparts, os.path.join(DST, "orders.parquet"), spark)
+    _write_one(lparts, os.path.join(DST, "lineitem.parquet"), spark)
+
 
 def _write_one(parts, path, spark) -> None:
     """Write a single parquet FILE (the readers expect file paths like
