@@ -309,7 +309,8 @@ def rowgroup_summary(audit: DataFrame, cores: int) -> DataFrame:
 
 
 def column_stats(df: DataFrame, cols: list[str],
-                 ndv_mode: str = "exact", m: int = 64) -> DataFrame:
+                 ndv_mode: str = "exact", m: int = 64,
+                 hash_col=None) -> DataFrame:
     """ANALYZE-style per-column statistics in ONE corpus pass:
     (col, n_non_null, n_null, ndv, min_s, max_s) — the table a
     cost-based planner (or a human sizing a join) reads before
@@ -341,6 +342,17 @@ def column_stats(df: DataFrame, cols: list[str],
     Column names must be plain identifiers (``[A-Za-z0-9_]+``) — they
     are interpolated into the ``stack`` expression, so anything else
     is rejected up front rather than parsed as SQL.
+
+    ``hash_col`` (sketch mode only): production fast path — pass
+    ``pyspark.sql.functions.xxhash64`` to replace the portable-but-md5
+    h60.  Measured 1.2× on the whole audit at 5M rows × 4 columns
+    (5.69 → 4.70 s): real but bounded, because at m=64 the register
+    MAX(CASE) chain, not the hash, dominates this operator (the pure
+    md5→xxhash gap is ~3×, phash.py).  The sign bit is masked so
+    register indexing stays non-negative, and NULLs are gated
+    explicitly (xxhash64 hashes NULL to the seed).  DuckDB cannot
+    replay xxhash64, so the ORACLE-GATED entry keeps the h60 default;
+    estimate quality is identical (both uniform hashes).
     """
     import re
 
@@ -373,7 +385,19 @@ def column_stats(df: DataFrame, cols: list[str],
         # map-side state, no expand
         proj = list(df.columns)
         for c in cols:
-            proj.append(h60(F.col(c).cast("string")).alias(f"{c}__h"))
+            if hash_col is None:
+                h = h60(F.col(c).cast("string"))
+            else:
+                # mask the sign bit (uniform non-negative 63-bit) and
+                # null-gate explicitly: xxhash64 hashes NULL to the
+                # seed value instead of returning NULL, which would
+                # count nulls as a distinct value (h60's md5 returns
+                # NULL for NULL, so the default path skips them)
+                h = F.when(
+                    F.col(c).isNotNull(),
+                    hash_col(F.col(c).cast("string"))
+                    .bitwiseAND(F.lit((1 << 63) - 1)))
+            proj.append(h.alias(f"{c}__h"))
         hashed = df.select(*proj)
         proj2 = []
         for c in cols:

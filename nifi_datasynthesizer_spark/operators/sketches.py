@@ -88,7 +88,8 @@ def _hll_lc_table(m: int) -> list[int]:
 
 
 def hll_distinct(df: DataFrame, group_col: str = "event_type",
-                 id_col: str = "user_id", m: int = 64) -> DataFrame:
+                 id_col: str = "user_id", m: int = 64,
+                 hash_col=None) -> DataFrame:
     """Per-group HyperLogLog distinct count (Flajolet et al. 2007) —
     the industry-standard refinement of :func:`fm_distinct`'s PCSA:
     same MAX-combinable register layout (constant bytes per group at
@@ -108,9 +109,20 @@ def hll_distinct(df: DataFrame, group_col: str = "event_type",
     one — the same two-exchange shape as fm_distinct.  The exact
     distinct rides along for calibration (drop it in production; it
     is the expensive id shuffle the sketch replaces).
+
+    ``hash_col``: production fast path — pass ``F.xxhash64`` to
+    replace the portable-but-md5 h60 (phash.py's documented ~3× hot-
+    path cost; sign bit masked, nulls gated).  The oracle-gated entry
+    keeps the h60 default so DuckDB replays the registers.
     """
-    e = (df.select(F.col(group_col).alias("grp"),
-                   h60(F.col(id_col).cast("string")).alias("h"))
+    if hash_col is None:
+        h = h60(F.col(id_col).cast("string"))
+    else:
+        # xxhash64 hashes NULL to the seed instead of NULL — gate it
+        h = F.when(F.col(id_col).isNotNull(),
+                   hash_col(F.col(id_col).cast("string"))
+                   .bitwiseAND(F.lit((1 << 63) - 1)))
+    e = (df.select(F.col(group_col).alias("grp"), h.alias("h"))
          .select("grp",
                  F.expr(f"pmod(h, {m})").alias("b"),
                  F.expr(f"h div {m}").alias("r")))

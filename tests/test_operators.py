@@ -2564,3 +2564,29 @@ def test_ngram_lm_score_known_values(spark):
     for r in out.values():
         assert r.sum_nll_q4 > 0
         assert r.avg_nll_q4 == r.sum_nll_q4 // r.n_bigrams
+
+
+def test_sketch_hash_fastpath(spark):
+    """xxhash64 fast path: estimates stay in the HLL error envelope,
+    NULLs are excluded (xxhash64 hashes NULL to the seed — the gate
+    must drop them), and non-ndv stats are unaffected."""
+    from nifi_datasynthesizer_spark.io import column_stats
+    from nifi_datasynthesizer_spark.operators.sketches import \
+        hll_distinct
+    df = spark.range(20_000).select(
+        (F.col("id") % 300).alias("k"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id") % 50).alias("n"))
+    got = {r.col: r for r in
+           column_stats(df, ["k", "n"], ndv_mode="sketch",
+                        hash_col=F.xxhash64).collect()}
+    # m=64 -> ~13% std error; 300 and 50 true distincts
+    assert 200 <= got["k"].ndv <= 450
+    assert 35 <= got["n"].ndv <= 70
+    assert got["n"].n_null == 5000 and got["n"].n_non_null == 15000
+    h = hll_distinct(
+        df.select(F.lit("g").alias("event_type"),
+                  F.col("k").alias("user_id")),
+        m=64, hash_col=F.xxhash64).first()
+    assert h.exact_distinct == 300
+    assert 200 <= h.est_hll <= 450
