@@ -367,38 +367,36 @@ assert len(set(_WINDOW_R9_HEAD)) == 50, "duplicate in window head"
 _WINDOW_R9 = _WINDOW_R9_HEAD + _WINDOW_R9_TAIL
 assert len(set(_WINDOW_R9)) == len(_WINDOW_R9), "duplicate in window"
 
-# Round-10 window, per the r9 verdict's prescription: TWELVE new/
+# Round-10 window, per the r9 verdict's prescription: THIRTEEN new/
 # changed entries lead (all pre-validated against DuckDB at sf0.001
-# and sf0.01 before this window was declared) — the nine operators
-# registered this round (streaming_stream_join_left and
-# dedup_substring are verdict items 3a/3b, synth_commuter_digest is
-# verdict item 4, io_column_stats_sketch is "What's wrong" #3), then
-# the three whose implementation or oracle changed this round
-# (io_column_stats: identifier validation + the ndv-mode refactor;
-# dedup_embedding_derived: oracle max_bits 16→24 per r9 ADVICE;
-# io_roundtrip: the avro_io namespace-resolution fixes sit under it).
-# Then the 37 r6-stale greens _WINDOW_R9_TAIL queued, then the oldest
-# r7 green to the 50-slot budget.  After this round no query's last
-# driver green predates r7 (verdict item 1); the remaining r7 greens
-# queue in _WINDOW_R10_TAIL to lead r11.
+# and sf0.01 before this window was declared) — the ten operators
+# registered this round (streaming_stream_join_left and the
+# dedup_substring inventory+strip pair are verdict items 3a/3b,
+# synth_commuter_digest is verdict item 4, io_column_stats_sketch is
+# "What's wrong" #3), then the three whose implementation or oracle
+# changed this round (io_column_stats: identifier validation + the
+# ndv-mode refactor; dedup_embedding_derived: oracle max_bits 16→24
+# per r9 ADVICE; io_roundtrip: the avro_io namespace-resolution fixes
+# sit under it).  Then the 37 r6-stale greens _WINDOW_R9_TAIL queued,
+# filling the 50-slot budget exactly.  After this round no query's
+# last driver green predates r7 (verdict item 1); the remaining r7
+# greens queue in _WINDOW_R10_TAIL to lead r11.
 _WINDOW_R10_HEAD = [
     # new this round — never driver-checked
     "streaming_stream_join_left", "dedup_substring",
-    "synth_commuter_digest", "text_ngram_lm", "events_ab_srm",
-    "graph_jaccard", "dedup_url", "q4_order_priority",
+    "dedup_substring_strip", "synth_commuter_digest", "text_ngram_lm",
+    "events_ab_srm", "graph_jaccard", "dedup_url", "q4_order_priority",
     "io_column_stats_sketch",
     # changed implementation/oracle this round — re-verify
     "io_column_stats", "dedup_embedding_derived", "io_roundtrip",
     # the 37 r6-stale greens, in the order the r9 tail queued them
     *_WINDOW_R9_TAIL,
-    # oldest r7 green, registry order, to the 50-slot budget
-    "io_zorder",
 ]
 # r7 greens that did not fit the 50-slot budget — lead the r11
 # window; r8/r9/r10-green queries are fresher and follow in registry
 # order
 _WINDOW_R10_TAIL = [
-    "io_schema_evolution", "io_compaction", "events_histogram",
+    "io_zorder", "io_schema_evolution", "io_compaction", "events_histogram",
     "events_markov_stationary", "sketch_cms_eval", "events_ab_assign",
     "events_cohort_ltv", "events_rfm", "corpus_upsample",
     "dedup_ngram_jaccard", "dedup_agreement", "dedup_threshold_sweep",
@@ -2272,6 +2270,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("span"))
     q["dedup_substring"] = dedup_substring
 
+    def dedup_substring_strip(spark, sf):
+        """The REMOVAL half of Lee et al. 2022 on top of
+        dedup_substring's inventory: every word covered by a
+        globally-repeated 8-token window is deleted (including the
+        first occurrence — boilerplate is boilerplate everywhere,
+        unlike dedup_spans' keep-first) and the text rebuilds from
+        the survivors; every document reports, with removed counts."""
+        return (DD.strip_repeated_substrings(
+                    _t(spark, sf, "documents"), w=8, min_docs=2)
+                .orderBy("doc_id"))
+    q["dedup_substring_strip"] = dedup_substring_strip
+
     def text_ngram_lm(spark, sf):
         """Bigram-LM perplexity scoring (the CCNet quality-filter
         recipe): the corpus hash-splits into train/holdout, an
@@ -3690,6 +3700,8 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
     o["dedup_substring"] = OR.repeated_substrings_sql(w=8, min_docs=2)
+    o["dedup_substring_strip"] = OR.strip_repeated_substrings_sql(
+        w=8, min_docs=2)
     o["text_ngram_lm"] = OR.ngram_lm_score_sql(holdout_mod=5)
     o["corpus_shuffle"] = OR.corpus_shuffle_sql(shards=8, salt=1)
     o["embed_cluster"] = OR.cluster_embeddings_sql(k=8, iters=2, dim=64,

@@ -101,8 +101,9 @@ def main() -> None:
              # guardrail, neighbor Jaccard, URL dedup, Q4 semi-join,
              # sketch-ndv column stats
              "streaming_stream_join_left", "dedup_substring",
-             "synth_commuter_digest", "text_ngram_lm", "events_ab_srm",
-             "graph_jaccard", "dedup_url", "q4_order_priority",
+             "dedup_substring_strip", "synth_commuter_digest",
+             "text_ngram_lm", "events_ab_srm", "graph_jaccard",
+             "dedup_url", "q4_order_priority",
              "io_column_stats_sketch"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed

@@ -437,6 +437,70 @@ def repeated_substrings(docs: DataFrame, w: int = 8, min_docs: int = 2,
                     "first_doc"))
 
 
+def strip_repeated_substrings(docs: DataFrame, w: int = 8,
+                              min_docs: int = 2,
+                              text_col: str = "text") -> DataFrame:
+    """The REMOVAL half of the Lee et al. 2022 recipe (the other half
+    of :func:`repeated_substrings`): delete from every document each
+    word covered by ANY ``w``-token window that occurs in ≥
+    ``min_docs`` distinct documents, and rebuild the text from the
+    surviving words in order.  Word-coverage semantics make
+    overlapping repeated windows compose cleanly (a maximal repeated
+    region is removed exactly once), and the decision is global — a
+    span is boilerplate wherever it appears, including its first
+    occurrence (unlike dedup_spans' keep-first).
+
+    Scale shape: the window explode is the same ~token-count frame as
+    repeated_substrings (shuffled once on the span key to find the
+    repeated set and once to mark coverage — co-partitioned);
+    covered-position rows are bounded by (qualifying occurrences ×
+    w) and distinct per (doc, position); the rebuild is one doc-keyed
+    anti-join + aggregation, the dedup_spans idiom.  The tokenized
+    corpus is pinned (windows + totals + rebuild all read it).
+
+    Returns (doc_id, text_stripped, n_words, n_removed) for EVERY
+    document (unaffected docs pass through; fully-boilerplate docs
+    rebuild to '').
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = _pin(docs.select("doc_id", toks.alias("w")))
+    nw = F.size("w") - F.lit(w - 1)
+    slices = [F.slice(F.col("w"), i + 1, nw) for i in range(w)]
+    windows = (base.filter(F.size("w") >= w)
+               .select("doc_id",
+                       F.posexplode(F.arrays_zip(*slices))
+                       .alias("pos", "z"))
+               .select("doc_id", "pos",
+                       F.concat_ws(" ", *[F.col(f"z.{i}")
+                                          for i in range(w)])
+                       .alias("span")))
+    rep = (windows.groupBy("span")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= min_docs).select("span"))
+    cov = (windows.join(rep, "span")
+           .select("doc_id",
+                   F.explode(F.sequence(
+                       F.col("pos"), F.col("pos") + (w - 1))).alias("i"))
+           .distinct())
+    words = base.select("doc_id", F.posexplode("w").alias("i", "word"))
+    kept = words.join(cov, ["doc_id", "i"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("i", "word"))),
+                        lambda s: s["word"])).alias("text_stripped"),
+                    F.count("*").alias("n_kept")))
+    totals = base.select("doc_id", F.size("w").alias("n_words"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("text_stripped"), F.lit(""))
+                    .alias("text_stripped"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    (F.col("n_words")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs: every document in a
     transitive duplicate cluster gets the cluster's min doc_id as

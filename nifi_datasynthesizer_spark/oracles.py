@@ -145,6 +145,44 @@ HAVING COUNT(*) >= {min_docs}
 ORDER BY span"""
 
 
+def strip_repeated_substrings_sql(w: int = 8, min_docs: int = 2,
+                                  table: str = "documents") -> str:
+    """Mirror of dedup.strip_repeated_substrings: word positions
+    covered by any qualifying repeated window are dropped, text
+    rebuilt in order; every document reports."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {table}),
+spu AS (SELECT doc_id,
+               unnest(list_transform(range(0, len(w) - {w} + 1),
+                 s -> {{'pos': s,
+                        'span': array_to_string(
+                          list_slice(w, s + 1, s + {w}), ' ')}})) AS u
+        FROM t WHERE len(w) >= {w}),
+sp AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM spu),
+rep AS (SELECT span FROM (SELECT span, COUNT(DISTINCT doc_id) AS nd
+                          FROM sp GROUP BY span)
+        WHERE nd >= {min_docs}),
+cov AS (SELECT DISTINCT doc_id, pos + k AS i
+        FROM sp JOIN rep USING (span),
+             (SELECT unnest(range(0, {w})) AS k)),
+words AS (SELECT doc_id, i, w[i + 1] AS word
+          FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM t)),
+kept AS (SELECT words.doc_id, words.i, words.word
+         FROM words ANTI JOIN cov
+           ON words.doc_id = cov.doc_id AND words.i = cov.i),
+rebuilt AS (SELECT doc_id,
+                   string_agg(word, ' ' ORDER BY i) AS text_stripped,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(rebuilt.text_stripped, '') AS text_stripped,
+       CAST(len(t.w) AS BIGINT) AS n_words,
+       CAST(len(t.w) - COALESCE(rebuilt.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM t LEFT JOIN rebuilt USING (doc_id)
+ORDER BY doc_id"""
+
+
 def minhash_pairs_sql(num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_threshold: float = 0.5,
                       table: str = "documents") -> str:

@@ -2590,3 +2590,29 @@ def test_sketch_hash_fastpath(spark):
         m=64, hash_col=F.xxhash64).first()
     assert h.exact_distinct == 300
     assert 200 <= h.est_hll <= 450
+
+
+def test_strip_repeated_substrings_planted(spark):
+    """Word-coverage removal: the shared 4-token span disappears from
+    EVERY occurrence (including the first — global semantics, unlike
+    dedup_spans' keep-first), overlapping occurrences compose, short
+    and untouched docs pass through with n_removed = 0."""
+    shared = "alpha beta gamma delta"
+    rows = [
+        (0, f"{shared} one two three"),
+        (1, f"zero {shared} four five"),
+        (2, f"{shared} {shared}"),          # back-to-back repeats
+        (3, "tiny doc"),
+        (4, "unrelated words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           DD.strip_repeated_substrings(docs, w=4, min_docs=2)
+           .collect()}
+    assert len(out) == 5
+    assert out[0].text_stripped == "one two three"
+    assert out[0].n_removed == 4
+    assert out[1].text_stripped == "zero four five"
+    assert out[2].text_stripped == "" and out[2].n_removed == 8
+    assert out[3].text_stripped == "tiny doc" and out[3].n_removed == 0
+    assert out[4].n_removed == 0
