@@ -2616,3 +2616,43 @@ def test_strip_repeated_substrings_planted(spark):
     assert out[2].text_stripped == "" and out[2].n_removed == 8
     assert out[3].text_stripped == "tiny doc" and out[3].n_removed == 0
     assert out[4].n_removed == 0
+
+
+def test_substring_inventory_strip_consistency(spark, planted_docs):
+    """Cross-operator semantic check: after strip_repeated_substrings,
+    NO w-token window of any rebuilt text can be a span the inventory
+    reported (every covered word was removed, so a reported span
+    cannot survive intact), and per-doc removal counts are bounded by
+    the doc's word count."""
+    w = 4
+    inv = {r.span for r in
+           DD.repeated_substrings(planted_docs, w=w, min_docs=2)
+           .collect()}
+    stripped = DD.strip_repeated_substrings(planted_docs, w=w,
+                                            min_docs=2).collect()
+    for r in stripped:
+        assert 0 <= r.n_removed <= r.n_words
+        words = r.text_stripped.split(" ") if r.text_stripped else []
+        for i in range(max(0, len(words) - w + 1)):
+            assert " ".join(words[i:i + w]) not in inv
+    # the planted corpus really exercises the check
+    assert inv and any(r.n_removed > 0 for r in stripped)
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a canonicalization: applying it twice equals
+    applying it once (over a mixed bag of messy URLs)."""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        canonical_url
+    urls = [
+        "HTTPS://A.B:443/x/?utm_source=1&z=2&a=3#f",
+        "http://h.com:80/",
+        "https://h.com/p?gclid=1",
+        "https://h.com/deep/path/?b=2&a=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c2"),
+                        F.col("c"))
+    for r in twice.collect():
+        assert r.c2 == r.c
