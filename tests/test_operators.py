@@ -2656,3 +2656,50 @@ def test_canonical_url_idempotent(spark):
                         F.col("c"))
     for r in twice.collect():
         assert r.c2 == r.c
+
+
+def test_repeated_substrings_random_vs_reference(spark):
+    """Seeded randomized check of BOTH span operators against a
+    pure-Python reference over a random small-vocab corpus (small
+    vocabulary forces plenty of genuine window collisions, including
+    within-doc repeats and overlaps)."""
+    import random
+    rng = random.Random(4242)
+    w = 3
+    docs = [(i, " ".join(rng.choice("aa bb cc dd".split())
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(60)]
+
+    # reference: inventory
+    from collections import defaultdict
+    occ = defaultdict(list)   # span -> [(doc, pos)]
+    toks = {}
+    for i, t in docs:
+        ws = t.split(" ") if t else [""]
+        toks[i] = ws
+        for p in range(len(ws) - w + 1):
+            occ[" ".join(ws[p:p + w])].append((i, p))
+    want_inv = {}
+    for span, hits in occ.items():
+        ds = {d for d, _ in hits}
+        if len(ds) >= 2:
+            want_inv[span] = (len(ds), len(hits), min(ds))
+    # reference: strip (word coverage by qualifying windows)
+    want_strip = {}
+    for i, t in docs:
+        ws = toks[i]
+        cov = set()
+        for p in range(len(ws) - w + 1):
+            if " ".join(ws[p:p + w]) in want_inv:
+                cov.update(range(p, p + w))
+        kept = [x for j, x in enumerate(ws) if j not in cov]
+        want_strip[i] = (" ".join(kept), len(ws), len(cov))
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got_inv = {r.span: (r.n_docs, r.n_occ, r.first_doc) for r in
+               DD.repeated_substrings(sdf, w=w, min_docs=2).collect()}
+    assert got_inv == want_inv and want_inv  # non-vacuous
+    got_strip = {r.doc_id: (r.text_stripped, r.n_words, r.n_removed)
+                 for r in DD.strip_repeated_substrings(
+                     sdf, w=w, min_docs=2).collect()}
+    assert got_strip == want_strip
