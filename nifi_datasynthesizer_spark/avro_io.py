@@ -582,6 +582,270 @@ def _make_decoder(at, names: dict | None = None, ns: str = ""):
     raise TypeError(f"unsupported avro type: {at!r}")
 
 
+# ------------------------------------------------ schema resolution
+#
+# The spec's "Schema Resolution" rules (reader schema != writer
+# schema): records match fields by name (reader aliases honoured),
+# writer-only fields are decoded and discarded, reader-only fields
+# take their declared default; enums map writer symbols onto reader
+# symbols with the reader's enum ``default`` as the fallback;
+# primitives promote int→long/float/double, long→float/double,
+# float→double, string↔bytes; arrays/maps resolve element-wise; fixed
+# requires matching size and name.  This is what lets a consumer
+# evolve its schema (add a column with a default, widen an int,
+# rename via aliases) and still read every historical file — the
+# contract any long-lived 100 TB archive depends on.
+
+_PROMOTE = {
+    ("int", "long"): None, ("int", "float"): float,
+    ("int", "double"): float, ("long", "float"): float,
+    ("long", "double"): float, ("float", "double"): None,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _effective(at, names, ns):
+    """(resolved type, effective ns): follows named references and
+    unwraps nothing else."""
+    if isinstance(at, str) and at != "null" and at not in _DEC_PRIM:
+        target, full = _resolve_named(at, names, ns)
+        if target is None:
+            raise TypeError(f"unsupported avro type: {at!r}")
+        return target, _ns_of(full)
+    return at, ns
+
+
+def _names_match(w: dict, r: dict, wns: str, rns: str) -> bool:
+    """Spec name matching for named types: unqualified names equal, or
+    the reader declares the writer's name (full or unqualified) as an
+    alias."""
+    wn, rn = w.get("name"), r.get("name")
+    if wn == rn:
+        return True
+    wfull = f"{w.get('namespace', wns)}.{wn}" if w.get("namespace", wns) else wn
+    return wn in r.get("aliases", []) or wfull in r.get("aliases", [])
+
+
+def _json_default(rt, names, ns, dflt, path):
+    """A reader field's JSON ``default`` → the decoded-value model."""
+    rt, ns = _effective(rt, names, ns)
+    if isinstance(rt, list):  # default applies to the FIRST branch
+        return _json_default(rt[0], names, ns, dflt, path)
+    t = rt["type"] if isinstance(rt, dict) else rt
+    if isinstance(rt, dict) and rt.get("logicalType") == "decimal":
+        import decimal
+        unscaled = int.from_bytes(dflt.encode("latin-1"), "big",
+                                  signed=True) if dflt else 0
+        with decimal.localcontext() as ctx:
+            ctx.prec = len(str(abs(unscaled))) + abs(rt["scale"]) + 2
+            return decimal.Decimal(unscaled).scaleb(-rt["scale"])
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(dflt)
+    if t in ("int", "long"):
+        return int(dflt)
+    if t in ("float", "double"):
+        return float(dflt)
+    if t == "string" or t == "enum":
+        return dflt
+    if t in ("bytes", "fixed"):
+        return dflt.encode("latin-1")
+    if t == "array":
+        return [_json_default(rt["items"], names, ns, v, path)
+                for v in dflt]
+    if t == "map":
+        return {k: _json_default(rt["values"], names, ns, v, path)
+                for k, v in dflt.items()}
+    if t == "record":
+        out = {}
+        for f in rt["fields"]:
+            if f["name"] in dflt:
+                out[f["name"]] = _json_default(f["type"], names, ns,
+                                               dflt[f["name"]], path)
+            elif "default" in f:
+                out[f["name"]] = _json_default(f["type"], names, ns,
+                                               f["default"], path)
+            else:
+                raise TypeError(
+                    f"record default at {path} missing field "
+                    f"{f['name']!r} with no sub-default")
+        return out
+    raise TypeError(f"unsupported default for {rt!r} at {path}")
+
+
+def _base_type(at):
+    return at["type"] if isinstance(at, dict) else at
+
+
+def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
+                           path="$"):
+    """Compile (writer type, reader type) → ``fn(buf, pos) →
+    (reader-shaped value, pos)`` per the spec's resolution rules.
+    Raises TypeError at COMPILE time for unresolvable pairs (the spec
+    calls these errors), so a bad evolution fails before any data is
+    touched."""
+    wt, wns = _effective(wt, wnames, wns)
+    rt, rns = _effective(rt, rnames, rns)
+
+    if isinstance(wt, list):
+        branch, nb = _union_branch(wt)
+        r_nullable = isinstance(rt, list)
+        rbranch = _union_branch(rt)[0] if r_nullable else rt
+        inner = _make_resolved_decoder(branch, rbranch, wnames, rnames,
+                                       wns, rns, path)
+
+        def dec_union(buf, pos):
+            br, pos = dec_long(buf, pos)
+            if br == nb:
+                if not r_nullable:
+                    raise TypeError(
+                        f"null written at {path} but reader type is "
+                        "not nullable")
+                return None, pos
+            return inner(buf, pos)
+        return dec_union
+    if isinstance(rt, list):  # writer non-union, reader nullable
+        rbranch, _ = _union_branch(rt)
+        return _make_resolved_decoder(wt, rbranch, wnames, rnames,
+                                      wns, rns, path)
+
+    wb, rb = _base_type(wt), _base_type(rt)
+    wlog = wt.get("logicalType") if isinstance(wt, dict) else None
+    rlog = rt.get("logicalType") if isinstance(rt, dict) else None
+    if wlog == "decimal" or rlog == "decimal":
+        if (wlog != rlog or wt.get("precision") != rt.get("precision")
+                or wt.get("scale") != rt.get("scale")):
+            raise TypeError(f"decimal mismatch at {path}: "
+                            f"{wt!r} vs {rt!r}")
+        return _make_decoder(wt, wnames, wns)
+
+    if wb == rb and wb in ("record", "enum", "fixed"):
+        if not _names_match(wt, rt, wns, rns):
+            raise TypeError(
+                f"named-type mismatch at {path}: writer "
+                f"{wt.get('name')!r} vs reader {rt.get('name')!r} "
+                "(no alias)")
+        _register_named(wt, wnames, wns)
+        _register_named(rt, rnames, rns)
+
+    if wb == "record" and rb == "record":
+        wns2 = wt.get("namespace", wns)
+        rns2 = rt.get("namespace", rns)
+        rfields = {f["name"]: f for f in rt["fields"]}
+        # reader aliases: alias name → reader field
+        for f in rt["fields"]:
+            for a in f.get("aliases", []):
+                rfields.setdefault(a, f)
+        consumed = set()
+        steps = []  # (reader_name | None, decoder)
+        for f in wt["fields"]:
+            rf = rfields.get(f["name"])
+            if rf is not None and id(rf) not in consumed:
+                consumed.add(id(rf))
+                steps.append((rf["name"], _make_resolved_decoder(
+                    f["type"], rf["type"], wnames, rnames, wns2, rns2,
+                    f"{path}.{f['name']}")))
+            else:  # writer-only: decode and discard
+                steps.append((None, _make_decoder(f["type"], wnames,
+                                                  wns2)))
+        defaults = {}
+        for f in rt["fields"]:
+            if id(f) not in consumed:
+                if "default" not in f:
+                    raise TypeError(
+                        f"reader field {path}.{f['name']} absent from "
+                        "writer schema and has no default")
+                defaults[f["name"]] = _json_default(
+                    f["type"], rnames, rns2, f["default"],
+                    f"{path}.{f['name']}")
+
+        def dec_record(buf, pos):
+            row = dict(defaults)
+            for name, fd in steps:
+                v, pos = fd(buf, pos)
+                if name is not None:
+                    row[name] = v
+            return row, pos
+        return dec_record
+    if wb == "enum" and rb == "enum":
+        rsyms = set(rt["symbols"])
+        rdef = rt.get("default")
+        table = []
+        for s in wt["symbols"]:
+            if s in rsyms:
+                table.append(s)
+            elif rdef is not None:
+                table.append(rdef)
+            else:
+                table.append(None)  # error if actually written
+
+        def dec_enum(buf, pos):
+            i, pos = dec_long(buf, pos)
+            s = table[i]
+            if s is None:
+                raise TypeError(
+                    f"enum symbol {wt['symbols'][i]!r} at {path} not "
+                    "in reader enum and reader declares no default")
+            return s, pos
+        return dec_enum
+    if wb == "fixed" and rb == "fixed":
+        if wt["size"] != rt["size"]:
+            raise TypeError(f"fixed size mismatch at {path}: "
+                            f"{wt['size']} vs {rt['size']}")
+        return _make_decoder(wt, wnames, wns)
+    if wb == "array" and rb == "array":
+        idec = _make_resolved_decoder(wt["items"], rt["items"], wnames,
+                                      rnames, wns, rns, path + "[]")
+
+        def dec_array(buf, pos):
+            out = []
+            while True:
+                cnt, pos = dec_long(buf, pos)
+                if cnt == 0:
+                    return out, pos
+                if cnt < 0:
+                    cnt = -cnt
+                    _, pos = dec_long(buf, pos)
+                for _ in range(cnt):
+                    v, pos = idec(buf, pos)
+                    out.append(v)
+        return dec_array
+    if wb == "map" and rb == "map":
+        vdec = _make_resolved_decoder(wt["values"], rt["values"],
+                                      wnames, rnames, wns, rns,
+                                      path + "{}")
+
+        def dec_map(buf, pos):
+            out = {}
+            while True:
+                cnt, pos = dec_long(buf, pos)
+                if cnt == 0:
+                    return out, pos
+                if cnt < 0:
+                    cnt = -cnt
+                    _, pos = dec_long(buf, pos)
+                for _ in range(cnt):
+                    k, pos = _dec_str(buf, pos)
+                    out[k], pos = vdec(buf, pos)
+        return dec_map
+    if wb == rb and wb in _DEC_PRIM:
+        return _make_decoder(wt, wnames, wns)
+    conv = _PROMOTE.get((wb, rb), "missing")
+    if conv != "missing":
+        base = _make_decoder(wt, wnames, wns)
+        if conv is None:
+            return base
+
+        def dec_promoted(buf, pos):
+            v, pos = base(buf, pos)
+            return conv(v), pos
+        return dec_promoted
+    raise TypeError(
+        f"cannot resolve writer {wb!r} against reader {rb!r} at {path}")
+
+
 def write_container(fh, avro_schema: dict, row_lists: list[list],
                     sync_seed: str, block_records: int = 4096,
                     codec: str = "null") -> int:
@@ -632,9 +896,19 @@ def write_container(fh, avro_schema: dict, row_lists: list[list],
     return total
 
 
-def read_container(data: bytes) -> tuple[dict, list[dict]]:
+def read_container(data: bytes,
+                   reader_schema: dict | None = None
+                   ) -> tuple[dict, list[dict]]:
     """Decode one container file → (avro schema dict, list of row
-    dicts with avro-typed values)."""
+    dicts with avro-typed values).
+
+    ``reader_schema``: decode under the spec's Schema Resolution rules
+    instead of the file's writer schema — added fields take their
+    defaults, removed fields are skipped, renamed fields resolve via
+    reader aliases, promotable primitives widen, enum gaps fall to the
+    reader's enum default (see :func:`_make_resolved_decoder`).  Rows
+    come back reader-shaped; the returned schema dict is still the
+    WRITER's (what the file physically carries)."""
     buf = memoryview(data)
     if bytes(buf[:4]) != MAGIC:
         raise ValueError("not an avro container file")
@@ -663,8 +937,16 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
 
     dec_names: dict = {}
     top_ns = _register_named(schema, dec_names)
-    fdecs = [(f["name"], _make_decoder(f["type"], dec_names, top_ns))
-             for f in schema["fields"]]
+    if reader_schema is not None:
+        rnames: dict = {}
+        rns = _register_named(reader_schema, rnames)
+        rdec = _make_resolved_decoder(schema, reader_schema, dec_names,
+                                      rnames, top_ns, rns)
+        fdecs = None
+    else:
+        fdecs = [(f["name"], _make_decoder(f["type"], dec_names,
+                                           top_ns))
+                 for f in schema["fields"]]
     rows = []
     end = len(buf)
     while pos < end:
@@ -678,9 +960,12 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             block = memoryview(zlib.decompress(bytes(block), -15))
         bpos = 0
         for _ in range(cnt):
-            row = {}
-            for name, fd in fdecs:
-                row[name], bpos = fd(block, bpos)
+            if fdecs is None:
+                row, bpos = rdec(block, bpos)
+            else:
+                row = {}
+                for name, fd in fdecs:
+                    row[name], bpos = fd(block, bpos)
             rows.append(row)
         if bytes(buf[pos:pos + 16]) != sync:
             raise ValueError("sync marker mismatch")

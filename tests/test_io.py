@@ -1019,3 +1019,104 @@ def test_avro_top_level_namespace_resolution(spark):
     finally:
         _os.unlink(fname)
 
+
+
+def test_avro_schema_resolution(spark):
+    """Spec Schema Resolution (reader schema != writer schema): added
+    field with default, removed field, rename via reader alias,
+    int->long and int->double promotion, string->bytes promotion,
+    enum fallback to the reader's default symbol, nullability
+    preserved — and the SAME (writer, reader) pair resolved by the
+    official Java GenericDatumReader over our file gives identical
+    values.  A reader field with no default that the writer lacks is
+    a compile-time TypeError (before any data is touched)."""
+    import io as _bio
+    import json as _json
+    import os as _os
+    import tempfile
+
+    import pytest as _pt
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+
+    writer = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "score", "type": "int"},
+        {"name": "tag", "type": "string"},
+        {"name": "old_name", "type": ["null", "string"]},
+        {"name": "dropped", "type": "long"},
+        {"name": "color", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["RED", "BLUE",
+                                               "MAGENTA"]}},
+    ]}
+    reader = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},                  # int -> long
+        {"name": "score", "type": "double"},             # int -> double
+        {"name": "tag", "type": "bytes"},                # string -> bytes
+        {"name": "new_name", "type": ["null", "string"],
+         "aliases": ["old_name"]},                       # rename
+        {"name": "color", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["RED", "BLUE",
+                                               "OTHER"],
+                                   "default": "OTHER"}}, # enum gap
+        {"name": "added", "type": "long", "default": 7}, # new + default
+        {"name": "added_n", "type": ["null", "string"],
+         "default": None},                               # new nullable
+    ]}
+    rows = [[1, 2], [10, 20], ["a", "b"], ["x", None], [100, 200],
+            ["RED", "MAGENTA"]]
+    buf = _bio.BytesIO()
+    AV.write_container(buf, writer, rows, sync_seed="resolve")
+    data = buf.getvalue()
+    _, got = AV.read_container(data, reader_schema=reader)
+    assert got == [
+        {"id": 1, "score": 10.0, "tag": b"a", "new_name": "x",
+         "color": "RED", "added": 7, "added_n": None},
+        {"id": 2, "score": 20.0, "tag": b"b", "new_name": None,
+         "color": "OTHER", "added": 7, "added_n": None},
+    ]
+    # plain read (no reader schema) still returns writer-shaped rows
+    _, raw = AV.read_container(data)
+    assert raw[0]["old_name"] == "x" and raw[0]["dropped"] == 100
+
+    # Java cross-check: GenericDatumReader(writer, reader) over the
+    # same bytes resolves to the same values
+    fd, fname = tempfile.mkstemp(suffix=".avro")
+    try:
+        with _os.fdopen(fd, "wb") as fh:
+            AV.write_container(fh, writer, rows, sync_seed="resolve")
+        jvm = spark._jvm
+        P = jvm.org.apache.avro.Schema.Parser
+        wsch = P().parse(_json.dumps(writer))
+        rsch = P().parse(_json.dumps(reader))
+        rdr = jvm.org.apache.avro.generic.GenericDatumReader(wsch, rsch)
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(fname), rdr)
+        jrows = []
+        while dfr.hasNext():
+            rec = dfr.next()
+            nn = rec.get("new_name")
+            tag = rec.get("tag")
+            jrows.append((rec.get("id"), rec.get("score"),
+                          bytes(tag.array()) if tag is not None else None,
+                          str(nn) if nn is not None else None,
+                          str(rec.get("color")), rec.get("added"),
+                          rec.get("added_n")))
+        dfr.close()
+        assert jrows == [
+            (1, 10.0, b"a", "x", "RED", 7, None),
+            (2, 20.0, b"b", None, "OTHER", 7, None)]
+    finally:
+        _os.unlink(fname)
+
+    # no default for a reader-only field -> compile-time error
+    bad = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "mystery", "type": "long"}]}
+    with _pt.raises(TypeError, match="no default"):
+        AV.read_container(data, reader_schema=bad)
+    # incompatible promotion -> compile-time error
+    bad2 = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "string"}]}
+    with _pt.raises(TypeError, match="cannot resolve"):
+        AV.read_container(data, reader_schema=bad2)
