@@ -1080,12 +1080,20 @@ def write_avro(df: DataFrame, path: str, name: str = "record",
     return int(sum(r.n for r in stats))
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(spark: SparkSession, path: str,
+              reader_schema: dict | None = None) -> DataFrame:
     """Read a directory (or glob) of Avro container files written by
     any spec-compliant implementation (primitive, nullable-union,
     record/array/map, and timestamp-micros/date logical types).
     Decode is distributed over the ``binaryFile`` source; the schema
-    comes from the first file's embedded header."""
+    comes from the first file's embedded header.
+
+    ``reader_schema`` applies the spec's Schema Resolution rules
+    per file (see :func:`read_container`) — the schema-evolution
+    read: a directory holding files written under SEVERAL historical
+    schema versions comes back as ONE DataFrame in the reader's
+    shape, each file resolved against its own embedded writer schema
+    on the executor that decodes it."""
     # pathGlobFilter, not a glob-in-path: Spark tries the literal path
     # first and logs a FileNotFoundException before falling back
     bf = (spark.read.format("binaryFile")
@@ -1093,7 +1101,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     head = bf.select("content").limit(1).collect()
     if not head:
         raise ValueError(f"no avro files under {path}")
-    avro, _ = read_container(bytes(head[0].content))
+    if reader_schema is not None:
+        avro = reader_schema
+    else:
+        avro, _ = read_container(bytes(head[0].content))
     sschema = avro_to_spark_schema(avro)
     tz = spark.conf.get("spark.sql.session.timeZone")
 
@@ -1131,7 +1142,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         import pyarrow as pa
         for batch in batches:
             for content in batch.column(0).to_pylist():
-                _, rows = read_container(bytes(content))
+                _, rows = read_container(bytes(content),
+                                         reader_schema=reader_schema)
                 arrays, names = [], []
                 for f in avro["fields"]:
                     name = f["name"]

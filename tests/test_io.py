@@ -1120,3 +1120,32 @@ def test_avro_schema_resolution(spark):
         {"name": "id", "type": "string"}]}
     with _pt.raises(TypeError, match="cannot resolve"):
         AV.read_container(data, reader_schema=bad2)
+
+
+def test_read_avro_mixed_generations(spark, tmp_path):
+    """Schema-evolution read over a MIXED directory: files written
+    under two historical schema versions come back as one DataFrame
+    in the reader's shape — each file resolved against its own
+    embedded writer schema on the decoding executor."""
+    from nifi_datasynthesizer_spark import avro_io as AV
+
+    v1 = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "who", "type": "string"}]}
+    v2 = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "who", "type": "string"},
+        {"name": "score", "type": "long"}]}
+    reader = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "who", "type": "string"},
+        {"name": "score", "type": ["null", "long"], "default": None}]}
+    with open(tmp_path / "gen1.avro", "wb") as fh:
+        AV.write_container(fh, v1, [[1, 2], ["a", "b"]],
+                           sync_seed="g1")
+    with open(tmp_path / "gen2.avro", "wb") as fh:
+        AV.write_container(fh, v2, [[3], ["c"], [30]], sync_seed="g2")
+    df = AV.read_avro(spark, str(tmp_path), reader_schema=reader)
+    rows = {r.id: (r.who, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    assert dict(df.dtypes)["score"] == "bigint"
