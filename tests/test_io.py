@@ -1149,3 +1149,43 @@ def test_read_avro_mixed_generations(spark, tmp_path):
     rows = {r.id: (r.who, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
     assert dict(df.dtypes)["score"] == "bigint"
+
+
+def test_avro_resolution_of_java_written_file(spark):
+    """The remaining interop direction: a file written by the OFFICIAL
+    Java implementation under a v1 schema, decoded by OUR resolver
+    under an evolved reader schema (widened int, added default,
+    renamed via alias)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+
+    v1 = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "old", "type": "string"}]}
+    reader = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "double"},
+        {"name": "renamed", "type": "string", "aliases": ["old"]},
+        {"name": "flag", "type": "boolean", "default": True}]}
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(v1))
+    gdr = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    gdw = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(gdw)
+    fd, fname = tempfile.mkstemp(suffix=".avro")
+    _os.close(fd)
+    try:
+        dfw.create(sch, jvm.java.io.File(fname))
+        fac = jvm.org.apache.avro.io.DecoderFactory.get()
+        for payload in ({"id": 7, "old": "x"}, {"id": -3, "old": "y"}):
+            dfw.append(gdr.read(None, fac.jsonDecoder(
+                sch, _json.dumps(payload))))
+        dfw.close()
+        _, rows = AV.read_container(open(fname, "rb").read(),
+                                    reader_schema=reader)
+        assert rows == [{"id": 7.0, "renamed": "x", "flag": True},
+                        {"id": -3.0, "renamed": "y", "flag": True}]
+    finally:
+        _os.unlink(fname)
