@@ -3852,6 +3852,10 @@ ORDER BY rec_id"""
                   || '?utm_source=feed&utm_medium=social'
   ELSE 'https://site' || CAST(d AS VARCHAR) || '.example.com/page'
        || CAST(p AS VARCHAR) || '?b=2&a=1&utm_campaign=x' END"""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        tracking_param_prefixes
+    _track_pred = " ".join(f"AND NOT starts_with(x, '{p}')"
+                           for p in tracking_param_prefixes())
     o["dedup_url"] = f"""
 WITH src AS (SELECT rec_id, d, p, t
              FROM ({compile_schema(SYNTH_URL_SCHEMA,
@@ -3868,16 +3872,14 @@ c AS (SELECT rec_id, url,
     AS path,
   regexp_extract(url, '\\?([^#]*)', 1) AS qs
   FROM u),
-k AS (SELECT rec_id, url, scheme || '://' || host || path ||
-             CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
-               AS canonical_url
+k AS (SELECT rec_id, url,
+             CASE WHEN scheme <> ''
+                  THEN scheme || '://' || host || path ||
+                       CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+                  ELSE url END AS canonical_url
       FROM (SELECT *, array_to_string(list_sort(list_filter(
                 string_split(qs, '&'),
-                x -> x <> '' AND NOT starts_with(x, 'utm_')
-                 AND NOT starts_with(x, 'fbclid=')
-                 AND NOT starts_with(x, 'gclid=')
-                 AND NOT starts_with(x, 'msclkid=')
-                 AND NOT starts_with(x, 'ref_src='))), '&') AS cq
+                x -> x <> '' {_track_pred})), '&') AS cq
             FROM c))
 SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_occ,
        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,

@@ -356,7 +356,8 @@ def column_stats(df: DataFrame, cols: list[str],
     """
     import re
 
-    from .operators.sketches import _HLL_S, _RHO_CAP, _hll_lc_table
+    from .operators.sketches import (_HLL_S, _RHO_CAP, _hll_alpha1000,
+                                     _hll_lc_table)
     from .phash import h60
 
     for c in cols:
@@ -436,7 +437,8 @@ def column_stats(df: DataFrame, cols: list[str],
                     f"shiftleft(CAST(1 AS BIGINT), {_HLL_S}))"))
             wide = wide.withColumn(
                 f"{c}__raw",
-                F.expr(f"(709 * (({m * m} * shiftleft(CAST(1 AS BIGINT), "
+                F.expr(f"({_hll_alpha1000(m)} * "
+                       f"(({m * m} * shiftleft(CAST(1 AS BIGINT), "
                        f"{_HLL_S})) div {c}__z)) div 1000"))
             wide = wide.withColumn(
                 f"{c}__ndv",

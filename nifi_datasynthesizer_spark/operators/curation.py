@@ -314,8 +314,19 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 # query params that never change page identity — dropped by the URL
-# canonicalizer (the CommonCrawl-style tracking blocklist)
+# canonicalizer (the CommonCrawl-style tracking blocklist).  Entries
+# ending in "_" are name PREFIXES (utm_source, utm_medium, ...); the
+# rest match a whole param name (compared as "name=").  Both the Spark
+# predicate and the DuckDB oracle are BUILT from this tuple
+# (tracking_param_prefixes), so editing it changes both engines
+# together (r11 ADVICE fix: it used to be decorative).
 TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref_src")
+
+
+def tracking_param_prefixes() -> list[str]:
+    """The concrete string prefixes a query param is tested against:
+    prefix entries pass through, name entries gain their '='."""
+    return [t if t.endswith("_") else t + "=" for t in TRACKING_PARAMS]
 
 
 def canonical_url(col):
@@ -329,10 +340,19 @@ def canonical_url(col):
     - tracking params (utm_*, fbclid, gclid, msclkid, ref_src)
       removed, surviving params sorted bytewise.
 
+    Inputs without an absolute scheme ("//host/p", "host/p", relative
+    paths) pass through VERBATIM: the part-extraction regexes anchor
+    on "scheme://", so without the gate every scheme-less row would
+    canonicalize to the single key "://" and url_dedup would falsely
+    group them all (r11 ADVICE fix).  Verbatim pass-through keeps
+    exact scheme-less duplicates deduplicable while never inventing
+    cross-row collisions.
+
     Pure column expressions: regexp_extract for the parts, split /
     filter / array_sort / array_join for the query — the filter
     lambda touches only its own element (no outer-array indexing, so
-    no interpreted-HOF trap), and the arrays are per-URL tiny.
+    no interpreted-HOF trap), and the arrays are per-URL tiny.  The
+    tracking filter is generated from TRACKING_PARAMS.
     """
     scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
@@ -340,16 +360,19 @@ def canonical_url(col):
     path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/$", "")
     qs = F.regexp_extract(col, r"\?([^#]*)", 1)
-    kept = F.filter(
-        F.split(qs, "&"),
-        lambda p: (p != "") & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid=") & ~p.startswith("msclkid=")
-        & ~p.startswith("ref_src=") & ~p.startswith("utm_"))
+    def _keep(p):
+        cond = p != ""
+        for pref in tracking_param_prefixes():
+            cond = cond & ~p.startswith(pref)
+        return cond
+
+    kept = F.filter(F.split(qs, "&"), _keep)
     qcanon = F.array_join(F.array_sort(kept), "&")
-    return F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(qcanon != "", F.concat(F.lit("?"), qcanon))
-        .otherwise(F.lit("")))
+    return F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), host, path,
+                 F.when(qcanon != "", F.concat(F.lit("?"), qcanon))
+                 .otherwise(F.lit("")))).otherwise(col)
 
 
 def url_dedup(df: DataFrame, url_col: str = "url",

@@ -79,6 +79,21 @@ def fm_distinct(df: DataFrame, group_col: str = "event_type",
 _HLL_S = 40
 
 
+def _hll_alpha1000(m: int) -> int:
+    """HLL bias constant alpha_m scaled by 1000 (Flajolet et al. 2007,
+    Fig. 3): the published exact values for m in {16, 32, 64}, the
+    asymptotic 0.7213/(1 + 1.079/m) above — evaluated once in Python
+    at plan-build time so Spark and the DuckDB oracle interpolate the
+    SAME integer (previously every site hardcoded 709, which is only
+    alpha_64)."""
+    table = {16: 673, 32: 697, 64: 709}
+    if m in table:
+        return table[m]
+    if m < 16:
+        raise ValueError(f"HLL requires m >= 16, got {m}")
+    return int(round(721.3 * m / (m + 1.079)))
+
+
 def _hll_lc_table(m: int) -> list[int]:
     """Linear-counting estimates ``round(m * ln(m / V))`` for every
     possible empty-register count V — precomputed in Python so neither
@@ -99,7 +114,7 @@ def hll_distinct(df: DataFrame, group_col: str = "event_type",
     Engine-exact arithmetic: the harmonic sum Σ 2^-reg is computed as
     the scaled integer Σ 2^(S-reg) (registers clipped to S=40), the
     raw estimate is α·m²·2^S/Z in integer floor ops (α applied as the
-    709/1000 ratio AFTER the division so every intermediate fits
+    alpha_m/1000 ratio AFTER the division so every intermediate fits
     BIGINT), and the small-range linear-counting correction
     ``m·ln(m/V)`` comes from a 64-entry literal table — no
     transcendentals, no floats, bit-identical in Spark and DuckDB.
@@ -137,7 +152,7 @@ def hll_distinct(df: DataFrame, group_col: str = "event_type",
     # empty registers contribute 2^0 = 1 each → + (m - hit) * 2^S
     z = F.expr(f"z_num + (({m} - buckets_hit) * "
                f"shiftleft(CAST(1 AS BIGINT), {_HLL_S}))")
-    raw = F.expr(f"(709 * (({m * m} * "
+    raw = F.expr(f"({_hll_alpha1000(m)} * (({m * m} * "
                  f"shiftleft(CAST(1 AS BIGINT), {_HLL_S})) div z_scaled)) "
                  f"div 1000")
     lc_items = ",".join(str(v) for v in _hll_lc_table(m))

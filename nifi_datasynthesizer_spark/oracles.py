@@ -1798,7 +1798,8 @@ def hll_distinct_sql(group_col: str = "event_type",
                      table: str = "events") -> str:
     """Mirror of sketches.hll_distinct (scaled-integer harmonic sum,
     literal linear-counting table — transcendental-free)."""
-    from .operators.sketches import _HLL_S, _RHO_CAP, _hll_lc_table
+    from .operators.sketches import (_HLL_S, _RHO_CAP, _hll_alpha1000,
+                                     _hll_lc_table)
     lc_items = ",".join(str(v) for v in _hll_lc_table(m))
     return f"""
 WITH h AS (SELECT {group_col} AS grp,
@@ -1820,7 +1821,7 @@ z AS (SELECT grp, buckets_hit,
                       (CAST(1 AS BIGINT) << {_HLL_S})) AS z_scaled
       FROM s),
 est AS (SELECT grp, buckets_hit, z_scaled,
-               (709 * (({m * m} * (CAST(1 AS BIGINT) << {_HLL_S}))
+               ({_hll_alpha1000(m)} * (({m * m} * (CAST(1 AS BIGINT) << {_HLL_S}))
                        // z_scaled)) // 1000 AS est_raw
         FROM z),
 x AS (SELECT {group_col} AS grp,
@@ -2056,7 +2057,8 @@ def column_stats_sketch_sql(cols: list[str], table: str = "events",
     (portable h60, scaled-integer harmonic sum, literal
     linear-counting table), one UNION ALL branch per column (DuckDB
     has no stack).  Bit-identical to the Spark side by construction."""
-    from .operators.sketches import _HLL_S, _RHO_CAP, _hll_lc_table
+    from .operators.sketches import (_HLL_S, _RHO_CAP, _hll_alpha1000,
+                                     _hll_lc_table)
     lc_items = ",".join(str(v) for v in _hll_lc_table(m))
     ctes, branches = [], []
     for c in cols:
@@ -2074,7 +2076,7 @@ def column_stats_sketch_sql(cols: list[str], table: str = "events",
                    THEN [{lc_items}][CAST({m} - hits AS INT) + 1]
                    ELSE raw END AS BIGINT) AS ndv
   FROM (SELECT hits,
-               (709 * (({m * m} * (CAST(1 AS BIGINT) << {_HLL_S}))
+               ({_hll_alpha1000(m)} * (({m * m} * (CAST(1 AS BIGINT) << {_HLL_S}))
                        // z_scaled)) // 1000 AS raw
         FROM (SELECT hits,
                      z_num + (({m} - hits) *

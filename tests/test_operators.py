@@ -1369,6 +1369,36 @@ def test_hll_distinct_accuracy(spark):
     assert abs(small.est_hll - 12) <= 4
 
 
+def test_hll_alpha_tracks_m(spark):
+    """Non-default register counts must stay bit-identical between
+    Spark and the DuckDB oracle — the gate the hardcoded alpha=709
+    (only correct for m=64) silently defeated: at m=32 the constant
+    is 697 and at m=128 it is 715, and both builders now derive it
+    from the shared _hll_alpha1000 table (r11 ADVICE fix)."""
+    import duckdb
+
+    from nifi_datasynthesizer_spark.operators.sketches import (
+        _hll_alpha1000, hll_distinct)
+    from nifi_datasynthesizer_spark.oracles import hll_distinct_sql
+    assert (_hll_alpha1000(16), _hll_alpha1000(32),
+            _hll_alpha1000(64), _hll_alpha1000(128)) == (673, 697,
+                                                         709, 715)
+    rows = ([("big", f"u{i}") for i in range(4000)]
+            + [("mid", f"m{i}") for i in range(300)])
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    for m in (32, 128):
+        got = {r.event_type: (r.est_hll, r.exact_distinct) for r in
+               hll_distinct(df, "event_type", "user_id", m=m).collect()}
+        want = {r[0]: (r[3], r[4]) for r in
+                con.sql(hll_distinct_sql(m=m)).fetchall()}
+        assert got == want, (m, got, want)
+        # harmonic-regime estimate actually lands (alpha bias matters
+        # here; linear counting would mask a wrong constant)
+        assert 0.5 * 4000 < got["big"][0] < 1.6 * 4000
+
+
 def test_train_classifier_learns(spark):
     """The distilled quality head must beat the majority-class base
     rate by a clear margin at the entry-query hyperparameters, and
@@ -2475,11 +2505,36 @@ def test_canonical_url_rules(spark):
          "https://ex.com/p?a=1&b=2"),
         ("https://ex.com/p?utm_source=x", "https://ex.com/p"),
         ("https://ex.com/", "https://ex.com"),
+        # scheme-less inputs pass through VERBATIM (r11 ADVICE fix:
+        # they used to all collapse to the key '://')
+        ("//ex.com/p", "//ex.com/p"),
+        ("ex.com/p?utm_source=x", "ex.com/p?utm_source=x"),
+        ("relative/path", "relative/path"),
+        ("", ""),
     ]
     df = spark.createDataFrame([(u,) for u, _ in rows], ["url"])
     got = [r[0] for r in
            df.select(canonical_url(F.col("url"))).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_url_dedup_schemeless_not_grouped(spark):
+    """Distinct scheme-less rows must NOT be reported as duplicates of
+    each other, while identical scheme-less strings still group, and
+    the tracking predicate derives from TRACKING_PARAMS (so editing
+    the constant is load-bearing, not decorative)."""
+    from nifi_datasynthesizer_spark.operators.curation import (
+        TRACKING_PARAMS, tracking_param_prefixes, url_dedup)
+    assert tracking_param_prefixes() == [
+        "utm_", "fbclid=", "gclid=", "msclkid=", "ref_src="]
+    assert len(tracking_param_prefixes()) == len(TRACKING_PARAMS)
+    rows = [(0, "a.com/x"), (1, "b.com/y"), (2, "//c.com/z"),
+            (3, "a.com/x"),                       # exact dup of 0
+            (4, "https://d.com/p"), (5, "HTTPS://D.COM:443/p/")]
+    df = spark.createDataFrame(rows, ["rec_id", "url"])
+    got = {r.canonical_url: (r.n_occ, r.first_rec) for r in
+           url_dedup(df).collect()}
+    assert got == {"a.com/x": (2, 0), "https://d.com/p": (2, 4)}
 
 
 def test_repeated_substrings_planted(spark):
