@@ -288,6 +288,9 @@ _ENC_PRIM = {
     "string": lambda v: enc_str(v),
     "bytes": lambda v: enc_bytes(bytes(v)),
     "boolean": lambda v: b"\x01" if v else b"\x00",
+    # bare "null" primitive: zero bytes on the wire (spec) — legal as
+    # a field type, not just inside unions
+    "null": lambda v: b"",
 }
 
 
@@ -467,6 +470,7 @@ _DEC_PRIM = {
     "boolean": lambda buf, pos: (buf[pos] == 1, pos + 1),
     "string": _dec_str,
     "bytes": _dec_bytes,
+    "null": lambda buf, pos: (None, pos),
 }
 
 
@@ -679,13 +683,55 @@ def _base_type(at):
     return at["type"] if isinstance(at, dict) else at
 
 
+def _resolved_fullname(at, names, ns):
+    """Fullname of a named type (reference or inline definition), else
+    None — the memo key component for the resolved decoder's lazy
+    recursion guard."""
+    if isinstance(at, str) and at != "null" and at not in _DEC_PRIM:
+        _, full = _resolve_named(at, names, ns)
+        return full
+    if isinstance(at, dict) and at.get("type") in ("record", "enum",
+                                                   "fixed"):
+        nm = at.get("name")
+        eff = at.get("namespace", ns)
+        return f"{eff}.{nm}" if eff else nm
+    return None
+
+
 def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
-                           path="$"):
+                           path="$", _cells=None):
     """Compile (writer type, reader type) → ``fn(buf, pos) →
     (reader-shaped value, pos)`` per the spec's resolution rules.
     Raises TypeError at COMPILE time for unresolvable pairs (the spec
     calls these errors), so a bad evolution fails before any data is
-    touched."""
+    touched.
+
+    Named writer/reader pairs compile through a lazy memo cell keyed
+    on (writer fullname, reader fullname) — the resolved-path
+    counterpart of ``_named_ref``'s deferred cell — so a spec-legal
+    RECURSIVE record (linked list, tree; recursion union-guarded)
+    resolves in one pass instead of re-entering ``_effective``
+    eagerly until RecursionError (r11 ADVICE fix)."""
+    if _cells is None:
+        _cells = {}
+    wkey = _resolved_fullname(wt, wnames, wns)
+    rkey = _resolved_fullname(rt, rnames, rns)
+    if wkey is not None and rkey is not None:
+        cell = _cells.get((wkey, rkey))
+        if cell is not None:          # in progress or finished: defer
+
+            def ref(buf, pos):
+                return cell["fn"](buf, pos)
+            return ref
+        _cells[(wkey, rkey)] = cell = {}
+
+        def _finish(fn):
+            cell["fn"] = fn
+            return fn
+    else:
+        def _finish(fn):
+            return fn
+
     wt, wns = _effective(wt, wnames, wns)
     rt, rns = _effective(rt, rnames, rns)
 
@@ -694,7 +740,7 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
         r_nullable = isinstance(rt, list)
         rbranch = _union_branch(rt)[0] if r_nullable else rt
         inner = _make_resolved_decoder(branch, rbranch, wnames, rnames,
-                                       wns, rns, path)
+                                       wns, rns, path, _cells)
 
         def dec_union(buf, pos):
             br, pos = dec_long(buf, pos)
@@ -705,11 +751,24 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
                         "not nullable")
                 return None, pos
             return inner(buf, pos)
-        return dec_union
+        return _finish(dec_union)
     if isinstance(rt, list):  # writer non-union, reader nullable
+        if _base_type(wt) == "null":
+            # spec: writer null resolves against the reader union's
+            # null branch (r11 ADVICE fix — picking only the non-null
+            # branch made this spec-legal pair a compile error)
+            if "null" not in rt:
+                raise TypeError(
+                    f"writer null at {path} but reader union has no "
+                    "null branch")
+
+            def dec_wnull(buf, pos):
+                return None, pos
+            return _finish(dec_wnull)
         rbranch, _ = _union_branch(rt)
-        return _make_resolved_decoder(wt, rbranch, wnames, rnames,
-                                      wns, rns, path)
+        return _finish(_make_resolved_decoder(wt, rbranch, wnames,
+                                              rnames, wns, rns, path,
+                                              _cells))
 
     wb, rb = _base_type(wt), _base_type(rt)
     wlog = wt.get("logicalType") if isinstance(wt, dict) else None
@@ -719,7 +778,7 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
                 or wt.get("scale") != rt.get("scale")):
             raise TypeError(f"decimal mismatch at {path}: "
                             f"{wt!r} vs {rt!r}")
-        return _make_decoder(wt, wnames, wns)
+        return _finish(_make_decoder(wt, wnames, wns))
 
     if wb == rb and wb in ("record", "enum", "fixed"):
         if not _names_match(wt, rt, wns, rns):
@@ -746,7 +805,7 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
                 consumed.add(id(rf))
                 steps.append((rf["name"], _make_resolved_decoder(
                     f["type"], rf["type"], wnames, rnames, wns2, rns2,
-                    f"{path}.{f['name']}")))
+                    f"{path}.{f['name']}", _cells)))
             else:  # writer-only: decode and discard
                 steps.append((None, _make_decoder(f["type"], wnames,
                                                   wns2)))
@@ -768,7 +827,7 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
                 if name is not None:
                     row[name] = v
             return row, pos
-        return dec_record
+        return _finish(dec_record)
     if wb == "enum" and rb == "enum":
         rsyms = set(rt["symbols"])
         rdef = rt.get("default")
@@ -789,15 +848,16 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
                     f"enum symbol {wt['symbols'][i]!r} at {path} not "
                     "in reader enum and reader declares no default")
             return s, pos
-        return dec_enum
+        return _finish(dec_enum)
     if wb == "fixed" and rb == "fixed":
         if wt["size"] != rt["size"]:
             raise TypeError(f"fixed size mismatch at {path}: "
                             f"{wt['size']} vs {rt['size']}")
-        return _make_decoder(wt, wnames, wns)
+        return _finish(_make_decoder(wt, wnames, wns))
     if wb == "array" and rb == "array":
         idec = _make_resolved_decoder(wt["items"], rt["items"], wnames,
-                                      rnames, wns, rns, path + "[]")
+                                      rnames, wns, rns, path + "[]",
+                                      _cells)
 
         def dec_array(buf, pos):
             out = []
@@ -811,11 +871,11 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
                 for _ in range(cnt):
                     v, pos = idec(buf, pos)
                     out.append(v)
-        return dec_array
+        return _finish(dec_array)
     if wb == "map" and rb == "map":
         vdec = _make_resolved_decoder(wt["values"], rt["values"],
                                       wnames, rnames, wns, rns,
-                                      path + "{}")
+                                      path + "{}", _cells)
 
         def dec_map(buf, pos):
             out = {}
@@ -829,19 +889,19 @@ def _make_resolved_decoder(wt, rt, wnames, rnames, wns="", rns="",
                 for _ in range(cnt):
                     k, pos = _dec_str(buf, pos)
                     out[k], pos = vdec(buf, pos)
-        return dec_map
+        return _finish(dec_map)
     if wb == rb and wb in _DEC_PRIM:
-        return _make_decoder(wt, wnames, wns)
+        return _finish(_make_decoder(wt, wnames, wns))
     conv = _PROMOTE.get((wb, rb), "missing")
     if conv != "missing":
         base = _make_decoder(wt, wnames, wns)
         if conv is None:
-            return base
+            return _finish(base)
 
         def dec_promoted(buf, pos):
             v, pos = base(buf, pos)
             return conv(v), pos
-        return dec_promoted
+        return _finish(dec_promoted)
     raise TypeError(
         f"cannot resolve writer {wb!r} against reader {rb!r} at {path}")
 
@@ -869,7 +929,8 @@ def write_container(fh, avro_schema: dict, row_lists: list[list],
 
     enc_names: dict = {}
     top_ns = _register_named(avro_schema, enc_names)
-    fencs = [(f["name"], isinstance(f["type"], list),
+    fencs = [(f["name"],
+              isinstance(f["type"], list) or f["type"] == "null",
               _make_encoder(f["type"], enc_names, top_ns))
              for f in avro_schema["fields"]]
     n = len(row_lists[0]) if row_lists else 0

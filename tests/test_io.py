@@ -1151,6 +1151,65 @@ def test_read_avro_mixed_generations(spark, tmp_path):
     assert dict(df.dtypes)["score"] == "bigint"
 
 
+def test_avro_resolution_recursive_and_writer_null(spark):
+    """Two r11 ADVICE fixes on the resolved-decoder path: (a) a
+    spec-legal union-guarded RECURSIVE record passed as reader_schema
+    compiles through the lazy memo cell (it used to re-enter
+    _effective eagerly until RecursionError) and decodes an evolved
+    linked list correctly; (b) a writer 'null' primitive resolves
+    against a reader nullable union (spec rule), while a reader union
+    with no null branch still fails cleanly at compile."""
+    import io as _bio
+
+    import pytest as _pt
+
+    from nifi_datasynthesizer_spark import avro_io as AV
+
+    # (a) recursive reader schema, evolved: reader adds a defaulted
+    # field at every level of the recursion
+    wnode = {"type": "record", "name": "node", "fields": [
+        {"name": "val", "type": "long"},
+        {"name": "next", "type": ["null", "node"]}]}
+    wsch = {"type": "record", "name": "l", "fields": [
+        {"name": "head", "type": wnode}]}
+    rnode = {"type": "record", "name": "node", "fields": [
+        {"name": "val", "type": "long"},
+        {"name": "tag", "type": "string", "default": "t"},
+        {"name": "next", "type": ["null", "node"]}]}
+    rsch = {"type": "record", "name": "l", "fields": [
+        {"name": "head", "type": rnode}]}
+    chain = {"val": 1, "next": {"val": 2, "next": {"val": 3,
+                                                   "next": None}}}
+    buf = _bio.BytesIO()
+    AV.write_container(buf, wsch, [[chain]], sync_seed="recres")
+    _, back = AV.read_container(buf.getvalue(), reader_schema=rsch)
+    want = {"val": 1, "tag": "t",
+            "next": {"val": 2, "tag": "t",
+                     "next": {"val": 3, "tag": "t", "next": None}}}
+    assert back == [{"head": want}]
+    # identity resolution over the recursive schema also compiles
+    _, same = AV.read_container(buf.getvalue(), reader_schema=wsch)
+    assert same == [{"head": chain}]
+
+    # (b) writer null primitive vs reader nullable union
+    wsch2 = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "gone", "type": "null"}]}
+    rsch2 = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "gone", "type": ["null", "string"]}]}
+    buf2 = _bio.BytesIO()
+    AV.write_container(buf2, wsch2, [[5, 6], [None, None]],
+                       sync_seed="wnull")
+    _, got2 = AV.read_container(buf2.getvalue(), reader_schema=rsch2)
+    assert got2 == [{"a": 5, "gone": None}, {"a": 6, "gone": None}]
+    rbad = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "gone", "type": ["string", "long"]}]}
+    with _pt.raises(TypeError, match="null"):
+        AV.read_container(buf2.getvalue(), reader_schema=rbad)
+
+
 def test_avro_resolution_of_java_written_file(spark):
     """The remaining interop direction: a file written by the OFFICIAL
     Java implementation under a v1 schema, decoded by OUR resolver
