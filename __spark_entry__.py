@@ -2451,15 +2451,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def graph_jaccard(spark, sf):
         """Neighbor-set Jaccard over the minhash near-dup graph —
         link prediction for cluster siblings that lack a direct edge.
-        Wedge join on the shared neighbor (Σdeg² — hub caveat and its
-        degree-cap mitigation documented in the operator), then one
-        count aggregate + two degree joins, all integer output."""
+        Wedge join on the shared neighbor (Σdeg² — hub caveat), with
+        the production degree-cap mitigation EXERCISED: centers above
+        max_center_degree=8 are dropped before the self-join (r11 —
+        the cap is now a parameter, not documentation), bounding
+        candidates by |centers|·64 on any skewed graph."""
         from nifi_datasynthesizer_spark.operators.graph import \
             neighbor_jaccard
         pairs = DD.dedup_minhash(_t(spark, sf, "documents"),
                                  num_hashes=64, bands=16,
                                  jaccard_threshold=0.5)
-        return neighbor_jaccard(pairs).orderBy("a", "b")
+        return neighbor_jaccard(pairs,
+                                max_center_degree=8).orderBy("a", "b")
     q["graph_jaccard"] = graph_jaccard
 
     def geo_near(spark, sf):
@@ -3597,7 +3600,8 @@ FROM shapes"""
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5),
         k=2, rounds=3)
     o["graph_jaccard"] = OR.neighbor_jaccard_sql(OR.minhash_pairs_sql(
-        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5))
+        num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5),
+        max_center_degree=8)
     o["geo_grid_density"] = OR.grid_density_sql(
         compile_schema(GEO_SCHEMA, seed=31).duckdb_sql(GEO_N),
         cell_udeg=GEO_RADIUS_UDEG, min_points=2)

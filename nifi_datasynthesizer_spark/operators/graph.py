@@ -198,7 +198,8 @@ def label_propagation(pairs: DataFrame, iters: int = 3,
 
 
 def neighbor_jaccard(pairs: DataFrame,
-                     min_jaccard_ppm: int = 0) -> DataFrame:
+                     min_jaccard_ppm: int = 0,
+                     max_center_degree: int | None = None) -> DataFrame:
     """Structural node similarity by neighbor-set Jaccard — the
     link-prediction / entity-resolution primitive: two nodes whose
     NEIGHBORHOODS overlap are cluster siblings even without a direct
@@ -212,12 +213,17 @@ def neighbor_jaccard(pairs: DataFrame,
     Σ deg(n)² pair-candidates — the inherent cost of enumerating
     co-neighbor pairs (unlike triangles there is no orientation trick:
     every unordered pair must surface at each shared neighbor to be
-    counted).  Hubs therefore dominate; production mitigation is a
-    degree cap on the wedge CENTER (drop n with deg > D before the
-    join — a hub shared by everyone carries no similarity signal
-    anyway), which callers apply upstream.  After the wedge: one
-    map-side-combinable count per (a,b) and two node-keyed joins for
-    the degrees.  No cartesian, nothing driver-side.
+    counted).  Hubs therefore dominate; ``max_center_degree`` IS the
+    production mitigation (r11, was documentation-only): centers with
+    deg > D are dropped BEFORE the self-join — a hub shared by
+    everyone carries no similarity signal, only the wedge blowup —
+    bounding candidate pairs by |centers|·D² instead of Σ deg².
+    deg_a/deg_b in the output stay FULL degrees (the cap prunes which
+    centers GENERATE candidate pairs, it does not shrink
+    neighborhoods), so reported jaccard is a lower bound for pairs
+    whose only shared neighbors were capped hubs.  After the wedge:
+    one map-side-combinable count per (a,b) and two node-keyed joins
+    for the degrees.  No cartesian, nothing driver-side.
     """
     a, b = F.col("a"), F.col("b")
     # pinned: sym feeds the wedge join twice plus the degree agg —
@@ -226,8 +232,14 @@ def neighbor_jaccard(pairs: DataFrame,
     sym = _pin(pairs.select(a.alias("u"), b.alias("v"))
                .union(pairs.select(b.alias("u"), a.alias("v")))
                .distinct())
-    l = sym.select(F.col("u").alias("n"), F.col("v").alias("x"))
-    r = sym.select(F.col("u").alias("n"), F.col("v").alias("y"))
+    wedge_src = sym
+    if max_center_degree is not None:
+        centers = (sym.groupBy("u").agg(F.count("*").alias("cdeg"))
+                   .filter(F.col("cdeg") <= max_center_degree)
+                   .select("u"))
+        wedge_src = sym.join(centers, "u")
+    l = wedge_src.select(F.col("u").alias("n"), F.col("v").alias("x"))
+    r = wedge_src.select(F.col("u").alias("n"), F.col("v").alias("y"))
     common = (l.join(r, "n").filter(F.col("x") < F.col("y"))
               .groupBy("x", "y").agg(F.count("*").alias("common")))
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))

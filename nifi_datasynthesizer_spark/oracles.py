@@ -1937,14 +1937,27 @@ r{i} AS (SELECT dst AS node,
 
 
 def neighbor_jaccard_sql(pairs_sql: str,
-                         min_jaccard_ppm: int = 0) -> str:
-    """Mirror of graph.neighbor_jaccard over the same pair source."""
+                         min_jaccard_ppm: int = 0,
+                         max_center_degree: int | None = None) -> str:
+    """Mirror of graph.neighbor_jaccard over the same pair source.
+    ``max_center_degree`` mirrors the Spark-side wedge-center cap as
+    one HAVING clause on the centers CTE; degrees in the output stay
+    full."""
+    if max_center_degree is None:
+        wsrc = "sym"
+        centers = ""
+    else:
+        centers = f"""
+centers AS (SELECT u FROM sym GROUP BY u
+            HAVING COUNT(*) <= {max_center_degree}),
+wsrc AS (SELECT s.u, s.v FROM sym s JOIN centers c ON s.u = c.u),"""
+        wsrc = "wsrc"
     return f"""
 WITH pairs AS ({pairs_sql}),
 sym AS (SELECT a AS u, b AS v FROM pairs
-        UNION SELECT b AS u, a AS v FROM pairs),
+        UNION SELECT b AS u, a AS v FROM pairs),{centers}
 co AS (SELECT l.v AS x, r.v AS y, COUNT(*) AS common
-       FROM sym l JOIN sym r ON l.u = r.u AND l.v < r.v
+       FROM {wsrc} l JOIN {wsrc} r ON l.u = r.u AND l.v < r.v
        GROUP BY x, y),
 deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)
 SELECT x AS a, y AS b, CAST(common AS BIGINT) AS common,

@@ -2576,6 +2576,35 @@ def test_neighbor_jaccard_hand_graph(spark):
     assert neighbor_jaccard(pairs, min_jaccard_ppm=1_000_001).count() == 0
 
 
+def test_neighbor_jaccard_center_cap(spark):
+    """Planted hub: node 0 links to everyone (deg 20) — uncapped, the
+    wedge through 0 yields all C(20,2)=190 spoke pairs; with
+    max_center_degree=5 the hub generates NO wedges, only the planted
+    side cluster (through low-degree centers) survives, and reported
+    degrees stay FULL (the hub still counts in deg_a/deg_b)."""
+    from nifi_datasynthesizer_spark.operators.graph import \
+        neighbor_jaccard
+    hub = [(0, i) for i in range(1, 21)]
+    # side cluster: 1 and 2 both link to 101, 102 (low-degree centers)
+    side = [(1, 101), (2, 101), (1, 102), (2, 102)]
+    pairs = spark.createDataFrame(hub + side, ["a", "b"])
+    uncapped = neighbor_jaccard(pairs).collect()
+    # 190 spoke pairs via the hub (incl. (1,2)) + (0,101),(0,102),
+    # (101,102) via the low-degree centers 1 and 2
+    assert len(uncapped) == 193
+    capped = {(r.a, r.b): r for r in
+              neighbor_jaccard(pairs, max_center_degree=5).collect()}
+    # all 190 hub wedges gone; only wedges through low-degree centers
+    # survive (the hub may still appear as an ENDPOINT — the cap is on
+    # the wedge center, not the pair)
+    assert set(capped) == {(1, 2), (0, 101), (0, 102), (101, 102)}
+    r12 = capped[(1, 2)]
+    assert r12.common == 2             # 101 and 102 only; hub 0 capped
+    assert r12.deg_a == 3 and r12.deg_b == 3   # full degrees incl. hub
+    # jaccard is the documented lower bound: 2/(3+3-2)
+    assert r12.jaccard_ppm == 2 * 1_000_000 // 4
+
+
 def test_commuter_digest_bucket_invariance(spark):
     """The distributed digest must not depend on how drivers bucket
     into pandas groups: per-driver RNG streams are independent, so a
