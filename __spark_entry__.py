@@ -936,11 +936,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         is sum((k*n_i - N)^2) / (k*N), one exact integer ratio floored
         at 1e-6, so both engines agree bit-for-bit (no doubles, no
         libm).  srm_flag fires above the df=3, p=0.001 critical value
-        (16.266).  Overflow bound documented: sum((k*n_i - N)^2)*1e6
-        must fit int64 — holds to ~N = 10^9 users per the worst-case
-        single-arm deviation; at larger N, pre-divide N or widen to
-        decimal."""
-        from pyspark.sql import Window
+        (16.266).  The chi-square lives in temporal.srm_report, which
+        fails LOUD past its int64 q6-scaling bound (r11 — the overflow
+        cliff used to be documentation; now it is an in-plan
+        raise_error, boundary unit-tested)."""
+        from nifi_datasynthesizer_spark.operators.temporal import \
+            srm_report
         from nifi_datasynthesizer_spark.phash import h60
         k = 4
         counts = (_t(spark, sf, "events")
@@ -949,26 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.col("user_id").cast("string"),
                       F.lit(":srm"))), F.lit(k)).alias("arm"))
                   .groupBy("arm").agg(F.count("*").alias("n_arm")))
-        # the totals ride unpartitioned windows over the k-row arm
-        # frame (k=4 rows on one partition — not a data-sized window),
-        # so the distinct-users aggregation runs exactly once
-        w = Window.partitionBy()
-        per = (counts
-               .withColumn("n_total", F.sum("n_arm").over(w))
-               .withColumn("dev2", F.expr(
-                   f"({k} * n_arm - n_total) * ({k} * n_arm - n_total)"))
-               .withColumn("s", F.sum("dev2").over(w)))
-        return (per.select(
-            "arm",
-            F.col("n_arm").cast("long").alias("n_arm"),
-            F.col("n_total").cast("long").alias("n_total"),
-            F.expr(f"(dev2 * 1000000) div ({k} * n_total)")
-            .cast("long").alias("dev_q6"),
-            F.expr(f"(s * 1000000) div ({k} * n_total)")
-            .cast("long").alias("chi2_q6"),
-            (F.expr(f"(s * 1000000) div ({k} * n_total)")
-             > F.lit(16_266_000)).alias("srm_flag"))
-            .orderBy("arm"))
+        return srm_report(counts, k)
     q["events_ab_srm"] = events_ab_srm
 
     def events_cohort_ltv(spark, sf):

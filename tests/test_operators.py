@@ -2605,6 +2605,32 @@ def test_neighbor_jaccard_center_cap(spark):
     assert r12.jaccard_ppm == 2 * 1_000_000 // 4
 
 
+def test_srm_report_boundary(spark):
+    """The SRM guardrail must fail LOUD, not wrap, past its int64
+    q6-scaling bound: planted arm counts with sum((k*n_i-N)^2) just
+    BELOW int64max/1e6 return a row; just ABOVE raise the descriptive
+    in-plan error (r11 — the cliff was previously documentation)."""
+    import pytest as _pt
+
+    from nifi_datasynthesizer_spark.operators.temporal import (
+        _SRM_SAFE, srm_report)
+    k = 2
+    # k=2: N = n1+n2, dev = n1-n2 for arm 1 (and -(n1-n2) for arm 2),
+    # s = 2*dev^2.  Pick dev so s straddles _SRM_SAFE.
+    dev_ok = 2_147_000          # s = 2*dev^2 = 9.218e12 < SAFE
+    dev_bad = 2_148_000         # s = 9.227e12 > SAFE
+    base = 1_000_000_000
+    ok = spark.createDataFrame(
+        [(0, base + dev_ok), (1, base)], ["arm", "n_arm"])
+    rows = srm_report(ok, k).collect()
+    assert len(rows) == 2 and rows[0].srm_flag  # huge dev -> flagged
+    assert 2 * dev_ok * dev_ok <= _SRM_SAFE
+    bad = spark.createDataFrame(
+        [(0, base + dev_bad), (1, base)], ["arm", "n_arm"])
+    with _pt.raises(Exception, match="int64-safe bound"):
+        srm_report(bad, k).collect()
+
+
 def test_commuter_digest_bucket_invariance(spark):
     """The distributed digest must not depend on how drivers bucket
     into pandas groups: per-driver RNG streams are independent, so a
