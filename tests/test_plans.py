@@ -697,3 +697,71 @@ def test_r9_operators_plan_audit(spark):
     p = _plan(q["dedup_embedding"](spark, SF))
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in p \
         or "LessThan(vec_id,10)" in p, "planted-branch filter not pushed"
+
+
+def test_r10_operators_plan_audit(spark):
+    """Plan audit for the r10 entries (r10 verdict item #1 — the
+    audits were done live; this pins them against regression).
+    q4: the EXISTS subquery must stay a broadcast LEFT SEMI join with
+    both range/equality predicates pushed to parquet and the lineitem
+    scan reading exactly its 2 join/filter columns.  Sketch column
+    stats: ZERO Expand (the exact twin keeps its Expand — the
+    contrast is the point of the sketch mode).  dedup_substring: the
+    stride-1 window extraction is whole-array collection functions —
+    no interpreted LambdaFunction anywhere (the measured 20× trap);
+    the strip twin keeps one scan (its only lambdas are the per-doc
+    final rebuild: array_sort comparator + transform over ALREADY
+    COLLECTED kept words — tiny per-doc arrays, accepted).
+    events_ab_srm: window-over-k-rows totals keep the whole guardrail
+    at <= 4 exchanges (measured 3; was 30 before the r10 fix).
+    graph_jaccard / text_ngram_lm: the pinned frames actually serve
+    the multi-use plans — InMemoryTableScan present, ONE parquet scan
+    of the corpus, exchange counts bounded (the unpinned regression
+    re-ran the whole upstream pipeline 3x)."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    q = entrymod.queries()
+
+    p = _plan(q["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    pf = p.split("PushedFilters", 2)
+    assert len(pf) == 3, "expected two pushed-filter scans"
+    both = pf[1] + pf[2]
+    assert "GreaterThanOrEqual(o_orderdate" in both
+    assert "LessThan(o_orderdate" in both
+    assert "EqualTo(l_returnflag,R)" in both
+    li_rs = [ln.split("ReadSchema:", 1)[1] for ln in p.splitlines()
+             if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li_rs and li_rs[0].count(":") == 2, li_rs  # exactly 2 cols
+
+    p = _plan(q["io_column_stats_sketch"](spark, SF))
+    assert "Expand" not in p, "sketch mode regrew an Expand"
+    p = _plan(q["io_column_stats"](spark, SF))
+    assert "Expand" in p  # the exact twin's honest cost, for contrast
+
+    p = _plan(q["dedup_substring"](spark, SF))
+    assert "lambdafunction" not in p.lower(), "interpreted HOF crept in"
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) == 1, scans
+
+    p = _plan(q["dedup_substring_strip"](spark, SF))
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    release_caches()
+
+    p = _plan(q["events_ab_srm"](spark, SF))
+    exch = [ln for ln in p.splitlines() if ") Exchange" in ln]
+    assert len(exch) <= 4, exch
+
+    p = _plan(q["graph_jaccard"](spark, SF))
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    exch = [ln for ln in p.splitlines() if ") Exchange" in ln]
+    assert len(scans) <= 1 and "InMemoryTableScan" in p, scans
+    assert len(exch) <= 16, exch
+    release_caches()
+
+    p = _plan(q["text_ngram_lm"](spark, SF))
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    exch = [ln for ln in p.splitlines() if ") Exchange" in ln]
+    assert len(scans) <= 1 and "InMemoryTableScan" in p, scans
+    assert len(exch) <= 8, exch
+    release_caches()
