@@ -157,33 +157,43 @@ def main() -> None:
         timings[name] = round(took, 3)
 
     # synthesis throughput at bench scale (reference generates ~1e4-1e5
-    # rec/s single-node; we time BENCH_SYNTH_N rows end-to-end)
-    t0 = time.perf_counter()
-    _force(compile_schema(entrymod.SYNTH_BASIC_SCHEMA, seed=1)
-           .dataframe(spark, BENCH_SYNTH_N))
-    timings["synth_basic_2m"] = round(time.perf_counter() - t0, 3)
+    # rec/s single-node; we time BENCH_SYNTH_N rows end-to-end).
+    # r11 (verdict #6): generation rows showed high run-to-run variance
+    # with untouched code (synth_identifiers_2m swung 5.15 -> 3.34 ->
+    # ~5.9 s across r8-r10), so every synth row is MEDIAN-OF-3 with the
+    # [min, med, max] spread recorded in the artifact ("synth_spread")
+    # — one noisy generation run can no longer dominate a delta-retime
+    # read.
+    synth_spread: dict[str, list[float]] = {}
 
-    t0 = time.perf_counter()
-    _force(compile_schema(entrymod.SYNTH_IDENT_SCHEMA, seed=2)
-           .dataframe(spark, BENCH_SYNTH_N))
-    timings["synth_identifiers_2m"] = round(time.perf_counter() - t0, 3)
+    def _synth_bench(name, fn):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn())
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        synth_spread[name] = [round(r, 3) for r in runs]
 
-    t0 = time.perf_counter()
-    _force(SZ.iot_data_flat(n_devices=BENCH_SYNTH_N // 100, readings=100,
-                            seed=6).df(spark))
-    timings["synth_iot_2m"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    _force(SZ.transactions_df(spark, n_people=BENCH_SYNTH_N // 5, max_tx=5,
-                              n_terminals=1000, invalid_rate=0.05, seed=5))
-    timings["synth_transactions_2m"] = round(time.perf_counter() - t0, 3)
-
+    _synth_bench("synth_basic_2m",
+                 lambda: compile_schema(entrymod.SYNTH_BASIC_SCHEMA, seed=1)
+                 .dataframe(spark, BENCH_SYNTH_N))
+    _synth_bench("synth_identifiers_2m",
+                 lambda: compile_schema(entrymod.SYNTH_IDENT_SCHEMA, seed=2)
+                 .dataframe(spark, BENCH_SYNTH_N))
+    _synth_bench("synth_iot_2m",
+                 lambda: SZ.iot_data_flat(n_devices=BENCH_SYNTH_N // 100,
+                                          readings=100, seed=6).df(spark))
+    _synth_bench("synth_transactions_2m",
+                 lambda: SZ.transactions_df(
+                     spark, n_people=BENCH_SYNTH_N // 5, max_tx=5,
+                     n_terminals=1000, invalid_rate=0.05, seed=5))
     # commuter simulation throughput (vectorized applyInPandas):
     # 1k drivers × 4 trips × 60 points = 240k simulated GPS readings
-    t0 = time.perf_counter()
-    _force(SZ.commuter_data(spark, n_drivers=1000, trips=4,
-                            points_per_trip=60, seed=7))
-    timings["synth_commuter_1k"] = round(time.perf_counter() - t0, 3)
+    _synth_bench("synth_commuter_1k",
+                 lambda: SZ.commuter_data(spark, n_drivers=1000, trips=4,
+                                          points_per_trip=60, seed=7))
 
     # IVF recall vs exact bruteforce at this SF (stratified centroids =
     # the oracle-gated path; kmeans++ = the production path for real,
@@ -281,6 +291,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "synth_rows": BENCH_SYNTH_N,
+        "synth_spread": synth_spread,
         **recall,
     })
     # stdout for the driver AND a file copy: the driver's tail capture
