@@ -3139,6 +3139,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_stream_join_left"] = _stream_tuned(
         streaming_stream_join_left)
 
+    def streaming_stream_join_right(spark, sf):
+        """Stream-stream RIGHT OUTER interval join (r11 — the r10
+        verdict's remaining-join-modes item): purchases matched to a
+        prior same-user view within 12 h; purchases the watermark has
+        proven unmatched emit with null left columns at state
+        eviction.  The emission rule differs from the left twin and
+        was derived empirically at two SFs (sf0.001 AND sf0.01, both
+        bit-exact): a right row is evictable once the watermark
+        passes ITS OWN event time (the join requires l_ts <= r_ts, so
+        no future left row can match it), i.e. unmatched purchases
+        report iff ``epoch_us(r_ts) < wm_final`` where ``wm_final =
+        min(floor_ms(max per-side ts)) - within`` — no ``+ within``
+        term, unlike the left rule (the left row must additionally
+        age past its whole match window)."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        views = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "view") \
+            .select("event_id", "ts", "user_id")
+        buys = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "purchase") \
+            .select("event_id", "ts", "user_id")
+        j = ST.interval_join(views, buys, key="user_id", ts_col="ts",
+                             within="12 hours", how="right_outer")
+        out = ST.run_bounded(j.select(
+            F.col("r_event_id").alias("purchase_id"),
+            F.coalesce(F.col("l_event_id"), F.lit(-1)).alias("view_id"),
+            F.coalesce(F.unix_micros("r_ts") - F.unix_micros("l_ts"),
+                       F.lit(-1)).alias("gap_us")),
+            "stream_interval_join_right", output_mode="append")
+        return out.orderBy("purchase_id", "view_id")
+    q["streaming_stream_join_right"] = _stream_tuned(
+        streaming_stream_join_right)
+
+    def streaming_stream_join_full(spark, sf):
+        """Stream-stream FULL OUTER interval join (r11): the union of
+        the inner matches with BOTH eviction-emitted unmatched sides,
+        each under its own watermark rule — left rows report
+        unmatched iff ``l_ts + within < wm_final`` (they must age
+        past their match window), right rows iff ``r_ts < wm_final``
+        (no future left can reach them) — both rules empirically
+        pinned bit-exact at sf0.001 and sf0.01 before the oracle was
+        written.  State cost is the same one-window-per-key bound as
+        the inner join; only the emission timing differs."""
+        from nifi_datasynthesizer_spark import streaming as ST
+        _ = _t(spark, sf, "events")
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        views = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "view") \
+            .select("event_id", "ts", "user_id")
+        buys = IO.normalize_event_ts(
+            ST.file_stream(spark, sf, raw.schema,
+                           glob_filter="events.parquet")) \
+            .filter(F.col("event_type") == "purchase") \
+            .select("event_id", "ts", "user_id")
+        j = ST.interval_join(views, buys, key="user_id", ts_col="ts",
+                             within="12 hours", how="full_outer")
+        out = ST.run_bounded(j.select(
+            F.coalesce(F.col("l_event_id"), F.lit(-1)).alias("view_id"),
+            F.coalesce(F.col("r_event_id"), F.lit(-1))
+            .alias("purchase_id"),
+            F.coalesce(F.unix_micros("r_ts") - F.unix_micros("l_ts"),
+                       F.lit(-1)).alias("gap_us")),
+            "stream_interval_join_full", output_mode="append")
+        return out.orderBy("view_id", "purchase_id")
+    q["streaming_stream_join_full"] = _stream_tuned(
+        streaming_stream_join_full)
+
     return _rotate(q)
 
 
@@ -4211,6 +4286,64 @@ SELECT view_id, COALESCE(purchase_id, -1) AS purchase_id,
 FROM lj, mx
 WHERE purchase_id IS NOT NULL
    OR epoch_us(vts) + 43200000000 < wm_base_us - 43200000000
+ORDER BY view_id, purchase_id"""
+
+    o["streaming_stream_join_right"] = """
+WITH mx AS (SELECT LEAST(
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events
+               WHERE event_type = 'view'),
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events
+               WHERE event_type = 'purchase')) AS wm_base_us),
+v AS (SELECT event_id AS view_id, ts AS vts, user_id FROM events
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS pts, user_id FROM events
+      WHERE event_type = 'purchase'),
+rj AS (SELECT p.purchase_id, v.view_id, p.pts,
+              epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
+       FROM p LEFT JOIN v
+         ON v.user_id = p.user_id
+        AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 12 HOUR)
+SELECT purchase_id, COALESCE(view_id, -1) AS view_id,
+       COALESCE(gap_us, -1) AS gap_us
+FROM rj, mx
+WHERE view_id IS NOT NULL
+   OR epoch_us(pts) < wm_base_us - 43200000000
+ORDER BY purchase_id, view_id"""
+
+    o["streaming_stream_join_full"] = """
+WITH mx AS (SELECT LEAST(
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events
+               WHERE event_type = 'view'),
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events
+               WHERE event_type = 'purchase')) AS wm_base_us),
+v AS (SELECT event_id AS view_id, ts AS vts, user_id FROM events
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, ts AS pts, user_id FROM events
+      WHERE event_type = 'purchase'),
+m AS (SELECT v.view_id, p.purchase_id,
+             epoch_us(p.pts) - epoch_us(v.vts) AS gap_us
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 12 HOUR),
+ul AS (SELECT view_id, CAST(-1 AS BIGINT) AS purchase_id,
+              CAST(-1 AS BIGINT) AS gap_us
+       FROM v, mx
+       WHERE epoch_us(vts) + 43200000000 < wm_base_us - 43200000000
+         AND NOT EXISTS (SELECT 1 FROM p
+                         WHERE p.user_id = v.user_id
+                           AND p.pts >= v.vts
+                           AND p.pts <= v.vts + INTERVAL 12 HOUR)),
+ur AS (SELECT CAST(-1 AS BIGINT) AS view_id, purchase_id,
+              CAST(-1 AS BIGINT) AS gap_us
+       FROM p, mx
+       WHERE epoch_us(pts) < wm_base_us - 43200000000
+         AND NOT EXISTS (SELECT 1 FROM v
+                         WHERE v.user_id = p.user_id
+                           AND p.pts >= v.vts
+                           AND p.pts <= v.vts + INTERVAL 12 HOUR))
+SELECT view_id, purchase_id, gap_us FROM m
+UNION ALL SELECT * FROM ul
+UNION ALL SELECT * FROM ur
 ORDER BY view_id, purchase_id"""
 
     # synth_commuter: the sim's RNG-free invariants, computed from
