@@ -529,6 +529,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("o_orderpriority"))
     q["q4_order_priority"] = q4_order_priority
 
+    def q10_returned_customers(spark, sf):
+        """TPC-H Q10 shape (r11 verdict 3c, adapted to this schema's
+        columns and 1996 date range): revenue lost to returned items,
+        per customer, top 20.  Join-order discipline for 100 TB: the
+        revenue aggregate runs on (o_custkey) BEFORE any customer
+        attribute joins — lineitem x orders shuffles once on the
+        order key, reduces to at most |customers| rows, and only THAT
+        frame joins the broadcast customer/nation dims, so wide
+        customer attributes never ride a fact-sized shuffle.  Both
+        filters (quarter, returnflag) push to the scans."""
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))) \
+            .select("o_orderkey", "o_custkey")
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_returnflag") == "R")
+              .select("l_orderkey", "l_extendedprice", "l_discount"))
+        rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy("o_custkey")
+               .agg(F.round(F.sum(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue")))
+        cust = _t(spark, sf, "customer")
+        nation = _t(spark, sf, "nation")
+        return (rev.join(F.broadcast(cust),
+                         rev.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+                .select("c_custkey", "c_name", "revenue", "c_acctbal",
+                        "n_name")
+                .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+    q["q10_returned_customers"] = q10_returned_customers
+
+    def q18_large_orders(spark, sf):
+        """TPC-H Q18 shape (r11 verdict 3c): customers who placed
+        orders totalling > 300 units — the group-limit-with-HAVING-
+        subquery showcase.  Spark-first: the HAVING aggregate IS the
+        payload — lineitem aggregates per order once (map-side
+        partial, one shuffle on l_orderkey), the > 300 filter shrinks
+        it to a sliver, and that sliver joins orders + broadcast
+        customer; the canonical formulation's second lineitem scan
+        (re-summing inside the outer GROUP BY) never happens.  One
+        fact scan, one fact shuffle, top-100 via a bounded sort."""
+        big = (_t(spark, sf, "lineitem")
+               .groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("sum_qty"))
+               .filter(F.col("sum_qty") > 300))
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+        return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+                .join(F.broadcast(cust),
+                      orders.o_custkey == cust.c_custkey)
+                .select("c_name", "c_custkey", "o_orderkey",
+                        "o_orderdate", "o_totalprice",
+                        F.round("sum_qty", 2).alias("sum_qty"))
+                .orderBy(F.desc("o_totalprice"), "o_orderdate",
+                         "o_orderkey").limit(100))
+    q["q18_large_orders"] = q18_large_orders
+
     def io_bucketed_join(spark, sf):
         """Co-located fact-fact join: both sides written as bucketed
         tables on the join key (equal bucket counts), so the
@@ -3249,6 +3309,30 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1995-03-15'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    o["q10_returned_customers"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM rev JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+    o["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sq
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(sq, 2) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"""
 
     o["q5_nation_revenue"] = """
 SELECT n_name,
