@@ -2312,6 +2312,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("span"))
     q["dedup_substring"] = dedup_substring
 
+    def dedup_substring_max(spark, sf):
+        """The w-FREE longest-repeated-span question (r10 verdict 3c
+        — the suffix-array form of the Lee et al. primitive):
+        binary search on the monotone "some length-L window repeats
+        across 2 docs" predicate, ~log2(max doc len) one-scalar
+        probes over the pinned tokenized corpus, then the standard
+        two-stage window count at the winning length.  The oracle
+        answers the SAME question by a different algorithm — DuckDB
+        materializes and sorts every word suffix and takes max
+        cross-document LCP over sort-adjacent pairs — so agreement
+        checks the semantics, not a shared implementation."""
+        return (DD.longest_repeated_span(_t(spark, sf, "documents"),
+                                         min_docs=2)
+                .orderBy("span"))
+    q["dedup_substring_max"] = dedup_substring_max
+
     def dedup_substring_strip(spark, sf):
         """The REMOVAL half of Lee et al. 2022 on top of
         dedup_substring's inventory: every word covered by a
@@ -3845,6 +3861,7 @@ WHERE samp_rank <= 5 ORDER BY source, samp_rank"""
     o["text_chunks"] = OR.chunk_words_sql(max_words=24)
     o["dedup_spans"] = OR.dedup_spans_sql(span_words=8)
     o["dedup_substring"] = OR.repeated_substrings_sql(w=8, min_docs=2)
+    o["dedup_substring_max"] = OR.longest_repeated_span_sql()
     o["dedup_substring_strip"] = OR.strip_repeated_substrings_sql(
         w=8, min_docs=2)
     o["text_ngram_lm"] = OR.ngram_lm_score_sql(holdout_mod=5)

@@ -501,6 +501,87 @@ def strip_repeated_substrings(docs: DataFrame, w: int = 8,
                     .cast("long").alias("n_removed")))
 
 
+def longest_repeated_span(docs: DataFrame, min_docs: int = 2,
+                          text_col: str = "text") -> DataFrame:
+    """The w-FREE form of the Lee et al. repeated-span question (r10
+    verdict 3b): "what is the LONGEST normalized word span occurring
+    in >= ``min_docs`` distinct documents, and which spans achieve
+    it?" — :func:`repeated_substrings` answers for a FIXED window w;
+    this answers without one, the question a suffix array answers
+    via max cross-document LCP over sort-adjacent suffixes.
+
+    Spark-first strategy: a distributed suffix array needs O(log n)
+    global sorts (prefix doubling); instead the answer length is
+    found by BINARY SEARCH on the monotone predicate "some length-L
+    window repeats in >= min_docs docs" (monotone because any
+    qualifying length-L span's prefix of length L-1 also qualifies).
+    Each probe is one pass over the pinned tokenized corpus: explode
+    start positions, ``slice(w, i, L)`` per position (collection
+    function, no per-element lambda), hash-count by span —
+    ~log2(max_doc_len) probes, each collecting ONE scalar to the
+    driver.  Final readout re-runs the window count at the winning
+    length with the same two-stage (span, doc)-then-span aggregation
+    as repeated_substrings.
+
+    Scale shape: probe cost is sum_d (len_d - L + 1) * L word
+    copies — LINEAR in corpus size, quadratic only in the per-DOC
+    token count (worst at L ~ len/2), so bound document length
+    upstream (chunk first — the standard pipeline already does) for
+    unchunked 100 TB corpora; a true distributed suffix array
+    (global sorts, no per-doc quadratic term) is the alternative
+    when documents are unboundedly long.
+
+    Returns (span, span_len, n_docs, n_occ, first_doc) for every
+    span of the maximal qualifying length; EMPTY frame when not even
+    a single word repeats across min_docs documents.
+    """
+    out_schema = ("span string, span_len long, n_docs long, "
+                  "n_occ long, first_doc long")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = _pin(docs
+                .filter(normalize_text(F.col(text_col)) != "")
+                .select("doc_id", toks.alias("w")))
+
+    def windows(L):
+        n = F.size("w") - F.lit(L - 1)
+        return (base.filter(F.size("w") >= L)
+                .select("doc_id",
+                        F.explode(F.sequence(F.lit(1), n)).alias("i"),
+                        "w")
+                .select("doc_id",
+                        F.concat_ws(
+                            " ", F.expr(f"slice(w, i, {int(L)})"))
+                        .alias("span")))
+
+    def qualifies(L):
+        top = (windows(L).groupBy("span")
+               .agg(F.countDistinct("doc_id").alias("nd"))
+               .agg(F.max("nd").alias("m")).first()[0])
+        return top is not None and top >= min_docs
+
+    hi_row = base.agg(F.max(F.size("w"))).first()[0]
+    if not hi_row or not qualifies(1):
+        return docs.sparkSession.createDataFrame([], out_schema)
+    lo, hi = 1, int(hi_row)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if qualifies(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    per_doc = (windows(lo).groupBy("span", "doc_id")
+               .agg(F.count("*").alias("n_in_doc")))
+    return (per_doc.groupBy("span")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_in_doc").alias("n_occ"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("span", F.lit(lo).cast("long").alias("span_len"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_occ").cast("long").alias("n_occ"),
+                    "first_doc"))
+
+
 def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs: every document in a
     transitive duplicate cluster gets the cluster's min doc_id as

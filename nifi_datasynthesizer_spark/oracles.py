@@ -145,6 +145,53 @@ HAVING COUNT(*) >= {min_docs}
 ORDER BY span"""
 
 
+def longest_repeated_span_sql(table: str = "documents") -> str:
+    """Mirror of dedup.longest_repeated_span (min_docs=2) — but by a
+    DIFFERENT algorithm, which is the point of the gate: DuckDB
+    materializes every word-level suffix, sorts them as strings
+    (normalized text is [a-z0-9 ], all word chars > ' ', so string
+    order respects word-prefix containment), and takes the maximal
+    word-LCP over sort-ADJACENT pairs from DIFFERENT documents — the
+    textbook suffix-array argument: suffixes sharing an L-word prefix
+    are contiguous, so a span in >= 2 distinct docs yields an
+    adjacent cross-doc pair with LCP >= L, and conversely.  The
+    readout then re-counts windows at that length exactly like
+    repeated_substrings_sql.  Quadratic memory in total tokens —
+    fine as a small-SF oracle, exactly what the Spark side must NOT
+    do at 100 TB."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {table}
+           WHERE {_NORM} <> ''),
+suf AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM t),
+s2 AS (SELECT doc_id, list_slice(w, i, len(w)) AS s,
+              array_to_string(list_slice(w, i, len(w)), ' ') AS str
+       FROM suf),
+ad AS (SELECT doc_id, s, LEAD(doc_id) OVER (ORDER BY str) AS d2,
+              LEAD(s) OVER (ORDER BY str) AS s2
+       FROM s2),
+lc AS (SELECT COALESCE(
+         NULLIF(list_position(list_transform(
+           range(1, LEAST(len(s), len(s2)) + 1),
+           k -> s[k] = s2[k]), false), 0) - 1,
+         LEAST(len(s), len(s2))) AS l
+       FROM ad WHERE d2 IS NOT NULL AND doc_id <> d2),
+mx AS (SELECT MAX(l) AS big_l FROM lc),
+sp AS (SELECT doc_id,
+              unnest(list_transform(range(0, len(w) - big_l + 1),
+                st -> array_to_string(
+                  list_slice(w, st + 1, st + big_l), ' '))) AS span
+       FROM t, mx WHERE big_l >= 1 AND len(w) >= big_l),
+pd AS (SELECT span, doc_id, COUNT(*) AS n_in_doc
+       FROM sp GROUP BY span, doc_id)
+SELECT span, (SELECT CAST(big_l AS BIGINT) FROM mx) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_in_doc) AS BIGINT) AS n_occ,
+       MIN(doc_id) AS first_doc
+FROM pd GROUP BY span
+HAVING COUNT(*) >= 2
+ORDER BY span"""
+
+
 def strip_repeated_substrings_sql(w: int = 8, min_docs: int = 2,
                                   table: str = "documents") -> str:
     """Mirror of dedup.strip_repeated_substrings: word positions

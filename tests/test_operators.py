@@ -2537,6 +2537,45 @@ def test_url_dedup_schemeless_not_grouped(spark):
     assert got == {"a.com/x": (2, 0), "https://d.com/p": (2, 4)}
 
 
+def test_longest_repeated_span_planted(spark):
+    """Binary-search w-free form: the planted 6-token shared span is
+    the maximum (the 3-token decoy repeats too but is shorter), the
+    readout reports ALL spans at the maximal length with the standard
+    counts, and a corpus with no cross-doc repeat returns an EMPTY
+    frame with the declared schema."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"{shared} one two"),
+        (1, f"zero {shared} three"),
+        (2, "red green blue unrelated words"),
+        (3, "also red green blue here"),          # 3-token decoy
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = DD.longest_repeated_span(docs, min_docs=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.span == shared and r.span_len == 6
+    assert r.n_docs == 2 and r.n_occ == 2 and r.first_doc == 0
+    empty = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "dd ee ff")], ["doc_id", "text"])
+    got = DD.longest_repeated_span(empty, min_docs=2)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "span", "span_len", "n_docs", "n_occ", "first_doc"]
+
+
+def test_longest_repeated_span_within_doc_excluded(spark):
+    """min_docs counts DISTINCT documents: a long span repeated twice
+    inside ONE doc does not qualify; the shorter cross-doc span
+    wins."""
+    big = "p q r s t u v w"
+    rows = [(0, f"{big} mid {big}"),              # within-doc only
+            (1, "x y z tail one"), (2, "head x y z two")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = DD.longest_repeated_span(docs, min_docs=2).collect()
+    assert len(out) == 1 and out[0].span == "x y z"         and out[0].span_len == 3
+
+
 def test_repeated_substrings_planted(spark):
     """n_docs counts distinct docs (a doc repeating a span alone does
     not qualify), n_occ counts every occurrence, and short docs are
