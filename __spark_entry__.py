@@ -2044,6 +2044,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("pred_lang"))
     q["corpus_stats"] = corpus_stats
 
+    def corpus_stats_sketch(spark, sf):
+        """Sketch-mode twin of corpus_stats (r11 — the
+        io_column_stats_sketch recipe on the per-language audit):
+        histogram-CDF integer percentiles instead of the exact
+        percentile()'s per-group value materialization, plus the
+        statistic the exact audit cannot afford at all — per-language
+        vocabulary ndv via HLL register MAXes (bounded state, no
+        distinct-word shuffle).  One pinned scan feeds counts,
+        quality, CDF and the word explode."""
+        from nifi_datasynthesizer_spark.operators.curation import \
+            corpus_stats_sketch as CSS
+        d = TX.quality_score(TX.lang_id(_t(spark, sf, "documents")))
+        return CSS(d)
+    q["corpus_stats_sketch"] = corpus_stats_sketch
+
     # ---- corpus curation (sampling / decontamination / chunking /
     # repetition / PII)
     def corpus_sample(spark, sf):
@@ -3809,6 +3824,7 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, user_id"""
     o["text_quality_calibration"] = OR.classifier_calibration_sql()
     o["text_embed"] = OR.hash_embed_sql(dim=16)
     o["corpus_stats"] = OR.corpus_stats_sql()
+    o["corpus_stats_sketch"] = OR.corpus_stats_sketch_sql()
     o["dedup_embedding"] = OR.dedup_embedding_sql(
         threshold=0.95, bucket_bits=8, seed=7,
         src=OR.PLANTED_EMBEDDINGS)

@@ -1314,3 +1314,73 @@ def fim_transform(docs: DataFrame, salt: int = 11,
     return s2.select(id_col, F.expr("size(w)").cast("long")
                      .alias("n_words"), "cut_lo", "cut_hi",
                      F.expr(fim).alias("fim"))
+
+
+def corpus_stats_sketch(scored: DataFrame, lang_col: str = "pred_lang",
+                        words_col: str = "q_n_words",
+                        quality_col: str = "quality",
+                        text_col: str = "text",
+                        m: int = 64) -> DataFrame:
+    """Sketch-mode twin of the corpus_stats audit (r10 verdict 3d —
+    the io_column_stats_sketch expand-killer recipe applied to the
+    per-language percentile audit).  The exact audit's
+    ``percentile(q_n_words, p)`` materializes every group's values on
+    one reducer; at 100 TB the audit should instead run on BOUNDED
+    per-group state:
+
+    - **p50/p90 words by histogram-CDF** (the rfm_segments idiom):
+      word counts are small integers, so per (lang, n_words) counts
+      are a tiny map-side-combinable frame; the percentile is the
+      smallest value whose cumulative count clears the integer
+      threshold (2·cum ≥ n for p50, 10·cum ≥ 9·n for p90) — a pure
+      integer definition both engines replay bit-identically (no R-7
+      interpolation, which is the exact twin's float contract).
+    - **per-language vocabulary ndv by HyperLogLog** (the genuinely
+      unbounded-cardinality statistic the exact audit cannot afford):
+      one word explode, then :func:`sketches.hll_distinct` register
+      MAXes with ``include_exact=False`` — constant m-register state
+      per language, no distinct-word shuffle.
+    - n_docs / avg quality stay exact (cheap partial aggregates).
+
+    One corpus scan feeds all three via a pinned annotated frame.
+    Returns (pred_lang, n_docs, avg_quality, p50_words, p90_words,
+    vocab_hll) ordered by language.
+    """
+    from .dedup import _pin
+    from .sketches import hll_distinct
+
+    base = _pin(scored.select(
+        F.col(lang_col).alias("lang"),
+        F.col(words_col).cast("long").alias("nw"),
+        F.col(quality_col).alias("q"),
+        F.col(text_col).alias("text")))
+    hist = (base.groupBy("lang", "nw").agg(F.count("*").alias("c")))
+    wlang = Window.partitionBy("lang")
+    cdf = (hist
+           .withColumn("n", F.sum("c").over(wlang))
+           .withColumn("cum", F.sum("c").over(
+               wlang.orderBy("nw")
+               .rowsBetween(Window.unboundedPreceding, 0))))
+    pcts = (cdf.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("nw")))
+        .alias("p50_words"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("nw")))
+        .alias("p90_words")))
+    stats = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"))
+    words = base.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                          r"\s+")).alias("word"))
+    vocab = hll_distinct(words, group_col="lang", id_col="word", m=m,
+                         include_exact=False) \
+        .select("lang", F.col("est_hll").alias("vocab_hll"))
+    return (stats.join(pcts, "lang").join(vocab, "lang")
+            .select(F.col("lang").alias(lang_col),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "avg_quality",
+                    F.col("p50_words").cast("long").alias("p50_words"),
+                    F.col("p90_words").cast("long").alias("p90_words"),
+                    "vocab_hll")
+            .orderBy(lang_col))

@@ -104,7 +104,7 @@ def _hll_lc_table(m: int) -> list[int]:
 
 def hll_distinct(df: DataFrame, group_col: str = "event_type",
                  id_col: str = "user_id", m: int = 64,
-                 hash_col=None) -> DataFrame:
+                 hash_col=None, include_exact: bool = True) -> DataFrame:
     """Per-group HyperLogLog distinct count (Flajolet et al. 2007) —
     the industry-standard refinement of :func:`fm_distinct`'s PCSA:
     same MAX-combinable register layout (constant bytes per group at
@@ -163,10 +163,17 @@ def hll_distinct(df: DataFrame, group_col: str = "event_type",
         f"THEN element_at(array({lc_items}), "
         f"CAST({m} - buckets_hit AS INT) + 1) "
         f"ELSE est_raw END")
+    core = (summary.withColumn("z_scaled", z)
+            .withColumn("est_raw", raw))
+    if not include_exact:
+        # production shape: the sketch WITHOUT the calibration rider —
+        # the exact distinct is precisely the id shuffle the sketch
+        # exists to avoid (r11: corpus_stats_sketch composes this)
+        return core.select(F.col("grp").alias(group_col), "buckets_hit",
+                           "z_scaled", est.cast("long").alias("est_hll"))
     exact = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.countDistinct(id_col).alias("exact_distinct"))
-    return (summary.withColumn("z_scaled", z)
-            .withColumn("est_raw", raw)
+    return (core
             .join(F.broadcast(exact), "grp")
             .select(F.col("grp").alias(group_col), "buckets_hit",
                     "z_scaled", est.cast("long").alias("est_hll"),

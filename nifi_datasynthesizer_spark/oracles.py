@@ -519,6 +519,75 @@ SELECT pred_lang, COUNT(*) AS n_docs,
 FROM ann GROUP BY pred_lang ORDER BY pred_lang"""
 
 
+def corpus_stats_sketch_sql(table: str = "documents",
+                            m: int = 64) -> str:
+    """Mirror of curation.corpus_stats_sketch: histogram-CDF integer
+    percentiles (2*cum >= n / 10*cum >= 9n thresholds — no R-7
+    interpolation) and the per-language vocabulary HLL (the same
+    engine-exact register pipeline as hll_distinct_sql, no exact
+    rider)."""
+    from .operators.sketches import (_HLL_S, _RHO_CAP, _hll_alpha1000,
+                                     _hll_lc_table)
+    pred_lang, _ = _langid_exprs()
+    n_words, quality = _quality_exprs()
+    lc_items = ",".join(str(v) for v in _hll_lc_table(m))
+    h = h60_sql("CAST(word AS VARCHAR)")
+    return f"""
+WITH ann AS (SELECT {pred_lang} AS lang, {n_words} AS nw,
+                    {quality} AS q, text
+             FROM {table}),
+hist AS (SELECT lang, nw, COUNT(*) AS c FROM ann GROUP BY lang, nw),
+cdf AS (SELECT lang, nw, c,
+               SUM(c) OVER (PARTITION BY lang) AS n,
+               SUM(c) OVER (PARTITION BY lang ORDER BY nw
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM hist),
+pcts AS (SELECT lang,
+                MIN(CASE WHEN cum * 2 >= n THEN nw END) AS p50_words,
+                MIN(CASE WHEN cum * 10 >= n * 9 THEN nw END)
+                  AS p90_words
+         FROM cdf GROUP BY lang),
+stats AS (SELECT lang, COUNT(*) AS n_docs,
+                 ROUND(AVG(q), 4) AS avg_quality
+          FROM ann GROUP BY lang),
+wds AS (SELECT lang, unnest({_WORDS}) AS word FROM ann),
+hh AS (SELECT lang AS grp, {h} AS h FROM wds),
+e AS (SELECT grp, h % {m} AS b, h // {m} AS r FROM hh),
+rr AS (SELECT grp, b,
+              LEAST(CASE WHEN r = 0 THEN {_RHO_CAP}
+                         ELSE bit_count((r & -r) - 1) + 1 END,
+                    {_HLL_S}) AS rho
+       FROM e),
+regs AS (SELECT grp, b, MAX(rho) AS reg FROM rr GROUP BY grp, b),
+ss AS (SELECT grp, COUNT(*) AS buckets_hit,
+              CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_S} - reg)) AS BIGINT)
+                AS z_num
+       FROM regs GROUP BY grp),
+zz AS (SELECT grp, buckets_hit,
+              z_num + (({m} - buckets_hit) *
+                       (CAST(1 AS BIGINT) << {_HLL_S})) AS z_scaled
+       FROM ss),
+est AS (SELECT grp, buckets_hit,
+               ({_hll_alpha1000(m)} * (({m * m} *
+                 (CAST(1 AS BIGINT) << {_HLL_S}))
+                       // z_scaled)) // 1000 AS est_raw
+        FROM zz),
+v AS (SELECT grp AS lang,
+             CAST(CASE WHEN buckets_hit < {m}
+                        AND est_raw <= {int(2.5 * m)}
+                       THEN [{lc_items}][CAST({m} - buckets_hit AS INT)
+                                         + 1]
+                       ELSE est_raw END AS BIGINT) AS vocab_hll
+      FROM est)
+SELECT stats.lang AS pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       avg_quality, CAST(p50_words AS BIGINT) AS p50_words,
+       CAST(p90_words AS BIGINT) AS p90_words, vocab_hll
+FROM stats JOIN pcts ON stats.lang = pcts.lang
+JOIN v ON stats.lang = v.lang
+ORDER BY pred_lang"""
+
+
 def dup_groups_sql(pairs_sql: str) -> str:
     """Mirror of dedup.dup_groups over the pair set produced by
     ``pairs_sql`` (columns a, b, ...): connected components as the
