@@ -589,6 +589,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          "o_orderkey").limit(100))
     q["q18_large_orders"] = q18_large_orders
 
+    def q14_promo_revenue(spark, sf):
+        """TPC-H Q14 shape: promo-type revenue share for one ship
+        month.  One lineitem scan with the month range pushed to
+        parquet, part broadcast (dim side), a single 1-row aggregate;
+        the share is re-derived in integer cents/ppm AFTER the
+        2-dp-rounded sums (both engines agree on the rounded sums —
+        the established contract — so the ratio is then pure integer
+        and exact)."""
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))) \
+            .select("l_partkey", "l_extendedprice", "l_discount")
+        part = _t(spark, sf, "part").select("p_partkey", "p_type")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+        agg = j.agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0.0))), 2).alias("pr"),
+            F.round(F.sum(rev), 2).alias("tr"))
+        return agg.select(
+            F.round(F.col("pr") * 100, 0).cast("long")
+            .alias("promo_cents"),
+            F.round(F.col("tr") * 100, 0).cast("long")
+            .alias("total_cents"),
+            F.expr("CAST(ROUND(pr * 100, 0) AS BIGINT) * 1000000 div "
+                   "CAST(ROUND(tr * 100, 0) AS BIGINT)")
+            .alias("promo_ppm"))
+    q["q14_promo_revenue"] = q14_promo_revenue
+
     def io_bucketed_join(spark, sf):
         """Co-located fact-fact join: both sides written as bucketed
         tables on the join key (equal bucket counts), so the
@@ -2538,6 +2568,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 max_center_degree=8).orderBy("a", "b")
     q["graph_jaccard"] = graph_jaccard
 
+    def graph_distances(spark, sf):
+        """Bounded multi-source BFS over the minhash near-dup graph
+        (r11): hop distance from the doc_id < 50 seed set within 4
+        rounds — the contamination-radius readout.  Each round is one
+        node-keyed join + min-agg (two shuffles), pinned; the oracle
+        unrolls the same budget as a depth-bounded recursive CTE."""
+        from nifi_datasynthesizer_spark.operators.graph import \
+            bfs_distances
+        docs = _t(spark, sf, "documents")
+        pairs = DD.dedup_minhash(docs, num_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+        seeds = docs.filter(F.col("doc_id") < 50).select("doc_id")
+        return bfs_distances(pairs, seeds, rounds=4) \
+            .orderBy("node")
+    q["graph_distances"] = graph_distances
+
     def geo_near(spark, sf):
         """Grid-blocked spatial self-join: generated continental-US
         points paired within ~5.5 km via cell blocking + 3×3 neighbor
@@ -3355,6 +3401,22 @@ FROM rev JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
+    o["q14_promo_revenue"] = """
+WITH j AS (
+  SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'),
+s AS (SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                            ELSE 0 END), 2) AS pr,
+             ROUND(SUM(rev), 2) AS tr
+      FROM j)
+SELECT CAST(ROUND(pr * 100, 0) AS BIGINT) AS promo_cents,
+       CAST(ROUND(tr * 100, 0) AS BIGINT) AS total_cents,
+       CAST(ROUND(pr * 100, 0) AS BIGINT) * 1000000 //
+         CAST(ROUND(tr * 100, 0) AS BIGINT) AS promo_ppm
+FROM s"""
+
     o["q18_large_orders"] = """
 WITH big AS (
   SELECT l_orderkey, SUM(l_quantity) AS sq
@@ -3774,6 +3836,11 @@ FROM shapes"""
     o["graph_jaccard"] = OR.neighbor_jaccard_sql(OR.minhash_pairs_sql(
         num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5),
         max_center_degree=8)
+    o["graph_distances"] = OR.bfs_distances_sql(
+        OR.minhash_pairs_sql(num_hashes=64, bands=16, shingle_k=5,
+                             jaccard_threshold=0.5),
+        "SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 50",
+        rounds=4)
     o["geo_grid_density"] = OR.grid_density_sql(
         compile_schema(GEO_SCHEMA, seed=31).duckdb_sql(GEO_N),
         cell_udeg=GEO_RADIUS_UDEG, min_points=2)

@@ -297,3 +297,41 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     return (edges.groupBy(F.col("src").alias("node"))
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k))
+
+
+def bfs_distances(pairs: DataFrame, seeds: DataFrame,
+                  rounds: int = 4) -> DataFrame:
+    """Bounded multi-source BFS over the undirected pair graph: the
+    "influence radius" readout (how far does contamination / a
+    template blob / an identity cluster spread from a seed set) —
+    components say WHETHER nodes connect, this says HOW CLOSE.
+    ``seeds`` is a 1-column (node) frame; returns (node, dist) with
+    the minimum hop count within ``rounds`` hops (seeds report 0,
+    unreached nodes are absent).
+
+    A fixed round budget, like :func:`kcore`: each round is one
+    node-keyed join frontier→edges plus a min-aggregation — two key
+    shuffles, no row blowup beyond the reachable edge set — and the
+    DuckDB oracle unrolls the same budget as a depth-bounded
+    recursive CTE.  The accumulated frame is pinned per round (it
+    feeds both the next join and the final readout).  At 100 TB pick
+    rounds ~ graph diameter of interest; each round's cost is
+    bounded by |edges incident to the reached set|.  (A
+    frontier-only delta join — joining just the newly reached nodes —
+    halves the per-round work at high rounds; with small fixed
+    budgets the min-agg form keeps the plan two-shuffle simple.)
+    """
+    sym = _pin(pairs.select(F.col("a").alias("src"),
+                            F.col("b").alias("dst"))
+               .union(pairs.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst")))
+               .distinct())
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node"),
+                        F.lit(0).alias("d")).distinct()
+    for _ in range(rounds):
+        nxt = (dist.join(sym, dist.node == sym.src)
+               .select(F.col("dst").alias("node"),
+                       (F.col("d") + 1).alias("d")))
+        dist = _pin(dist.unionByName(nxt)
+                    .groupBy("node").agg(F.min("d").alias("d")))
+    return dist.select("node", F.col("d").cast("long").alias("dist"))

@@ -2086,6 +2086,26 @@ FROM co JOIN deg da ON co.x = da.u JOIN deg db ON co.y = db.u
 ORDER BY a, b"""
 
 
+def bfs_distances_sql(pairs_sql: str, seeds_sql: str,
+                      rounds: int = 4) -> str:
+    """Mirror of graph.bfs_distances: depth-bounded recursive CTE
+    (UNION ALL with d < rounds terminates regardless of cycles),
+    MIN(d) per reached node."""
+    return f"""
+WITH RECURSIVE prs AS ({pairs_sql}),
+edges AS (SELECT a AS src, b AS dst FROM prs
+          UNION SELECT b, a FROM prs),
+seeds AS ({seeds_sql}),
+reach(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {rounds}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY node"""
+
+
 def kcore_sql(pairs_sql: str, k: int = 2, rounds: int = 3) -> str:
     """Mirror of graph.kcore — the bounded peel unrolls into one CTE
     chain per round (degree → keep → restricted edges), then the
