@@ -2979,6 +2979,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_sketch(docs, "source", k=64).orderBy("ga", "gb")
     q["sketch_kmv"] = sketch_kmv
 
+    def sketch_audience_overlap(spark, sf):
+        """Audience overlap between event-type segments by bottom-k
+        ID sketches (r11): per segment pair, distinct-user union AND
+        intersection estimates plus coincidence Jaccard — the
+        theta-sketch set-operation question (HLL cannot intersect)
+        answered from k-row sketches with no cross-segment user
+        join.  One distinct (segment, h60(user)) pass is the only
+        corpus-sized work."""
+        from nifi_datasynthesizer_spark.operators.sketches import \
+            kmv_id_sketch
+        return (kmv_id_sketch(_t(spark, sf, "events"),
+                              group_col="event_type",
+                              id_col="user_id", k=64)
+                .orderBy("ga", "gb"))
+    q["sketch_audience_overlap"] = sketch_audience_overlap
+
     def sketch_bloom(spark, sf):
         """Bloom-filter semi-join reduction: BUILDING-segment customer
         keys packed into a broadcast bitmap that filters orders with a
@@ -4259,6 +4275,8 @@ ORDER BY event_id"""
     o["sketch_distinct"] = OR.fm_distinct_sql("event_type", "user_id")
     o["sketch_hll"] = OR.hll_distinct_sql("event_type", "user_id")
     o["sketch_kmv"] = OR.kmv_sketch_sql("source", k=64)
+    o["sketch_audience_overlap"] = OR.kmv_id_sketch_sql(
+        "event_type", "user_id", k=64)
     o["corpus_dsir"] = OR.dsir_weights_sql(
         "len(list_distinct(W)) * 1000 >= len(W) * 600")
     o["sketch_bloom"] = OR.bloom_semi_join_sql("BUILDING")

@@ -726,3 +726,96 @@ def cm_error_eval(docs: DataFrame, sample_mod: int = 101,
                       F.col("cm_est").cast("long"),
                       F.expr("(cm_est - n) * 1000000 div n")
                       .cast("long").alias("over_ppm"))
+
+
+def kmv_id_sketch(df: DataFrame, group_col: str = "event_type",
+                  id_col: str = "user_id", k: int = 64,
+                  salt: int = 32) -> DataFrame:
+    """Audience-overlap matrix by bottom-k (KMV / theta-sketch-style)
+    over an ID column (r11): the "how many users do segments A and B
+    SHARE" question — the set-OPERATION capability that makes the
+    theta family the production standard for audience analytics
+    (HLL registers union but cannot intersect).  Where
+    :func:`kmv_sketch` sketches word-shingle sets of text corpora,
+    this sketches distinct-ID sets per group and additionally reports
+    the UNION and INTERSECTION size estimates (floor(k-1)·2⁶⁰/kth on
+    the union sample; intersection = union · coincidence ratio) —
+    all from k-row sketches, no cross-group ID join anywhere.
+
+    Plan shape: one (group, h60(id)) distinct pass is the only
+    corpus-sized work; the two-level bottom-k (per-(group, h mod
+    salt) slice window, then the ≤ salt·k merge) avoids any
+    group-sized single-task sort; pair math touches only k-row
+    sketches joined off a broadcast pair list.  Estimates use one
+    IEEE double division with exactly-representable operands —
+    bit-identical across engines; groups under k distinct IDs report
+    exact counts.
+
+    Returns one row per unordered group pair:
+    (ga, gb, est_a, est_b, inter_k, kk, jaccard_ppm, union_est,
+    inter_est).
+    """
+    from .dedup import _pin, ensure_parallelism
+
+    two60 = float(1 << 60)
+    base = (ensure_parallelism(df)
+            .select(F.col(group_col).alias("grp"),
+                    h60(F.col(id_col).cast("string")).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .distinct())
+    ws = Window.partitionBy("grp", "s").orderBy("h")
+    cand = (base.withColumn("s", F.pmod("h", F.lit(salt)))
+            .withColumn("rs", F.row_number().over(ws))
+            .filter(F.col("rs") <= k).select("grp", "h"))
+    wg = Window.partitionBy("grp").orderBy("h")
+    sk = (cand.withColumn("rnk", F.row_number().over(wg))
+          .filter(F.col("rnk") <= k).select("grp", "h"))
+    sk = _pin(sk)
+    sk.count()
+
+    gstats = sk.groupBy("grp").agg(F.count("*").alias("nk"),
+                                   F.max("h").alias("kth"))
+    est = F.when(F.col("nk") < k, F.col("nk")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(two60)
+                / F.col("kth").cast("double"))).cast("long")
+    gest = gstats.select("grp", est.alias("est_distinct"))
+
+    groups = gest.select("grp")
+    pairs = (groups.select(F.col("grp").alias("ga"))
+             .crossJoin(groups.select(F.col("grp").alias("gb")))
+             .filter(F.col("ga") < F.col("gb")))
+    ua = (F.broadcast(pairs)
+          .join(sk.select(F.col("grp").alias("ga"), "h"), "ga")
+          .select("ga", "gb", "h", F.lit(1).alias("ia"),
+                  F.lit(0).alias("ib")))
+    ub = (F.broadcast(pairs)
+          .join(sk.select(F.col("grp").alias("gb"), "h"), "gb")
+          .select("ga", "gb", "h", F.lit(0).alias("ia"),
+                  F.lit(1).alias("ib")))
+    u = (ua.unionByName(ub)
+         .groupBy("ga", "gb", "h")
+         .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    ru = u.withColumn("rnk", F.row_number().over(wu))
+    pagg = ru.groupBy("ga", "gb").agg(
+        F.sum(F.when((F.col("rnk") <= k) & (F.col("ia") == 1)
+                     & (F.col("ib") == 1), 1).otherwise(0))
+        .cast("long").alias("inter_k"),
+        F.least(F.count("*"), F.lit(k).cast("long")).alias("kk"),
+        F.max(F.when(F.col("rnk") <= k, F.col("h"))).alias("u_kth"))
+    union_est = F.when(F.col("kk") < k, F.col("kk")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(two60)
+                / F.col("u_kth").cast("double"))).cast("long")
+    out = (pagg
+           .join(gest.select(F.col("grp").alias("ga"),
+                             F.col("est_distinct").alias("est_a")), "ga")
+           .join(gest.select(F.col("grp").alias("gb"),
+                             F.col("est_distinct").alias("est_b")), "gb")
+           .withColumn("union_est", union_est)
+           .select("ga", "gb", "est_a", "est_b", "inter_k", "kk",
+                   F.floor(F.col("inter_k") * 1_000_000 / F.col("kk"))
+                   .cast("long").alias("jaccard_ppm"),
+                   "union_est",
+                   F.expr("(inter_k * union_est) div kk")
+                   .cast("long").alias("inter_est")))
+    return out

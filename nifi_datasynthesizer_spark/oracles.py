@@ -2432,6 +2432,72 @@ JOIN gest eb ON eb.grp = gb
 ORDER BY ga, gb"""
 
 
+def kmv_id_sketch_sql(group_col: str = "event_type",
+                      id_col: str = "user_id", k: int = 64,
+                      salt: int = 32, table: str = "events") -> str:
+    """Mirror of sketches.kmv_id_sketch: bottom-k over h60(id) per
+    group, pairwise union/intersection estimates (one IEEE double
+    division per estimate, exactly-representable operands)."""
+    two60 = "1152921504606846976.0"  # 2^60, exactly representable
+    return f"""
+WITH base AS (
+  SELECT DISTINCT {group_col} AS grp,
+         {h60_sql(f"CAST({id_col} AS VARCHAR)")} AS h
+  FROM {table} WHERE {id_col} IS NOT NULL),
+cand AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, ROW_NUMBER() OVER
+        (PARTITION BY grp, h % {salt} ORDER BY h) AS rs
+    FROM base) WHERE rs <= {k}),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, ROW_NUMBER() OVER
+        (PARTITION BY grp ORDER BY h) AS rnk
+    FROM cand) WHERE rnk <= {k}),
+g AS (SELECT grp, COUNT(*) AS nk, MAX(h) AS kth FROM sk GROUP BY grp),
+gest AS (
+  SELECT grp,
+         CAST(CASE WHEN nk < {k} THEN nk
+              ELSE FLOOR({k - 1} * {two60} / CAST(kth AS DOUBLE))
+              END AS BIGINT) AS est_distinct
+  FROM g),
+pairs AS (SELECT a.grp AS ga, b.grp AS gb
+          FROM gest a, gest b WHERE a.grp < b.grp),
+u AS (
+  SELECT ga, gb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN sk s ON s.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS ia, 1 AS ib
+    FROM pairs p JOIN sk s ON s.grp = p.gb)
+  GROUP BY ga, gb, h),
+ru AS (SELECT ga, gb, h, ia, ib, ROW_NUMBER() OVER
+           (PARTITION BY ga, gb ORDER BY h) AS rnk
+       FROM u),
+pagg AS (
+  SELECT ga, gb,
+         CAST(SUM(CASE WHEN rnk <= {k} AND ia = 1 AND ib = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inter_k,
+         CAST(LEAST(COUNT(*), {k}) AS BIGINT) AS kk,
+         MAX(CASE WHEN rnk <= {k} THEN h END) AS u_kth
+  FROM ru GROUP BY ga, gb),
+pe AS (
+  SELECT ga, gb, inter_k, kk,
+         CAST(CASE WHEN kk < {k} THEN kk
+              ELSE FLOOR({k - 1} * {two60} / CAST(u_kth AS DOUBLE))
+              END AS BIGINT) AS union_est
+  FROM pagg)
+SELECT ga, gb, ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+       inter_k, kk,
+       CAST(FLOOR(inter_k * 1000000 / kk) AS BIGINT) AS jaccard_ppm,
+       union_est,
+       CAST((inter_k * union_est) // kk AS BIGINT) AS inter_est
+FROM pe
+JOIN gest ea ON ea.grp = ga
+JOIN gest eb ON eb.grp = gb
+ORDER BY ga, gb"""
+
+
 def _ilog2_micro_duck(x: str) -> str:
     """DuckDB twin of curation._ilog2_micro_sql — same Python-generated
     mantissa tables, DuckDB list/shift syntax."""
