@@ -419,8 +419,43 @@ _WINDOW_R10 = _WINDOW_R10_HEAD + _WINDOW_R10_TAIL
 assert len(set(_WINDOW_R10)) == len(_WINDOW_R10), "duplicate in window"
 
 
+# Round-11 window.  The r10 verdict gives two instructions that are
+# arithmetically incompatible at this round's lift rate: "drain all 49
+# r7-stale greens so the floor moves to r8" AND "keep lifting the
+# freeze at ~10-13 production-shaped entries".  9 new entries (never
+# driver-checked — the birth gate is non-negotiable) + 5 whose results
+# or gate changed this round (graph_jaccard now exercises the
+# max_center_degree=8 cap, so its RESULTS changed; dedup_url's oracle
+# gained the scheme gate and the TRACKING_PARAMS-generated predicate;
+# events_ab_srm moved into temporal.srm_report with the in-plan
+# overflow guard; sketch_hll and io_column_stats_sketch sit on the
+# alpha-derivation fix and hll_distinct's include_exact refactor) take
+# 14 slots, so 36 of the 49 queued r7 greens drain (oldest-first, the
+# order _WINDOW_R10_TAIL declared) and the remaining 13 lead r12 via
+# _WINDOW_R11_TAIL.  After r11 the floor is r7 for exactly those 13.
+_WINDOW_R11_HEAD = [
+    # new this round — never driver-checked; all pre-validated against
+    # DuckDB at sf0.001 AND sf0.01 before this window was declared
+    "streaming_stream_join_right", "streaming_stream_join_full",
+    "q10_returned_customers", "q18_large_orders", "q14_promo_revenue",
+    "dedup_substring_max", "corpus_stats_sketch", "graph_distances",
+    "sketch_audience_overlap",
+    # changed results / implementation / oracle this round — re-verify
+    "graph_jaccard", "dedup_url", "events_ab_srm", "sketch_hll",
+    "io_column_stats_sketch",
+    # the 36 oldest r7-stale greens, in _WINDOW_R10_TAIL order
+    *_WINDOW_R10_TAIL[:36],
+]
+# r7 greens that did not fit the 50-slot budget — lead the r12 window
+_WINDOW_R11_TAIL = _WINDOW_R10_TAIL[36:]
+assert len(_WINDOW_R11_HEAD) == 50, len(_WINDOW_R11_HEAD)
+assert len(set(_WINDOW_R11_HEAD)) == 50, "duplicate in window head"
+_WINDOW_R11 = _WINDOW_R11_HEAD + _WINDOW_R11_TAIL
+assert len(set(_WINDOW_R11)) == len(_WINDOW_R11), "duplicate in window"
+
+
 def _rotate(q: dict) -> dict:
-    head = [n for n in _WINDOW_R10 if n in q]
+    head = [n for n in _WINDOW_R11 if n in q]
     return {n: q[n] for n in head + [n for n in q if n not in head]}
 
 

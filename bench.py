@@ -104,7 +104,15 @@ def main() -> None:
              "dedup_substring_strip", "synth_commuter_digest",
              "text_ngram_lm", "events_ab_srm", "graph_jaccard",
              "dedup_url", "q4_order_priority",
-             "io_column_stats_sketch"]
+             "io_column_stats_sketch",
+             # r11 additions: right/full outer stream joins, TPC-H
+             # Q10/Q14/Q18, w-free longest repeated span, sketch-mode
+             # corpus stats, bounded BFS, audience-overlap sketches
+             "streaming_stream_join_right", "streaming_stream_join_full",
+             "q10_returned_customers", "q18_large_orders",
+             "q14_promo_revenue", "dedup_substring_max",
+             "corpus_stats_sketch", "graph_distances",
+             "sketch_audience_overlap"]
 
     # warm the JVM/codegen/parquet-footer paths once so the first timed
     # query measures the query, not JIT compilation
