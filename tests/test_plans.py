@@ -765,3 +765,63 @@ def test_r10_operators_plan_audit(spark):
     assert len(scans) <= 1 and "InMemoryTableScan" in p, scans
     assert len(exch) <= 8, exch
     release_caches()
+
+
+def test_r11_operators_plan_audit(spark):
+    """Plan audit for the r11 entries, pinned at birth.  q10: ONE
+    exchange total (revenue aggregates on o_custkey BEFORE any
+    customer join, dims broadcast, both filters pushed, lineitem
+    reads its 4 working columns).  q18: a single lineitem scan (the
+    HAVING aggregate is the payload — no second scan), broadcast
+    customer, bounded top-100 sort.  q14: broadcast part, month range
+    pushed, one 1-row aggregate exchange.  dedup_substring_max: the
+    variable-length window extraction stays whole-array (slice with a
+    column start — no interpreted LambdaFunction), one corpus scan
+    over the pinned tokenized frame.  corpus_stats_sketch: ZERO
+    Expand (histogram-CDF + HLL registers, not exact percentiles),
+    one pinned corpus scan.  sketch_audience_overlap: the only
+    corpus-sized work is one events scan into the pinned k-row
+    sketches."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    q = entrymod.queries()
+
+    p = _plan(q["q10_returned_customers"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    exch = [ln for ln in p.splitlines() if ") Exchange" in ln]
+    assert len(exch) <= 2, exch
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    li_rs = [ln for ln in p.splitlines()
+             if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li_rs and li_rs[0].count(":") <= 5, li_rs   # 4 cols + label
+
+    p = _plan(q["q18_large_orders"](spark, SF))
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) <= 3, scans           # lineitem once + 2 dims
+    li_rs = [ln for ln in p.splitlines()
+             if "ReadSchema" in ln and "l_quantity" in ln]
+    assert len(li_rs) == 1, li_rs           # lineitem scanned ONCE
+    assert "BroadcastHashJoin" in p and "TakeOrderedAndProject" in p
+
+    p = _plan(q["q14_promo_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    exch = [ln for ln in p.splitlines() if ") Exchange" in ln]
+    assert len(exch) <= 2, exch
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+    p = _plan(q["dedup_substring_max"](spark, SF))
+    assert "lambdafunction" not in p.lower(), "interpreted HOF crept in"
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) <= 1 and "InMemoryTableScan" in p, scans
+    release_caches()
+
+    p = _plan(q["corpus_stats_sketch"](spark, SF))
+    assert "Expand" not in p, "sketch corpus stats regrew an Expand"
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) <= 1 and "InMemoryTableScan" in p, scans
+    release_caches()
+
+    p = _plan(q["sketch_audience_overlap"](spark, SF))
+    scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
+    assert len(scans) <= 1 and "InMemoryTableScan" in p, scans
+    release_caches()
