@@ -2852,3 +2852,126 @@ def test_repeated_substrings_random_vs_reference(spark):
                  for r in DD.strip_repeated_substrings(
                      sdf, w=w, min_docs=2).collect()}
     assert got_strip == want_strip
+
+
+def test_interval_join_outer_modes_planted(spark):
+    """RIGHT and FULL outer stream-stream joins on a planted fixture:
+    the per-side eviction-emission rules the r11 oracles encode —
+    left rows report unmatched iff l_ts + within < wm_final, right
+    rows iff r_ts < wm_final, where wm_final = min(per-side
+    floor_ms(max ts)) - within — reproduce on a hand-built stream."""
+    import datetime
+    import tempfile
+
+    from nifi_datasynthesizer_spark import streaming as ST
+    base = datetime.datetime(2024, 1, 1)
+
+    def m(mins):
+        return base + datetime.timedelta(minutes=mins)
+
+    # left (even ids) at minutes 0..20; right (odd ids) sparse — one
+    # early matched pair, one early unmatched right, late rows on both
+    # sides that the watermark cannot prove unmatched
+    rows = [
+        (0, m(0), 1), (1, m(5), 1),          # match (gap 5m < 10m)
+        (2, m(0), 2),                          # left, no right ever
+        (3, m(2), 3),                          # right, no left match
+        (4, m(400), 1), (5, m(395), 2),       # late: set the maxima
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(f"{td}/data")
+        src = ST.file_stream(spark, f"{td}/data", df.schema)
+        l = src.filter(F.col("event_id") % 2 == 0)
+        r = src.filter(F.col("event_id") % 2 == 1)
+        with ST.state_partitions(spark, 4):
+            jr = ST.interval_join(l, r, key="user_id", ts_col="ts",
+                                  within="10 minutes",
+                                  how="right_outer")
+            out_r = ST.run_bounded(
+                jr.select(F.col("r_event_id").alias("rid"),
+                          F.coalesce("l_event_id", F.lit(-1))
+                          .alias("lid")),
+                "t_sj_right_planted", output_mode="append").collect()
+        got_r = {(x.rid, x.lid) for x in out_r}
+        # wm_final = min(max_l=400, max_r=395) - 10 = 385 min.
+        # right 1 matched by left 0; right 3 unmatched with
+        # r_ts=2min < 385 -> REPORTS; right 5 unmatched but
+        # r_ts=395 > 385 -> held in state, not reported.
+        assert got_r == {(1, 0), (3, -1)}, got_r
+
+        src2 = ST.file_stream(spark, f"{td}/data", df.schema)
+        l2 = src2.filter(F.col("event_id") % 2 == 0)
+        r2 = src2.filter(F.col("event_id") % 2 == 1)
+        with ST.state_partitions(spark, 4):
+            jf = ST.interval_join(l2, r2, key="user_id", ts_col="ts",
+                                  within="10 minutes",
+                                  how="full_outer")
+            out_f = ST.run_bounded(
+                jf.select(F.coalesce("l_event_id", F.lit(-1))
+                          .alias("lid"),
+                          F.coalesce("r_event_id", F.lit(-1))
+                          .alias("rid")),
+                "t_sj_full_planted", output_mode="append").collect()
+        got_f = {(x.lid, x.rid) for x in out_f}
+        # left 2 unmatched: l_ts + 10 = 10min < 385 -> reports;
+        # left 0 matched; left 4 late (400+10 > 385) -> held.
+        assert got_f == {(0, 1), (2, -1), (-1, 3)}, got_f
+
+
+def test_kmv_id_sketch_planted(spark):
+    """Segments under k distinct users report EXACT estimates, and
+    the intersection/union estimates are exact too (sketches hold the
+    full sets): A = 30 users, B = 20 users, |A∩B| = 10."""
+    from nifi_datasynthesizer_spark.operators.sketches import \
+        kmv_id_sketch
+    rows = ([("A", f"u{i}") for i in range(30)]
+            + [("B", f"u{i}") for i in range(20, 40)])
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    out = kmv_id_sketch(df, k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.ga, r.gb) == ("A", "B")
+    assert r.est_a == 30 and r.est_b == 20
+    assert r.inter_k == 10 and r.kk == 40 and r.union_est == 40
+    assert r.jaccard_ppm == 10 * 1_000_000 // 40
+    assert r.inter_est == 10
+
+
+def test_bfs_distances_planted(spark):
+    """Chain 1-2-3-4-5-6 seeded at 1: rounds=3 reaches node 4 (dist
+    3) but not 5; a disconnected node never appears; two seeds take
+    the min distance."""
+    from nifi_datasynthesizer_spark.operators.graph import bfs_distances
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (8, 9)], ["a", "b"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.dist for r in
+           bfs_distances(pairs, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    seeds2 = spark.createDataFrame([(1,), (5,)], ["node"])
+    got2 = {r.node: r.dist for r in
+            bfs_distances(pairs, seeds2, rounds=2).collect()}
+    # node 3 is 2 hops from both seeds; node 4 is 1 hop from seed 5
+    assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0, 6: 1}
+
+
+def test_corpus_stats_sketch_planted(spark):
+    """Histogram-CDF percentile semantics (smallest value whose
+    cumulative count clears the integer threshold) and exact vocab
+    ndv for tiny languages (linear-counting regime)."""
+    from nifi_datasynthesizer_spark.operators.curation import \
+        corpus_stats_sketch
+    # lang x: word counts 2,4,6,8,10 -> p50 = 6 (cum 3 of 5),
+    # p90 = 10 (cum 5 >= 4.5); vocab = 9 distinct words
+    rows = [("x", 2, 0.5, "a b"), ("x", 4, 0.5, "a b c d"),
+            ("x", 6, 0.5, "a b c d e f"),
+            ("x", 8, 0.5, "a b c d e f g h"),
+            ("x", 10, 0.5, "a b c d e f g h i a")]
+    df = spark.createDataFrame(
+        rows, ["pred_lang", "q_n_words", "quality", "text"])
+    out = corpus_stats_sketch(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 5 and r.p50_words == 6 and r.p90_words == 10
+    assert abs(r.vocab_hll - 9) <= 2      # linear-counting regime
