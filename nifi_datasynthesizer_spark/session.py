@@ -48,6 +48,14 @@ def get_spark(app: str = "nifi-datasynthesizer-spark",
          # 5 s early in a bench run, 28 s at position 77)
          .config("spark.driver.extraJavaOptions",
                  "-XX:ReservedCodeCacheSize=1g")
+         # the generated-class cache (source -> compiled class) holds
+         # 100 entries by default; a session running ~200 distinct
+         # queries × several codegen stages each evicts constantly, so
+         # even an immediate re-run of the same query re-compiles via
+         # janino.  Sized to hold a long session's working set — this
+         # caches COMPILED CODE keyed on generated source, never data
+         # or results, and benefits any long-lived app identically
+         .config("spark.sql.codegen.cache.maxEntries", "8192")
          .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)))
     # avro sink: the spark-avro module is external and needs a network
     # fetch at session start.  Opt-in (env var) rather than default:
