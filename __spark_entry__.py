@@ -27,6 +27,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _psort(df: DataFrame, *keys: str) -> DataFrame:
+    """Presentation sort over a pinned frame (r11).  ``orderBy``'s
+    range partitioner SAMPLES its child plan to pick partition
+    bounds, so an entry whose chain is narrow from the source to the
+    sort (scan/generate → project, with no intervening exchange for
+    AQE to materialize and reuse) executes the whole projection
+    TWICE per query — once for the bounds, once for the shuffle.
+    Pinning first makes the sampling pass and the exchange both read
+    the cache: the expensive projection computes ONCE and the sort
+    shuffles only the (usually narrow) projected output — measured
+    ~2× on the per-document text annotators.  Rows and row order are
+    identical (same sort over the same frame).  The pin is released
+    by bench/tests via ``dedup.release_caches()``."""
+    from nifi_datasynthesizer_spark.operators.dedup import _pin
+    return _pin(df).orderBy(*keys)
+
+
 # Array columns must leave queries() as strings: the driver's
 # canonicalizer sorts a pandas frame and dies on unhashable lists.
 # Exact-integer arrays join as-is; double arrays are floored to integer
@@ -1215,10 +1232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_resize(spark, sf):
         media = MM.synth_media(spark, n=300, seed=18)
-        return (MM.resize_images(media, width=256, height=256)
-                .select("media_id", "kind", "mime", "width", "height",
-                        "duration_ms")
-                .orderBy("media_id"))
+        return _psort(
+            MM.resize_images(media, width=256, height=256)
+            .select("media_id", "kind", "mime", "width", "height",
+                    "duration_ms"), "media_id")
     q["media_resize"] = media_resize
 
     def streaming_events_daily(spark, sf):
@@ -1768,8 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         array pass, corpus never exploded or shuffled."""
         from nifi_datasynthesizer_spark.operators.curation import \
             span_corruption
-        return (span_corruption(_t(spark, sf, "documents"))
-                .orderBy("doc_id"))
+        return _psort(span_corruption(_t(spark, sf, "documents")),
+                      "doc_id")
     q["corpus_span_corruption"] = corpus_span_corruption
 
     def corpus_fim(spark, sf):
@@ -1778,8 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pass, no explode, no shuffle."""
         from nifi_datasynthesizer_spark.operators.curation import \
             fim_transform
-        return (fim_transform(_t(spark, sf, "documents"))
-                .orderBy("doc_id"))
+        return _psort(fim_transform(_t(spark, sf, "documents")),
+                      "doc_id")
     q["corpus_fim"] = corpus_fim
 
     def corpus_weighted_sample(spark, sf):
@@ -2022,27 +2039,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis
     def text_langid(spark, sf):
-        return (TX.lang_id(_t(spark, sf, "documents"))
-                .select("doc_id", "pred_lang", "lang_score").orderBy("doc_id"))
+        return _psort(TX.lang_id(_t(spark, sf, "documents"))
+                      .select("doc_id", "pred_lang", "lang_score"),
+                      "doc_id")
     q["text_langid"] = text_langid
 
     def text_quality(spark, sf):
-        return (TX.quality_score(_t(spark, sf, "documents"))
-                .select("doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
-                        "q_alpha_ratio", "q_digit_ratio", "q_punct_ratio",
-                        "q_stopword_ratio", "q_distinct_ratio", "quality")
-                .orderBy("doc_id"))
+        return _psort(
+            TX.quality_score(_t(spark, sf, "documents"))
+            .select("doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
+                    "q_alpha_ratio", "q_digit_ratio", "q_punct_ratio",
+                    "q_stopword_ratio", "q_distinct_ratio", "quality"),
+            "doc_id")
     q["text_quality"] = text_quality
 
     def text_tokens(spark, sf):
-        return (TX.token_counts(_t(spark, sf, "documents"))
-                .select("doc_id", "tok_whitespace", "tok_bpe_ish", "tok_chars_div4")
-                .orderBy("doc_id"))
+        return _psort(
+            TX.token_counts(_t(spark, sf, "documents"))
+            .select("doc_id", "tok_whitespace", "tok_bpe_ish",
+                    "tok_chars_div4"), "doc_id")
     q["text_tokens"] = text_tokens
 
     def text_fingerprint(spark, sf):
-        return (TX.fingerprint(_t(spark, sf, "documents"))
-                .select("doc_id", "fp_full", "fp_min", "fp_max").orderBy("doc_id"))
+        return _psort(
+            TX.fingerprint(_t(spark, sf, "documents"))
+            .select("doc_id", "fp_full", "fp_min", "fp_max"), "doc_id")
     q["text_fingerprint"] = text_fingerprint
 
     def text_entropy(spark, sf):
@@ -2078,8 +2099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regexp run counts (words, sentence-enders, vowel groups) and
         positive-operand integer division — one narrow codegen pass,
         no explode/shuffle/UDF."""
-        return (TX.readability(_t(spark, sf, "documents"))
-                .orderBy("doc_id"))
+        return _psort(TX.readability(_t(spark, sf, "documents")),
+                      "doc_id")
     q["text_readability"] = text_readability
 
     def text_quality_calibration(spark, sf):
@@ -2092,9 +2113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_embed(spark, sf):
         emb = TX.hash_embed(_t(spark, sf, "documents"), dim=16)
-        return (emb.select("doc_id",
-                           _arr_str(F.col("embedding")).alias("embedding"))
-                .orderBy("doc_id"))
+        return _psort(
+            emb.select("doc_id",
+                       _arr_str(F.col("embedding")).alias("embedding")),
+            "doc_id")
     q["text_embed"] = text_embed
 
     def corpus_stats(spark, sf):
@@ -2128,10 +2150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # repetition / PII)
     def corpus_sample(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
-        return (CU.sample_stratified(_t(spark, sf, "documents"),
-                                     SAMPLE_RATES, default_rate=0.0)
-                .select("doc_id", "source", "lang", "n_chars")
-                .orderBy("doc_id"))
+        return _psort(
+            CU.sample_stratified(_t(spark, sf, "documents"),
+                                 SAMPLE_RATES, default_rate=0.0)
+            .select("doc_id", "source", "lang", "n_chars"), "doc_id")
     q["corpus_sample"] = corpus_sample
 
     def corpus_sample_k(spark, sf):
@@ -2164,14 +2186,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_chunks(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
-        return (CU.chunk_words(_t(spark, sf, "documents"), max_words=24)
-                .orderBy("doc_id", "chunk_id"))
+        return _psort(CU.chunk_words(_t(spark, sf, "documents"),
+                                     max_words=24), "doc_id", "chunk_id")
     q["text_chunks"] = text_chunks
 
     def text_repetition(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
-        return (CU.repetition_stats(_t(spark, sf, "documents"))
-                .orderBy("doc_id"))
+        return _psort(CU.repetition_stats(_t(spark, sf, "documents")),
+                      "doc_id")
     q["text_repetition"] = text_repetition
 
     def text_boilerplate(spark, sf):
@@ -2441,10 +2463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(" ", F.lit("contact"), F.col("em"), F.lit("from"),
                         F.col("ip"), F.lit("ssn"), F.col("ssn"),
                         F.lit("call"), F.col("ph")).alias("text"))
-        return (CU.pii_scrub(doc)
-                .select("rec_id", "text_scrubbed", "n_email", "n_ipv4",
-                        "n_ssn", "n_phone")
-                .orderBy("rec_id"))
+        return _psort(
+            CU.pii_scrub(doc)
+            .select("rec_id", "text_scrubbed", "n_email", "n_ipv4",
+                    "n_ssn", "n_phone"), "rec_id")
     q["text_pii_scrub"] = text_pii_scrub
 
     def dedup_url(spark, sf):
@@ -2506,16 +2528,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def media_features(spark, sf):
         media = MM.synth_media(spark, n=500, seed=9)
         feats = MM.extract_features(media, dim=16)
-        return (feats.select("media_id", "kind", "n_bytes",
-                             _arr_ppm(F.col("feature")).alias("feature"))
-                .orderBy("media_id"))
+        return _psort(
+            feats.select("media_id", "kind", "n_bytes",
+                         _arr_ppm(F.col("feature")).alias("feature")),
+            "media_id")
     q["media_features"] = media_features
 
     def media_frames(spark, sf):
         media = MM.synth_media(spark, n=200, seed=10)
-        return (MM.sample_frames(media, every_ms=5000)
-                .select("media_id", "frame_idx", "frame_ts_ms")
-                .orderBy("media_id", "frame_idx"))
+        return _psort(
+            MM.sample_frames(media, every_ms=5000)
+            .select("media_id", "frame_idx", "frame_ts_ms"),
+            "media_id", "frame_idx")
     q["media_frames"] = media_frames
 
     def media_segments(spark, sf):
@@ -2523,10 +2547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decode): overlapping win/hop fan-out with tail clipping,
         narrow posexplode, no shuffle."""
         media = MM.synth_media(spark, n=200, seed=10)
-        return (MM.segment_audio(media, win_ms=5000, hop_ms=2500)
-                .select("media_id", "seg_idx", "seg_start_ms",
-                        "seg_end_ms")
-                .orderBy("media_id", "seg_idx"))
+        return _psort(
+            MM.segment_audio(media, win_ms=5000, hop_ms=2500)
+            .select("media_id", "seg_idx", "seg_start_ms",
+                    "seg_end_ms"), "media_id", "seg_idx")
     q["media_segments"] = media_segments
 
     def media_phash_dedup(spark, sf):
@@ -2700,17 +2724,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Per-doc out-of-vocabulary rate vs the corpus top-100 words
         (tokenizer-fit / domain-shift probe): one deterministic vocab
         TakeOrdered bound as a literal, narrow membership scoring."""
-        return (TX.oov_rate(_t(spark, sf, "documents"), vocab_size=100)
-                .orderBy("doc_id"))
+        return _psort(TX.oov_rate(_t(spark, sf, "documents"),
+                                  vocab_size=100), "doc_id")
     q["text_oov"] = text_oov
 
     def text_classify(spark, sf):
         """Linear classifier head over hashed token features (the
         fasttext-quality-filter shape): literal weight vector, narrow
         per-row sparse dot, table-quantized logistic — no shuffle."""
-        return (TX.classify_score(_t(spark, sf, "documents"),
-                                  dim=64, seed=11)
-                .orderBy("doc_id"))
+        return _psort(TX.classify_score(_t(spark, sf, "documents"),
+                                        dim=64, seed=11), "doc_id")
     q["text_classify"] = text_classify
 
     def text_train_classifier(spark, sf):
@@ -2730,9 +2753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def corpus_split(spark, sf):
         from nifi_datasynthesizer_spark.operators import curation as CU
-        return (CU.split_train_val_test(_t(spark, sf, "documents"),
-                                        val_frac=0.1, test_frac=0.1, salt=3)
-                .select("doc_id", "split").orderBy("doc_id"))
+        return _psort(
+            CU.split_train_val_test(_t(spark, sf, "documents"),
+                                    val_frac=0.1, test_frac=0.1, salt=3)
+            .select("doc_id", "split"), "doc_id")
     q["corpus_split"] = corpus_split
 
     def corpus_split_groups(spark, sf):
@@ -2751,7 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the distinct vocab, the corpus pass is a broadcast lookup."""
         from nifi_datasynthesizer_spark.operators.curation import bpe_tokenize
         docs = _t(spark, sf, "documents")
-        return bpe_tokenize(docs, rounds=4).orderBy("doc_id")
+        return _psort(bpe_tokenize(docs, rounds=4), "doc_id")
     q["corpus_tokenize"] = corpus_tokenize
 
     def corpus_tokenizer_fertility(spark, sf):
@@ -2796,8 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embed_quantize(spark, sf):
         from nifi_datasynthesizer_spark.operators import similarity as SIM
-        return (SIM.quantize_int8(_t(spark, sf, "embeddings"), dim=64)
-                .orderBy("vec_id"))
+        return _psort(SIM.quantize_int8(_t(spark, sf, "embeddings"),
+                                        dim=64), "vec_id")
     q["embed_quantize"] = embed_quantize
 
     def search_rrf(spark, sf):
