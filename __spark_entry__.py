@@ -1976,8 +1976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qualifying rows are the only thing that leaves the scan."""
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
-        return (SIM.ann_range(emb, queries_df, min_cosine=0.2)
-                .orderBy("query_id", "cand_id"))
+        return _psort(SIM.ann_range(emb, queries_df, min_cosine=0.2),
+                      "query_id", "cand_id")
     q["ann_range_search"] = ann_range_search
 
     def ann_lsh(spark, sf):
@@ -2650,10 +2650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         no runtime trig)."""
         from nifi_datasynthesizer_spark.operators import geo as GEO
         pts = compile_schema(GEO_SCHEMA, seed=31).dataframe(spark, GEO_N)
-        return (GEO.near_pairs(pts, radius_udeg=GEO_RADIUS_UDEG,
-                               id_col="pid", lat_col="latitude",
-                               lon_col="longitude")
-                .orderBy("a", "b"))
+        return _psort(
+            GEO.near_pairs(pts, radius_udeg=GEO_RADIUS_UDEG,
+                           id_col="pid", lat_col="latitude",
+                           lon_col="longitude"), "a", "b")
     q["geo_near"] = geo_near
 
     def geo_grid_density(spark, sf):
