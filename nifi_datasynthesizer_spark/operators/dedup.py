@@ -608,12 +608,21 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # separate left-join to merge a node's own label back in (one
     # exchange fewer per round than the textbook formulation).
     # edges are re-read EVERY round: persist once or the upstream pair
-    # generator (e.g. the whole minhash pipeline) re-executes per round
-    sym = (pairs.select(a.alias("src"), b.alias("dst"))
-           .union(pairs.select(b.alias("src"), a.alias("dst"))))
-    loops = sym.select(F.col("src").alias("src")).distinct() \
-        .select(F.col("src"), F.col("src").alias("dst"))
-    edges = _pin(sym.union(loops).distinct())
+    # generator (e.g. the whole minhash pipeline) re-executes per round.
+    # The closure is built by EXPLODING each pair into its four edge
+    # rows — (a,b), (b,a) and the two self-loops — in ONE pass: the
+    # previous union-of-projections formulation referenced ``pairs``
+    # four times (two union branches plus the self-loop node set built
+    # over the union), and Catalyst does not dedupe repeated source
+    # subtrees, so the whole upstream detector executed 4× when edges
+    # materialized (r11, measured: the dedup_groups entry 6.8 → 4.3 s
+    # warm at sf0.1; one distinct exchange instead of three).
+    edges = _pin(pairs.select(F.explode(F.array(
+        F.struct(a.alias("src"), b.alias("dst")),
+        F.struct(b.alias("src"), a.alias("dst")),
+        F.struct(a.alias("src"), a.alias("dst")),
+        F.struct(b.alias("src"), b.alias("dst")))).alias("e"))
+        .select("e.src", "e.dst").distinct())
     # initialize with round 1 for free: label = min(self, neighbors)
     # straight from the edge aggregation (self-loops make min(src)
     # over dst-groups exactly that)
@@ -718,18 +727,22 @@ def minhash_eval(docs: DataFrame, sample_mod: int = 4,
              .join(posts.select(F.col("doc_id").alias("b"), "gh"), "gh")
              .filter(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count("*").alias("i")))
-    truth = (inter
-             .join(sizes.select(F.col("doc_id").alias("a"),
-                                F.col("n").alias("na")), "a")
-             .join(sizes.select(F.col("doc_id").alias("b"),
-                                F.col("n").alias("nb")), "b")
-             .filter(F.col("i") * 1_000_000
-                     >= thr_ppm * (F.col("na") + F.col("nb") - F.col("i")))
-             .select("a", "b"))
-    pred = dedup_minhash(sample, num_hashes=num_hashes, bands=bands,
-                         shingle_k=shingle_k,
-                         jaccard_threshold=jaccard_threshold) \
-        .select("a", "b")
+    # truth and pred each feed TWO consumers (the hit join and their
+    # own count aggregate) — pinned, or the posting self-join and the
+    # banded detector would re-execute per consumer (r11)
+    truth = _pin(inter
+                 .join(sizes.select(F.col("doc_id").alias("a"),
+                                    F.col("n").alias("na")), "a")
+                 .join(sizes.select(F.col("doc_id").alias("b"),
+                                    F.col("n").alias("nb")), "b")
+                 .filter(F.col("i") * 1_000_000
+                         >= thr_ppm * (F.col("na") + F.col("nb")
+                                       - F.col("i")))
+                 .select("a", "b"))
+    pred = _pin(dedup_minhash(sample, num_hashes=num_hashes, bands=bands,
+                              shingle_k=shingle_k,
+                              jaccard_threshold=jaccard_threshold)
+                .select("a", "b"))
     hit = pred.join(truth, ["a", "b"])
     row = (truth.agg(F.count("*").alias("n_truth"))
            .crossJoin(pred.agg(F.count("*").alias("n_pred")))

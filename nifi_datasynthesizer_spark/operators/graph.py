@@ -17,6 +17,20 @@ from .dedup import _pin
 PPM = 1_000_000
 
 
+def _sym(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric closure of an (a, b) pair list in ONE pass: each pair
+    EXPLODES into both edge directions.  A union of two projections
+    would embed the upstream pair generator (often a full near-dup
+    detector pipeline) once per branch, and Catalyst does not dedupe
+    repeated source subtrees — the detector would execute twice when
+    the edge frame materializes (r11)."""
+    a, b = F.col("a"), F.col("b")
+    return (pairs.select(F.explode(F.array(
+        F.struct(a.alias(src), b.alias(dst)),
+        F.struct(b.alias(src), a.alias(dst)))).alias("e"))
+        .select(f"e.{src}", f"e.{dst}").distinct())
+
+
 def triangles(pairs: DataFrame) -> DataFrame:
     """Triangle enumeration over the undirected pair graph — the
     cluster-density primitive (a near-dup component that is also
@@ -33,9 +47,9 @@ def triangles(pairs: DataFrame) -> DataFrame:
     semi-join on the (v, w) edge key), no cartesian anywhere.
     Returns one row per triangle, corners sorted ascending.
     """
-    a, b = F.col("a"), F.col("b")
-    sym = (pairs.select(a.alias("u"), b.alias("v"))
-           .union(pairs.select(b.alias("u"), a.alias("v"))).distinct())
+    # single-pass symmetric closure (see _sym), pinned: sym feeds the
+    # degree aggregate plus both sides of the rank join (r11)
+    sym = _pin(_sym(pairs, "u", "v"))
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     ranked = (sym
               .join(deg.select(F.col("u").alias("u"),
@@ -84,10 +98,8 @@ def pagerank(pairs: DataFrame, iters: int = 2,
     no dangling nodes by construction.
     """
     from .dedup import _cut_lineage
-    a, b = F.col("a"), F.col("b")
-    sym = (pairs.select(a.alias("src"), b.alias("dst"))
-           .union(pairs.select(b.alias("src"), a.alias("dst"))).distinct())
-    edges = _pin(sym)
+    # single-pass symmetric closure (see _sym; r11)
+    edges = _pin(_sym(pairs, "src", "dst"))
     deg = _pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(PPM).cast("long").alias("r"))
@@ -177,10 +189,8 @@ def label_propagation(pairs: DataFrame, iters: int = 3,
     Returns (node, community) — community = converged label.
     """
     from .dedup import _cut_lineage
-    a, b = F.col("a"), F.col("b")
-    sym = (pairs.select(a.alias("src"), b.alias("dst"))
-           .union(pairs.select(b.alias("src"), a.alias("dst"))).distinct())
-    edges = _pin(sym)
+    # single-pass symmetric closure (see _sym; r11)
+    edges = _pin(_sym(pairs, "src", "dst"))
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .select("node", F.col("node").alias("lbl"))
     for i in range(iters):
@@ -225,13 +235,11 @@ def neighbor_jaccard(pairs: DataFrame,
     one map-side-combinable count per (a,b) and two node-keyed joins
     for the degrees.  No cartesian, nothing driver-side.
     """
-    a, b = F.col("a"), F.col("b")
     # pinned: sym feeds the wedge join twice plus the degree agg —
     # unpersisted, Spark would recompute the upstream pair pipeline
-    # (e.g. the whole minhash LSH) three times
-    sym = _pin(pairs.select(a.alias("u"), b.alias("v"))
-               .union(pairs.select(b.alias("u"), a.alias("v")))
-               .distinct())
+    # (e.g. the whole minhash LSH) three times.  Built as a
+    # single-pass symmetric closure (see _sym; r11)
+    sym = _pin(_sym(pairs, "u", "v"))
     wedge_src = sym
     if max_center_degree is not None:
         centers = (sym.groupBy("u").agg(F.count("*").alias("cdeg"))
@@ -295,10 +303,8 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     Returns (node, deg) for surviving nodes with their degree inside
     the surviving subgraph.
     """
-    a, b = F.col("a"), F.col("b")
-    sym = (pairs.select(a.alias("src"), b.alias("dst"))
-           .union(pairs.select(b.alias("src"), a.alias("dst"))).distinct())
-    edges = _pin(sym)
+    # single-pass symmetric closure (see _sym; r11)
+    edges = _pin(_sym(pairs, "src", "dst"))
     ws, wd = Window.partitionBy("src"), Window.partitionBy("dst")
     for _ in range(rounds):
         edges = (edges
@@ -333,11 +339,9 @@ def bfs_distances(pairs: DataFrame, seeds: DataFrame,
     halves the per-round work at high rounds; with small fixed
     budgets the min-agg form keeps the plan two-shuffle simple.)
     """
-    sym = _pin(pairs.select(F.col("a").alias("src"),
-                            F.col("b").alias("dst"))
-               .union(pairs.select(F.col("b").alias("src"),
-                                   F.col("a").alias("dst")))
-               .distinct())
+    # single-pass symmetric closure (see _sym; r11), pinned: it feeds
+    # every BFS round
+    sym = _pin(_sym(pairs, "src", "dst"))
     dist = seeds.select(F.col(seeds.columns[0]).alias("node"),
                         F.lit(0).alias("d")).distinct()
     for _ in range(rounds):
