@@ -358,13 +358,25 @@ def knn_graph(emb: DataFrame, k: int = 5, bucket_bits: int = 6,
                     F.col("r.vec_id").alias("b"),
                     F.round(dot(F.col("l.v"), F.col("r.v")), 6)
                     .alias("cosine")))
-    directed = half.select(F.col("a").alias("src"), F.col("b").alias("dst"),
-                           "cosine") \
-        .unionByName(half.select(F.col("b").alias("src"),
-                                 F.col("a").alias("dst"), "cosine"))
+    # single-pass symmetric closure: each half-space pair EXPLODES
+    # into its two directed edges — the union-of-projections form
+    # referenced `half` twice, and Catalyst does not dedupe repeated
+    # source subtrees, so the bucket self-join (the expensive stage)
+    # executed once per branch (r11, the graph._sym lesson)
+    directed = (half.select(F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
+                 F.col("cosine")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
+                 F.col("cosine")))).alias("e"))
+        .select("e.src", "e.dst", "e.cosine"))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    edges = (directed.withColumn("rank", F.row_number().over(w))
-             .filter(F.col("rank") <= k))
+    # edges feeds TWO consumers (the mutual-flag self-join reads it as
+    # both sides) — pinned, or the whole bucket-join + top-k window
+    # chain re-executes per side; k·N narrow rows, far smaller than
+    # the corpus at any scale
+    edges = _pin(directed.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k))
+    edges.count()
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                        F.lit(1).alias("rev"))
     return (edges.join(rev, ["src", "dst"], "left")
@@ -388,6 +400,11 @@ def ann_recall_eval(emb: DataFrame, queries: DataFrame, k: int = 10,
     rollup touch only k·|queries| rows.  Returns (query_id, n_hits,
     recall_ppm) with integer-ppm recall — engine-exact.
     """
+    # truth feeds TWO consumers (the hit join and the query-id roll),
+    # but its duplicated subtrees are IDENTICAL, so AQE's runtime
+    # shuffle-stage reuse already computes the brute-force pass once —
+    # an eager pin was A/B'd (r11) and measured ~1.3 s WORSE (extra
+    # materialization job + count round-trip); left unpinned
     truth = ann_bruteforce(emb, queries, k=k) \
         .select("query_id", "cand_id")
     approx = ann_lsh(emb, queries, k=k, bucket_bits=bucket_bits,
@@ -424,6 +441,11 @@ def ann_filtered(emb: DataFrame, queries: DataFrame, k: int = 10,
     sides broadcast the query set and never shuffle the corpus; the
     comparison joins touch only k·oversample·|queries| rows.
     """
+    # truth and post each feed TWO consumers, but the duplicated
+    # subtrees are IDENTICAL, so AQE's runtime shuffle-stage reuse
+    # computes each brute-force pass once — eager pins were A/B'd
+    # (r11) and measured ~0.5 s WORSE (two materialization jobs);
+    # left unpinned
     truth = ann_bruteforce(emb.filter(label_pred), queries, k=k) \
         .select("query_id", "cand_id")
     pool = ann_bruteforce(emb, queries, k=k * oversample)

@@ -825,3 +825,20 @@ def test_r11_operators_plan_audit(spark):
     scans = [ln for ln in p.splitlines() if ") Scan parquet" in ln]
     assert len(scans) <= 1 and "InMemoryTableScan" in p, scans
     release_caches()
+
+
+def test_r11opt_knn_graph_single_pass(spark):
+    """r11 optimization regression: embed_knn_graph builds its
+    directed edge set by EXPLODING each half-space pair into both
+    directions — the union-of-projections form referenced the bucket
+    self-join twice, and Catalyst does not dedupe repeated
+    non-identical subtrees, so the join (the expensive stage) executed
+    once per branch.  A Union reappearing in this plan means the
+    double-execution shape is back.  The pinned edge frame
+    (InMemoryTableScan) is what keeps the mutual-flag self-join from
+    replaying the bucket-join + top-k window chain per side."""
+    from nifi_datasynthesizer_spark.operators.dedup import release_caches
+    p = _plan(entrymod.queries()["embed_knn_graph"](spark, SF))
+    assert "Union" not in p, "union-of-projections crept back"
+    assert "InMemoryTableScan" in p
+    release_caches()
