@@ -368,15 +368,15 @@ def column_stats(df: DataFrame, cols: list[str],
     if ndv_mode not in ("exact", "sketch"):
         raise ValueError(f"unknown ndv_mode {ndv_mode!r}")
 
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
     if ndv_mode == "exact":
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}__n"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
         aggs += [F.countDistinct(F.col(c)).alias(f"{c}__ndv")
                  for c in cols]
         wide = df.agg(*aggs)
@@ -412,42 +412,66 @@ def column_stats(df: DataFrame, cols: list[str],
                 F.col(c),
             ]
         binned = hashed.select(*proj2)
+        # the whole aggregation is ONE selectExpr over SQL strings (a
+        # select of aggregate functions without groupBy is a global
+        # aggregate): building m·#cols MAX(CASE) register aggregates
+        # as individual Column objects cost ~6 py4j round-trips each
+        # — measured ~1.8 s of pure driver-side construction at
+        # 4 cols × m=64, dominating the warm query — while one string
+        # batch is a single call.  The SQL is expression-identical to
+        # the Column form (count/sum/min/max partials, CASE WHEN with
+        # no ELSE = NULL), so results and the audited zero-Expand
+        # plan shape are unchanged.
+        agg_sql = []
         for c in cols:
-            for j in range(m):
-                aggs.append(
-                    F.max(F.when(F.col(f"{c}__b") == j,
-                                 F.col(f"{c}__rho")))
-                    .alias(f"{c}__r{j}"))
-        wide = binned.agg(*aggs)
+            agg_sql += [
+                f"count({c}) AS {c}__n",
+                f"sum(CAST(({c} IS NULL) AS BIGINT)) AS {c}__nulls",
+                f"CAST(min({c}) AS STRING) AS {c}__min",
+                f"CAST(max({c}) AS STRING) AS {c}__max",
+            ]
+        for c in cols:
+            agg_sql += [
+                f"max(CASE WHEN {c}__b = {j} THEN {c}__rho END) "
+                f"AS {c}__r{j}" for j in range(m)]
+        wide = binned.selectExpr(*agg_sql)
         # estimate on the ONE-row frame: harmonic sum over the m
-        # register columns (HOF lambdas here touch a single row)
+        # register columns (HOF lambdas here touch a single row).
+        # The four derivation levels (hits -> z -> raw -> ndv) are
+        # each added for ALL columns in ONE select: a per-column
+        # withColumn chain re-analyzes the whole ~(4+m)·#cols-column
+        # plan 4·#cols times, and on this operator that DRIVER-side
+        # analysis dominated the query (measured at sf0.1/4 cols/m=64:
+        # ~2.5 s of the 4.1 s warm total was DataFrame construction;
+        # the batched form is one analysis per level).  Expressions
+        # are unchanged, so results are bit-identical.
         lc_items = ",".join(str(v) for v in _hll_lc_table(m))
-        for c in cols:
-            regs = ", ".join(f"{c}__r{j}" for j in range(m))
-            wide = wide.withColumn(
-                f"{c}__hits",
-                F.expr(f"size(filter(array({regs}), x -> x IS NOT NULL))"))
-            wide = wide.withColumn(
-                f"{c}__z",
-                F.expr(
-                    f"aggregate(filter(array({regs}), "
-                    f"x -> x IS NOT NULL), CAST(0 AS BIGINT), "
-                    f"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), "
-                    f"{_HLL_S} - x)) + (({m} - {c}__hits) * "
-                    f"shiftleft(CAST(1 AS BIGINT), {_HLL_S}))"))
-            wide = wide.withColumn(
-                f"{c}__raw",
-                F.expr(f"({_hll_alpha1000(m)} * "
-                       f"(({m * m} * shiftleft(CAST(1 AS BIGINT), "
-                       f"{_HLL_S})) div {c}__z)) div 1000"))
-            wide = wide.withColumn(
-                f"{c}__ndv",
-                F.expr(
-                    f"CAST(CASE WHEN {c}__hits = 0 THEN 0 "
-                    f"WHEN {c}__hits < {m} AND {c}__raw <= {int(2.5 * m)} "
-                    f"THEN element_at(array({lc_items}), "
-                    f"CAST({m} - {c}__hits AS INT) + 1) "
-                    f"ELSE {c}__raw END AS BIGINT)"))
+
+        def _lvl(exprs: dict[str, str]) -> None:
+            nonlocal wide
+            wide = wide.select(
+                "*", *[F.expr(e).alias(name) for name, e in exprs.items()])
+
+        _lvl({f"{c}__hits":
+              f"size(filter(array({', '.join(f'{c}__r{j}' for j in range(m))}), "
+              f"x -> x IS NOT NULL))" for c in cols})
+        _lvl({f"{c}__z":
+              f"aggregate(filter(array("
+              f"{', '.join(f'{c}__r{j}' for j in range(m))}), "
+              f"x -> x IS NOT NULL), CAST(0 AS BIGINT), "
+              f"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), "
+              f"{_HLL_S} - x)) + (({m} - {c}__hits) * "
+              f"shiftleft(CAST(1 AS BIGINT), {_HLL_S}))" for c in cols})
+        _lvl({f"{c}__raw":
+              f"({_hll_alpha1000(m)} * "
+              f"(({m * m} * shiftleft(CAST(1 AS BIGINT), "
+              f"{_HLL_S})) div {c}__z)) div 1000" for c in cols})
+        _lvl({f"{c}__ndv":
+              f"CAST(CASE WHEN {c}__hits = 0 THEN 0 "
+              f"WHEN {c}__hits < {m} AND {c}__raw <= {int(2.5 * m)} "
+              f"THEN element_at(array({lc_items}), "
+              f"CAST({m} - {c}__hits AS INT) + 1) "
+              f"ELSE {c}__raw END AS BIGINT)" for c in cols})
     stacked = ", ".join(
         f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__ndv`, `{c}__min`, `{c}__max`"
         for c in cols)

@@ -842,3 +842,42 @@ def test_r11opt_knn_graph_single_pass(spark):
     assert "Union" not in p, "union-of-projections crept back"
     assert "InMemoryTableScan" in p
     release_caches()
+
+
+def test_r11opt_column_stats_sketch_flat_construction(spark):
+    """r11 optimization regression: sketch-mode column_stats builds
+    its m·#cols register aggregates as ONE selectExpr batch and its
+    four estimate-derivation levels as ONE select each.  The prior
+    form (a Column object per register aggregate + a withColumn per
+    derived column) spent ~2.5 s of driver-side construction per call
+    at 4 cols x m=64 — py4j round-trips plus re-analysis of the
+    growing ~270-column plan — which recurred on EVERY run (the
+    codegen cache cannot help: it is construction, not compilation).
+    The depth of the analyzed Project chain is the tripwire: the
+    withColumn form nests 4·#cols+ Projects, the batched form at most
+    a handful."""
+    from pyspark.sql import functions as F
+
+    from nifi_datasynthesizer_spark.io import column_stats, read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    df = column_stats(ev, ["event_id", "user_id", "event_type", "cents"],
+                      ndv_mode="sketch")
+    # walk the analyzed logical plan: successive Project depth must
+    # stay O(levels), not O(levels·#cols)
+    node = df._jdf.queryExecution().analyzed()
+    depth = 0
+    while node.children().size() > 0:
+        if node.nodeName() == "Project":
+            depth += 1
+        node = node.children().head()
+    # batched form measures 9 (4 levels + stack + hash/bin selects +
+    # read projections); the withColumn-per-column form measures ~21
+    assert depth <= 12, (
+        f"Project chain depth {depth}: withColumn-per-column "
+        f"construction crept back")
+    # the audited zero-Expand register shape is unchanged
+    p = _plan(df)
+    assert "Expand" not in p
