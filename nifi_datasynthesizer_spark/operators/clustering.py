@@ -927,9 +927,13 @@ def pca_power(emb: DataFrame, iters: int = 2, dim: int = 64,
         d = F.aggregate(F.zip_with(F.col("xi"), vlit, lambda a, b: a * b),
                         F.lit(0).cast("long"), lambda acc, t: acc + t)
         ds = F.floor(d / F.lit(1e6)).cast("long")
+        # ONE selectExpr batch (a select of aggregates with no groupBy
+        # is a global aggregate), not dim Column builds: the per-
+        # Column py4j round-trips cost ~0.3 s of driver construction
+        # PER ITERATION (the column_stats lesson)
         rows = (quant.withColumn("ds", ds)
-                .agg(*[F.sum(F.element_at("xi", j + 1) * F.col("ds"))
-                       .alias(f"s{j}") for j in range(dim)])
+                .selectExpr(*[f"sum(element_at(xi, {j + 1}) * ds) AS s{j}"
+                              for j in range(dim)])
                 .collect()[0])
         s = [int(rows[f"s{j}"] or 0) for j in range(dim)]
         # normalization mirrors the SQL oracle op-for-op: sequential

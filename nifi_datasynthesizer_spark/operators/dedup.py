@@ -163,13 +163,19 @@ def _minhash_bands(sig: DataFrame, num_hashes: int, bands: int,
     signature store a production pipeline keeps between batches.
     """
     rows_per_band = num_hashes // bands
+    # ONE F.expr string, not bands×rows_per_band Column builds: the
+    # per-Column py4j round-trips cost ~0.2-0.3 s of driver-side
+    # construction per query, and this builder sits under the whole
+    # minhash family (the column_stats lesson; expressions identical)
+    band_exprs = ",".join(
+        "xxhash64(concat_ws(','," + ",".join(
+            f"CAST(signature[{b * rows_per_band + r}] AS STRING)"
+            for r in range(rows_per_band)) + "))"
+        for b in range(bands))
     bands_df = sig.select(
         "doc_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("signature")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)]))
-            for b in range(bands)])).alias("band_id", "band_hash"))
+        F.posexplode(F.expr(f"array({band_exprs})"))
+        .alias("band_id", "band_hash"))
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_hash")
         bands_df = (bands_df.withColumn("__bsz", F.count("*").over(w))
@@ -920,12 +926,13 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     # 37-slot character histogram (normalized text is [a-z0-9 ]):
     # occurrences via length-delta of plain replace() — no char-array
     # explode, stays inside codegen.  Used for the O(alphabet)
-    # Levenshtein lower bound below.
-    hist = F.array(*[
-        (F.length(F.col("nt"))
-         - F.length(F.replace(F.col("nt"), F.lit(c), F.lit(""))))
-        .cast("long")
-        for c in _FUZZY_ALPHABET])
+    # Levenshtein lower bound below.  ONE F.expr string, not 37
+    # Column builds: the per-Column py4j round-trips cost ~0.5 s of
+    # driver-side construction PER QUERY (the column_stats lesson —
+    # construction recurs on every run; codegen caching can't help).
+    hist = F.expr("array(" + ",".join(
+        f"CAST(length(nt) - length(replace(nt, '{c}', '')) AS BIGINT)"
+        for c in _FUZZY_ALPHABET) + ")")
     if token_bands is None:
         # one count() sizes the band space to the corpus (constant
         # expected block population at any scale); at 100 TB the
@@ -992,12 +999,13 @@ def fuzzy_pairs(docs: DataFrame, max_dist_ppm: int = 300_000,
     # (reordering is invisible to a bag of characters — the synthetic
     # bench corpus prunes only ~1%, so its fuzzy cost is genuine DP
     # over all block candidates).  The L1 is an UNROLLED 37-term sum,
-    # not zip_with/aggregate (HOF lambdas run interpreted per row).
-    from functools import reduce
-    l1 = reduce(lambda acc, k: acc + F.abs(
-        F.element_at("ha", k) - F.element_at("hb", k)),
-        range(2, len(_FUZZY_ALPHABET) + 1),
-        F.abs(F.element_at("ha", 1) - F.element_at("hb", 1)))
+    # not zip_with/aggregate (HOF lambdas run interpreted per row);
+    # built as ONE F.expr string (same left-associated integer sum)
+    # rather than a Python reduce over Columns — the ~110 py4j calls
+    # cost ~0.4-0.6 s of construction per query.
+    l1 = F.expr(" + ".join(
+        f"abs(element_at(ha, {k}) - element_at(hb, {k}))"
+        for k in range(1, len(_FUZZY_ALPHABET) + 1)))
     # hint("merge"): statistics for the window+explode chains are
     # guesses, and Catalyst has been observed to BROADCAST the
     # exploded (3×-wider) left side — every task then deserializes

@@ -294,12 +294,18 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
     in both engines, so results hash-match the SQL oracle exactly.
     """
     v = F.col(vec_col)
-    stats = emb.agg(*(
-        [F.min(F.element_at(v, d + 1)).alias(f"mn{d}") for d in range(dim)]
-        + [F.max(F.element_at(v, d + 1)).alias(f"mx{d}") for d in range(dim)]))
+    # ONE selectExpr batch / ONE array expr, not 2·dim Column builds +
+    # 2·dim F.col calls: the per-Column py4j round-trips cost ~0.5 s
+    # of driver-side construction per call (the column_stats lesson;
+    # expressions are string-identical, results unchanged)
+    stats = emb.selectExpr(
+        *[f"min(element_at({vec_col}, {d + 1})) AS mn{d}"
+          for d in range(dim)],
+        *[f"max(element_at({vec_col}, {d + 1})) AS mx{d}"
+          for d in range(dim)])
     q = emb.crossJoin(F.broadcast(stats))
-    mn = F.array(*[F.col(f"mn{d}") for d in range(dim)])
-    mx = F.array(*[F.col(f"mx{d}") for d in range(dim)])
+    mn = F.expr("array(" + ",".join(f"mn{d}" for d in range(dim)) + ")")
+    mx = F.expr("array(" + ",".join(f"mx{d}" for d in range(dim)) + ")")
     codes = F.zip_with(
         v, F.zip_with(mn, mx, lambda a, b: F.struct(a.alias("mn"),
                                                     b.alias("mx"))),
