@@ -284,10 +284,10 @@ def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 16,
     # features.  Without it the length feature's step is ~nt̄ times a
     # bucket's, GD saturates the score clamp and oscillates between
     # the two constant predictions.
-    srow = base.agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.expr(f"xs[{j}]")).alias(f"a{j}") for j in range(dim)],
-        *[F.sum(F.expr(f"(xs[{j}] * 1000000) div nt")).alias(f"b{j}")
+    srow = base.selectExpr(
+        "count(*) AS n",
+        *[f"sum(xs[{j}]) AS a{j}" for j in range(dim)],
+        *[f"sum((xs[{j}] * 1000000) div nt) AS b{j}"
           for j in range(dim)]).collect()[0]
     n = int(srow.n)
     # s_j = E[x_j] · E[x_j/nt] (gradient magnitude × score
@@ -311,12 +311,14 @@ def train_classifier(docs: DataFrame, dim: int = 16, rounds: int = 16,
         scored = (base.withColumn("__dot", dot)
                   .withColumn("__m", m)
                   .withColumn("__sig", sig))
-        aggs = [F.sum(F.expr(f"(__sig - y) * xs[{j}]")).alias(f"g{j}")
-                for j in range(dim)]
-        aggs.append(F.sum(F.expr(
-            "CASE WHEN (__sig >= 500000) = (y = 1000000) "
-            "THEN 1 ELSE 0 END")).alias("ok"))
-        row = scored.agg(*aggs).collect()[0]
+        # ONE selectExpr batch per round (a select of aggregates with
+        # no groupBy is a global aggregate), not dim+1 Column builds:
+        # the per-Column py4j round-trips recur EVERY round of the fit
+        # loop (the column_stats construction lesson)
+        row = scored.selectExpr(
+            *[f"sum((__sig - y) * xs[{j}]) AS g{j}" for j in range(dim)],
+            "sum(CASE WHEN (__sig >= 500000) = (y = 1000000) "
+            "THEN 1 ELSE 0 END) AS ok").collect()[0]
         acc_ppm = (int(row.ok) * 1_000_000) // n
         # backtracking schedule: whenever this round's training
         # accuracy (measured on the PRE-update weights, i.e. the
