@@ -36,6 +36,12 @@ TOUCHED = [
     "corpus_split", "corpus_tokenize", "embed_quantize",
     "media_features", "media_resize", "media_frames", "media_segments",
     "ann_range_search", "geo_near",
+    # later-session construction batches (selectExpr/F.expr string
+    # rewrites — expressions string-identical, replayed here anyway)
+    "io_column_stats_sketch", "io_column_stats", "dedup_fuzzy",
+    "dedup_minhash", "dedup_cross", "dedup_agreement",
+    "dedup_threshold_sweep", "streaming_dedup_cross", "corpus_clean",
+    "embed_pca", "text_train_classifier",
 ]
 
 
