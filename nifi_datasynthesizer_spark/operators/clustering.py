@@ -879,10 +879,26 @@ def semantic_dedup(emb: DataFrame, k: int | None = None, iters: int = 2,
     right = both.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
                         "cluster")
     pairs = left.join(right, "cluster").filter(F.col("a") < F.col("b"))
+    # The cosine dot is the operator's hot loop: |pairs| ≈ Σ cluster²
+    # rows × dim lambda steps.  zip_with/aggregate HOFs evaluate
+    # INTERPRETED per element (~3 s of the warm query at sf0.1's
+    # ~250k pairs); the unrolled 64-term sum compiles into
+    # whole-stage codegen.  The unroll is IEEE-identical to the fold:
+    # the fold computes ((0.0 + t0) + t1) + ... sequentially, and the
+    # unrolled left-associated `0.0 + t0 + t1 + ...` is the same op
+    # sequence (the leading 0.0 preserved so a -0.0 first term
+    # rounds identically).  A size guard keeps the generic fold for
+    # any non-64-dim input (planted tests use 3-4 dims), so the
+    # function's semantics are unchanged for every input.
+    _dim = 64
+    _unrolled = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"va[{i}] * vb[{i}]" for i in range(_dim))
+    _fold = ("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     cos = pairs.withColumn(
         "cosine",
-        F.round(F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, v: acc + v), 6))
+        F.expr(f"round(CASE WHEN size(va) = {_dim} AND size(vb) = {_dim} "
+               f"THEN {_unrolled} ELSE {_fold} END, 6)"))
     return (cos.filter(F.col("cosine") >= threshold)
             .select("a", "b", "cluster", "cosine"))
 

@@ -16,7 +16,25 @@ from pyspark.sql import functions as F
 
 def dot(a, b):
     # cast to double *before* multiplying: float32 arithmetic differs
-    # between engines; double-everywhere keeps the oracle bit-exact
+    # between engines; double-everywhere keeps the oracle bit-exact.
+    #
+    # String args (SQL column names) take the codegen fast path: the
+    # zip_with/aggregate fold evaluates INTERPRETED per element, and
+    # this dot is the hot loop of every cosine scorer; the unrolled
+    # 64-term sum compiles into whole-stage codegen.  IEEE-identical
+    # to the fold — same ((0.0 + t0) + t1) + ... op sequence with the
+    # leading 0.0 preserved — and a size guard falls back to the
+    # generic fold for any non-64-dim input, so semantics are
+    # unchanged for every input.  Column args keep the fold form.
+    if isinstance(a, str) and isinstance(b, str):
+        unrolled = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(64))
+        fold = (f"aggregate(zip_with({a}, {b}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        return F.expr(f"CASE WHEN size({a}) = 64 AND size({b}) = 64 "
+                      f"THEN {unrolled} ELSE {fold} END")
     return F.aggregate(F.zip_with(a, b,
                                   lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -78,7 +96,7 @@ def ann_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame
                    l2_normalize(F.col("embedding")).alias("cv"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("cand_id") != F.col("query_id"))
-              .withColumn("cosine", F.round(dot(F.col("qv"), F.col("cv")), 6)))
+              .withColumn("cosine", F.round(dot("qv", "cv"), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -191,14 +209,14 @@ def ann_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(F.col("vec_id").alias("query_id"),
                        l2_normalize(F.col("embedding")).alias("qv"))
     q_cells = (q.crossJoin(F.broadcast(cent))
-               .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")), 6)))
+               .withColumn("sim", F.round(dot("qv", "cv"), 6)))
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
     probes = (q_cells.withColumn("r", F.row_number().over(wq))
               .filter(F.col("r") <= n_probe)
               .select("query_id", "qv", "cell"))
     cand = (assigned.join(F.broadcast(probes), "cell")
             .filter(F.col("cand_id") != F.col("query_id"))
-            .withColumn("cosine", F.round(dot(F.col("qv"), F.col("v")), 6)))
+            .withColumn("cosine", F.round(dot("qv", "v"), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -268,7 +286,7 @@ def ann_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
          .withColumn("bucket", random_hyperplane_bucket(F.col("cv"), bucket_bits, seed)))
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("cand_id") != F.col("query_id"))
-              .withColumn("cosine", F.round(dot(F.col("qv"), F.col("cv")), 6)))
+              .withColumn("cosine", F.round(dot("qv", "cv"), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -362,7 +380,7 @@ def knn_graph(emb: DataFrame, k: int = 5, bucket_bits: int = 6,
                    & (F.col("l.vec_id") < F.col("r.vec_id")))
             .select(F.col("l.vec_id").alias("a"),
                     F.col("r.vec_id").alias("b"),
-                    F.round(dot(F.col("l.v"), F.col("r.v")), 6)
+                    F.round(dot("l.v", "r.v"), 6)
                     .alias("cosine")))
     # single-pass symmetric closure: each half-space pair EXPLODES
     # into its two directed edges — the union-of-projections form
@@ -504,7 +522,7 @@ def ann_lsh_multiprobe(emb: DataFrame, queries: DataFrame, k: int = 10,
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("cand_id") != F.col("query_id"))
               .withColumn("cosine",
-                          F.round(dot(F.col("qv"), F.col("cv")), 6))
+                          F.round(dot("qv", "cv"), 6))
               .select("query_id", "cand_id", "cosine").distinct())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("cand_id"))
@@ -535,6 +553,6 @@ def ann_range(emb: DataFrame, queries: DataFrame,
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("cand_id") != F.col("query_id"))
               .withColumn("cosine",
-                          F.round(dot(F.col("qv"), F.col("cv")), 6)))
+                          F.round(dot("qv", "cv"), 6)))
     return (scored.filter(F.col("cosine") >= min_cosine)
             .select("query_id", "cand_id", "cosine"))
