@@ -865,7 +865,7 @@ def semantic_dedup(emb: DataFrame, k: int | None = None, iters: int = 2,
         k = max(8, math.isqrt(emb.count()))
     asg = cluster_embeddings(emb, k=k, iters=iters, vec_col=vec_col,
                              fit_mod=fit_mod).select("vec_id", "cluster")
-    normed = emb.select("vec_id", l2_normalize(F.col(vec_col)).alias("v"))
+    normed = emb.select("vec_id", l2_normalize(vec_col).alias("v"))
     both = asg.join(normed, "vec_id")
     # both pair-join sides read this frame — unpinned, each side
     # replays the k-means assignment AND the normalization (audited:

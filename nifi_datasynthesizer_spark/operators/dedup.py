@@ -836,7 +836,7 @@ def dedup_embedding(emb: DataFrame, threshold: float = 0.95,
     if bucket_bits is None:
         bucket_bits = max(8, (emb.count() // derive_div).bit_length())
     normed = emb.select(F.col("vec_id"),
-                        l2_normalize(F.col("embedding")).alias("v"))
+                        l2_normalize("embedding").alias("v"))
     bucketed = _pin(normed.withColumn(
         "bucket", random_hyperplane_bucket(F.col("v"), bucket_bits, seed)))
     bucketed.count()
