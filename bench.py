@@ -150,6 +150,12 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     timings: dict[str, float] = {}
+    # r12 (r11 verdict item 7): record BOTH runs of every retimed query
+    # ("retime_spread" in the artifact), so a host-stall hit on the
+    # first run is distinguishable from a regression in the artifact
+    # itself instead of only via isolated re-runs.  Additions-only:
+    # "queries" still carries the min, exactly as before.
+    retime_spread: dict[str, list[float]] = {}
     for name in names:
         t0 = time.perf_counter()
         _force(q[name](spark, SF_DIR))
@@ -160,7 +166,9 @@ def main() -> None:
         if took > RETIME_SEC or took > RETIME_RATIO * prior.get(name, float("inf")):
             t0 = time.perf_counter()
             _force(q[name](spark, SF_DIR))
-            took = min(took, time.perf_counter() - t0)
+            second = time.perf_counter() - t0
+            retime_spread[name] = [round(took, 3), round(second, 3)]
+            took = min(took, second)
             release_caches()
         timings[name] = round(took, 3)
 
@@ -300,6 +308,7 @@ def main() -> None:
         "sf": sf,
         "synth_rows": BENCH_SYNTH_N,
         "synth_spread": synth_spread,
+        "retime_spread": retime_spread,
         **recall,
     })
     # stdout for the driver AND a file copy: the driver's tail capture
@@ -310,22 +319,45 @@ def main() -> None:
         fh.write(result + "\n")
     print(result)
     # LAST stdout line: a compact summary that survives the driver's
-    # tail-capture limit (every BENCH_r0N.json so far recorded the
-    # full line truncated — parsed: null).  Same contract keys, with
-    # "queries" reduced to the TPC-H headline trio; the complete
-    # per-query map is the line above and the committed bench_out.json.
-    print(json.dumps({
+    # tail capture.  Measured across BENCH_r01-r11: the driver keeps
+    # the final 2000 CHARACTERS of stdout and parses the last line
+    # found inside that window — r4-r8 (result line ~3-6 KB) all
+    # record the line with its head cut off (parsed: null); the r9
+    # fix shrank the final line to the TPC-H trio, which is why
+    # PERF_r11 could compare only 3 of 186 rows (r11 verdict item 1).
+    # The full ~5 KB map can never ride the final line without
+    # reproducing the r4 failure, so pack as many per-query entries
+    # as fit a hard 1900-char budget: the contract trio first (never
+    # removed — the only names every prior parsed artifact carries),
+    # then the slowest queries, which are exactly the rows a
+    # regression read needs most.  The complete map stays on the
+    # line above and in the committed bench_out.json.
+    base_keys = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        "queries": {k: timings[k] for k in
-                    ("q1_pricing_summary", "q3_top_orders",
-                     "q5_nation_revenue") if k in timings},
         "full_map": "bench_out.json",
         **recall,
-    }))
+    }
+
+    def _final_line(qmap: dict[str, float]) -> str:
+        return json.dumps({**base_keys, "queries": qmap},
+                          separators=(",", ":"))
+
+    FINAL_LINE_BUDGET = 1900
+    picked = {k: timings[k] for k in
+              ("q1_pricing_summary", "q3_top_orders",
+               "q5_nation_revenue") if k in timings}
+    for name in sorted((n for n in timings if n not in picked),
+                       key=lambda n: (-timings[n], n)):
+        trial = dict(picked)
+        trial[name] = timings[name]
+        if len(_final_line(trial)) > FINAL_LINE_BUDGET:
+            break
+        picked = trial
+    print(_final_line(picked))
     spark.stop()
 
 

@@ -882,23 +882,17 @@ def semantic_dedup(emb: DataFrame, k: int | None = None, iters: int = 2,
     # The cosine dot is the operator's hot loop: |pairs| ≈ Σ cluster²
     # rows × dim lambda steps.  zip_with/aggregate HOFs evaluate
     # INTERPRETED per element (~3 s of the warm query at sf0.1's
-    # ~250k pairs); the unrolled 64-term sum compiles into
-    # whole-stage codegen.  The unroll is IEEE-identical to the fold:
-    # the fold computes ((0.0 + t0) + t1) + ... sequentially, and the
-    # unrolled left-associated `0.0 + t0 + t1 + ...` is the same op
-    # sequence (the leading 0.0 preserved so a -0.0 first term
-    # rounds identically).  A size guard keeps the generic fold for
-    # any non-64-dim input (planted tests use 3-4 dims), so the
-    # function's semantics are unchanged for every input.
-    _dim = 64
-    _unrolled = "CAST(0.0 AS DOUBLE) + " + " + ".join(
-        f"va[{i}] * vb[{i}]" for i in range(_dim))
-    _fold = ("aggregate(zip_with(va, vb, (x, y) -> x * y), "
-             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    cos = pairs.withColumn(
-        "cosine",
-        F.expr(f"round(CASE WHEN size(va) = {_dim} AND size(vb) = {_dim} "
-               f"THEN {_unrolled} ELSE {_fold} END, 6)"))
+    # ~250k pairs); similarity.dot's string fast path is the unrolled
+    # EMBED_DIM-term sum that compiles into whole-stage codegen,
+    # IEEE-identical to the fold (same ((0.0 + t0) + t1) + ... op
+    # sequence, leading 0.0 preserved) with a size guard that keeps
+    # the generic fold for any other width (planted tests use 3-4
+    # dims) — semantics unchanged for every input.  va/vb are already
+    # DOUBLE (l2_normalize output), so dot's CASTs are no-ops that
+    # Catalyst's SimplifyCasts removes; reusing it here instead of a
+    # third hand-rolled copy of the unroll is r11 ADVICE item 2.
+    from .similarity import dot
+    cos = pairs.withColumn("cosine", F.round(dot("va", "vb"), 6))
     return (cos.filter(F.col("cosine") >= threshold)
             .select("a", "b", "cluster", "cosine"))
 

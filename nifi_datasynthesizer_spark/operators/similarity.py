@@ -9,9 +9,29 @@ expressions — JVM-side, no Python, no UDF.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# The embedding width every unrolled codegen fast path is generated
+# for (r11 ADVICE: previously hardcoded independently in dot,
+# l2_normalize and semantic_dedup's inline cosine).  Non-EMBED_DIM
+# inputs stay correct via the size-guarded fold fallback inside each
+# expression; changing the corpus width means changing it HERE only.
+EMBED_DIM = 64
+
+# Identifier gate for the string fast paths below (r11 ADVICE): the
+# unrolled expressions interpolate column names into SQL text, so a
+# name needing backtick quoting (spaces, hyphens, dots, reserved
+# words) must fall back to the Column path — same results, no parse
+# error, no dotted-name mis-resolution.  Same alphabet io.column_stats
+# enforces.
+_SAFE_IDENT = re.compile(r"[A-Za-z0-9_]+\Z")
+
+
+def _ident_ok(name) -> bool:
+    return isinstance(name, str) and _SAFE_IDENT.match(name) is not None
 
 
 def dot(a, b):
@@ -21,20 +41,25 @@ def dot(a, b):
     # String args (SQL column names) take the codegen fast path: the
     # zip_with/aggregate fold evaluates INTERPRETED per element, and
     # this dot is the hot loop of every cosine scorer; the unrolled
-    # 64-term sum compiles into whole-stage codegen.  IEEE-identical
-    # to the fold — same ((0.0 + t0) + t1) + ... op sequence with the
-    # leading 0.0 preserved — and a size guard falls back to the
-    # generic fold for any non-64-dim input, so semantics are
-    # unchanged for every input.  Column args keep the fold form.
-    if isinstance(a, str) and isinstance(b, str):
+    # EMBED_DIM-term sum compiles into whole-stage codegen.
+    # IEEE-identical to the fold — same ((0.0 + t0) + t1) + ... op
+    # sequence with the leading 0.0 preserved — and a size guard falls
+    # back to the generic fold for any non-EMBED_DIM-dim input, so
+    # semantics are unchanged for every input.  Column args (and
+    # names the identifier gate rejects) keep the fold form.
+    if _ident_ok(a) and _ident_ok(b):
         unrolled = "CAST(0.0 AS DOUBLE) + " + " + ".join(
             f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-            for i in range(64))
+            for i in range(EMBED_DIM))
         fold = (f"aggregate(zip_with({a}, {b}, "
                 "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-        return F.expr(f"CASE WHEN size({a}) = 64 AND size({b}) = 64 "
-                      f"THEN {unrolled} ELSE {fold} END")
+        return F.expr(
+            f"CASE WHEN size({a}) = {EMBED_DIM} "
+            f"AND size({b}) = {EMBED_DIM} "
+            f"THEN {unrolled} ELSE {fold} END")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(F.zip_with(a, b,
                                   lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -56,23 +81,25 @@ def l2_normalize(v):
     # once-vs-repeated evaluation is value-identical), computes the
     # sum of squares as the unrolled left-associated sum (same IEEE
     # op sequence as the fold, leading 0.0 preserved), and emits the
-    # element divisions as a plain 64-term array constructor.  A size
-    # guard keeps the generic per-element form for any non-64-dim
-    # input, so semantics are unchanged for every input.
-    if isinstance(v, str):
+    # element divisions as a plain EMBED_DIM-term array constructor.
+    # A size guard keeps the generic per-element form for any
+    # non-EMBED_DIM-dim input, so semantics are unchanged for every
+    # input; names the identifier gate rejects keep the Column form.
+    if _ident_ok(v):
         sq = "CAST(0.0 AS DOUBLE) + " + " + ".join(
             f"CAST({v}[{i}] AS DOUBLE) * CAST({v}[{i}] AS DOUBLE)"
-            for i in range(64))
+            for i in range(EMBED_DIM))
         fast = ("transform(array(sqrt(" + sq + ")), n -> array(" +
                 ",".join(f"CAST({v}[{i}] AS DOUBLE) / n"
-                         for i in range(64)) + "))[0]")
+                         for i in range(EMBED_DIM)) + "))[0]")
         generic = (
             f"transform({v}, x -> CAST(x AS DOUBLE) / "
             f"sqrt(aggregate(transform({v}, "
             "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), "
             "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))")
-        return F.expr(f"CASE WHEN size({v}) = 64 THEN {fast} "
+        return F.expr(f"CASE WHEN size({v}) = {EMBED_DIM} THEN {fast} "
                       f"ELSE {generic} END")
+    v = F.col(v) if isinstance(v, str) else v
     n = l2_norm(v)
     return F.transform(v, lambda x: x.cast("double") / n)
 
@@ -341,12 +368,21 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
     # ONE selectExpr batch / ONE array expr, not 2·dim Column builds +
     # 2·dim F.col calls: the per-Column py4j round-trips cost ~0.5 s
     # of driver-side construction per call (the column_stats lesson;
-    # expressions are string-identical, results unchanged)
-    stats = emb.selectExpr(
-        *[f"min(element_at({vec_col}, {d + 1})) AS mn{d}"
-          for d in range(dim)],
-        *[f"max(element_at({vec_col}, {d + 1})) AS mx{d}"
-          for d in range(dim)])
+    # expressions are string-identical, results unchanged).  Names the
+    # identifier gate rejects (r11 ADVICE) keep the Column build —
+    # same aggregates, just slower to construct.
+    if _ident_ok(vec_col):
+        stats = emb.selectExpr(
+            *[f"min(element_at({vec_col}, {d + 1})) AS mn{d}"
+              for d in range(dim)],
+            *[f"max(element_at({vec_col}, {d + 1})) AS mx{d}"
+              for d in range(dim)])
+    else:
+        stats = emb.agg(
+            *[F.min(F.element_at(v, d + 1)).alias(f"mn{d}")
+              for d in range(dim)],
+            *[F.max(F.element_at(v, d + 1)).alias(f"mx{d}")
+              for d in range(dim)])
     q = emb.crossJoin(F.broadcast(stats))
     mn = F.expr("array(" + ",".join(f"mn{d}" for d in range(dim)) + ")")
     mx = F.expr("array(" + ",".join(f"mx{d}" for d in range(dim)) + ")")

@@ -20,6 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Cap on the transition-matrix rows markov_stationary may collect to
+# the driver (r11 verdict item 3): |states|² for any sane state
+# vocabulary sits orders of magnitude below this; a high-cardinality
+# state column (user ids, urls) must fail loudly instead of dragging
+# an unbounded aggregate through py4j.
+_MAX_MATRIX_ROWS = 1_000_000
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
               right_cols: list[str] | None = None,
@@ -656,7 +663,22 @@ def markov_stationary(events: DataFrame, iters: int = 10,
         F.lag(state, -1).over(w).alias("dst"))
     rows = (seq.filter(F.col("dst").isNotNull())
             .groupBy("src", "dst").agg(F.count("*").alias("n"))
+            .limit(_MAX_MATRIX_ROWS + 1)
             .collect())
+    # The collect is bounded BY CONVENTION (the matrix is |states|²,
+    # and states are event types), but nothing upstream stops a
+    # high-cardinality `state` column from aggregating an unbounded
+    # frame onto the driver.  The LIMIT above caps what can ever
+    # cross the py4j boundary (it costs nothing when the matrix is
+    # small — the limit sits above the final aggregate); hitting it
+    # means the state vocabulary is not matrix-sized and the driver-
+    # side power iteration is the wrong algorithm for this input.
+    if len(rows) > _MAX_MATRIX_ROWS:
+        raise ValueError(
+            f"markov_stationary: transition matrix exceeds "
+            f"{_MAX_MATRIX_ROWS} rows — the '{state}' column is too "
+            f"high-cardinality for the driver-side power iteration; "
+            f"bucket the state column or raise _MAX_MATRIX_ROWS")
     mat = [(r.src, r.dst, int(r.n)) for r in rows]
     totals: dict = {}
     for s, _, n in mat:

@@ -31,10 +31,10 @@ def test_window_names_resolve():
     every window entry must name a real query, the head must be
     exactly the 50 the driver checks, and the registry must lead with
     it (r5 advice: the stray 51st entry landed OUTSIDE the window)."""
-    assert len(entrymod._WINDOW_R11_HEAD) == 50
-    ghosts = [n for n in entrymod._WINDOW_R11 if n not in _queries]
+    assert len(entrymod._WINDOW_R12_HEAD) == 50
+    ghosts = [n for n in entrymod._WINDOW_R12 if n not in _queries]
     assert not ghosts, f"window names missing from registry: {ghosts}"
-    assert list(_queries)[:50] == entrymod._WINDOW_R11_HEAD
+    assert list(_queries)[:50] == entrymod._WINDOW_R12_HEAD
 
 
 @pytest.mark.parametrize("name", sorted(_oracles))
