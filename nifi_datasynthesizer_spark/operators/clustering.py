@@ -870,9 +870,17 @@ def semantic_dedup(emb: DataFrame, k: int | None = None, iters: int = 2,
     # both pair-join sides read this frame — unpinned, each side
     # replays the k-means assignment AND the normalization (audited:
     # four corpus scans).  Pin eagerly (the dedup signature-store
-    # pattern; released via dedup.release_caches()).
-    from .dedup import _pin
-    both = _pin(both)
+    # pattern; released via dedup.release_caches()).  The pair join
+    # below is a cluster-key BROADCAST join (both sides are this
+    # frame), so the quadratic dot stage runs at the CACHE's
+    # parallelism — no exchange sits between them to rescue it.  A
+    # small corpus scans into a handful of parquet partitions and
+    # every within-cluster pair then lands on those few tasks (r12,
+    # measured: the 250k-pair dot stage dropped ~1.4 s → ~0.25 s once
+    # spread).  ensure_parallelism is a no-op at scale: a corpus with
+    # enough scan partitions is never re-shuffled.
+    from .dedup import _pin, ensure_parallelism
+    both = _pin(ensure_parallelism(both))
     both.count()
     left = both.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
                        "cluster")

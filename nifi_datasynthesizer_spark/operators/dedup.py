@@ -521,16 +521,29 @@ def longest_repeated_span(docs: DataFrame, min_docs: int = 2,
     found by BINARY SEARCH on the monotone predicate "some length-L
     window repeats in >= min_docs docs" (monotone because any
     qualifying length-L span's prefix of length L-1 also qualifies).
-    Each probe is one pass over the pinned tokenized corpus: explode
-    start positions, ``slice(w, i, L)`` per position (collection
-    function, no per-element lambda), hash-count by span —
-    ~log2(max_doc_len) probes, each collecting ONE scalar to the
-    driver.  Final readout re-runs the window count at the winning
-    length with the same two-stage (span, doc)-then-span aggregation
-    as repeated_substrings.
+    Each probe round is one pass over the pinned tokenized corpus:
+    explode start positions, ``xxhash64(slice(w, i, L))`` per
+    position.  Probing on the 64-bit HASH instead of the concatenated
+    span string (r12) keeps the per-position work O(L) but drops the
+    span-string allocation and shrinks the probe shuffle rows to
+    (L, 8-byte key, doc_id) — the §2.3 "shuffle keys, not payloads"
+    move — and the search is k-POINT bisection (PROBE_POINTS lengths
+    per job), because at any fixed corpus size a probe's cost floor
+    is job dispatch + plan analysis, so ~2-3 rounds replace ~7
+    sequential probes.  Hashing is made LOSSLESS by construction: a
+    collision can only MERGE span groups, so the hash probe's max
+    distinct-doc count dominates the true one — a False probe PROVES
+    no length-L span qualifies, while the final length is confirmed
+    by the exact string readout; in the astronomically-rare event the
+    readout at the hash-chosen length comes back empty (a collision
+    lied on the True side), the search re-runs below that length on
+    exact string probes, so the result is the exact answer for EVERY
+    input, collisions included.  Final readout runs the window count
+    at the winning length with the same two-stage (span, doc)-then-
+    span aggregation as repeated_substrings.
 
     Scale shape: probe cost is sum_d (len_d - L + 1) * L word
-    copies — LINEAR in corpus size, quadratic only in the per-DOC
+    hashes — LINEAR in corpus size, quadratic only in the per-DOC
     token count (worst at L ~ len/2), so bound document length
     upstream (chunk first — the standard pipeline already does) for
     unchunked 100 TB corpora; a true distributed suffix array
@@ -559,33 +572,109 @@ def longest_repeated_span(docs: DataFrame, min_docs: int = 2,
                             " ", F.expr(f"slice(w, i, {int(L)})"))
                         .alias("span")))
 
-    def qualifies(L):
+    def qualifies_exact(L):
         top = (windows(L).groupBy("span")
                .agg(F.countDistinct("doc_id").alias("nd"))
                .agg(F.max("nd").alias("m")).first()[0])
         return top is not None and top >= min_docs
 
+    def probe_hash_many(pts):
+        """The hash predicate at SEVERAL lengths in ONE job: each doc
+        explodes its probe lengths, then its start positions at each
+        length, and ships (L, 8-byte hash, doc_id) rows into one
+        (L, h)-keyed count-distinct.  At sf-scale a probe's cost is
+        dominated by job dispatch + plan analysis (~0.25 s/job
+        measured), so folding k bisection points into one job is the
+        lever; at corpus scale the probe rows are 16-byte key tuples
+        either way.  Soundness per length is the single-probe
+        argument: merging can only inflate a count."""
+        arr = F.array(*[F.lit(int(L)) for L in pts])
+        got = (base.select("doc_id", F.explode(arr).alias("L"), "w")
+               .filter(F.size("w") >= F.col("L"))
+               .select("doc_id", "L",
+                       F.explode(F.sequence(
+                           F.lit(1),
+                           F.size("w") - F.col("L") + 1)).alias("i"),
+                       "w")
+               .select("L", "doc_id",
+                       F.xxhash64(F.expr("slice(w, i, L)")).alias("h"))
+               .groupBy("L", "h")
+               .agg(F.countDistinct("doc_id").alias("nd"))
+               .groupBy("L").agg(F.max("nd").alias("m"))
+               .collect())
+        top = {int(r.L): int(r.m) for r in got}
+        return {int(L): top.get(int(L), 0) >= min_docs for L in pts}
+
+    def search_exact(lo, hi):
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if qualifies_exact(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    # k-point bisection on the hash predicate: each round probes
+    # PROBE_POINTS lengths spread over (lo, hi] (hi inclusive — the
+    # longest repeated span is commonly near the document length, so
+    # refuting the top of the range early collapses the search), so
+    # the range shrinks ~(k+1)× per JOB instead of 2×:
+    # ceil(log_{k+1}) rounds ≈ 2-3 jobs for any realistic document
+    # length vs ~7 sequential probes.
+    PROBE_POINTS = 4
     hi_row = base.agg(F.max(F.size("w"))).first()[0]
-    if not hi_row or not qualifies(1):
+    if not hi_row:
         return docs.sparkSession.createDataFrame([], out_schema)
     lo, hi = 1, int(hi_row)
-    while lo < hi:
-        mid = (lo + hi + 1) // 2
-        if qualifies(mid):
-            lo = mid
-        else:
-            hi = mid - 1
-    per_doc = (windows(lo).groupBy("span", "doc_id")
-               .agg(F.count("*").alias("n_in_doc")))
-    return (per_doc.groupBy("span")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_in_doc").alias("n_occ"),
-                 F.min("doc_id").alias("first_doc"))
-            .filter(F.col("n_docs") >= min_docs)
-            .select("span", F.lit(lo).cast("long").alias("span_len"),
-                    F.col("n_docs").cast("long").alias("n_docs"),
-                    F.col("n_occ").cast("long").alias("n_occ"),
-                    "first_doc"))
+    # first round folds the emptiness gate (L=1) in with the spread
+    pts = sorted({1, *(lo + ((hi - lo) * j + PROBE_POINTS - 1)
+                       // PROBE_POINTS
+                       for j in range(1, PROBE_POINTS + 1))})
+    res = probe_hash_many(pts)
+    if not res[1]:
+        # hash-False is exact: merging groups never lowers the count
+        return docs.sparkSession.createDataFrame([], out_schema)
+    while True:
+        trues = [p for p in res if res[p]]
+        falses = [p for p in res if not res[p]]
+        if trues:
+            lo = max(lo, max(trues))
+        if falses:
+            hi = min(hi, min(falses) - 1)
+        if lo >= hi:
+            break
+        pts = sorted({p for p in
+                      (lo + ((hi - lo) * j + PROBE_POINTS - 1)
+                       // PROBE_POINTS
+                       for j in range(1, PROBE_POINTS + 1))
+                      if p > lo})
+        res = probe_hash_many(pts)
+    while True:
+        # per_doc is pinned so the non-emptiness check (the hash
+        # search's exact confirmation) and the returned frame share
+        # ONE window pass at the winning length — the same single
+        # heavy readout the exact-probe form paid.
+        per_doc = _pin(windows(lo).groupBy("span", "doc_id")
+                       .agg(F.count("*").alias("n_in_doc")))
+        out = (per_doc.groupBy("span")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_in_doc").alias("n_occ"),
+                    F.min("doc_id").alias("first_doc"))
+               .filter(F.col("n_docs") >= min_docs)
+               .select("span",
+                       F.lit(lo).cast("long").alias("span_len"),
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       F.col("n_occ").cast("long").alias("n_occ"),
+                       "first_doc"))
+        if out.count() > 0:
+            return out
+        # a hash collision inflated some probe: the TRUE answer is
+        # strictly below lo (lengths above lo are hash-refuted, which
+        # is sound).  Re-search below on exact string probes — never
+        # taken in practice, the readout doubles as the verification.
+        if lo <= 1 or not qualifies_exact(1):
+            return docs.sparkSession.createDataFrame([], out_schema)
+        lo = search_exact(1, lo - 1)
 
 
 def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -2589,6 +2589,33 @@ def test_longest_repeated_span_planted(spark):
         "span", "span_len", "n_docs", "n_occ", "first_doc"]
 
 
+def test_longest_repeated_span_collision_fallback(spark, monkeypatch):
+    """r12: the binary search probes on xxhash64 of the token slice
+    (8-byte shuffle keys instead of span strings).  Hash merging can
+    only INFLATE a probe's distinct-doc count, so a False probe is
+    proof; a lying True probe must be caught by the exact readout and
+    the search must recover the exact answer below it.  Force the
+    worst case — EVERY span hashes identically — and require the
+    bit-exact result the string probes produce."""
+    from pyspark.sql import functions as SF
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"{shared} one two"),
+        (1, f"zero {shared} three"),
+        (2, "red green blue unrelated words"),
+        (3, "also red green blue here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    expect = sorted(map(tuple, DD.longest_repeated_span(
+        docs, min_docs=2).collect()))
+    monkeypatch.setattr(SF, "xxhash64",
+                        lambda *cols: SF.lit(0).cast("long"))
+    got = sorted(map(tuple, DD.longest_repeated_span(
+        docs, min_docs=2).collect()))
+    assert got == expect and len(got) == 1 and got[0][0] == shared
+
+
 def test_longest_repeated_span_within_doc_excluded(spark):
     """min_docs counts DISTINCT documents: a long span repeated twice
     inside ONE doc does not qualify; the shorter cross-doc span
