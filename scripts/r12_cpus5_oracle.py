@@ -29,9 +29,9 @@ TOUCHED = [
     # identical) -- replay the heaviest consumers anyway
     "ann_bruteforce", "ann_recall_eval", "embed_knn_graph",
     "ann_filtered", "dedup_embedding",
-    # dup_groups rounds now _cut_lineage per round (plan truncation)
+    # per-round _cut_lineage (plan truncation)
     "dedup_groups", "graph_components", "corpus_split_groups",
-    "corpus_dedup_report",
+    "corpus_dedup_report", "graph_distances",
 ]
 
 
