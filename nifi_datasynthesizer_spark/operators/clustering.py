@@ -875,10 +875,12 @@ def semantic_dedup(emb: DataFrame, k: int | None = None, iters: int = 2,
     # frame), so the quadratic dot stage runs at the CACHE's
     # parallelism — no exchange sits between them to rescue it.  A
     # small corpus scans into a handful of parquet partitions and
-    # every within-cluster pair then lands on those few tasks (r12,
-    # measured: the 250k-pair dot stage dropped ~1.4 s → ~0.25 s once
-    # spread).  ensure_parallelism is a no-op at scale: a corpus with
-    # enough scan partitions is never re-shuffled.
+    # every within-cluster pair then lands on those few tasks (r12
+    # toggle A/B on the declared query: 4.16 → 2.83 s min isolated,
+    # 5.01 → 3.34 med; the pair+dot stage is where the delta lives —
+    # profiled at ~1.4 s of the warm query before the spread).
+    # ensure_parallelism is a no-op at scale: a corpus with enough
+    # scan partitions is never re-shuffled.
     from .dedup import _pin, ensure_parallelism
     both = _pin(ensure_parallelism(both))
     both.count()
